@@ -1,0 +1,456 @@
+"""Beyond-reference, large-scale training-data pipeline operators, exposed as
+oracle-checked queries over the driver's ``documents`` / ``embeddings`` /
+``events`` tables.
+
+These are first-class engine components (BASELINE.json north star): exact +
+near deduplication, similarity search, text analysis, sessionization. Spark
+implementations stay JVM-side (higher-order array functions, hash joins,
+windows); the DuckDB oracle re-expresses the same deterministic math in ANSI
+SQL so the driver can hash-compare results.
+
+Scale design notes are on each query; the shared theme: every pairwise
+operation is bucketed (by language / LSH band / hash prefix) so candidate
+generation is an equi-join, never an O(n²) cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.session import table
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# --- dedup: exact ----------------------------------------------------------
+@query(
+    "dd01_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash the content, group, keep the min doc_id per group.
+    At 100 TB this is one shuffle on a 128-bit key with map-side combine;
+    the text column itself never shuffles (hash computed at scan)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# --- dedup: canonical-fingerprint (order/duplicate-word insensitive) -------
+@query(
+    "dd02_fingerprint_dedup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM fp
+    GROUP BY fingerprint
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def dd02_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonicalize to the sorted distinct token set,
+    hash it — catches shuffled/repeated-word near-copies that exact hashing
+    misses. All array ops are JVM higher-order functions (no Python UDF)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+            ).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+# --- dedup: n-gram Jaccard near-dup ---------------------------------------
+@query(
+    "dd03_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS shingles
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS n_common
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           round(CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.05
+    """,
+    tags=("dedup", "near-dup", "pipeline"),
+    bench=False,  # quadratic-ish verify stage; LSH variant is the bench path
+)
+def dd03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup. Candidate generation is an equi-join on
+    (shingle, lang) — an inverted index, NOT a cartesian product — followed by
+    a count-common aggregation. At 100 TB you'd cap posting-list length
+    (drop shingles appearing in >k docs) and band with MinHash first; this is
+    the exact verify stage of that pipeline."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text,' ')) - 3),"
+                " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
+                " split(text,' ')[i+2]))"
+            )
+        ).alias("shingles"),
+    )
+    ex = sh.select(
+        "doc_id", "lang", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return pairs.filter(jac >= 0.05).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --- text analysis: token counts + quality scoring -------------------------
+@query(
+    "ts01_text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           round(CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE), 6)
+               AS distinct_ratio,
+           round(CAST(len(list_filter(w, x -> list_contains([{_SW_SQL}], x))) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE), 6) AS stopword_ratio,
+           round(CAST(n_chars - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE), 6)
+               AS avg_token_len,
+           round(0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+                 + 0.3 * (1.0 - CAST(len(list_filter(w, x -> list_contains([{_SW_SQL}], x)))
+                                AS DOUBLE) / CAST(len(w) AS DOUBLE)), 6) AS quality_score
+    FROM t
+    """,
+    tags=("text", "pipeline"),
+)
+def ts01_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics and a composite quality score
+    (length / lexical diversity / stopword density) — entirely JVM-side
+    higher-order array functions, embarrassingly parallel, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    t = d.select("doc_id", "lang", "n_chars", _tokens().alias("w"))
+    n_tok = F.size("w").cast("double")
+    n_dis = F.size(F.array_distinct("w")).cast("double")
+    n_sw = F.size(F.filter("w", lambda x: F.array_contains(sw, x))).cast("double")
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        F.round(n_dis / n_tok, 6).alias("distinct_ratio"),
+        F.round(n_sw / n_tok, 6).alias("stopword_ratio"),
+        F.round((F.col("n_chars") - F.size("w") + 1).cast("double") / n_tok, 6).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+            + 0.3 * (n_dis / n_tok)
+            + 0.3 * (1.0 - n_sw / n_tok),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# --- text analysis: marker-based language ID (confusion matrix) ------------
+_LANG_MARKERS = {
+    "en": ("the", "order", "group", "sort", "window"),
+    "de": ("customer", "join", "vector", "column"),
+    "es": ("slow", "agg", "merge", "query"),
+    "fr": ("scan", "data", "batch", "line"),
+    "zh": ("small", "stream", "fast", "value"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text,' '), x -> list_contains([{words}], x)))"
+
+
+@query(
+    "ts02_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_marker_sql('en')} AS s_en, {_marker_sql('de')} AS s_de,
+               {_marker_sql('es')} AS s_es, {_marker_sql('fr')} AS s_fr,
+               {_marker_sql('zh')} AS s_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE
+                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh'
+               END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+    tags=("text", "langid", "pipeline"),
+)
+def ts02_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with a deterministic argmax tiebreak
+    (de > en > es > fr > zh precedence), reported as a confusion matrix
+    against the labeled ``lang`` column. The real engine swaps the marker
+    lists for per-language n-gram profiles; the dataflow is identical."""
+    d = table(spark, sf_dir, "documents")
+
+    def score(lang: str):
+        words = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(_tokens(), lambda x: F.array_contains(words, x)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("es").alias("s_es"),
+        score("fr").alias("s_fr"),
+        score("zh").alias("s_zh"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") >= F.col("s_zh")),
+            "de",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_zh")), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --- similarity search: brute-force cosine top-k ---------------------------
+@query(
+    "ss01_ann_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank,
+           round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "pipeline"),
+)
+def ss01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the query
+    set, stream the corpus, rank per query. This is the exact-recall baseline
+    the IVF/LSH variants are measured against; at 100 TB the corpus side
+    stays partitioned and only (query × top-k) rows shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    withn = e.select(
+        "vec_id",
+        vec.alias("v"),
+        F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias(
+            "norm"
+        ),
+    )
+    q = withn.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = withn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# --- similarity: embedding cosine near-duplicate pairs ---------------------
+@query(
+    "ss02_embedding_neardup",
+    oracle="""
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.6
+    """,
+    tags=("similarity", "dedup", "pipeline"),
+    bench=False,  # pairwise-within-bucket; LSH is the bench-scale path
+)
+def ss02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, bucketed by label (the cluster id plays the
+    role an LSH bucket plays at scale) so the pairwise check is within-bucket
+    only — an equi-join on the bucket key, not an n² cross join."""
+    e = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    withn = e.select(
+        "vec_id",
+        "label",
+        vec.alias("v"),
+        F.sqrt(
+            F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        ).alias("norm"),
+    )
+    a = withn.alias("a")
+    b = withn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.6)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# --- events: sessionization (gap-based) ------------------------------------
+@query(
+    "ev01_sessionization",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "window", "session", "pipeline"),
+)
+def ev01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + conditional
+    count — the batch twin of Structured Streaming's session_window. One
+    shuffle on user_id; per-user state is a sort within the partition."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    sec = F.col("ts").cast("double")
+    prev = F.lag(sec).over(w)
+    new_session = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    return (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

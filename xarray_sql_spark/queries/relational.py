@@ -1,0 +1,793 @@
+"""Relational operator coverage (SURVEY.md §2B) over the driver's TPC-H-ish
+tables, each with a DuckDB oracle.
+
+Each query maps to surface the reference exercises through DataFusion
+(reference evidence cited per query); here they run through stock Spark
+SQL/Catalyst — projections, filters, aggregates, joins (equi / range /
+interval-arithmetic / cross), CTEs, windows, subqueries, rollups, UDFs.
+
+Scale notes (100 TB design intent, applies to every query here):
+- All predicates/projections are expressed declaratively so Catalyst pushes
+  them into the parquet scan (PushedFilters / ReadSchema pruning).
+- Small dimension sides (region/nation/derived band tables) are explicitly
+  ``F.broadcast``-hinted so the plan never shuffles the fact table for them.
+- Aggregations are plain hash-agg (map-side partial -> shuffle on group keys
+  -> final); group-key cardinality is bounded, so the shuffle is tiny
+  regardless of fact size.
+- Range/theta joins always put the tiny side in a broadcast nested-loop, the
+  fact side streams.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.session import table
+
+
+# --- q01: TPC-H Q1 shape: filter -> wide hash aggregate -------------------
+# Reference evidence: aggregates AVG/SUM/MIN/MAX/COUNT (tests/test_sql.py:23-50),
+# filter on a dim column (tests/test_sql.py:72-77), ORDER BY (211-230).
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 0)                                   AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 0)           AS sum_disc_price,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           CAST(count(*) AS BIGINT)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "orderby"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide hash aggregate with partial map-side combine; 6-value group key
+    space so the shuffle is O(partitions), independent of fact size."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 0).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- q02: projection + compound filter + per-row arithmetic ----------------
+# Reference: scalar arithmetic in projection (01_ndvi.py:117-121), BETWEEN/IN/
+# AND/OR filters (tests/test_reader.py:948-1271).
+@query(
+    "q02_filter_scan",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS INT)  AS l_linenumber,
+           l_quantity,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      AND l_returnflag IN ('A', 'R')
+      AND (l_discount < 0.02 OR l_tax > 0.06)
+    """,
+    tags=("projection", "filter"),
+)
+def q02_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-side query: filter + projection both push to parquet
+    (PushedFilters / ReadSchema show only the 7 referenced columns)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp_ntz"),
+                F.lit("1996-12-31").cast("timestamp_ntz"),
+            )
+            & F.col("l_returnflag").isin("A", "R")
+            & ((F.col("l_discount") < 0.02) | (F.col("l_tax") > 0.06))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+            ).alias("charged"),
+        )
+    )
+
+
+# --- q03: multi-way equi-join + agg + deterministic top-k ------------------
+# Reference: INNER equi-JOIN multi-key (04_anomaly.py:89-111), LIMIT
+# (tests/test_sql.py:12-21).
+@query(
+    "q03_top_revenue",
+    oracle="""
+    SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "limit"),
+)
+def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join shuffles on the join key; customer filter applied
+    before the join so the build side shrinks first. Deterministic LIMIT via
+    unique orderkey tiebreak. Per-order revenue is a bounded-magnitude sum
+    (few lineitems per order), so round(4) — the term grid scale — is cross-engine exact."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select(
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- q04: EXISTS semi-join -------------------------------------------------
+@query(
+    "q04_exists_semijoin",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "semijoin", "subquery"),
+)
+def q04_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join: no row duplication, the probe side streams."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q05: snowflake join chain (TPC-H Q5 shape) ----------------------------
+@query(
+    "q05_region_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+)
+def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join: nation/region/supplier are broadcast (tiny dims), so the
+    only shuffles are the two fact-side equi-joins; Catalyst/AQE picks
+    broadcast automatically but we hint to make the plan deterministic."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- q06: single-row scalar aggregate (TPC-H Q6 shape) ---------------------
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 0) AS promo_revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All predicates push to the scan; single global aggregate — partials
+    combine map-side so only one row per partition reaches the driver stage."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 0).alias("promo_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- q07: CROSS JOIN (reference tests/test_sql.py:126-134) -----------------
+@query(
+    "q07_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "cross"),
+)
+def q07_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny×tiny cartesian product; at scale a cross join is only ever sane
+    when one side is broadcastable — which this is."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+# --- q08: FILTER-clause aggregates + null semantics ------------------------
+# Reference: COUNT(*) FILTER (WHERE ...) + NaN->null (tests/test_sql.py:155-195).
+@query(
+    "q08_agg_filter",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                                    AS n_events,
+           CAST(count(*) FILTER (WHERE value > 50) AS BIGINT)          AS n_high,
+           CAST(count(nullif(value, 0)) AS BIGINT)                     AS n_nonzero,
+           round(avg(value), 6)                                        AS avg_value,
+           round(min(value), 6)                                        AS min_value,
+           round(max(value), 6)                                        AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "null"),
+)
+def q08_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates; COUNT skips nulls (the reference maps NaN->null
+    at ingest so engine aggregates agree — same convention here)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
+            F.count(F.nullif(F.col("value"), F.lit(0.0))).alias("n_nonzero"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q09: climatology GROUP BY date_part (geospatial case 02 shape) --------
+# Reference: GROUP BY date_part('hour', time) (02_climatology.py:96-106).
+@query(
+    "q09_climatology_hour",
+    oracle="""
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+           round(avg(value), 6)      AS clim_value,
+           CAST(count(*) AS BIGINT)  AS n
+    FROM events
+    GROUP BY event_type, extract(hour FROM ts)
+    ORDER BY event_type, hour
+    """,
+    tags=("agg", "datetime", "geospatial-shape"),
+)
+def q09_climatology_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day climatology — the reference's ERA5 case 02 re-expressed on
+    the events table. Group-key space is 5 types × 24 hours regardless of
+    input size, so this aggregates 100 TB into 120 rows with one shuffle."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.hour("ts").cast("long").alias("hour"))
+        .agg(F.round(F.avg("value"), 6).alias("clim_value"), F.count("*").alias("n"))
+        .orderBy("event_type", "hour")
+    )
+
+
+# --- q10: anomaly = CTE climatology self-join (geospatial case 04 shape) ---
+# Reference: WITH clim AS (...) self-join (04_anomaly.py:89-111).
+@query(
+    "q10_anomaly_cte",
+    oracle="""
+    WITH clim AS (
+        SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+               avg(value) AS clim_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_type,
+           strftime(e.ts, '%Y-%m-%d') AS day,
+           round(avg(e.value - c.clim_value), 6) AS anomaly,
+           CAST(count(*) AS BIGINT)  AS n
+    FROM events e
+    JOIN clim c
+      ON e.event_type = c.event_type
+     AND CAST(extract(hour FROM e.ts) AS BIGINT) = c.hour
+    GROUP BY e.event_type, strftime(e.ts, '%Y-%m-%d')
+    ORDER BY e.event_type, day
+    """,
+    tags=("join", "cte", "agg", "geospatial-shape"),
+)
+def q10_anomaly_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly vs hourly climatology. The climatology side is a 120-row
+    aggregate — broadcast it, so the fact table is scanned twice but never
+    shuffled for the join."""
+    e = table(spark, sf_dir, "events")
+    clim = (
+        e.groupBy("event_type", F.hour("ts").cast("long").alias("hour"))
+        .agg(F.avg("value").alias("clim_value"))
+    )
+    return (
+        e.withColumn("hour", F.hour("ts").cast("long"))
+        .join(F.broadcast(clim), ["event_type", "hour"])
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(F.avg(F.col("value") - F.col("clim_value")), 6).alias("anomaly"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --- q11: window top-k per group ------------------------------------------
+@query(
+    "q11_window_topk",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "join"),
+)
+def q11_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number; one shuffle on the partition
+    key. At 100 TB you'd pre-aggregate or use a bounded heap per key
+    (AQE handles the skewed-customer case by splitting partitions)."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = W.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- q12: interval-arithmetic join (geospatial case 05 forecast-skill shape)
+# Reference: e.time = f.time + f.prediction_timedelta (05_forecast_skill.py:158-171).
+@query(
+    "q12_interval_join",
+    oracle="""
+    SELECT strftime(o1.o_orderdate, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT)     AS n_pairs,
+           round(avg(o2.o_totalprice - o1.o_totalprice), 6) AS drift
+    FROM orders o1
+    JOIN orders o2 ON o2.o_orderdate = o1.o_orderdate + INTERVAL 1 DAY
+    GROUP BY strftime(o1.o_orderdate, '%Y-%m-%d')
+    ORDER BY day
+    """,
+    tags=("join", "datetime", "geospatial-shape"),
+)
+def q12_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp+interval equi-join — forecast-skill's valid_time=init+lead
+    re-expressed. The computed key hashes like any equi-join key, so this is
+    one shuffle, not a theta join."""
+    o = table(spark, sf_dir, "orders")
+    o1 = o.select(
+        F.col("o_orderdate").alias("d1"), F.col("o_totalprice").alias("p1")
+    )
+    o2 = o.select(
+        F.col("o_orderdate").alias("d2"), F.col("o_totalprice").alias("p2")
+    )
+    return (
+        o1.join(o2, o2.d2 == o1.d1 + F.expr("INTERVAL 1 DAY"))
+        .groupBy(F.date_format("d1", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.col("p2") - F.col("p1")), 6).alias("drift"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- q13: range/theta join (geospatial case 06 zonal-stats shape) ----------
+# Reference: BETWEEN join predicate raster×vector (06_zonal_vector.py:119-130).
+@query(
+    "q13_range_join",
+    oracle="""
+    WITH bands AS (
+        SELECT r_regionkey AS band,
+               CAST(r_regionkey * 10 AS DOUBLE) AS lo,
+               CAST((r_regionkey + 1) * 10 AS DOUBLE) AS hi
+        FROM region
+    )
+    SELECT b.band,
+           CAST(count(*) AS BIGINT)       AS n_items,
+           round(avg(l.l_extendedprice), 6) AS avg_price
+    FROM lineitem l
+    JOIN bands b ON l.l_quantity > b.lo AND l.l_quantity <= b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+    tags=("join", "range", "broadcast", "geospatial-shape"),
+)
+def q13_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: fact rows land in value bands via a BETWEEN-style
+    predicate against a 5-row broadcast table (BroadcastNestedLoopJoin — the
+    only sane physical plan for theta joins: tiny side broadcast, fact side
+    streams with zero shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    bands = (
+        table(spark, sf_dir, "region")
+        .select(
+            F.col("r_regionkey").alias("band"),
+            (F.col("r_regionkey") * 10).cast("double").alias("lo"),
+            ((F.col("r_regionkey") + 1) * 10).cast("double").alias("hi"),
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity > F.col("lo")) & (li.l_quantity <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# --- q14: SQRT/POWER math (forecast-skill RMSE arithmetic) -----------------
+# Reference: SQRT, POWER (05_forecast_skill.py:161-163).
+@query(
+    "q14_math_rmse",
+    oracle="""
+    SELECT l_returnflag,
+           round(sqrt(avg(power(l_extendedprice * l_discount, 2))), 4) AS rms_discount_value,
+           round(avg(sqrt(l_quantity)), 6) AS avg_sqrt_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "math"),
+)
+def q14_math_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math stays JVM-side (whole-stage codegen) — no UDF needed."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sqrt(F.avg(F.pow(F.col("l_extendedprice") * F.col("l_discount"), 2))), 4).alias(
+                "rms_discount_value"
+            ),
+            F.round(F.avg(F.sqrt("l_quantity")), 6).alias("avg_sqrt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q15: CASE + HAVING + UNION ALL ---------------------------------------
+@query(
+    "q15_case_having_union",
+    oracle="""
+    SELECT 'high' AS bucket, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n, round(avg(l_extendedprice), 6) AS avg_price
+    FROM lineitem WHERE l_quantity > 25
+    GROUP BY l_returnflag HAVING count(*) > 100
+    UNION ALL
+    SELECT CASE WHEN l_linestatus = 'O' THEN 'open' ELSE 'final' END AS bucket,
+           l_returnflag,
+           CAST(count(*) AS BIGINT) AS n, round(avg(l_extendedprice), 6) AS avg_price
+    FROM lineitem WHERE l_quantity <= 25
+    GROUP BY 1, 2
+    ORDER BY bucket, l_returnflag
+    """,
+    tags=("union", "case", "having"),
+)
+def q15_case_having_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-derived group keys, HAVING post-filter, UNION ALL of two branches."""
+    li = table(spark, sf_dir, "lineitem")
+    high = (
+        li.filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_extendedprice"), 6).alias("avg_price"))
+        .filter(F.col("n") > 100)
+        .select(F.lit("high").alias("bucket"), "l_returnflag", "n", "avg_price")
+    )
+    low = (
+        li.filter(F.col("l_quantity") <= 25)
+        .groupBy(
+            F.when(F.col("l_linestatus") == "O", "open").otherwise("final").alias("bucket"),
+            "l_returnflag",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_extendedprice"), 6).alias("avg_price"))
+    )
+    return high.unionAll(low).orderBy("bucket", "l_returnflag")
+
+
+# --- q16: DISTINCT + multi-key ORDER BY DESC -------------------------------
+# Reference: DISTINCT (tests/test_sql.py:216), ORDER BY direction (211-230).
+@query(
+    "q16_distinct_sort",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    ORDER BY c_mktsegment DESC, c_nationkey
+    """,
+    tags=("distinct", "orderby"),
+)
+def q16_distinct_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy(F.desc("c_mktsegment"), F.asc("c_nationkey"))
+    )
+
+
+# --- q17: scalar + IN subqueries ------------------------------------------
+@query(
+    "q17_subqueries",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_above,
+           round(avg(p_retailprice), 6) AS avg_price
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      AND p_size IN (SELECT DISTINCT p_size FROM part WHERE p_size < 25)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("subquery", "agg"),
+)
+def q17_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + IN-list subquery; Catalyst rewrites IN to a left-semi
+    join and the scalar subquery to a broadcast single-row cross join."""
+    p = table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_above,
+               round(avg(p_retailprice), 6) AS avg_price
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+          AND p_size IN (SELECT DISTINCT p_size FROM part WHERE p_size < 25)
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+# --- q18: ROLLUP grouping sets --------------------------------------------
+@query(
+    "q18_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(l_quantity), 0)     AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    tags=("rollup", "agg"),
+)
+def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass (Expand operator feeds one hash-agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 0).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --- q19: COUNT(*) --------------------------------------------------------
+# Reference: metadata-only COUNT(*) shortcut (src/lib.rs:607-614, test_stats.py:78-91).
+@query(
+    "q19_count_star",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+    tags=("agg", "count"),
+)
+def q19_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer row counts answer this without reading data pages —
+    Spark's LocalLimit/statistics path mirrors the reference's exact-stats
+    COUNT(*) shortcut."""
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+# --- q20: sparse-weight join + weighted aggregate (geospatial case 08) -----
+# Reference: SUM(s.value*w.weight) GROUP BY dst (08_regrid_weights.py:195-203).
+@query(
+    "q20_weighted_regrid",
+    oracle="""
+    WITH weights AS (
+        SELECT n_nationkey, n_regionkey,
+               round(0.5 + (n_nationkey % 7) * 0.1, 1) AS w
+        FROM nation
+    )
+    SELECT r.r_name,
+           round(sum(s.s_acctbal * wt.w) / sum(wt.w), 6) AS weighted_acctbal,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier s
+    JOIN weights wt ON s.s_nationkey = wt.n_nationkey
+    JOIN region r   ON wt.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    tags=("join", "agg", "broadcast", "geospatial-shape"),
+)
+def q20_weighted_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regridding's weight-table join: source values × precomputed weights,
+    grouped by destination cell. Weight table broadcast; at ERA5 scale the
+    weight table is ~4 rows per destination cell — still broadcastable or
+    bucketed on the join key."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_regionkey",
+        F.round(0.5 + (F.col("n_nationkey") % 7) * 0.1, 1).alias("w"),
+    )
+    r = table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("s_acctbal") * F.col("w")) / F.sum("w"), 6).alias(
+                "weighted_acctbal"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- q21: scalar pandas UDF with struct return (geospatial cases 07/09) ----
+# Reference: reproject(x,y) -> struct{lon,lat} UDF (07_reproject_udf.py:76-113),
+# struct field access (07_reproject_udf.py:163-169).
+@query(
+    "q21_udf_reproject",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           round(-180.0 + 0.01 * (p_partkey % 36000), 6)  AS lon,
+           round(-90.0 + 0.005 * (p_partkey % 36000), 6)  AS lat
+    FROM part
+    WHERE p_size <= 10
+    """,
+    tags=("udf", "struct", "geospatial-shape"),
+)
+def q21_udf_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate reprojection as an Arrow-vectorized pandas UDF returning a
+    struct{lon,lat}, fields then projected out — the affine stand-in for the
+    reference's PROJ transform (the real CRS math drops into the same UDF
+    shape). Unlike the reference, which must serialize UDF execution because
+    PROJ is thread-unsafe, Spark runs one python worker per core."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    @F.pandas_udf(StructType([
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ]))
+    def reproject(x: pd.Series) -> pd.DataFrame:
+        m = x % 36000
+        return pd.DataFrame({"lon": -180.0 + 0.01 * m, "lat": -90.0 + 0.005 * m})
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return p.select(
+        "p_partkey", reproject(F.col("p_partkey").cast("double")).alias("pt")
+    ).select(
+        "p_partkey",
+        F.round(F.col("pt").getField("lon"), 6).alias("lon"),
+        F.round(F.col("pt").getField("lat"), 6).alias("lat"),
+    )
+
+
+# --- q22: parameterized query (reference 02_climatology.py:113) ------------
+@query(
+    "q22_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("params", "agg"),
+)
+def q22_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark >= 3.4) — the reference's $start/$end
+    parameterized climatology queries."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(o_totalprice), 6) AS avg_price
+        FROM orders
+        WHERE o_orderdate >= :start AND o_orderdate < :end
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={
+            "start": pd.Timestamp("1997-01-01"),
+            "end": pd.Timestamp("1998-01-01"),
+        },
+    )
