@@ -434,21 +434,28 @@ def q11_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp+interval equi-join — forecast-skill's valid_time=init+lead
-    re-expressed. The computed key hashes like any equi-join key, so this is
-    one shuffle, not a theta join."""
+    re-expressed. Scale design: the naive row-level self-join (the oracle's
+    form) multiplies out to n_day² pairs per day; since the pair statistics
+    decompose algebraically (avg over the cross product of (p2-p1) is
+    avg2-avg1; pair count is n1*n2), we pre-aggregate per day and join the
+    tiny per-day aggregates on the interval-shifted key — identical results,
+    O(days) join instead of O(rows²/days) — the plan that survives 100 TB."""
     o = table(spark, sf_dir, "orders")
-    o1 = o.select(
-        F.col("o_orderdate").alias("d1"), F.col("o_totalprice").alias("p1")
+    per_day = o.groupBy("o_orderdate").agg(
+        F.count("*").alias("n"), F.avg("o_totalprice").alias("avg_price")
     )
-    o2 = o.select(
-        F.col("o_orderdate").alias("d2"), F.col("o_totalprice").alias("p2")
+    d1 = per_day.select(
+        F.col("o_orderdate").alias("d1"), F.col("n").alias("n1"), F.col("avg_price").alias("a1")
+    )
+    d2 = per_day.select(
+        F.col("o_orderdate").alias("d2"), F.col("n").alias("n2"), F.col("avg_price").alias("a2")
     )
     return (
-        o1.join(o2, o2.d2 == o1.d1 + F.expr("INTERVAL 1 DAY"))
-        .groupBy(F.date_format("d1", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.round(F.avg(F.col("p2") - F.col("p1")), 6).alias("drift"),
+        d1.join(d2, F.col("d2") == F.col("d1") + F.expr("INTERVAL 1 DAY"))
+        .select(
+            F.date_format("d1", "yyyy-MM-dd").alias("day"),
+            (F.col("n1") * F.col("n2")).alias("n_pairs"),
+            F.round(F.col("a2") - F.col("a1"), 6).alias("drift"),
         )
         .orderBy("day")
     )
