@@ -1,0 +1,205 @@
+"""Self-contained N-D gridded dataset model (numpy-backed).
+
+The execution environment has no xarray, so the engine defines its own
+minimal Dataset abstraction with xarray's vocabulary — named dimensions,
+1-D dimension-coordinate arrays, N-D data variables sharing dims, attrs —
+which is all the reference's semantics need (reference data model:
+SURVEY.md §1; xarray_sql/reader.py:94-99 validates the same invariants).
+
+Two storage modes:
+- in-memory: variables hold numpy arrays (pickled to executors — fine for
+  tests and small grids);
+- store-backed (:class:`GridStore`): variables are lazy handles into a
+  directory of ``.npy`` files read via memory-mapping, so an executor reads
+  only the bytes of the block + columns it was asked for — the same
+  selective-read contract the reference gets from Zarr
+  (reference reader.py:270-303).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import numpy as np
+
+
+@dataclass
+class Variable:
+    """An N-D array with named dimensions."""
+
+    dims: tuple[str, ...]
+    data: Any  # np.ndarray | LazyVar
+    attrs: dict = field(default_factory=dict)
+    encoding: dict = field(default_factory=dict)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return tuple(self.data.shape)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def values(self) -> np.ndarray:
+        if isinstance(self.data, LazyVar):
+            return self.data.read_block(tuple(slice(None) for _ in self.shape))
+        return np.asarray(self.data)
+
+    def read_block(self, slices: tuple[slice, ...]) -> np.ndarray:
+        if isinstance(self.data, LazyVar):
+            return self.data.read_block(slices)
+        return np.asarray(self.data[slices])
+
+
+class LazyVar:
+    """Store-backed lazy array: reads only the requested block via mmap."""
+
+    def __init__(self, path: str, shape: tuple[int, ...], dtype: str):
+        self.path = path
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+
+    def read_block(self, slices: tuple[slice, ...]) -> np.ndarray:
+        mm = np.load(self.path, mmap_mode="r")
+        out = np.ascontiguousarray(mm[slices])
+        del mm
+        return out
+
+
+class Dataset:
+    """A set of named N-D variables over shared named dimensions.
+
+    ``coords`` maps dimension name -> 1-D numpy array (dimension
+    coordinates; these become the prunable key columns of the pivoted
+    table). Non-dimension coordinates live in ``extra_coords`` (dropped by
+    the forward pivot, recovered from the template on the reverse path —
+    reference df.py:388-396, ds.py:121-137).
+    """
+
+    def __init__(
+        self,
+        data_vars: Mapping[str, Variable] | Mapping[str, tuple],
+        coords: Mapping[str, np.ndarray],
+        attrs: dict | None = None,
+        extra_coords: Mapping[str, Variable] | None = None,
+    ):
+        self.data_vars: dict[str, Variable] = {}
+        for name, v in data_vars.items():
+            if isinstance(v, Variable):
+                self.data_vars[name] = v
+            else:  # (dims, data[, attrs]) tuple sugar
+                dims, data, *rest = v
+                self.data_vars[name] = Variable(
+                    tuple(dims), np.asarray(data), rest[0] if rest else {}
+                )
+        self.coords: dict[str, np.ndarray] = {k: np.asarray(c) for k, c in coords.items()}
+        self.attrs: dict = dict(attrs or {})
+        self.extra_coords: dict[str, Variable] = dict(extra_coords or {})
+        self._validate()
+
+    def _validate(self) -> None:
+        sizes: dict[str, int] = {}
+        for name, var in self.data_vars.items():
+            if len(var.dims) != len(var.shape):
+                raise ValueError(f"variable {name!r}: dims/shape mismatch")
+            for d, n in zip(var.dims, var.shape):
+                if sizes.setdefault(d, n) != n:
+                    raise ValueError(f"dimension {d!r} has conflicting sizes")
+        for d, c in self.coords.items():
+            if c.ndim != 1:
+                raise ValueError(f"coordinate {d!r} must be 1-D")
+            if d in sizes and len(c) != sizes[d]:
+                raise ValueError(f"coordinate {d!r} length != dimension size")
+
+    @property
+    def sizes(self) -> dict[str, int]:
+        sizes: dict[str, int] = {}
+        for var in self.data_vars.values():
+            for d, n in zip(var.dims, var.shape):
+                sizes[d] = n
+        for d, c in self.coords.items():
+            sizes.setdefault(d, len(c))
+        return sizes
+
+    def isel(self, indexers: Mapping[str, Any]) -> "Dataset":
+        """Positional selection by dim (slice or integer array)."""
+        data_vars = {}
+        for name, var in self.data_vars.items():
+            key = tuple(indexers.get(d, slice(None)) for d in var.dims)
+            data_vars[name] = Variable(var.dims, var.read_block(_as_slices(key, var.shape)), dict(var.attrs), dict(var.encoding))
+        coords = {
+            d: (c[indexers[d]] if d in indexers else c) for d, c in self.coords.items()
+        }
+        return Dataset(data_vars, coords, dict(self.attrs), dict(self.extra_coords))
+
+    def select_vars(self, names) -> "Dataset":
+        return Dataset(
+            {n: self.data_vars[n] for n in names},
+            dict(self.coords),
+            dict(self.attrs),
+            dict(self.extra_coords),
+        )
+
+    # ---- store round-trip ------------------------------------------------
+    def to_store(self, path: str) -> str:
+        """Persist as a directory of .npy files + meta.json (zarr-like
+        chunk-addressable layout; executors mmap and read only their block)."""
+        os.makedirs(path, exist_ok=True)
+        meta: dict[str, Any] = {
+            "attrs": self.attrs,
+            "coords": {},
+            "data_vars": {},
+            "extra_coords": {},
+        }
+        for d, c in self.coords.items():
+            np.save(os.path.join(path, f"coord_{d}.npy"), c)
+            meta["coords"][d] = {"dtype": str(c.dtype)}
+        for name, var in self.data_vars.items():
+            np.save(os.path.join(path, f"var_{name}.npy"), var.values())
+            meta["data_vars"][name] = {
+                "dims": list(var.dims),
+                "dtype": str(var.dtype),
+                "shape": list(var.shape),
+                "attrs": var.attrs,
+                "encoding": var.encoding,
+            }
+        for name, var in self.extra_coords.items():
+            np.save(os.path.join(path, f"xcoord_{name}.npy"), var.values())
+            meta["extra_coords"][name] = {"dims": list(var.dims), "attrs": var.attrs}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, default=str)
+        return path
+
+    @classmethod
+    def open_store(cls, path: str) -> "Dataset":
+        """Open lazily: coordinates load eagerly (small, needed for bounds);
+        data variables become mmap-backed LazyVars."""
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        coords = {
+            d: np.load(os.path.join(path, f"coord_{d}.npy")) for d in meta["coords"]
+        }
+        data_vars = {}
+        for name, m in meta["data_vars"].items():
+            data_vars[name] = Variable(
+                tuple(m["dims"]),
+                LazyVar(os.path.join(path, f"var_{name}.npy"), tuple(m["shape"]), m["dtype"]),
+                m.get("attrs", {}),
+                m.get("encoding", {}),
+            )
+        extra = {}
+        for name, m in meta["extra_coords"].items():
+            extra[name] = Variable(
+                tuple(m["dims"]), np.load(os.path.join(path, f"xcoord_{name}.npy")), m.get("attrs", {})
+            )
+        return cls(data_vars, coords, meta.get("attrs", {}), extra)
+
+
+def _as_slices(key: tuple, shape: tuple[int, ...]) -> tuple:
+    """Normalize an indexer tuple for LazyVar.read_block (slices pass
+    through; arrays/ints are applied after a full-extent mmap read of the
+    covering slice)."""
+    return tuple(k if isinstance(k, slice) else k for k in key)

@@ -1,0 +1,101 @@
+"""Forward pivot: an N-D block -> Arrow RecordBatches, one row per grid cell.
+
+Columns are dimension coordinates first (in the data variables' dim order),
+then data variables (reference df.py:215-368, schema at df.py:371-411).
+
+Key properties preserved from the reference:
+- batches of at most ``batch_size`` rows, so memory is bounded regardless of
+  block size (reference df.py:283-368);
+- per-batch coordinate synthesis by strided index arithmetic
+  ``(i // stride[k]) % shape[k]`` — no full-block coordinate broadcast is
+  ever allocated (reference df.py:331-357);
+- float NaN -> Arrow null at batch build so SQL aggregates skip missing
+  cells (``from_pandas=True``; reference df.py:271-273, asserted by
+  tests/test_sql.py:155-195).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Mapping
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_BATCH_SIZE = 65_536
+
+
+def arrow_type_for(dtype: np.dtype) -> pa.DataType:
+    dtype = np.dtype(dtype)
+    if dtype.kind == "M":  # datetime64[*] -> µs timestamps (Spark-native)
+        return pa.timestamp("us")
+    if dtype.kind in ("U", "S", "O"):
+        return pa.string()
+    if dtype.kind == "b":
+        return pa.bool_()
+    return pa.from_numpy_dtype(dtype)
+
+
+def canonical_dims(data_vars: Mapping[str, "object"]) -> tuple[str, ...]:
+    """All data vars in one table must share a single dims tuple
+    (reference reader.py:94-99)."""
+    dims_set = {tuple(v.dims) for v in data_vars.values()}
+    if len(dims_set) != 1:
+        raise ValueError(
+            f"data variables span multiple dim groups {sorted(dims_set)}; "
+            "register them as separate tables (XarraySession.from_dataset does this)"
+        )
+    return next(iter(dims_set))
+
+
+def infer_schema(dims: tuple[str, ...], coords: Mapping[str, np.ndarray], data_vars) -> pa.Schema:
+    fields = [pa.field(d, arrow_type_for(coords[d].dtype), nullable=False) for d in dims]
+    for name, var in data_vars.items():
+        fields.append(pa.field(name, arrow_type_for(var.dtype), nullable=True))
+    return pa.schema(fields)
+
+
+def _to_arrow_array(values: np.ndarray, typ: pa.DataType) -> pa.Array:
+    if values.dtype.kind == "M":
+        values = values.astype("datetime64[us]")
+    if values.dtype.kind in ("U", "S"):
+        values = values.astype(object)
+    if values.dtype.kind == "f":
+        # from_pandas maps NaN -> null (the load-bearing NaN convention).
+        return pa.array(values, type=typ, from_pandas=True)
+    return pa.array(values, type=typ)
+
+
+def iter_record_batches(
+    dims: tuple[str, ...],
+    block_coords: Mapping[str, np.ndarray],
+    block_arrays: Mapping[str, np.ndarray],
+    schema: pa.Schema,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> Iterator[pa.RecordBatch]:
+    """Pivot one block (already sliced to the partition) into row batches.
+
+    ``block_coords``: 1-D coordinate slices per dim; ``block_arrays``: the
+    N-D data arrays, C-ordered on ``dims``.
+    """
+    shape = tuple(len(block_coords[d]) for d in dims)
+    total = int(np.prod(shape)) if shape else 0
+    if total == 0:
+        return
+    # Row-major strides in units of rows.
+    strides = {}
+    acc = 1
+    for d in reversed(dims):
+        strides[d] = acc
+        acc *= len(block_coords[d])
+    flat = {name: np.asarray(arr).reshape(-1) for name, arr in block_arrays.items()}
+
+    for start in range(0, total, batch_size):
+        stop = min(start + batch_size, total)
+        idx = np.arange(start, stop, dtype=np.int64)
+        columns = []
+        for d in dims:
+            pos = (idx // strides[d]) % len(block_coords[d])
+            columns.append(_to_arrow_array(block_coords[d][pos], schema.field(d).type))
+        for name in flat:
+            columns.append(_to_arrow_array(flat[name][start:stop], schema.field(name).type))
+        yield pa.RecordBatch.from_arrays(columns, schema=schema)

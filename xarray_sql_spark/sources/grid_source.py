@@ -1,0 +1,294 @@
+"""PySpark Python Data Source exposing a Dataset as a lazy, partition-pruned,
+column-aware SQL table — the Spark-native re-expression of the reference's
+DataFusion TableProvider (reference reader.py:192-337 + src/lib.rs:919-1267).
+
+Design mapping (SURVEY.md §2A):
+- A1 scan: one InputPartition per chunk-grid block; ``read()`` yields Arrow
+  RecordBatches (Arrow path: no row-by-row Python serialization).
+- A2 pruning: ``pushFilters`` receives Catalyst's convertible predicates,
+  prunes partitions by per-dim bounds, and returns ALL filters unhandled so
+  Spark re-applies them row-level — exactly the reference's Inexact contract
+  (src/lib.rs:548-565). Requires spark.sql.python.filterPushdown.enabled.
+- A3 column pruning: ``read()`` materializes only the data variables present
+  in the schema Spark hands the reader; store-backed datasets mmap just
+  those arrays' block bytes (the Zarr-selective-read equivalent,
+  src/lib.rs:597-652).
+- A7 bounds: chunked-dim bounds per block + static bounds for unchunked dims
+  hoisted and computed once (reference reader.py:306-335).
+- Laziness: building the reader/partitions touches only coordinate arrays;
+  data-variable bytes are first read inside executor ``read()`` calls
+  (reference property: tests/test_reader.py:71-305).
+
+Observability: pass ``read_log_dir`` to record one JSON file per partition
+read with the block slices + materialized columns — the cross-process
+equivalent of the reference's ``_iteration_callback`` test hook
+(reference reader.py:199-201).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from xarray_sql_spark import chunks as chunklib
+from xarray_sql_spark import pivot
+from xarray_sql_spark.bounds import block_may_match, dim_bounds
+from xarray_sql_spark.dataset import Dataset
+
+FORMAT_NAME = "xgrid"
+
+
+class GridPartition(InputPartition):
+    def __init__(self, index: int, block: dict[str, tuple[int, int]]):
+        self.index = index
+        self.block = block  # dim -> (start, stop)
+
+
+def _spark_type_for(arrow_type: pa.DataType):
+    from pyspark.sql import types as T
+
+    if pa.types.is_timestamp(arrow_type):
+        return T.TimestampNTZType()
+    mapping = {
+        pa.float16(): T.FloatType(),
+        pa.float32(): T.FloatType(),
+        pa.float64(): T.DoubleType(),
+        pa.int8(): T.ByteType(),
+        pa.int16(): T.ShortType(),
+        pa.int32(): T.IntegerType(),
+        pa.int64(): T.LongType(),
+        pa.uint32(): T.LongType(),
+        pa.uint64(): T.LongType(),
+        pa.bool_(): T.BooleanType(),
+        pa.string(): T.StringType(),
+    }
+    if arrow_type in mapping:
+        return mapping[arrow_type]
+    raise TypeError(f"unsupported arrow type {arrow_type}")
+
+
+def spark_schema(arrow_schema: pa.Schema) -> StructType:
+    from pyspark.sql import types as T
+
+    return StructType(
+        [
+            T.StructField(f.name, _spark_type_for(f.type), f.nullable)
+            for f in arrow_schema
+        ]
+    )
+
+
+class GridDataSource(DataSource):
+    """``spark.read.format("xgrid").option("payload", path)``.
+
+    ``payload`` is a driver-written pickle holding either an inline Dataset
+    or a store path, plus the chunk spec — Spark options are strings, so the
+    Python-object handoff goes through a file in the Spark local dir.
+    """
+
+    def __init__(self, options):
+        super().__init__(options)
+        self._payload_path = options.get("payload")
+        if not self._payload_path:
+            raise ValueError("xgrid requires .option('payload', <path to payload pickle>)")
+        self._payload = None
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _load(self):
+        if self._payload is None:
+            with open(self._payload_path, "rb") as f:
+                self._payload = pickle.load(f)
+        return self._payload
+
+    def schema(self) -> StructType:
+        p = self._load()
+        return spark_schema(p["arrow_schema"])
+
+    def reader(self, schema: StructType) -> "GridReader":
+        return GridReader(self._load(), schema)
+
+
+class GridReader(DataSourceReader):
+    def __init__(self, payload: dict, schema: StructType):
+        self.store_path: str | None = payload.get("store")
+        self.dataset: Dataset | None = payload.get("dataset")
+        self.chunks: dict | None = payload.get("chunks")
+        self.batch_size: int = payload.get("batch_size", pivot.DEFAULT_BATCH_SIZE)
+        self.read_log_dir: str | None = payload.get("read_log_dir")
+        self.dims: tuple[str, ...] = tuple(payload["dims"])
+        self.var_names: list[str] = list(payload["var_names"])
+        self.arrow_schema: pa.Schema = payload["arrow_schema"]
+        # Full dims+vars schema used for pivot synthesis even when the table
+        # schema is projection-pruned (some dims may be absent from it).
+        self.pivot_schema: pa.Schema = payload.get("pivot_schema", payload["arrow_schema"])
+        # The schema Spark hands us here is the (possibly pruned) read
+        # schema; intersecting with var_names yields the columns to
+        # materialize (A3).
+        self.read_columns = [f.name for f in schema.fields]
+        self._filters: list[Filter] = []
+        # Driver-side, coordinate-only work: block grid + bounds (A6/A7).
+        ds = self._open()
+        self.sizes = ds.sizes
+        self.coords = {d: ds.coords[d] for d in self.dims}
+        chunked_dims = {
+            d: c for d, c in (self.chunks or {}).items() if d in self.sizes and c < self.sizes[d]
+        }
+        self.static_bounds = dim_bounds(
+            self.coords,
+            {d: slice(0, self.sizes[d]) for d in self.dims if d not in chunked_dims},
+        )
+        self._blocks = list(
+            chunklib.block_slices({d: self.sizes[d] for d in self.dims}, self.chunks)
+        )
+        self._bounds = [
+            {**self.static_bounds, **dim_bounds(self.coords, b)} for b in self._blocks
+        ]
+
+    def _open(self) -> Dataset:
+        if self.dataset is not None:
+            return self.dataset
+        return Dataset.open_store(self.store_path)
+
+    # -- pruning (A2) ------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self._filters = list(filters)
+        # Return everything: Catalyst keeps a row-level Filter above the
+        # scan (the reference's Inexact semantics, src/lib.rs:548-565).
+        return iter(filters)
+
+    def partitions(self) -> list[GridPartition]:
+        parts = []
+        for i, (block, bounds) in enumerate(zip(self._blocks, self._bounds)):
+            if block_may_match(bounds, self._filters):
+                parts.append(
+                    GridPartition(i, {d: (s.start, s.stop) for d, s in block.items()})
+                )
+        if not parts:
+            # Spark requires >=1 partition; emit an empty sentinel block.
+            parts = [GridPartition(-1, {d: (0, 0) for d in self.dims})]
+        return parts
+
+    # -- execution (A1/A3/A5) ---------------------------------------------
+    def read(self, partition: GridPartition) -> Iterator[pa.RecordBatch]:
+        block = {d: slice(a, b) for d, (a, b) in partition.block.items()}
+        wanted_vars = [v for v in self.var_names if v in self.read_columns]
+        out_fields = [
+            self.arrow_schema.field(n)
+            for n in self.read_columns
+            if n in self.arrow_schema.names
+        ]
+        out_schema = pa.schema(out_fields)
+        if self.read_log_dir:
+            rec = {
+                "partition": partition.index,
+                "block": {d: [s.start, s.stop] for d, s in block.items()},
+                "columns": list(self.read_columns),
+                "vars_read": wanted_vars,
+            }
+            fname = f"read_{partition.index}_{uuid.uuid4().hex}.json"
+            with open(os.path.join(self.read_log_dir, fname), "w") as f:
+                json.dump(rec, f)
+        if partition.index < 0:
+            return iter(())
+
+        ds = self._open()
+        block_coords = {d: self.coords[d][block[d]] for d in self.dims}
+        block_arrays = {
+            name: ds.data_vars[name].read_block(
+                tuple(block[d] for d in ds.data_vars[name].dims)
+            )
+            for name in wanted_vars
+        }
+        out_dims = tuple(d for d in self.dims if d in self.read_columns)
+
+        if set(out_dims) != set(self.dims) or list(out_schema.names) != list(
+            self.dims
+        ) + wanted_vars:
+            # Column-pruned/reordered read: pivot over full dims, then
+            # project+reorder per batch to the requested schema.
+            full_schema = pa.schema(
+                [self.pivot_schema.field(d) for d in self.dims]
+                + [self.pivot_schema.field(v) for v in wanted_vars]
+            )
+            for batch in pivot.iter_record_batches(
+                self.dims, block_coords, block_arrays, full_schema, self.batch_size
+            ):
+                arrays = [batch.column(batch.schema.get_field_index(n)) for n in out_schema.names]
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+        else:
+            yield from pivot.iter_record_batches(
+                self.dims, block_coords, block_arrays, out_schema, self.batch_size
+            )
+
+
+def make_payload(
+    *,
+    dataset: Dataset | None = None,
+    store: str | None = None,
+    chunks: dict | None = None,
+    batch_size: int = pivot.DEFAULT_BATCH_SIZE,
+    read_log_dir: str | None = None,
+    var_names: list[str] | None = None,
+    columns: list[str] | None = None,
+) -> dict:
+    """Build the payload dict registered through the option file.
+
+    ``columns`` narrows the table schema itself (projection pushdown to
+    storage, A3): Spark 4.1 does not column-prune Python data sources, so
+    XarraySession analyzes each query's plan and re-registers pruned scans —
+    the data variables dropped here are never read from the store, and their
+    bytes never cross the Arrow boundary.
+    """
+    ds = dataset if dataset is not None else Dataset.open_store(store)
+    if var_names is None:
+        var_names = list(ds.data_vars)
+    sub = ds.select_vars(var_names)
+    dims = pivot.canonical_dims(sub.data_vars)
+    for d in dims:
+        if d not in sub.coords:
+            # Implicit positional coordinate (reference: a dim with no
+            # coordinate still pivots, using 0..n-1).
+            sub.coords[d] = np.arange(sub.sizes[d], dtype=np.int64)
+    full_schema = pivot.infer_schema(dims, sub.coords, sub.data_vars)
+    if columns is not None:
+        keep = [n for n in full_schema.names if n in set(columns)]
+        if not keep:
+            keep = [dims[0]]  # COUNT(*)-style: one cheap dim column
+        schema = pa.schema([full_schema.field(n) for n in keep])
+        kept_vars = [v for v in var_names if v in set(keep)]
+        if not store:
+            sub = sub.select_vars(kept_vars)
+        var_names = kept_vars
+        full_schema = pa.schema(
+            [full_schema.field(d) for d in dims] + [full_schema.field(v) for v in kept_vars]
+        )
+    else:
+        schema = full_schema
+    return {
+        "pivot_schema": full_schema,
+        "dataset": None if store else sub,
+        "store": store,
+        "chunks": chunks,
+        "batch_size": batch_size,
+        "read_log_dir": read_log_dir,
+        "dims": dims,
+        "var_names": var_names,
+        "arrow_schema": schema,
+    }

@@ -1,0 +1,223 @@
+"""XarraySession: registration/catalog layer over a SparkSession
+(reference sql.py:12-191 ``XarrayContext``).
+
+- ``from_dataset(name, ds, chunks=...)``: uniform-dims datasets register as
+  one table; mixed-dims datasets split into one table per dims-group under
+  the namespace ``name`` (reference sql.py:181-191), default table names
+  ``"_".join(dims)`` overridable via ``table_names``; 0-d variables become a
+  one-row ``scalar`` table (reference sql.py:112, tests/test_sql.py:415-456).
+- Spark temp views cannot contain dots, so ``era5.surface`` is stored as the
+  view ``era5__surface``; :meth:`sql` rewrites qualified references for
+  registered dataset names before parsing, keeping the reference's SQL
+  surface (tests/test_sql.py:405-477).
+- Registered Datasets are tracked in ``_registered_datasets`` — the template
+  registry powering the reverse pivot (reference sql.py:15-23).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+import tempfile
+import uuid
+from typing import Mapping
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xarray_sql_spark.dataset import Dataset, Variable
+from xarray_sql_spark.pivot import DEFAULT_BATCH_SIZE
+from xarray_sql_spark.sources.grid_source import FORMAT_NAME, GridDataSource, make_payload
+
+
+def _group_vars_by_dims(ds: Dataset) -> dict[tuple[str, ...], list[str]]:
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for name, var in ds.data_vars.items():
+        groups.setdefault(tuple(var.dims), []).append(name)
+    return groups
+
+
+class XarraySession:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        # Python DS filter pushdown is opt-in; without it partitions() never
+        # sees the predicates and every query is a full scan.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        try:
+            spark.dataSource.register(GridDataSource)
+        except Exception:
+            pass  # already registered on this session
+        self._registered_datasets: dict[str, Dataset] = {}
+        self._tables: dict[str, list[str]] = {}  # dataset name -> view names
+        self._tmpdir = tempfile.mkdtemp(prefix="xgrid_")
+        # payload path -> (view name, registration kwargs, full DataFrame)
+        self._payload_views: dict[str, tuple[str, dict, DataFrame]] = {}
+        # (view, sorted cols) -> pruned DataFrame (payload pickles reused)
+        self._pruned_cache: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
+
+    # -- registration ------------------------------------------------------
+    def from_dataset(
+        self,
+        name: str,
+        ds: Dataset,
+        chunks: Mapping[str, int] | None = None,
+        table_names: Mapping[tuple, str] | None = None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        store: str | None = None,
+        read_log_dir: str | None = None,
+    ) -> None:
+        groups = _group_vars_by_dims(ds)
+        table_names = dict(table_names or {})
+        views: list[str] = []
+
+        scalar_vars = [v for dims, vs in groups.items() if dims == () for v in vs]
+        nd_groups = {dims: vs for dims, vs in groups.items() if dims != ()}
+
+        if len(nd_groups) == 1 and not scalar_vars:
+            dims, var_names = next(iter(nd_groups.items()))
+            self._register_table(name, ds, var_names, chunks, batch_size, store, read_log_dir)
+            views.append(name)
+        else:
+            for dims, var_names in nd_groups.items():
+                tbl = table_names.get(tuple(dims), "_".join(dims))
+                view = f"{name}__{tbl}"
+                self._register_table(
+                    view, ds, var_names, chunks, batch_size, store, read_log_dir
+                )
+                views.append(view)
+            if scalar_vars:
+                view = f"{name}__scalar"
+                row = {v: ds.data_vars[v].values().item() for v in scalar_vars}
+                self.spark.createDataFrame([row]).createOrReplaceTempView(view)
+                views.append(view)
+
+        self._registered_datasets[name] = ds
+        self._tables[name] = views
+
+    def _register_table(
+        self,
+        view: str,
+        ds: Dataset,
+        var_names: list[str],
+        chunks,
+        batch_size: int,
+        store: str | None,
+        read_log_dir: str | None,
+    ) -> None:
+        kwargs = dict(
+            dataset=None if store else ds,
+            store=store,
+            chunks=dict(chunks) if chunks else None,
+            batch_size=batch_size,
+            read_log_dir=read_log_dir,
+            var_names=var_names,
+        )
+        df, path = self._scan_df(kwargs)
+        df.createOrReplaceTempView(view)
+        self._payload_views[path] = (view, kwargs, df)
+
+    def _scan_df(self, make_payload_kwargs: dict) -> tuple[DataFrame, str]:
+        payload = make_payload(**make_payload_kwargs)
+        path = os.path.join(self._tmpdir, f"payload_{uuid.uuid4().hex}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        df = self.spark.read.format(FORMAT_NAME).option("payload", path).load()
+        return df, path
+
+    # -- projection pushdown to storage (A3) -------------------------------
+    # Spark 4.1 does not column-prune Python data sources (the scan's
+    # ReadSchema stays full with a Project above). Compensation, per
+    # SURVEY.md §4: analyze the optimized plan (exprId-precise, so duplicate
+    # column names across tables are safe), and for every grid scan that
+    # uses a strict subset of its columns, re-register a pruned scan and
+    # re-plan the query. View swaps are safe because Spark binds views at
+    # analysis time — they are restored immediately after re-planning.
+    def _referenced_columns(self, df: DataFrame) -> dict[str, set[str]]:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        nodes = []
+        stack = [plan]
+        while stack:
+            n = stack.pop()
+            nodes.append(n)
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+            try:
+                sq = n.subqueries()
+                for i in range(sq.size()):
+                    stack.append(sq.apply(i))
+            except Exception:
+                pass
+        refs: set[int] = set()
+        for n in nodes:
+            it = n.references().iterator()
+            while it.hasNext():
+                refs.add(it.next().exprId().id())
+        it = plan.output().iterator()
+        while it.hasNext():
+            refs.add(it.next().exprId().id())
+        needed: dict[str, set[str]] = {}
+        for n in nodes:
+            if n.getClass().getSimpleName() != "DataSourceV2ScanRelation":
+                continue
+            try:
+                payload = n.relation().options().get("payload")
+            except Exception:
+                continue
+            if payload not in self._payload_views:
+                continue
+            cols = needed.setdefault(payload, set())
+            it = n.output().iterator()
+            while it.hasNext():
+                a = it.next()
+                if a.exprId().id() in refs:
+                    cols.add(a.name())
+        return needed
+
+    def _with_projection_pushdown(self, df: DataFrame, q: str, args) -> DataFrame:
+        try:
+            needed = self._referenced_columns(df)
+        except Exception:
+            return df  # fail open: correct, just unpruned
+        swaps: list[tuple[str, DataFrame]] = []
+        for payload, cols in needed.items():
+            view, kwargs, full_df = self._payload_views[payload]
+            full_cols = set(self.spark.table(view).columns)
+            if cols >= full_cols:
+                continue
+            key = (view, tuple(sorted(cols)))
+            pruned = self._pruned_cache.get(key)
+            if pruned is None:
+                pruned, _ = self._scan_df({**kwargs, "columns": sorted(cols)})
+                self._pruned_cache[key] = pruned
+            swaps.append((view, full_df))
+            pruned.createOrReplaceTempView(view)
+        if not swaps:
+            return df
+        try:
+            return self.spark.sql(q, args=args) if args else self.spark.sql(q)
+        finally:
+            for view, full_df in swaps:
+                full_df.createOrReplaceTempView(view)
+
+    # -- query surface -----------------------------------------------------
+    def _rewrite(self, query: str) -> str:
+        """Rewrite ``name.table`` -> ``name__table`` for registered
+        namespaced datasets (temp views cannot be schema-qualified)."""
+        for name, views in self._tables.items():
+            if any(v.startswith(f"{name}__") for v in views):
+                query = re.sub(rf"\b{re.escape(name)}\.(\w+)", rf"{name}__\1", query)
+        return query
+
+    def sql(self, query: str, args=None) -> "XarrayDataFrame":
+        from xarray_sql_spark.to_dataset import XarrayDataFrame
+
+        q = self._rewrite(query)
+        df = self.spark.sql(q, args=args) if args else self.spark.sql(q)
+        df = self._with_projection_pushdown(df, q, args)
+        return XarrayDataFrame(df, dict(self._registered_datasets))
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(self._rewrite(name))
