@@ -1,0 +1,117 @@
+"""Lazy reverse pivot: query-backed arrays, provenance fast path, chunk
+resolution (reference ds.py:210-376, 435-505, 566-625, 827-855;
+tests/test_ds.py:205-366, 474-547)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xarray_sql_spark.dataset import Dataset, Variable
+from xarray_sql_spark.xr_session import XarraySession
+
+
+@pytest.fixture(scope="module")
+def xs(spark):
+    return XarraySession(spark)
+
+
+def fixture_ds() -> Dataset:
+    time = np.arange("2020-01-01", "2020-01-13", dtype="datetime64[D]").astype("datetime64[ns]")
+    lat = np.linspace(-30, 30, 5)
+    rng = np.random.default_rng(7)
+    temp = rng.normal(10, 3, (12, 5))
+    return Dataset({"temp": (("time", "lat"), temp)}, {"time": time, "lat": lat})
+
+
+def test_lazy_equals_eager_full_grid(xs):
+    ds = fixture_ds()
+    xs.from_dataset("lz", ds, chunks={"time": 4})
+    q = "SELECT time, lat, temp FROM lz"
+    eager = xs.sql(q).to_dataset(dims=("time", "lat"), template="lz")
+    lazy = xs.sql(q).to_dataset(dims=("time", "lat"), template="lz", chunks={"time": 4})
+    lv = lazy.data_vars["temp"]
+    assert lv.shape == (12, 5)
+    # whole-array read
+    full = lv.read_block((slice(None), slice(None)))
+    # align eager (row-appearance coords) with lazy (source coords) grids
+    t_idx = {v: i for i, v in enumerate(eager.coords["time"].astype("datetime64[us]").tolist())}
+    l_idx = {v: i for i, v in enumerate(eager.coords["lat"].tolist())}
+    ev = eager.data_vars["temp"].values()
+    for i, t in enumerate(lazy.coords["time"].tolist()):
+        for j, la in enumerate(lazy.coords["lat"].tolist()):
+            assert abs(full[i, j] - ev[t_idx[t], l_idx[la]]) < 1e-9
+
+
+def test_lazy_single_chunk_access(xs):
+    ds = fixture_ds()
+    xs.from_dataset("lz2", ds, chunks={"time": 4})
+    lazy = xs.sql("SELECT time, lat, temp FROM lz2").to_dataset(
+        dims=("time", "lat"), template="lz2", chunks={"time": 4}
+    )
+    block = lazy.data_vars["temp"].read_block((slice(4, 8), slice(1, 3)))
+    expect = ds.data_vars["temp"].values()[4:8, 1:3]
+    np.testing.assert_allclose(block, expect, rtol=1e-12)
+
+
+def test_pure_scan_uses_source_coords(xs):
+    ds = fixture_ds()
+    xs.from_dataset("lz3", ds, chunks={"time": 6})
+    lazy = xs.sql("SELECT * FROM lz3").to_dataset(
+        dims=("time", "lat"), template="lz3", chunks={"time": 6}
+    )
+    np.testing.assert_array_equal(
+        lazy.coords["time"], ds.coords["time"].astype("datetime64[us]")
+    )
+    np.testing.assert_array_equal(lazy.coords["lat"], ds.coords["lat"])
+
+
+def test_filtered_scan_discovers_coords(xs):
+    ds = fixture_ds()
+    xs.from_dataset("lz4", ds, chunks={"time": 6})
+    lazy = xs.sql(
+        "SELECT time, lat, temp FROM lz4 WHERE lat > 0"
+    ).to_dataset(dims=("time", "lat"), template="lz4", chunks={"time": 6})
+    # discovery: only lats > 0 appear, sorted
+    assert (lazy.coords["lat"] > 0).all()
+    assert len(lazy.coords["lat"]) == int((ds.coords["lat"] > 0).sum())
+    block = lazy.data_vars["temp"].read_block((slice(0, 3), slice(None)))
+    mask = ds.coords["lat"] > 0
+    np.testing.assert_allclose(block, ds.data_vars["temp"].values()[0:3, mask], rtol=1e-12)
+
+
+def test_aggregated_lazy_result(xs):
+    ds = fixture_ds()
+    xs.from_dataset("lz5", ds, chunks={"time": 6})
+    lazy = xs.sql(
+        "SELECT lat, AVG(temp) AS temp FROM lz5 GROUP BY lat"
+    ).to_dataset(dims=("lat",), template="lz5", chunks={"lat": 2})
+    got = lazy.data_vars["temp"].read_block((slice(None),))
+    expect = ds.data_vars["temp"].values().mean(axis=0)
+    # discovery coords are sorted; source lat already ascending
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+def test_inherit_chunks(xs):
+    ds = fixture_ds()
+    xs.from_dataset("lz6", ds, chunks={"time": 4})
+    lazy = xs.sql("SELECT * FROM lz6").to_dataset(
+        dims=("time", "lat"), template="lz6", chunks="inherit"
+    )
+    assert lazy.lazy_chunks == {"time": 4}
+    # inherit on an unchunked registration falls back to eager (numpy arrays)
+    xs.from_dataset("lz7", fixture_ds())
+    eager = xs.sql("SELECT * FROM lz7").to_dataset(
+        dims=("time", "lat"), template="lz7", chunks="inherit"
+    )
+    assert isinstance(eager.data_vars["temp"].data, np.ndarray)
+
+
+def test_auto_chunks(xs):
+    ds = fixture_ds()
+    xs.from_dataset("lz8", ds, chunks={"time": 4})
+    lazy = xs.sql("SELECT * FROM lz8").to_dataset(
+        dims=("time", "lat"), template="lz8", chunks="auto"
+    )
+    # budget >> data: one multiple covering the whole dim, snapped to 4s
+    assert lazy.lazy_chunks["time"] % 4 == 0 or lazy.lazy_chunks["time"] == 12

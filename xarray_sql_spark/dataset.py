@@ -44,12 +44,12 @@ class Variable:
         return self.data.dtype
 
     def values(self) -> np.ndarray:
-        if isinstance(self.data, LazyVar):
+        if hasattr(self.data, "read_block"):  # LazyVar / QueryBackedVar
             return self.data.read_block(tuple(slice(None) for _ in self.shape))
         return np.asarray(self.data)
 
     def read_block(self, slices: tuple[slice, ...]) -> np.ndarray:
-        if isinstance(self.data, LazyVar):
+        if hasattr(self.data, "read_block"):
             return self.data.read_block(slices)
         return np.asarray(self.data[slices])
 
@@ -98,6 +98,8 @@ class Dataset:
         self.coords: dict[str, np.ndarray] = {k: np.asarray(c) for k, c in coords.items()}
         self.attrs: dict = dict(attrs or {})
         self.extra_coords: dict[str, Variable] = dict(extra_coords or {})
+        # Per-dimension-coordinate attrs (CF units/calendar live here).
+        self.coord_attrs: dict[str, dict] = {}
         self._validate()
 
     def _validate(self) -> None:

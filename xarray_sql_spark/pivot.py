@@ -47,8 +47,21 @@ def canonical_dims(data_vars: Mapping[str, "object"]) -> tuple[str, ...]:
     return next(iter(dims_set))
 
 
-def infer_schema(dims: tuple[str, ...], coords: Mapping[str, np.ndarray], data_vars) -> pa.Schema:
-    fields = [pa.field(d, arrow_type_for(coords[d].dtype), nullable=False) for d in dims]
+def infer_schema(
+    dims: tuple[str, ...],
+    coords: Mapping[str, np.ndarray],
+    data_vars,
+    coord_meta: Mapping[str, Mapping[str, str]] | None = None,
+) -> pa.Schema:
+    """``coord_meta`` attaches field metadata (e.g. ``xarray:units`` /
+    ``xarray:calendar`` for non-Gregorian CF offsets, reference
+    cftime.py:196-209) so the encoding survives into the Spark schema."""
+    fields = []
+    for d in dims:
+        meta = None
+        if coord_meta and d in coord_meta:
+            meta = {str(k): str(v) for k, v in coord_meta[d].items()}
+        fields.append(pa.field(d, arrow_type_for(coords[d].dtype), nullable=False, metadata=meta))
     for name, var in data_vars.items():
         fields.append(pa.field(name, arrow_type_for(var.dtype), nullable=True))
     return pa.schema(fields)

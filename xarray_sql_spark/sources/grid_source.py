@@ -84,12 +84,13 @@ def _spark_type_for(arrow_type: pa.DataType):
 def spark_schema(arrow_schema: pa.Schema) -> StructType:
     from pyspark.sql import types as T
 
-    return StructType(
-        [
-            T.StructField(f.name, _spark_type_for(f.type), f.nullable)
-            for f in arrow_schema
-        ]
-    )
+    fields = []
+    for f in arrow_schema:
+        meta = (
+            {k.decode(): v.decode() for k, v in f.metadata.items()} if f.metadata else None
+        )
+        fields.append(T.StructField(f.name, _spark_type_for(f.type), f.nullable, metadata=meta))
+    return StructType(fields)
 
 
 class GridDataSource(DataSource):
@@ -266,7 +267,9 @@ def make_payload(
             # Implicit positional coordinate (reference: a dim with no
             # coordinate still pivots, using 0..n-1).
             sub.coords[d] = np.arange(sub.sizes[d], dtype=np.int64)
-    full_schema = pivot.infer_schema(dims, sub.coords, sub.data_vars)
+    full_schema = pivot.infer_schema(
+        dims, sub.coords, sub.data_vars, coord_meta=getattr(ds, "coord_attrs", None)
+    )
     if columns is not None:
         keep = [n for n in full_schema.names if n in set(columns)]
         if not keep:

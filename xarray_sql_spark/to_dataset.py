@@ -38,9 +38,15 @@ _DTYPE_BOUND_ENCODING = ("dtype", "_FillValue", "missing_value")
 class XarrayDataFrame:
     """pyspark DataFrame + ``to_dataset``."""
 
-    def __init__(self, df: DataFrame, registered: Mapping[str, Dataset] | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        registered: Mapping[str, Dataset] | None = None,
+        registered_chunks: Mapping[str, dict] | None = None,
+    ):
         self._df = df
         self._registered = dict(registered or {})
+        self._registered_chunks = dict(registered_chunks or {})
 
     def __getattr__(self, item):
         return getattr(self._df, item)
@@ -91,7 +97,16 @@ class XarrayDataFrame:
         template: "Dataset | str | None" = None,
         sparsity: str = "result",
         fill_value=None,
+        chunks: "Mapping[str, int] | str | None" = None,
     ) -> Dataset:
+        """``chunks=None`` -> eager single-scan materialization;
+        a mapping / ``"auto"`` -> lazy query-backed arrays (A11);
+        ``"inherit"`` -> source chunking when genuinely multi-chunk, else
+        eager (reference ds.py:827-855)."""
+        if chunks is not None:
+            resolved = self._resolve_lazy_chunks(chunks, dims, template)
+            if resolved is not None:
+                return self._build_lazy(dims, template, resolved)
         tmpl = self._resolve_template(template)
         pdf = self._df.toPandas()
         dims = self._infer_dims(list(pdf.columns), dims, tmpl)
@@ -148,6 +163,206 @@ class XarrayDataFrame:
         if tmpl is not None:
             _recover_metadata(out, tmpl)
         return out
+
+
+    # -- lazy path (A11/A12/A14) ---------------------------------------
+    def _source_dataset(self, template=None) -> tuple[str, Dataset] | tuple[None, None]:
+        if isinstance(template, str) and template in self._registered:
+            return template, self._registered[template]
+        tmpl = self._resolve_template(template)
+        for n, d in self._registered.items():
+            if d is tmpl:
+                return n, d
+        if len(self._registered) == 1:
+            return next(iter(self._registered.items()))
+        return None, None
+
+    def _resolve_lazy_chunks(self, chunks, dims, template):
+        """Return a concrete {dim: chunk} mapping, or None meaning: stay
+        eager (reference "inherit" collapses to eager for effectively
+        unchunked sources, ds.py:827-855)."""
+        name, src = self._source_dataset(template)
+        src_chunks = self._registered_chunks.get(name, {}) if name else {}
+        if isinstance(chunks, str):
+            if chunks == "inherit":
+                multi = {
+                    d: c
+                    for d, c in src_chunks.items()
+                    if src is not None and d in src.sizes and c < src.sizes[d]
+                }
+                return multi or None
+            if chunks == "auto":
+                # Byte-budget chunks snapped to whole source partitions
+                # (reference ds.py:566-625): grow each chunked dim in
+                # multiples of the source chunk until ~64 MiB per block.
+                if src is None:
+                    return None
+                budget = 64 << 20
+                sizes = src.sizes
+                itemsize = max(
+                    (v.dtype.itemsize for v in src.data_vars.values()), default=8
+                )
+                cell_bytes = itemsize
+                out = {}
+                for d, c in (src_chunks or {}).items():
+                    if d not in sizes or c >= sizes[d]:
+                        continue
+                    per_block = cell_bytes * c * int(
+                        np.prod([n for dd, n in sizes.items() if dd != d])
+                    )
+                    mult = max(1, budget // max(per_block, 1))
+                    out[d] = min(int(c * mult), sizes[d])
+                return out or None
+            raise ValueError(f"unknown chunks spec {chunks!r}")
+        return dict(chunks) or None
+
+    def _is_pure_scan(self) -> bool:
+        """Plan walk (reference ds.py:435-505): True iff the plan is only
+        {Project, Sort, SubqueryAlias, ScanRelation} — i.e. an unfiltered
+        single-table scan whose coords equal the source's."""
+        try:
+            plan = self._df._jdf.queryExecution().optimizedPlan()
+            allowed = {"Project", "Sort", "SubqueryAlias", "DataSourceV2ScanRelation"}
+            stack, n_scans = [plan], 0
+            while stack:
+                n = stack.pop()
+                cls = n.getClass().getSimpleName()
+                if cls == "DataSourceV2ScanRelation":
+                    n_scans += 1
+                elif cls not in allowed:
+                    return False
+                ch = n.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+            return n_scans == 1
+        except Exception:
+            return False
+
+    def _build_lazy(self, dims, template, chunk_map: dict) -> Dataset:
+        tmpl = self._resolve_template(template)
+        columns = self._df.columns
+        dims = self._infer_dims(columns, dims, tmpl)
+        name, src = self._source_dataset(template)
+
+        # Coordinate discovery: source coords when provably a pure scan
+        # (A12), else per-dim SELECT DISTINCT ... ORDER BY (reference
+        # ds.py:531-543).
+        coords: dict[str, np.ndarray] = {}
+        use_src = src is not None and self._is_pure_scan() and all(
+            d in src.coords for d in dims
+        )
+        inner = self._df.persist()
+        for d in dims:
+            if use_src:
+                coords[d] = np.asarray(src.coords[d])
+            else:
+                pdf = inner.select(d).distinct().orderBy(d).toPandas()
+                coords[d] = pdf[d].to_numpy()
+            if coords[d].dtype.kind == "M":
+                # µs everywhere: table values are µs timestamps, and
+                # .tolist() on ns arrays yields raw ints, breaking filters.
+                coords[d] = coords[d].astype("datetime64[us]")
+
+        dtypes = dict(self._df.dtypes)
+        shape = tuple(len(coords[d]) for d in dims)
+        data_vars = {}
+        for col in columns:
+            if col in dims:
+                continue
+            np_dtype = _spark_to_numpy(dtypes[col])
+            data_vars[col] = Variable(
+                tuple(dims),
+                QueryBackedVar(inner, tuple(dims), coords, col, shape, np_dtype),
+            )
+        out = Dataset(data_vars, coords)
+        out.lazy_chunks = dict(chunk_map)  # advisory block sizes for callers
+        if tmpl is not None:
+            _recover_metadata(out, tmpl)
+        return out
+
+
+def _spark_to_numpy(dt: str) -> np.dtype:
+    mapping = {
+        "float": np.dtype("float32"),
+        "double": np.dtype("float64"),
+        "int": np.dtype("float64"),  # int results get NaN-fillable floats
+        "bigint": np.dtype("float64"),
+        "smallint": np.dtype("float64"),
+        "tinyint": np.dtype("float64"),
+        "boolean": np.dtype("object"),
+        "string": np.dtype("object"),
+    }
+    if dt.startswith("timestamp"):
+        return np.dtype("datetime64[us]")
+    return mapping.get(dt, np.dtype("float64"))
+
+
+class QueryBackedVar:
+    """Lazy N-D array over a (persisted) Spark DataFrame: each block access
+    re-runs the inner plan with an indexer-derived filter + projection and
+    scatters the returned rows (reference SQLBackendArray, ds.py:210-376).
+    OUTER-indexing semantics: per-dim membership filters."""
+
+    def __init__(self, df: DataFrame, dims, coords, column, shape, dtype):
+        self._df = df
+        self._dims = dims
+        self._coords = coords
+        self._column = column
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+
+    def read_block(self, slices: tuple) -> np.ndarray:
+        from pyspark.sql import functions as F
+
+        sel_coords = {}
+        conds = None
+        for d, sl in zip(self._dims, slices):
+            vals = self._coords[d][sl]
+            sel_coords[d] = np.atleast_1d(vals)
+            c = F.col(d).isin([_py(v) for v in np.atleast_1d(vals).tolist()])
+            conds = c if conds is None else (conds & c)
+        q = self._df
+        if conds is not None:
+            q = q.filter(conds)
+        pdf = q.select(*self._dims, self._column).toPandas()
+
+        shape = tuple(len(sel_coords[d]) for d in self._dims)
+        fv = np.nan if self.dtype.kind == "f" else (
+            np.datetime64("NaT") if self.dtype.kind == "M" else None
+        )
+        dense = (
+            np.full(shape, fv, dtype=self.dtype)
+            if fv is not None
+            else np.full(shape, None, dtype=object)
+        )
+        flat = np.zeros(len(pdf), dtype=np.int64)
+        stride = 1
+        valid = np.ones(len(pdf), dtype=bool)
+        for k in range(len(self._dims) - 1, -1, -1):
+            d = self._dims[k]
+            lookup = {v: i for i, v in enumerate(sel_coords[d].tolist())}
+            code = pdf[d].map(lambda v: lookup.get(_norm(v), -1)).to_numpy(dtype=np.int64)
+            valid &= code >= 0
+            flat += np.where(code >= 0, code, 0) * stride
+            stride *= shape[k]
+        dense.ravel()[flat[valid]] = pdf[self._column].to_numpy()[valid]
+        return dense
+
+
+def _py(v):
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.datetime64):
+        return v.astype("datetime64[us]").item()
+    return v
+
+
+def _norm(v):
+    import pandas as pd_
+
+    if isinstance(v, pd_.Timestamp):
+        return np.datetime64(v.to_datetime64(), "us").item()
+    return v
 
 
 def _reindex_to_template(out: Dataset, tmpl: Dataset, dims, fill_value) -> Dataset:

@@ -50,6 +50,7 @@ class XarraySession:
         except Exception:
             pass  # already registered on this session
         self._registered_datasets: dict[str, Dataset] = {}
+        self._registered_chunks: dict[str, dict] = {}
         self._tables: dict[str, list[str]] = {}  # dataset name -> view names
         self._tmpdir = tempfile.mkdtemp(prefix="xgrid_")
         # payload path -> (view name, registration kwargs, full DataFrame)
@@ -68,6 +69,7 @@ class XarraySession:
         store: str | None = None,
         read_log_dir: str | None = None,
     ) -> None:
+        ds = self._apply_cf_time(ds)
         groups = _group_vars_by_dims(ds)
         table_names = dict(table_names or {})
         views: list[str] = []
@@ -94,7 +96,46 @@ class XarraySession:
                 views.append(view)
 
         self._registered_datasets[name] = ds
+        self._registered_chunks[name] = dict(chunks) if chunks else {}
         self._tables[name] = views
+
+    def _apply_cf_time(self, ds: Dataset) -> Dataset:
+        """CF-calendar bridge at registration (reference sql.py:150-157 +
+        cftime.py): Gregorian-like offset coords decode to timestamp(us)
+        columns; non-Gregorian ones stay int64 with xarray:units/calendar
+        field metadata and get the ``cftime()`` UDF registered."""
+        from xarray_sql_spark.functions.cftime import (
+            decode_to_timestamps,
+            is_gregorian_like,
+            make_cftime_udf,
+        )
+
+        touched = False
+        new_coords = dict(ds.coords)
+        new_attrs = {k: dict(v) for k, v in ds.coord_attrs.items()}
+        for d, attrs in ds.coord_attrs.items():
+            units = attrs.get("units", "")
+            cal = attrs.get("calendar", "standard")
+            if "since" not in str(units) or ds.coords[d].dtype.kind not in "iu":
+                continue
+            if is_gregorian_like(cal):
+                new_coords[d] = decode_to_timestamps(ds.coords[d], units, cal)
+                new_attrs[d] = {
+                    k: v for k, v in attrs.items() if k not in ("units", "calendar")
+                }
+            else:
+                new_attrs[d] = {
+                    **{k: v for k, v in attrs.items() if k not in ("units", "calendar")},
+                    "xarray:units": units,
+                    "xarray:calendar": cal,
+                }
+                self.spark.udf.register("cftime", make_cftime_udf(units, cal))
+            touched = True
+        if not touched:
+            return ds
+        out = Dataset(ds.data_vars, new_coords, dict(ds.attrs), dict(ds.extra_coords))
+        out.coord_attrs = new_attrs
+        return out
 
     def _register_table(
         self,
@@ -217,7 +258,9 @@ class XarraySession:
         q = self._rewrite(query)
         df = self.spark.sql(q, args=args) if args else self.spark.sql(q)
         df = self._with_projection_pushdown(df, q, args)
-        return XarrayDataFrame(df, dict(self._registered_datasets))
+        return XarrayDataFrame(
+            df, dict(self._registered_datasets), dict(self._registered_chunks)
+        )
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(self._rewrite(name))
