@@ -13,5 +13,6 @@ from xarray_sql_spark.queries.registry import REGISTRY, QuerySpec, query
 # Populate the registry.
 from xarray_sql_spark.queries import relational  # noqa: F401,E402
 from xarray_sql_spark.queries import pipeline_ops  # noqa: F401,E402
+from xarray_sql_spark.queries import dedup_lsh  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

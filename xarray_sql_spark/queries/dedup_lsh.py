@@ -1,0 +1,506 @@
+"""Sketch-based near-duplicate detection and LSH similarity search.
+
+These are the *scale paths* for the pipeline operators in ``pipeline_ops``:
+``dd03_ngram_jaccard`` / ``ss02_embedding_neardup`` do exact pairwise math
+within buckets; the operators here replace the candidate-generation stage
+with sublinear sketches (MinHash banding, SimHash byte-banding, random
+hyperplane LSH) so the only joins are equi-joins on short sketch keys.
+
+Cross-engine determinism: every pseudo-random quantity (MinHash permutation
+coefficients, hyperplane components) is derived from md5, which Python,
+Spark (``md5``) and DuckDB (``md5``) all agree on. The shared 60-bit token
+hash is::
+
+    Spark:  CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: ('0x' || substring(md5(x), 1, 15))::BIGINT
+    Python: int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+all equal by construction (15 hex chars = 60 bits, fits int64).
+
+Reference parity note: the reference (alxmrs/xarray-sql) has no dedup or
+similarity operators — these extend the engine for LLM-training-data
+pipelines per the north star in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.session import table
+
+MERSENNE31 = 2147483647  # permutations work mod this prime; a*h < 2^62 fits int64
+
+
+def _md5int(s: str) -> int:
+    """Python twin of the shared 60-bit md5-prefix hash."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _spark_h31(col_sql: str) -> str:
+    return f"CAST(conv(substring(md5({col_sql}), 1, 15), 16, 10) AS BIGINT) % {MERSENNE31}"
+
+
+def _duck_h31(col_sql: str) -> str:
+    return f"(('0x' || substring(md5({col_sql}), 1, 15))::BIGINT) % {MERSENNE31}"
+
+
+# --- MinHash + LSH banding --------------------------------------------------
+N_PERMS = 16
+N_BANDS = 4  # 4 bands x 4 rows
+ROWS_PER_BAND = N_PERMS // N_BANDS
+# Permutation coefficients h_i(x) = (a_i * x + b_i) mod P, derived from md5 so
+# the oracle SQL can embed the identical literals.
+PERM_A = [_md5int(f"minhash-a-{i}") % (MERSENNE31 - 2) + 1 for i in range(N_PERMS)]
+PERM_B = [_md5int(f"minhash-b-{i}") % MERSENNE31 for i in range(N_PERMS)]
+# The synthetic corpus has a ~40-word vocabulary, so token *sets* overlap
+# heavily; report only pairs whose signatures estimate jaccard >= this.
+EST_JACCARD_MIN = 0.9
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min(({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE31}) AS s{i}"
+        for i in range(N_PERMS)
+    )
+    band_rows = ", ".join(
+        "(" + str(j) + ", md5(concat_ws('-', "
+        + ", ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")))"
+        for j in range(N_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {_duck_h31('tok')} AS h FROM tok),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band.band_idx, band.band_hash
+        FROM sig, LATERAL (
+            SELECT * FROM (VALUES {band_rows}) AS v(band_idx, band_hash)
+        ) AS band
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_bands
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+           CAST(p.doc_b AS BIGINT) AS doc_b,
+           CAST(p.n_bands AS INT) AS n_bands,
+           round(({eq_terms}) / {N_PERMS}.0, 6) AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    WHERE ({eq_terms}) / {N_PERMS}.0 >= {EST_JACCARD_MIN}
+    """
+
+
+@query(
+    "dd04_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "near-dup", "lsh", "pipeline"),
+    # The ~40-word synthetic vocabulary makes most docs near-dups, so the
+    # pair output is quadratic at sf0.1 — an artifact, not the operator's
+    # scale shape. Keep it oracle-checked but out of the headline bench.
+    bench=False,
+)
+def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH banding (4 bands x 4 rows) near-dup candidates.
+
+    Scale shape: one scan computes 16-component signatures with map-side
+    combine (groupBy doc_id over exploded tokens); candidate generation is an
+    equi-join on (band_idx, band_hash) — docs land in the same bucket only if
+    a whole band matches, so the join output is ~linear in the number of true
+    near-dups, never O(n^2). The signature table (16 ints/doc) is ~1e-4 of
+    corpus bytes at 100 TB, so the final est-jaccard join is cheap and the
+    raw text never shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = tok.select("doc_id", F.expr(_spark_h31("tok")).alias("h"))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE31).alias(
+                f"s{i}"
+            )
+            for i in range(N_PERMS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("int").alias("n_bands"))
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    ) / float(N_PERMS)
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(est >= EST_JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_bands", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bytes; hamming <= 3 guarantees >= 1 shared byte
+HAMMING_MAX = 2
+
+
+def _simhash_oracle() -> str:
+    byte_rows = ", ".join(
+        f"({j}, (simhash >> {8 * j}) & 255)" for j in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    bits AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h, LATERAL (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+        GROUP BY doc_id, bit
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, band.byte_idx, band.byte_val
+        FROM sig, LATERAL (
+            SELECT * FROM (VALUES {byte_rows}) AS v(byte_idx, byte_val)
+        ) AS band
+    )
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+
+
+@query(
+    "dd05_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "near-dup", "simhash", "pipeline"),
+    bench=False,  # same degenerate-corpus artifact as dd04
+)
+def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup: byte-banded candidates, hamming<=2 verify.
+
+    Each doc collapses to one 32-bit signature (a per-bit majority vote over
+    token hashes). Candidates share at least one of 4 signature bytes — the
+    pigeonhole guarantee for hamming<=3, a recall-biased net for <=6 — so
+    candidate generation is an equi-join on a 1-byte key + band index.
+    At 100 TB: the signature table is 12 bytes/doc; the only wide shuffle is
+    the doc_id groupBy that builds signatures, which AQE coalesces.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = tok.select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    )
+    bits = (
+        h.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        )
+        .select(
+            "doc_id",
+            "bit",
+            F.when(F.expr("(h >> bit) & 1 = 1"), 1).otherwise(-1).alias("contrib"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)
+        ).alias("simhash")
+    )
+    byte_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("byte_idx"),
+                F.expr(f"(simhash >> {8 * j}) & 255").alias("byte_val"),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", "simhash", F.explode(byte_structs).alias("band")).select(
+        "doc_id", "simhash", "band.byte_idx", "band.byte_val"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)").cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+# --- Random-hyperplane LSH ANN ---------------------------------------------
+N_PLANES = 8
+EMBED_DIM = 64
+# Hyperplane components in [-1, 1], derived from md5 so all engines agree.
+PLANES = [
+    [
+        (_md5int(f"plane-{p}-dim-{dd}") % 2001 - 1000) / 1000.0
+        for dd in range(EMBED_DIM)
+    ]
+    for p in range(N_PLANES)
+]
+
+
+def _plane_literal_duck(p: int) -> str:
+    return "[" + ", ".join(repr(x) for x in PLANES[p]) + "]::DOUBLE[]"
+
+
+def _lsh_ann_oracle() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_plane_literal_duck(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {bucket_terms} AS bucket FROM e
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM bucketed q JOIN bucketed c
+          ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank,
+           round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@query(
+    "ss03_lsh_ann",
+    oracle=_lsh_ann_oracle(),
+    tags=("similarity", "lsh", "pipeline"),
+)
+def ss03_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 8 signed projections -> 256 buckets,
+    exact cosine re-rank within the query's bucket only.
+
+    This is the sublinear counterpart of ``ss01_ann_topk`` (brute force):
+    the corpus is scanned once to compute an 8-bit bucket id, and the
+    candidate join is an equi-join on that id, touching ~1/256 of the corpus
+    per query. At 100 TB the bucketed table is written once (partitioned by
+    bucket) and every query prunes to its bucket's partitions; recall is
+    tuned by multi-probe or more tables, not by widening the join.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def dot_plane(p: int):
+        plane = F.array(*[F.lit(x) for x in PLANES[p]])
+        return F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    base = e.select("vec_id", v.alias("v"))
+    bucket = sum(
+        F.when(dot_plane(p) >= 0, F.lit(1 << p)).otherwise(0) for p in range(N_PLANES)
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    bucketed = base.select("vec_id", "v", bucket.alias("bucket"), norm.alias("norm"))
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+        F.col("norm").alias("qn"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("bucket").alias("cb"),
+        F.col("norm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("cos"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# --- BPE-ish regex tokenization --------------------------------------------
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "ts03_regex_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(text, '{TOKEN_RE}') AS pieces
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(pieces)) AS BIGINT) AS total_pieces,
+           round(avg(CAST(len(pieces) AS DOUBLE)), 6) AS avg_pieces,
+           round(avg(CAST(len(list_distinct(pieces)) AS DOUBLE)
+                     / CAST(len(pieces) AS DOUBLE)), 6) AS avg_piece_diversity
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokenize", "pipeline"),
+)
+def ts03_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex tokenization stats per language: alpha runs, digit
+    runs, and single punctuation marks as word pieces (the pre-merge BPE
+    alphabet). Pure JVM regexp over one scan; the groupBy key has 5 values,
+    so partial aggregation collapses nearly all rows map-side.
+    """
+    d = table(spark, sf_dir, "documents")
+    pieces = F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
+    t = d.select("doc_id", "lang", pieces.alias("pieces"))
+    n = F.size("pieces").cast("double")
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("pieces")).cast("long").alias("total_pieces"),
+            F.round(F.avg(F.size("pieces").cast("double")), 6).alias("avg_pieces"),
+            F.round(
+                F.avg(F.size(F.array_distinct("pieces")).cast("double") / n), 6
+            ).alias("avg_piece_diversity"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Rolling-hash document fingerprint --------------------------------------
+ROLL_BASE = 1000003
+
+
+@query(
+    "dd06_rolling_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ' '),
+                                      t -> {_duck_h31('t')})),
+                   (acc, x) -> (acc * {ROLL_BASE} + x) % {MERSENNE31}
+               ) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM fp GROUP BY fingerprint
+    """,
+    tags=("dedup", "fingerprint", "pipeline"),
+)
+def dd06_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint over the token
+    stream (acc = acc*B + h(tok) mod P) — the order-sensitive dual of
+    dd02's sorted-set fingerprint. One scan, one tiny groupBy; at 100 TB the
+    fingerprint column is 8 bytes/doc, so dedup never shuffles text.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = F.expr(
+        f"aggregate(transform(split(text, ' '), t -> {_spark_h31('t')}), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * {ROLL_BASE} + x) % {MERSENNE31})"
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
