@@ -1,0 +1,99 @@
+"""Structured Streaming operators vs their batch twins.
+
+Each streaming result (driven to completion with availableNow) must equal
+the same aggregation computed in batch over the same parquet — streaming
+correctness reduces to batch correctness plus state/watermark mechanics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from xarray_sql_spark.session import table
+from xarray_sql_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type", F.col("value").cast("double")
+    )
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_windowed_counts_match_batch(spark, batch_events):
+    stream_out = se.run_to_memory(
+        se.windowed_counts(se.events_stream(spark, SF_SMALL)), "t_windowed"
+    )
+    # Append mode emits a window only once the watermark (max event time −
+    # 1 h) has passed its end; the trailing windows stay open at end-of-
+    # stream. The batch expectation models exactly that finalization rule.
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    batch_out = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+    )
+    assert stream_out.count() > 0
+    assert _rows(stream_out, "window_start", "event_type") == _rows(
+        batch_out, "window_start", "event_type"
+    )
+
+
+def test_session_windows_match_batch(spark, batch_events):
+    stream_out = se.run_to_memory(
+        se.session_windows(se.events_stream(spark, SF_SMALL)), "t_sessions"
+    )
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    batch_out = (
+        batch_events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        # Same finalization rule as windows: sessions still open (end within
+        # the 1 h watermark delay of max event time) are not emitted yet.
+        .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    assert _rows(stream_out, "user_id", "session_start") == _rows(
+        batch_out, "user_id", "session_start"
+    )
+    # Emitted sessions cover nearly all events; totals reconcile up to the
+    # unfinalized tail.
+    n_stream = stream_out.agg(F.sum("n_events")).collect()[0][0]
+    n_all = batch_events.count()
+    assert n_stream <= n_all
+    assert n_stream >= n_all * 0.95
+
+
+def test_stateful_user_stats(spark, batch_events):
+    stream_out = se.run_to_memory(
+        se.user_running_stats(se.events_stream(spark, SF_SMALL)),
+        "t_user_stats",
+        output_mode="update",
+    )
+    # availableNow may run 1+ micro-batches; the LAST update per user is the
+    # final state. With a single batch there is exactly one row per user.
+    final = {r["user_id"]: r for r in stream_out.collect()}
+    expect = {
+        r["user_id"]: r
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for uid, r in final.items():
+        assert r["n_events"] == expect[uid]["n"]
+        assert float(r["max_value"]) == pytest.approx(expect[uid]["mx"])

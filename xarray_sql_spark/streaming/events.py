@@ -1,0 +1,174 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no event-time streaming (its "streaming" is bounded-memory
+batch iteration — reference tests/test_reader.py:490-779); these operators
+extend the engine with the standard streaming trio a training-data pipeline
+needs: watermarked tumbling-window aggregation, gap-based session windows,
+and a custom stateful operator (applyInPandasWithState).
+
+All readers run equally under ``trigger(availableNow=True)`` for bounded
+backfills (how the tests drive them) and as long-running incremental jobs on
+a real cluster — the dataflow, state store usage, and watermark semantics are
+identical; only the trigger changes. At 100 TB the file source lists one
+day's partition directories per micro-batch and state is sharded by the
+grouping key across executors (RocksDB state store in production).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Parquet stores ts as TIMESTAMP(NANOS); with the nanosAsLong legacy conf the
+# streaming reader sees a bigint, converted to a µs timestamp below (same
+# truncation as xarray_sql_spark.session.table).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file here; a dated
+    directory tree in production — the source incrementally lists new files).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source wants a directory; sf_dir holds all tables, so filter
+    # the listing down to the events file(s).
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def windowed_counts(stream: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour event-time windows with late-data handling: events
+    later than the watermark are dropped, windows finalize (and leave the
+    state store) once the watermark passes — bounded state at any scale."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via the native session_window operator — the
+    streaming twin of the batch ev01_sessionization query. State per open
+    session, closed by watermark passage."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("max_value", StringType())]
+)
+_USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", StringType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _user_stats_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful kernel: running per-user event count and max value.
+    State survives across micro-batches; emitted once per batch per user."""
+    n, max_v = state.get if state.exists else (0, None)
+    last_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        batch_max = pdf["value"].max()
+        if max_v is None or (pd.notna(batch_max) and float(batch_max) > float(max_v)):
+            max_v = str(float(batch_max))
+        last_ts = pdf["ts"].max()
+    state.update((n, max_v))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "max_value": [max_v],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def user_running_stats(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState: arbitrary per-key running state (the escape
+    hatch for operators session_window/window can't express). Keys shard
+    across executors; each micro-batch touches only keys with new data."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, *, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion with availableNow into an
+    in-memory table; returns the result as a batch DataFrame. Test/backfill
+    helper — production sinks swap format() for parquet/kafka + checkpoint."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
