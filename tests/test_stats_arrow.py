@@ -1,0 +1,83 @@
+"""A4 (exact metadata statistics / COUNT(*) shortcut) and A15 (Arrow stream
+export) — reference tests/test_stats.py + reader.py:37-189 equivalents."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xarray_sql_spark import arrow_io
+from xarray_sql_spark.dataset import Dataset, Variable
+from xarray_sql_spark.xr_session import XarraySession
+from tests.test_grid_engine import air_small
+
+
+@pytest.fixture(scope="module")
+def xs(spark):
+    return XarraySession(spark)
+
+
+def test_count_star_shortcut_no_reads(xs, spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    import os
+
+    os.makedirs(log_dir)
+    xs.from_dataset("stats_air", air_small(), chunks={"time": 4}, read_log_dir=log_dir)
+    assert xs.count("stats_air") == 12 * 11 * 10
+    stats = xs.scan_stats("stats_air")
+    assert stats["num_partitions"] == 3
+    assert stats["rows_per_partition"] == [4 * 11 * 10] * 3
+    assert stats["dim_bounds"]["lat"] == (50.0, 75.0)  # true min/max, lat descending
+    assert stats["null_count"] == 0
+    # the whole thing was answered from metadata: zero partition reads
+    assert os.listdir(log_dir) == []
+    # and it agrees with the engine-computed count
+    assert xs.sql("SELECT COUNT(*) AS n FROM stats_air").df.collect()[0]["n"] == stats[
+        "num_rows"
+    ]
+
+
+def test_scan_stats_store_backed(xs, tmp_path):
+    ds = air_small()
+    path = ds.to_store(str(tmp_path / "store"))
+    xs.from_dataset("stats_store", ds, chunks={"time": 6}, store=path)
+    stats = xs.scan_stats("stats_store")
+    assert stats["num_rows"] == 1320
+    assert stats["num_partitions"] == 2
+
+
+def test_scan_stats_unknown_table(xs):
+    with pytest.raises(KeyError):
+        xs.scan_stats("nope")
+
+
+def test_arrow_reader_streams_batches():
+    ds = air_small()
+    reader = arrow_io.to_arrow_reader(ds, chunks={"time": 4}, batch_size=100)
+    batches = list(reader)
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert sum(len(b) for b in batches) == 1320
+    assert all(len(b) <= 100 for b in batches)
+    tbl = pa.Table.from_batches(batches)
+    assert tbl.schema.names == ["time", "lat", "lon", "air"]
+    # values round-trip: first row is (time[0], lat[0], lon[0], air[0,0,0])
+    assert tbl.column("air").to_pylist()[0] == pytest.approx(
+        float(ds.data_vars["air"].values()[0, 0, 0])
+    )
+
+
+def test_arrow_reader_is_one_shot():
+    reader = arrow_io.to_arrow_reader(air_small())
+    assert sum(len(b) for b in reader) == 1320
+    assert sum(len(b) for b in reader) == 0  # exhausted, like the reference
+
+
+def test_read_xarray_dataframe(spark):
+    ds = air_small()
+    df = arrow_io.read_xarray(spark, ds)
+    assert df.columns == ["time", "lat", "lon", "air"]
+    assert df.count() == 1320
+    got = df.agg({"air": "avg"}).collect()[0][0]
+    want = float(np.nanmean(ds.data_vars["air"].values()))
+    assert got == pytest.approx(want, rel=1e-6)

@@ -264,3 +264,48 @@ class XarraySession:
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(self._rewrite(name))
+
+    # -- exact scan statistics (A4) ----------------------------------------
+    # Python data sources cannot hand Catalyst a-priori statistics, so the
+    # reference's exact-stats behaviors (metadata COUNT(*), broadcast-side
+    # selection — reference src/lib.rs:669-917, tests/test_stats.py) are
+    # compensated at the session level: stats come from chunk arithmetic
+    # with ZERO data reads, and join planning falls to AQE runtime stats.
+    def scan_stats(self, name: str) -> dict:
+        """Exact statistics for a registered grid table from chunk metadata:
+        total rows, partition count, per-partition rows, per-dim bounds.
+        Never launches a job or reads a cell."""
+        from xarray_sql_spark.bounds import dim_bounds
+        from xarray_sql_spark.chunks import block_slices, block_num_rows
+
+        view = self._rewrite(name)
+        for _, (v, kwargs, _df) in self._payload_views.items():
+            if v != view:
+                continue
+            ds = kwargs["dataset"]
+            if ds is None:
+                ds = Dataset.open_store(kwargs["store"])  # metadata-only open
+            dims = tuple(ds.data_vars[kwargs["var_names"][0]].dims)
+            sizes = {d: len(ds.coords[d]) for d in dims}
+            chunks = {
+                d: c for d, c in (kwargs["chunks"] or {}).items() if d in sizes
+            }
+            blocks = list(block_slices(sizes, chunks or None))
+            rows_per_partition = [block_num_rows(b) for b in blocks]
+            total = 1
+            for s in sizes.values():
+                total *= s
+            full_block = {d: slice(0, sizes[d]) for d in dims}
+            return {
+                "num_rows": total,
+                "num_partitions": len(blocks),
+                "rows_per_partition": rows_per_partition,
+                "dim_bounds": dim_bounds(ds.coords, full_block),
+                "null_count": 0,  # dim coords are never null by construction
+            }
+        raise KeyError(f"'{name}' is not a registered grid table")
+
+    def count(self, name: str) -> int:
+        """Metadata-only COUNT(*): the product of the table's dim sizes
+        (reference exact-stats shortcut, tests/test_stats.py:78-91)."""
+        return self.scan_stats(name)["num_rows"]
