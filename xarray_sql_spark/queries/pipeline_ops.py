@@ -454,3 +454,49 @@ def ev01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- events: per-session stats via the native session_window operator ------
+@query(
+    "ev02_session_windows",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("events", "session", "streaming-twin", "pipeline"),
+)
+def ev02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats via the native ``session_window`` operator in batch
+    mode — byte-identical semantics to the streaming version in
+    ``xarray_sql_spark.streaming.events.session_windows`` (a session closes
+    when the gap reaches 30 min; window end = last event + gap). The oracle
+    re-derives sessions with lag + running sum. Timestamps are emitted as
+    epoch-micros so ns-precision parquet cannot skew the comparison."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
