@@ -798,3 +798,113 @@ def q22_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "end": pd.Timestamp("1998-01-01"),
         },
     )
+
+
+@query(
+    "q23_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           round(quantile_cont(l_discount, 0.25), 6) AS p25_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). Exact percentiles sort within each group; at 100 TB
+    swap to ``approx_percentile`` (t-digest sketch, map-side mergeable, no
+    full sort) — kept exact here so the oracle can hash-match values."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+            F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q24_pivot",
+    oracle=f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           {", ".join(
+               f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id % 10
+    ORDER BY user_bucket
+    """,
+    tags=("pivot", "reshape"),
+)
+def q24_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long->wide reshape): event-type counts per user bucket. The
+    value list is supplied explicitly, so Spark skips the extra distinct-
+    values job and the plan is a single partial+final aggregation."""
+    e = table(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    ).orderBy("user_bucket")
+
+
+@query(
+    "q25_set_ops",
+    oracle="""
+    SELECT 'both_years' AS segment, CAST(c AS BIGINT) AS custkey FROM (
+        SELECT o_custkey AS c FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    UNION ALL
+    SELECT 'only_1996' AS segment, CAST(c AS BIGINT) AS custkey FROM (
+        SELECT o_custkey AS c FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    """,
+    tags=("setops",),
+)
+def q25_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT customer segmentation across order years. Both
+    set ops hash-aggregate on the key after pushing the year filters into
+    the scans; UNION ALL is a no-shuffle concatenation of the two plans."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT 'both_years' AS segment, c AS custkey FROM (
+            SELECT o_custkey AS c FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        UNION ALL
+        SELECT 'only_1996' AS segment, c AS custkey FROM (
+            SELECT o_custkey AS c FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+            EXCEPT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        """
+    )
