@@ -1,0 +1,160 @@
+"""Skew-mitigation operators: salted aggregation and salted broadcast join.
+
+Hot keys are the classic 100 TB failure mode: one reducer gets the
+``event_type='click'`` partition and the stage runs at the speed of that one
+task. Two standard remedies, expressed as composable DataFrame transforms:
+
+- ``salted_agg``: aggregate on ``(key, salt)`` first (fans the hot key over
+  N reducers), then merge the partials on ``key``. Requires the aggregate to
+  be algebraic (sum/count/min/max/avg-via-sum+count — the same property that
+  makes map-side partial aggregation work).
+- ``salted_broadcast_join``: replicate the small side N times (one copy per
+  salt) and give each big-side row a random-but-deterministic salt, so a hot
+  join key spreads over N tasks. (AQE's skew-join split does this at runtime
+  for sort-merge joins; the explicit form also covers aggregations and
+  pre-AQE shuffles.)
+
+The salt here is deterministic (``pmod(xxhash64(...), n)``) so results are
+reproducible and the oracle can verify the *result* equals the unsalted
+aggregation — the defining property of a correct salting rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.session import table
+
+DEFAULT_SALTS = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    salt_source: Column,
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max}; avg is derived as merged sum / merged count.
+    Stage 1 groups on (key, salt) — at most ``n_salts`` partial rows per
+    key per reducer wave — stage 2 merges the tiny partial table on key.
+    """
+    salt = F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).alias("_salt")
+    stage1_aggs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "sum":
+            stage1_aggs.append(F.sum(col).alias(f"_p_{out}"))
+        elif fn == "count":
+            stage1_aggs.append(F.count(col).alias(f"_p_{out}"))
+        elif fn == "min":
+            stage1_aggs.append(F.min(col).alias(f"_p_{out}"))
+        elif fn == "max":
+            stage1_aggs.append(F.max(col).alias(f"_p_{out}"))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+    partial = df.select(key, salt, *{c for c, _ in aggs.values()}).groupBy(
+        key, "_salt"
+    ).agg(*stage1_aggs)
+    merge = {
+        "sum": F.sum,
+        "count": F.sum,  # counts merge by summing
+        "min": F.min,
+        "max": F.max,
+    }
+    return partial.groupBy(key).agg(
+        *[merge[fn](f"_p_{out}").alias(out) for out, (_c, fn) in aggs.items()]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source: Column,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Equi-join where the big side's ``key`` is skewed: explode the small
+    side once per salt value, salt the big side deterministically, and join
+    on (key, salt) so no single task owns a hot key."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).cast("int")
+    )
+    return big_salted.join(F.broadcast(small_rep), on=[key, "_salt"]).drop("_salt")
+
+
+@query(
+    "sk01_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("skew", "pipeline"),
+)
+def sk01_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation over the 5-value (maximally skewed) event_type
+    key. The oracle is the plain GROUP BY — a salting rewrite is correct
+    exactly when the results are indistinguishable."""
+    e = table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        "event_type",
+        F.col("event_id"),
+        {
+            "n": ("event_id", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@query(
+    "sk02_salted_join",
+    oracle="""
+    WITH dim AS (
+        SELECT 'click' AS event_type, 1.0 AS weight UNION ALL
+        SELECT 'view', 0.5 UNION ALL
+        SELECT 'purchase', 10.0 UNION ALL
+        SELECT 'signup', 5.0 UNION ALL
+        SELECT 'error', 0.0
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value * d.weight), 6) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("skew", "join", "pipeline"),
+)
+def sk02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof broadcast join of the events fact against a tiny weight
+    dim on the hot event_type key, then a salted-safe aggregation on top."""
+    e = table(spark, sf_dir, "events")
+    dim = e.sparkSession.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    joined = salted_broadcast_join(e, dim, "event_type", F.col("event_id"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 6).alias("weighted_value"),
+    )

@@ -1,0 +1,118 @@
+"""Grid-engine queries inside the driver's DuckDB-oracle gate.
+
+The grid tables live in numpy, not parquet, so a DuckDB oracle can't read
+them — instead the fixture grid is *formula-defined* on exactly
+representable binary fractions (halves/quarters), and the oracle SQL
+regenerates the identical rows with ``range()`` cross joins. That puts the
+whole Python DataSource path — registration, partition pruning, projection,
+strided pivot, Catalyst aggregation on top — under the same hash-compare
+gate as the relational queries, not just under pytest.
+
+Values are exact: v = th*1.0 + yi*0.5 + xi*0.25 sums of powers of two, so
+Spark's and DuckDB's float arithmetic agree bit-for-bit with no rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_sql_spark.dataset import Dataset, Variable
+from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.xr_session import XarraySession
+
+N_T, N_Y, N_X = 240, 16, 16  # 10 days hourly x 16 x 16 = 61,440 cells
+
+
+def _fixture_dataset() -> Dataset:
+    t = np.arange("2024-01-01T00", "2024-01-11T00", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    y = np.arange(N_Y, dtype=np.int64)
+    x = np.arange(N_X, dtype=np.int64)
+    ti = np.arange(N_T, dtype=np.int64)
+    v = (
+        (ti % 24)[:, None, None] * 1.0
+        + y[None, :, None] * 0.5
+        + x[None, None, :] * 0.25
+    )
+    return Dataset({"v": Variable(("time", "y", "x"), v)}, {"time": t, "y": y, "x": x})
+
+
+def _register(spark: SparkSession, view: str) -> XarraySession:
+    xs = XarraySession(spark)
+    xs.from_dataset(view, _fixture_dataset(), chunks={"time": 24})
+    return xs
+
+
+@query(
+    "gq01_grid_climatology",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )
+    SELECT CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           CAST(ti % 24 AS INT) AS h,
+           avg(v) AS clim, CAST(count(*) AS BIGINT) AS n
+    FROM cells GROUP BY yi, xi, ti % 24
+    """,
+    tags=("grid", "datasource", "climatology"),
+    bench=False,  # driver-gate coverage; grid perf is measured in pytest/bench grids
+)
+def gq01_grid_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day climatology over the Python DataSource grid table: the
+    full scan streams 61,440 pivoted rows from 10 chunk partitions into a
+    Catalyst hash aggregate (partial per partition, one shuffle on the
+    6,144 group keys). ``sf_dir`` is unused — the grid is formula-defined."""
+    xs = _register(spark, "gq_grid")
+    return (
+        xs.sql(
+            "SELECT y, x, hour(time) AS h, AVG(v) AS clim, COUNT(*) AS n "
+            "FROM gq_grid GROUP BY y, x, hour(time)"
+        ).df
+        .select("y", "x", F.col("h").cast("int").alias("h"), "clim", "n")
+    )
+
+
+@query(
+    "gq02_grid_pruned_slice",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )
+    SELECT CAST(epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                 + ti * INTERVAL 1 HOUR) AS BIGINT) AS t_us,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x, v
+    FROM cells
+    WHERE ti >= 48 AND ti < 72 AND yi BETWEEN 4 AND 7
+    """,
+    tags=("grid", "datasource", "pruning"),
+    bench=False,
+)
+def gq02_grid_pruned_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A filtered slice through the grid scan: the time predicate prunes 9
+    of 10 chunk partitions inside ``partitions()`` (pushFilters bounds
+    check) before any read, and Catalyst re-applies the row filters above
+    the scan (inexact pushdown, reference src/lib.rs:548-565 semantics)."""
+    xs = _register(spark, "gq_grid2")
+    return (
+        xs.sql(
+            "SELECT time, y, x, v FROM gq_grid2 "
+            "WHERE time >= TIMESTAMP '2024-01-03 00:00:00' "
+            "  AND time < TIMESTAMP '2024-01-04 00:00:00' "
+            "  AND y BETWEEN 4 AND 7"
+        ).df
+        # grid time is TIMESTAMP_NTZ; session TZ is UTC, so the cast is the
+        # identity mapping DuckDB's epoch_us applies to its naive timestamps
+        .select(F.unix_micros(F.col("time").cast("timestamp")).alias("t_us"), "y", "x", "v")
+    )
