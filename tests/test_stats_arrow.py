@@ -81,3 +81,15 @@ def test_read_xarray_dataframe(spark):
     got = df.agg({"air": "avg"}).collect()[0][0]
     want = float(np.nanmean(ds.data_vars["air"].values()))
     assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_set_and_explain_surface(xs, spark):
+    # Reference exercises SET + EXPLAIN through the engine
+    # (tests/test_stats.py:15-25); Spark's native surface must work through
+    # the session wrapper unchanged.
+    spark.sql("SET spark.sql.adaptive.enabled").collect()  # SET readable
+    xs.from_dataset("explain_air", air_small(), chunks={"time": 4})
+    plan = xs.sql(
+        "EXPLAIN SELECT lat, AVG(air) AS a FROM explain_air GROUP BY lat"
+    ).df.collect()[0][0]
+    assert "Aggregate" in plan or "HashAggregate" in plan
