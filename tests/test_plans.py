@@ -1,0 +1,78 @@
+"""Plan-level assertions: the physical plans must have the shapes the scale
+design claims (reference asserts plans via EXPLAIN string-matching,
+tests/test_stats.py:94-125 — here via queryExecution's executed plan).
+
+These guard against silent regressions that correctness tests can't see:
+a broadcast turning into a cartesian product, a filter failing to reach the
+parquet scan, a sketch join degenerating to O(n^2)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_MED
+from xarray_sql_spark.queries import REGISTRY
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_MED)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_reaches_parquet_scan(spark):
+    # (plan toString() truncates long lists — match within the line)
+    plan = _plan(spark, "q02_filter_scan")
+    m = re.search(r"PushedFilters: \[(.*)", plan)
+    assert m and "l_shipdate" in m.group(1), plan
+
+
+def test_projection_prunes_read_schema(spark):
+    plan = _plan(spark, "q02_filter_scan")
+    m = re.search(r"ReadSchema: struct<(.*)", plan)
+    assert m, plan
+    schema_txt = m.group(1)
+    # the scan reads only what the query uses — unused payload columns
+    # (comment, shipmode, shipinstruct...) must not appear
+    assert "l_orderkey" in schema_txt
+    for unused in ("l_comment", "l_shipmode", "l_shipinstruct", "l_partkey"):
+        assert unused not in schema_txt, schema_txt
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q03_top_revenue", "q12_interval_join", "q20_weighted_regrid", "sk02_salted_join"],
+)
+def test_small_side_broadcasts(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sketch_joins_are_equi_joins(spark):
+    # The whole point of LSH banding: candidate generation must be a hash
+    # join on the sketch key, never a nested-loop/cartesian pairing.
+    for name in ["dd04_minhash_lsh", "dd05_simhash"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan), name
+
+
+def test_lsh_ann_broadcasts_queries(spark):
+    plan = _plan(spark, "ss03_lsh_ann")
+    assert re.search(r"BroadcastHashJoin|ShuffledHashJoin", plan), plan
+
+
+def test_range_join_broadcasts_tiny_side(spark):
+    # Theta-join with a tiny build side: BroadcastNestedLoopJoin is the
+    # right plan (reference test_stats.py CollectLeft parity).
+    plan = _plan(spark, "q13_range_join")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_aggregations_are_partial_final(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # map-side combine then final merge: two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2, plan
