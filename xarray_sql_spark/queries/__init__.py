@@ -17,5 +17,6 @@ from xarray_sql_spark.queries import dedup_lsh  # noqa: F401,E402
 from xarray_sql_spark.operators import multimodal  # noqa: F401,E402
 from xarray_sql_spark.queries import grid_queries  # noqa: F401,E402
 from xarray_sql_spark.operators import skew  # noqa: F401,E402
+from xarray_sql_spark.operators import components  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
