@@ -97,3 +97,30 @@ def test_stateful_user_stats(spark, batch_events):
     for uid, r in final.items():
         assert r["n_events"] == expect[uid]["n"]
         assert float(r["max_value"]) == pytest.approx(expect[uid]["mx"])
+
+
+def test_stream_dedup_drops_duplicate_keys(spark, batch_events):
+    # event_type has 5 values: the stream must emit at most one row per
+    # value (exactly one here since all data is inside one watermark batch).
+    stream = se.events_stream(spark, SF_SMALL)
+    deduped = se.stream_dedup(stream, ["event_type"])
+    out = se.run_to_memory(deduped, "t_dedup")
+    assert out.count() == 5
+    assert {r["event_type"] for r in out.select("event_type").collect()} == {
+        "click", "error", "purchase", "signup", "view"
+    }
+
+
+def test_stream_to_partitioned_parquet(spark, batch_events, tmp_path):
+    path = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = se.write_stream_partitioned(
+        se.events_stream(spark, SF_SMALL), path, ("event_type",), ckpt
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(path)
+    assert back.count() == batch_events.count()
+    import glob as g
+    assert {p.split("=")[-1] for p in g.glob(path + "/event_type=*")} == {
+        "click", "error", "purchase", "signup", "view"
+    }

