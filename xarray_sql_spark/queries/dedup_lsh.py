@@ -504,3 +504,57 @@ def dd06_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
     )
+
+
+# --- TF-IDF: top distinguishing terms per language --------------------------
+@query(
+    "ts04_tfidf_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    ),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    df_t AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+    tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+    scored AS (
+        SELECT tf.lang, tf.term,
+               round(tf.tf * ln((SELECT n FROM n_docs) / CAST(df_t.df AS DOUBLE)), 6)
+                   AS tfidf
+        FROM tf JOIN df_t ON tf.term = df_t.term
+    ),
+    ranked AS (
+        SELECT lang, term, tfidf,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT lang, term, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("text", "tfidf", "pipeline"),
+)
+def ts04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language (document-frequency IDF over the
+    whole corpus, term frequency within the language). Two shuffles — one
+    per aggregation — then a broadcast join of the tiny df table back onto
+    tf; the per-language top-k is a bounded window."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    n_docs = d.count()  # scalar; at scale use a metadata count
+    df_t = tok.groupBy("term").agg(F.count("*").alias("df"))
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "lang",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+    )

@@ -908,3 +908,29 @@ def q25_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "q26_anti_join",
+    oracle="""
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+    )
+    """,
+    tags=("join", "anti"),
+)
+def q26_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join: customers with no recent orders. Catalyst
+    plans a broadcast/shuffled hash anti-join — one pass over orders, no
+    correlated re-execution; completes the semi/anti join pair with q04."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-06-01"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
