@@ -500,3 +500,71 @@ def ev02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- events: hourly tumbling windows (batch twin of streaming windows) ------
+@query(
+    "ev03_hourly_windows",
+    oracle="""
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("events", "window", "streaming-twin", "pipeline"),
+)
+def ev03_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows in batch — the exact aggregation
+    ``streaming.events.windowed_counts`` runs incrementally; proving the
+    two agree (tests/test_streaming.py) plus hash-matching the oracle here
+    pins both paths. Window start emitted as epoch-micros."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+# --- events: moving average over a row frame --------------------------------
+@query(
+    "ev04_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               sum(value) AS day_value
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(day_value, 6) AS day_value,
+           round(avg(day_value) OVER (ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+    FROM daily
+    """,
+    tags=("events", "window-frame", "pipeline"),
+)
+def ev04_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average via an explicit ROWS frame. The daily pre-
+    aggregation shrinks the window input to ~30 rows, so the unpartitioned
+    window (a serial sort at scale) runs on an already-tiny table — the
+    standard trick for global-frame windows at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("dts")).agg(
+        F.sum("value").alias("day_value")
+    )
+    w = W.orderBy("dts").rowsBetween(-6, W.currentRow)
+    return daily.select(
+        F.date_format("dts", "yyyy-MM-dd").alias("day"),
+        F.round("day_value", 6).alias("day_value"),
+        F.round(F.avg("day_value").over(w), 6).alias("ma7"),
+    )
