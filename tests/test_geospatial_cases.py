@@ -287,3 +287,28 @@ def test_case09_warp(xs, spark):
     got = _grid(out, ["dst"], "elev", (20,))
     want = np.interp(np.arange(20) * 7.0 / 19.0, SRC_X.astype(float), ELEV)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+# --- reverse pivot of a join result (reference ds.py to_dataset on case 04) -
+def test_case04_anomaly_to_dataset(xs):
+    ds = (
+        xs.sql(
+            """
+            WITH clim AS (
+                SELECT lat, lon, hour(time) AS h, AVG(t2m) AS m
+                FROM wx GROUP BY lat, lon, hour(time)
+            )
+            SELECT e.time, e.lat, e.lon, e.t2m - c.m AS anom
+            FROM wx e JOIN clim c
+              ON hour(e.time) = c.h AND e.lat = c.lat AND e.lon = c.lon
+            ORDER BY e.time, e.lat, e.lon
+            """
+        ).to_dataset(dims=("time", "lat", "lon"))
+    )
+    # (first-appearance coord order = sorted, thanks to the ORDER BY —
+    # the reference's convention for deterministic reverse pivots)
+    assert ds.sizes == {"time": 72, "lat": 8, "lon": 12}
+    clim = T2M.reshape(3, 24, 8, 12).mean(axis=0)
+    want = T2M - np.tile(clim, (3, 1, 1))
+    got = ds.data_vars["anom"].values()
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)

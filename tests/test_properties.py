@@ -1,0 +1,72 @@
+"""Property-based invariants for the chunk/pivot arithmetic (hypothesis) —
+the rebuild's analogue of the reference's dask-differential chunk tests
+(reference tests/test_df.py:485-534)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from xarray_sql_spark.chunks import block_num_rows, block_slices, compute_chunks, n_blocks
+from xarray_sql_spark.pivot import infer_schema, iter_record_batches
+
+
+dims_st = st.dictionaries(
+    st.sampled_from(["t", "y", "x", "z"]),
+    st.integers(min_value=1, max_value=40),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(sizes=dims_st, data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_blocks_partition_the_grid(sizes, data):
+    chunks = {
+        d: data.draw(st.integers(min_value=1, max_value=sizes[d] + 2), label=f"chunk_{d}")
+        for d in sizes
+    }
+    blocks = list(block_slices(sizes, chunks))
+    assert len(blocks) == n_blocks(sizes, chunks)
+    # blocks tile the grid exactly: row counts sum to the product of sizes
+    total = np.prod(list(sizes.values()))
+    assert sum(block_num_rows(b) for b in blocks) == total
+    # per-dim: slices cover [0, size) without overlap
+    for d, size in sizes.items():
+        resolved = compute_chunks(sizes, chunks)[d]
+        assert sum(resolved) == size
+        assert all(c >= 1 for c in resolved)
+
+
+@given(
+    nt=st.integers(min_value=1, max_value=12),
+    ny=st.integers(min_value=1, max_value=12),
+    batch=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=40, deadline=None)
+def test_pivot_rows_and_coords(nt, ny, batch):
+    t = np.arange(nt, dtype=np.int64)
+    y = np.arange(ny, dtype=np.float64) * 0.5
+    v = np.arange(nt * ny, dtype=np.float64).reshape(nt, ny)
+
+    class Var:
+        dims = ("t", "y")
+        dtype = v.dtype
+
+    schema = infer_schema(("t", "y"), {"t": t, "y": y}, {"v": Var()})
+    batches = list(
+        iter_record_batches(("t", "y"), {"t": t, "y": y}, {"v": v}, schema, batch)
+    )
+    assert sum(len(b) for b in batches) == nt * ny
+    assert all(len(b) <= batch for b in batches)
+    # C-order contract: row i = (t[i // ny], y[i % ny], v.flat[i])
+    import pyarrow as pa
+
+    tbl = pa.Table.from_batches(batches)
+    tt = np.asarray(tbl.column("t"))
+    yy = np.asarray(tbl.column("y"))
+    vv = np.asarray(tbl.column("v"))
+    i = np.arange(nt * ny)
+    np.testing.assert_array_equal(tt, t[i // ny])
+    np.testing.assert_array_equal(yy, y[i % ny])
+    np.testing.assert_array_equal(vv, v.reshape(-1))

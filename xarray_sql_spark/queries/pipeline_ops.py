@@ -568,3 +568,71 @@ def ev04_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("day_value", 6).alias("day_value"),
         F.round(F.avg("day_value").over(w), 6).alias("ma7"),
     )
+
+
+# --- end-to-end training-mix preparation ------------------------------------
+@query(
+    "pl01_training_mix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, text,
+               0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+               + 0.3 * (1.0 - CAST(len(list_filter(w, x -> list_contains([{_SW_SQL}], x)))
+                              AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS q
+        FROM scored
+    ),
+    kept AS (
+        SELECT doc_id, lang, md5(text) AS content_hash, q
+        FROM quality WHERE q >= 0.55
+    ),
+    dedup AS (
+        SELECT lang, content_hash, min(doc_id) AS keeper, count(*) AS n_copies,
+               max(q) AS q
+        FROM kept GROUP BY lang, content_hash
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_purged,
+           round(avg(q), 6) AS avg_quality
+    FROM dedup GROUP BY lang ORDER BY lang
+    """,
+    tags=("pipeline", "composition"),
+)
+def pl01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pass: quality-score filter (>= 0.55)
+    → exact dedup within language → per-language mix report (docs kept,
+    copies purged, mean quality). One scan, two shuffles (dedup key, then
+    the 5-row language rollup) — the whole pipeline never materializes text
+    after the first projection."""
+    d = table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    w = _tokens()
+    n_tok = F.size(w).cast("double")
+    n_dis = F.size(F.array_distinct(w)).cast("double")
+    n_sw = F.size(F.filter(w, lambda x: F.array_contains(sw, x))).cast("double")
+    q = (
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (n_dis / n_tok)
+        + 0.3 * (1.0 - n_sw / n_tok)
+    )
+    kept = d.select(
+        "doc_id", "lang", F.md5("text").alias("content_hash"), q.alias("q")
+    ).filter(F.col("q") >= 0.55)
+    dedup = kept.groupBy("lang", "content_hash").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count("*").alias("n_copies"),
+        F.max("q").alias("q"),
+    )
+    return (
+        dedup.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("n_copies") - F.count("*")).cast("long").alias("n_purged"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
