@@ -116,3 +116,39 @@ def gq02_grid_pruned_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identity mapping DuckDB's epoch_us applies to its naive timestamps
         .select(F.unix_micros(F.col("time").cast("timestamp")).alias("t_us"), "y", "x", "v")
     )
+
+
+N_DAYS = 120  # four 30-day months of a 360_day-calendar daily series
+
+
+@query(
+    "gq03_cftime_360day",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS time, i * 0.25 AS v
+    FROM (SELECT unnest(range({N_DAYS})) AS i)
+    WHERE i >= 30 AND i < 60
+    """,
+    tags=("grid", "cftime", "calendar"),
+    bench=False,
+)
+def gq03_cftime_360day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-Gregorian CF calendar through the driver gate: the time axis is
+    int64 day-offsets under calendar=360_day (lossless tier — reference
+    cftime.py:196-209), and the WHERE clause filters with the auto-
+    registered ``cftime('YYYY-MM-DD')`` UDF: 2000-02-01 is offset 30 in a
+    360-day calendar (every month has 30 days). The oracle hardcodes that
+    arithmetic."""
+    ds = Dataset(
+        {"v": Variable(("time",), np.arange(N_DAYS, dtype=np.float64) * 0.25)},
+        {"time": np.arange(N_DAYS, dtype=np.int64)},
+    )
+    ds.coord_attrs["time"] = {
+        "units": "days since 2000-01-01",
+        "calendar": "360_day",
+    }
+    xs = XarraySession(spark)
+    xs.from_dataset("gq_cf", ds, chunks={"time": 30})
+    return xs.sql(
+        "SELECT time, v FROM gq_cf "
+        "WHERE time >= cftime('2000-02-01') AND time < cftime('2000-03-01')"
+    ).df
