@@ -152,3 +152,40 @@ def gq03_cftime_360day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT time, v FROM gq_cf "
         "WHERE time >= cftime('2000-02-01') AND time < cftime('2000-03-01')"
     ).df
+
+
+@query(
+    "gq04_nan_null_semantics",
+    oracle=f"""
+    WITH cells AS (
+        SELECT i, CASE WHEN i % 7 = 0 THEN NULL ELSE i * 0.5 END AS v
+        FROM (SELECT unnest(range({N_DAYS})) AS i)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(v) AS BIGINT) AS n_present,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           avg(v) AS avg_present,
+           min(v) AS min_v, max(v) AS max_v
+    FROM cells
+    """,
+    tags=("grid", "null-semantics"),
+    bench=False,
+)
+def gq04_nan_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The load-bearing NaN→null convention under the driver gate: the grid
+    stores NaN every 7th cell; the pivot maps NaN to SQL NULL at batch build
+    (reference df.py:271-273), so COUNT(v)/AVG/MIN/MAX skip exactly those
+    cells and IS NULL counts them — Spark would otherwise propagate NaN
+    through aggregates and diverge from every SQL engine."""
+    vals = np.arange(N_DAYS, dtype=np.float64) * 0.5
+    vals[::7] = np.nan
+    ds = Dataset(
+        {"v": Variable(("i",), vals)}, {"i": np.arange(N_DAYS, dtype=np.int64)}
+    )
+    xs = XarraySession(spark)
+    xs.from_dataset("gq_nan", ds, chunks={"i": 40})
+    return xs.sql(
+        "SELECT COUNT(*) AS n_rows, COUNT(v) AS n_present, "
+        "SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null, "
+        "AVG(v) AS avg_present, MIN(v) AS min_v, MAX(v) AS max_v FROM gq_nan"
+    ).df

@@ -220,23 +220,9 @@ class XarrayDataFrame:
         """Plan walk (reference ds.py:435-505): True iff the plan is only
         {Project, Sort, SubqueryAlias, ScanRelation} — i.e. an unfiltered
         single-table scan whose coords equal the source's."""
-        try:
-            plan = self._df._jdf.queryExecution().optimizedPlan()
-            allowed = {"Project", "Sort", "SubqueryAlias", "DataSourceV2ScanRelation"}
-            stack, n_scans = [plan], 0
-            while stack:
-                n = stack.pop()
-                cls = n.getClass().getSimpleName()
-                if cls == "DataSourceV2ScanRelation":
-                    n_scans += 1
-                elif cls not in allowed:
-                    return False
-                ch = n.children()
-                for i in range(ch.size()):
-                    stack.append(ch.apply(i))
-            return n_scans == 1
-        except Exception:
-            return False
+        from xarray_sql_spark.plans.introspect import is_pure_scan
+
+        return is_pure_scan(self._df)
 
     def _build_lazy(self, dims, template, chunk_map: dict) -> Dataset:
         tmpl = self._resolve_template(template)

@@ -170,56 +170,16 @@ class XarraySession:
     # -- projection pushdown to storage (A3) -------------------------------
     # Spark 4.1 does not column-prune Python data sources (the scan's
     # ReadSchema stays full with a Project above). Compensation, per
-    # SURVEY.md §4: analyze the optimized plan (exprId-precise, so duplicate
-    # column names across tables are safe), and for every grid scan that
-    # uses a strict subset of its columns, re-register a pruned scan and
-    # re-plan the query. View swaps are safe because Spark binds views at
-    # analysis time — they are restored immediately after re-planning.
-    def _referenced_columns(self, df: DataFrame) -> dict[str, set[str]]:
-        plan = df._jdf.queryExecution().optimizedPlan()
-        nodes = []
-        stack = [plan]
-        while stack:
-            n = stack.pop()
-            nodes.append(n)
-            ch = n.children()
-            for i in range(ch.size()):
-                stack.append(ch.apply(i))
-            try:
-                sq = n.subqueries()
-                for i in range(sq.size()):
-                    stack.append(sq.apply(i))
-            except Exception:
-                pass
-        refs: set[int] = set()
-        for n in nodes:
-            it = n.references().iterator()
-            while it.hasNext():
-                refs.add(it.next().exprId().id())
-        it = plan.output().iterator()
-        while it.hasNext():
-            refs.add(it.next().exprId().id())
-        needed: dict[str, set[str]] = {}
-        for n in nodes:
-            if n.getClass().getSimpleName() != "DataSourceV2ScanRelation":
-                continue
-            try:
-                payload = n.relation().options().get("payload")
-            except Exception:
-                continue
-            if payload not in self._payload_views:
-                continue
-            cols = needed.setdefault(payload, set())
-            it = n.output().iterator()
-            while it.hasNext():
-                a = it.next()
-                if a.exprId().id() in refs:
-                    cols.add(a.name())
-        return needed
-
+    # SURVEY.md §4: analyze the optimized plan (plans/introspect.py), and
+    # for every grid scan that uses a strict subset of its columns,
+    # re-register a pruned scan and re-plan the query. View swaps are safe
+    # because Spark binds views at analysis time — they are restored
+    # immediately after re-planning.
     def _with_projection_pushdown(self, df: DataFrame, q: str, args) -> DataFrame:
+        from xarray_sql_spark.plans.introspect import referenced_scan_columns
+
         try:
-            needed = self._referenced_columns(df)
+            needed = referenced_scan_columns(df, self._payload_views)
         except Exception:
             return df  # fail open: correct, just unpruned
         swaps: list[tuple[str, DataFrame]] = []
