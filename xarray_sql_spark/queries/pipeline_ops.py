@@ -636,3 +636,155 @@ def pl01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- sampling: deterministic hash split (train/val/test) -------------------
+@query(
+    "pl02_hash_split",
+    oracle="""
+    WITH b AS (
+        SELECT lang, n_chars,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT lang, n_chars,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM s GROUP BY lang, split
+    """,
+    tags=("sampling", "pipeline", "beyond-reference"),
+)
+def pl02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: bucket = 60-bit md5(doc_id) mod
+    100, split by 80/10/10 thresholds. Content-addressed, so the assignment
+    is stable across runs, engines, and re-partitioning — the property a
+    training pipeline needs to never leak val rows into train. At 100 TB
+    this is a scan-local projection (no shuffle at all until the tiny
+    per-(lang, split) aggregate)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+# --- similarity: IVF-partitioned ANN (coarse quantizer + probed cells) -----
+@query(
+    "ss04_ivf_ann",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cell, emb FROM v WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.emb, cent.emb) DESC,
+                                cent.cell
+                   ) AS rnk
+            FROM v CROSS JOIN cent
+        ) WHERE rnk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT v.vec_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.emb, cent.emb) DESC,
+                                cent.cell
+                   ) AS rnk
+            FROM v CROSS JOIN cent
+            WHERE v.vec_id >= 10 AND v.vec_id < 20
+        ) WHERE rnk <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(q.emb, n.emb) AS cos
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v n ON n.vec_id = a.vec_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank,
+           round(cos, 6) AS cosine
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity", "pipeline", "beyond-reference"),
+)
+def ss04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the first
+    8 vectors) partitions the corpus into cells; each query probes its 2
+    nearest cells and ranks only those candidates — top-3 per query.
+
+    This is the scale path past ``ss01``'s brute force: build = one
+    broadcast join against 8 centroids + argmax (no shuffle of the corpus);
+    search cost is corpus/cells × nprobe instead of the full corpus, and the
+    candidate fetch is an equi-join on the cell id, which at 100 TB is a
+    shuffle of only the probed cells' rows. Recall is approximate by
+    construction; the oracle replicates the identical algorithm, so the
+    correctness gate checks the *structure*, not exact-NN recall."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    ranked = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "cell", "emb", (dot("emb", "cemb") / (norm("emb") * norm("cemb"))).alias("cos"))
+    )
+    wcell = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    both = ranked.withColumn("rnk", F.row_number().over(wcell))
+    assign = both.filter(F.col("rnk") == 1).select("vec_id", "cell", F.col("emb").alias("nemb"))
+    probes = (
+        both.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20) & (F.col("rnk") <= 2))
+        .select(F.col("vec_id").alias("query_id"), "cell", F.col("emb").alias("qemb"))
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot("qemb", "nemb") / (norm("qemb") * norm("nemb"))).alias("cos"),
+        )
+    )
+    wtop = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

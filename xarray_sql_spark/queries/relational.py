@@ -934,3 +934,75 @@ def q26_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+# --- q27: as-of join (time-series point-in-time lookup) --------------------
+# Beyond-reference custom operator (SURVEY.md §7 milestone 5): Spark has no
+# ASOF JOIN; composed here from a union + ordered window (last_value with
+# ignoreNulls), which is one shuffle on (user_id) and scales linearly —
+# the per-key sort is bounded by events-per-user, never a cross product.
+@query(
+    "q27_asof_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type
+               FROM events),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS last_click_us,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("join", "asof", "datetime", "beyond-reference"),
+)
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent click at or
+    before the purchase time (point-in-time-correct feature lookup — the
+    trades-vs-quotes staple).
+
+    Implementation: union both sides tagged by kind, sort per user by
+    (ts, kind) with clicks first so a same-microsecond click is visible to
+    the purchase, then carry the running ``last_value(click_ts,
+    ignoreNulls)`` forward and keep only purchase rows. One shuffle on
+    user_id; no range join, no per-row subquery — the 100 TB plan.
+    DuckDB's native ASOF LEFT JOIN is the oracle (both engines compare
+    µs-truncated timestamps so the ns feed can't straddle the boundary).
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(1).alias("kind"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(0).alias("kind"),
+    )
+    u = p.unionByName(c).withColumn(
+        "click_ts", F.when(F.col("kind") == 0, F.col("ets"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ets", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("ets").alias("purchase_us"),
+            F.unix_micros("last_click").alias("last_click_us"),
+            (F.unix_micros("ets") - F.unix_micros("last_click")).alias("gap_us"),
+        )
+    )
