@@ -124,3 +124,19 @@ def test_stream_to_partitioned_parquet(spark, batch_events, tmp_path):
     assert {p.split("=")[-1] for p in g.glob(path + "/event_type=*")} == {
         "click", "error", "purchase", "signup", "view"
     }
+
+
+def test_stream_stream_join_matches_batch(spark, batch_events):
+    """Inner stream-stream self-join (purchases × prior-hour clicks) must
+    equal the batch range join ev05 — inner joins emit on match, so with
+    availableNow the full pair set appears with no finalization cut."""
+    from xarray_sql_spark.queries import REGISTRY
+
+    stream_out = se.run_to_memory(
+        se.purchase_click_stream_join(se.events_stream(spark, SF_SMALL)),
+        "t_ss_join",
+    )
+    batch_out = REGISTRY["ev05_purchase_click_join"].fn(spark, SF_SMALL)
+    assert stream_out.count() > 0
+    key = ("purchase_id", "click_us")
+    assert _rows(stream_out, *key) == _rows(batch_out, *key)

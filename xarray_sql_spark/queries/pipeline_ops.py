@@ -788,3 +788,52 @@ def ss04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+# --- events: purchase×click range join (batch twin of the stream-stream join)
+@query(
+    "ev05_purchase_click_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events)
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+    FROM e p JOIN e c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    tags=("join", "range", "events", "streaming-twin"),
+)
+def ev05_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All clicks in the hour before each purchase, per user — attribution's
+    staple range join, and the batch twin of
+    ``streaming.events.purchase_click_stream_join`` (equivalence pinned in
+    tests/test_streaming.py). The user_id equi-key makes this a hash join;
+    the time range is a residual filter inside each user's partition — no
+    nested-loop, no cross product, scales with events-per-user."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") <= F.col("pts")),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("pts").alias("purchase_us"),
+            F.unix_micros("cts").alias("click_us"),
+        )
+    )

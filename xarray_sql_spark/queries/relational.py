@@ -1006,3 +1006,39 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ets") - F.unix_micros("last_click")).alias("gap_us"),
         )
     )
+
+
+# --- q28: GROUPING SETS / multi-level aggregate ----------------------------
+# DataFusion claims grouping sets; the reference never exercises them
+# (SURVEY.md §2B tail) — free Spark parity, pinned here for the oracle gate.
+@query(
+    "q28_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 0) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregation levels in one pass (detail, per-flag, grand total).
+    Catalyst expands grouping sets map-side and shares the single shuffle —
+    at 100 TB this halves the cost versus three separate scans+aggs. The
+    grouping_id bitmask disambiguates real NULL keys from rollup rows."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_extendedprice")
+    li.createOrReplaceTempView("q28_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_extendedprice), 0) AS revenue
+        FROM q28_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

@@ -209,3 +209,42 @@ def run_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def purchase_click_stream_join(stream: DataFrame) -> DataFrame:
+    """Stream-stream self-join: every (purchase, click) pair for the same
+    user with the click inside the hour before the purchase — the streaming
+    twin of the batch ``ev05_purchase_click_join`` query.
+
+    Both sides carry watermarks and the join condition bounds click_ts to a
+    closed range around purchase_ts, so the state store can expire a
+    buffered click once the watermark passes click_ts + 1 hour (and a
+    purchase once it can no longer match) — bounded state, the requirement
+    for running this unbounded. Inner-join results emit as soon as both
+    sides arrive; no finalization delay."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
