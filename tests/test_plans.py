@@ -76,3 +76,39 @@ def test_aggregations_are_partial_final(spark):
     plan = _plan(spark, "q01_pricing_summary")
     # map-side combine then final merge: two HashAggregate levels
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_asof_join_is_single_exchange_window(spark):
+    # q27's whole design: an as-of join as ONE shuffle on user_id feeding a
+    # window — never a range join or per-row subquery re-execution.
+    plan = _plan(spark, "q27_asof_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+    # one exchange for the union'd stream (hashpartitioning on user_id);
+    # AQE may add a read stage but not a second hash partitioning
+    assert plan.count("hashpartitioning(user_id") <= 2, plan
+
+
+def test_event_range_join_is_equi_join(spark):
+    # ev05: the user_id equi-key must make this a hash/merge join with the
+    # time range as residual condition, not a nested loop over pairs.
+    plan = _plan(spark, "ev05_purchase_click_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan), plan
+
+
+def test_decontamination_broadcasts_eval_set(spark):
+    # pl03: the corpus must NOT shuffle by shingle — the eval shingle set
+    # broadcasts and the probe is map-side.
+    plan = _plan(spark, "pl03_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hash_split_has_no_shuffle_before_agg(spark):
+    # pl02: the split assignment is scan-local; the only exchange in the
+    # plan is the final tiny per-(lang, split) aggregate.
+    plan = _plan(spark, "pl02_hash_split")
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg only

@@ -837,3 +837,128 @@ def ev05_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("cts").alias("click_us"),
         )
     )
+
+
+# --- decontamination: eval-set n-gram overlap ------------------------------
+@query(
+    "pl03_decontaminate",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4])) AS shingles
+        FROM words
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id < 20
+    ),
+    corpus AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id >= 20
+    ),
+    hits AS (
+        SELECT c.doc_id, c.n_sh, count(*) AS n_hits
+        FROM corpus c JOIN eval_sh e ON c.shingle = e.shingle
+        GROUP BY 1, 2
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_sh, 6) AS overlap
+    FROM hits
+    WHERE CAST(n_hits AS DOUBLE) / n_sh >= 0.2
+    """,
+    tags=("decontamination", "pipeline", "beyond-reference"),
+    bench=False,  # shingle explosion; representative, not a throughput probe
+)
+def pl03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word-5-gram
+    overlap with the eval set (here: doc_id < 20) is ≥ 20%. The eval shingle
+    set is tiny by construction, so it broadcasts and the corpus side is a
+    map-side semi-join + per-doc count — the corpus never shuffles by
+    shingle. At 100 TB the eval set is still KBs: this stays one broadcast
+    stage regardless of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text,' ')) - 5),"
+                " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
+                " split(text,' ')[i+2], split(text,' ')[i+3], split(text,' ')[i+4]))"
+            )
+        ).alias("shingles"),
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") < 20)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    hits = (
+        corpus.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ratio = F.col("n_hits").cast("double") / F.col("n_sh")
+    return hits.filter(ratio >= 0.2).select(
+        "doc_id",
+        F.col("n_sh").alias("n_shingles"),
+        "n_hits",
+        F.round(ratio, 6).alias("overlap"),
+    )
+
+
+# --- composed training-set filter (the ops chained end-to-end) -------------
+@query(
+    "pl04_training_set",
+    oracle="""
+    WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    filtered AS (
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        WHERE d.lang = 'en'
+          AND len(string_split(d.text, ' ')) >= 5
+          AND ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 < 80
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM filtered GROUP BY source
+    """,
+    tags=("pipeline", "composition", "beyond-reference"),
+)
+def pl04_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline ops composed end-to-end: exact-dedup keepers (dd01) ∘
+    language filter ∘ minimum-length quality gate (ts01's core) ∘
+    deterministic train bucket (pl02), reported per source. One scan, one
+    hash-agg for keepers, one broadcast-able join back, one tiny final agg —
+    the whole training-set materialization is two shuffles at any corpus
+    size (dedup keys, then the per-source rollup)."""
+    d = table(spark, sf_dir, "documents")
+    keep = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    filtered = (
+        d.join(keep, "doc_id")
+        .filter(
+            (F.col("lang") == "en")
+            & (F.size(F.split("text", " ")) >= 5)
+            & (bucket < 80)
+        )
+    )
+    return filtered.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
