@@ -189,3 +189,102 @@ def gq04_nan_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null, "
         "AVG(v) AS avg_present, MIN(v) AS min_v, MAX(v) AS max_v FROM gq_nan"
     ).df
+
+
+@query(
+    "gq05_grid_zonal_bands",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    bands AS (
+        SELECT i AS band, i * 4 AS lo, (i + 1) * 4 AS hi
+        FROM (SELECT unnest(range(4)) AS i)
+    )
+    SELECT CAST(b.band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           avg(c.v) AS mean_v, min(c.v) AS min_v, max(c.v) AS max_v
+    FROM cells c JOIN bands b ON c.yi >= b.lo AND c.yi < b.hi
+    GROUP BY b.band
+    """,
+    tags=("grid", "datasource", "range-join", "geospatial-shape"),
+    bench=False,
+)
+def gq05_grid_zonal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over the DataSource grid (geospatial case 06 shape,
+    reference 06_zonal_vector.py:119-130): cells land in 4 latitude bands
+    via a BETWEEN-style theta join against a broadcast 4-row band table —
+    BroadcastNestedLoopJoin with the grid side streaming, zero shuffle
+    before the per-band aggregate. Values are exact quarters, so sums are
+    exact in any order and both engines' single division rounds alike."""
+    xs = _register(spark, "gq_grid5")
+    bands = spark.range(4).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 4).alias("lo"),
+        ((F.col("id") + 1) * 4).alias("hi"),
+    )
+    g = xs.sql("SELECT y, v FROM gq_grid5").df
+    return (
+        g.join(F.broadcast(bands), (g.y >= F.col("lo")) & (g.y < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.avg("v").alias("mean_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+@query(
+    "gq06_grid_anomaly_selfjoin",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    clim AS (
+        SELECT yi, xi, ti % 24 AS h, avg(v) AS clim_v
+        FROM cells GROUP BY yi, xi, ti % 24
+    )
+    SELECT CAST(c.yi AS BIGINT) AS y, CAST(c.xi AS BIGINT) AS x,
+           avg(c.v - cl.clim_v) AS mean_anom,
+           max(abs(c.v - cl.clim_v)) AS max_abs_anom
+    FROM cells c
+    JOIN clim cl ON cl.yi = c.yi AND cl.xi = c.xi AND cl.h = c.ti % 24
+    GROUP BY c.yi, c.xi
+    """,
+    tags=("grid", "datasource", "join", "geospatial-shape"),
+    bench=False,
+)
+def gq06_grid_anomaly_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly-vs-climatology CTE self-join over the DataSource grid
+    (geospatial case 04 shape, reference 04_anomaly.py:89-111): the grid
+    scans once into a climatology aggregate, re-joins against a second scan
+    on (y, x, hour), and reduces the anomaly per cell column. The fixture's
+    value formula is hour-periodic, so every anomaly is exactly 0 — any
+    join-key misalignment or float drift shows up as a nonzero and fails
+    the hash gate."""
+    xs = _register(spark, "gq_grid6")
+    out = xs.sql(
+        """
+        WITH clim AS (
+            SELECT y, x, hour(time) AS h, AVG(v) AS clim_v
+            FROM gq_grid6 GROUP BY y, x, hour(time)
+        )
+        SELECT g.y AS y, g.x AS x,
+               AVG(g.v - cl.clim_v) AS mean_anom,
+               MAX(ABS(g.v - cl.clim_v)) AS max_abs_anom
+        FROM gq_grid6 g
+        JOIN clim cl ON cl.y = g.y AND cl.x = g.x AND cl.h = hour(g.time)
+        GROUP BY g.y, g.x
+        """
+    ).df
+    return out
