@@ -76,3 +76,15 @@ def test_features_shape(media):
     row = feats.first()
     assert len(row["features"]) == mm.N_FEATURES
     assert all(-1.0 <= v <= 1.0 for v in row["features"])
+
+
+def test_resize_fits_max_side_and_preserves_aspect(spark):
+    from xarray_sql_spark.operators.multimodal import media_table, resize_images
+
+    out = resize_images(media_table(spark, SF_SMALL)).toPandas()
+    assert len(out) > 0
+    assert (out[["out_w", "out_h"]].max(axis=1) == 224).all()  # long side hits the target
+    # aspect preserved to integer-floor precision
+    for r in out.itertuples():
+        assert r.out_w == r.width * 224 // max(r.width, r.height)
+        assert r.out_h == r.height * 224 // max(r.width, r.height)

@@ -49,6 +49,10 @@ DECODED_SCHEMA = (
 )
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
 FEATURE_SCHEMA = "doc_id bigint, media_type string, features array<double>"
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int, out_digest string"
+)
+MAX_SIDE = 224
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +188,35 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: list[tuple[int, int, int, int, int, str]] = []
+        for doc_id, content, media_type in zip(
+            pdf["doc_id"], pdf["content"], pdf["media_type"]
+        ):
+            if media_type != "image":
+                continue
+            digest = hashlib.md5(bytes(content)).hexdigest()
+            width = 160 + int(digest[0:4], 16) % 1760
+            height = 90 + int(digest[4:8], 16) % 990
+            m = max(width, height)
+            out_w = width * MAX_SIDE // m
+            out_h = height * MAX_SIDE // m
+            out_digest = hashlib.md5(f"{digest}-{out_w}x{out_h}".encode()).hexdigest()
+            rows.append((int(doc_id), width, height, out_w, out_h, out_digest))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "out_w", "out_h", "out_digest"]
+        )
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """Aspect-preserving resize of image payloads to fit MAX_SIDE² (stubbed:
+    output dims are exact integer arithmetic on the fake-decoded dims and the
+    resized payload is represented by a derived digest — a PIL ``thumbnail``
+    call slots into the same kernel). Embarrassingly parallel, no shuffle."""
+    return media.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Stubbed feature extraction: an 8-dim deterministic embedding per
     payload (a real model server call or ONNX batch-infer slots into the
@@ -302,3 +335,37 @@ def mm03_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature_idx").cast("int").alias("feature_idx"),
         "feature_value",
     )
+
+@query(
+    "mm04_resize",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, md5(text) AS digest FROM documents
+        WHERE {_MT_SQL} = 'image'
+    ),
+    dims AS (
+        SELECT doc_id, digest,
+               CAST(160 + {_hex_bigint('digest', 1, 4)} % 1760 AS INT) AS width,
+               CAST(90 + {_hex_bigint('digest', 5, 4)} % 990 AS INT) AS height
+        FROM m
+    ),
+    sized AS (
+        SELECT doc_id, digest, width, height,
+               CAST(floor(width * 224.0 / greatest(width, height)) AS INT) AS out_w,
+               CAST(floor(height * 224.0 / greatest(width, height)) AS INT) AS out_h
+        FROM dims
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, width, height, out_w, out_h,
+           md5(digest || '-' || CAST(out_w AS VARCHAR) || 'x'
+               || CAST(out_h AS VARCHAR)) AS out_digest
+    FROM sized
+    """,
+    tags=("multimodal", "image", "pipeline"),
+)
+def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize of every image payload to 224² (stubbed decode —
+    dims from md5 arithmetic, resized payload as a derived digest). The
+    integer floor arithmetic is replicated exactly by the oracle; at 100 TB
+    this is the no-shuffle per-partition preprocessing stage feeding vision
+    training."""
+    return resize_images(media_table(spark, sf_dir))
