@@ -1042,3 +1042,146 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+# --- q29: window-function breadth (lead/lag/ntile/percent_rank/first/last) --
+# DataFusion claims window functions; the reference never exercises them
+# (SURVEY.md §2B tail). Full Spark parity, pinned under the oracle gate.
+@query(
+    "q29_window_suite",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           round(o_totalprice, 2) AS price,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS last_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q29_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window surface in one pass: ranking (ntile,
+    percent_rank, cume_dist), offsets (lag/lead), and frame-bounded
+    first/last_value, all sharing ONE shuffle on the partition key — the
+    WINDOW clause reuse is literal in the plan (a single Window operator
+    chain, no re-sort per function). Unique (price, orderkey) ordering keeps
+    every engine's frame identical."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+    )
+
+
+# --- q30: string-function surface ------------------------------------------
+@query(
+    "q30_string_funcs",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           CAST(strlen(p_name) AS INT) AS name_len,
+           substring(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand) AS brand_rev,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS name_words,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+    tags=("strings", "projection"),
+)
+def q30_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface in one projection — all JVM-side codegen'd
+    expressions (upper/lower/length/substring/replace/regexp_extract/lpad/
+    reverse/concat_ws/split/LIKE), zero Python. At 100 TB this is the
+    no-shuffle text-normalization stage; every function here stays inside
+    WholeStageCodegen."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(F.split("p_name", " ")).cast("int").alias("name_words"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+    )
+
+
+# --- q31: null-handling operator surface ------------------------------------
+@query(
+    "q31_null_ops",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               nullif(c_acctbal, 0.0) AS bal_nz,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos
+        FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(bal_pos) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN bal_pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg_nulled,
+           round(sum(coalesce(bal_pos, 0.0)), 2) AS sum_pos,
+           round(avg(bal_pos), 6) AS avg_pos_skipna,
+           CAST(sum(CASE WHEN bal_nz IS NOT DISTINCT FROM bal_pos
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
+    FROM c
+    """,
+    tags=("null-semantics",),
+)
+def q31_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL operator surface: nullif, coalesce, CASE-to-NULL, aggregate
+    null-skipping, and null-safe equality (Spark's <=> ≡ SQL IS NOT
+    DISTINCT FROM) — the semantics every downstream mean/count depends on
+    (companion to gq04's NaN→null ingest rule)."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_acctbal"), F.lit(0.0)).alias("bal_nz"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_pos"),
+    )
+    return c.agg(
+        F.count("*").alias("n_rows"),
+        F.count("bal_pos").alias("n_pos"),
+        F.sum(F.when(F.col("bal_pos").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg_nulled"),
+        F.round(F.sum(F.coalesce("bal_pos", F.lit(0.0))), 2).alias("sum_pos"),
+        F.round(F.avg("bal_pos"), 6).alias("avg_pos_skipna"),
+        F.sum(F.when(F.col("bal_nz").eqNullSafe(F.col("bal_pos")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nullsafe_eq"),
+    )
