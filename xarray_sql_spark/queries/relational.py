@@ -1185,3 +1185,79 @@ def q31_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_nullsafe_eq"),
     )
+
+
+# --- q32: JSON extraction surface ------------------------------------------
+@query(
+    "q32_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(props->>'k' AS INT)), 6) AS avg_k,
+           CAST(max(CAST(props->>'k' AS INT)) AS INT) AS max_k,
+           CAST(sum(CASE WHEN CAST(props->>'k' AS INT) > 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json", "semi-structured"),
+)
+def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: extract a JSON field from the props column
+    JVM-side (get_json_object — codegen'd, no Python) and aggregate on it.
+    At 100 TB the extraction is scan-local; only the tiny per-type aggregate
+    shuffles. A hot field would be promoted to a typed column at ingest —
+    this query is the probe path that decides that."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_big"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q33: higher-order array-function surface ------------------------------
+@query(
+    "q33_array_funcs",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 100)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(len(emb) AS INT) AS dim,
+           round(list_aggregate(emb, 'max'), 6) AS max_v,
+           CAST(len(list_filter(emb, x -> x > 0)) AS INT) AS n_pos,
+           round(list_aggregate(list_sort(emb)[1:3], 'sum'), 6) AS sum_min3,
+           CAST(CASE WHEN len(list_filter(emb, x -> abs(x) > 3)) > 0
+                THEN 1 ELSE 0 END AS INT) AS has_extreme
+    FROM v
+    """,
+    tags=("arrays", "higher-order"),
+)
+def q33_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions, all JVM-side: transform-free max via
+    array_max, lambda filter, sort+slice+aggregate, existence predicate.
+    These are the primitives the similarity/dedup operators compose; at
+    100 TB they run inside WholeStageCodegen on the scan with zero Python
+    and zero shuffle. The sorted-slice sum fixes the addition order, so both
+    engines round identically."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = F.col("embedding").cast("array<double>")
+    sum3 = F.aggregate(
+        F.slice(F.array_sort(emb), 1, 3), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.array_max(emb), 6).alias("max_v"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(sum3, 6).alias("sum_min3"),
+        F.exists(emb, lambda x: F.abs(x) > 3).cast("int").alias("has_extreme"),
+    )
