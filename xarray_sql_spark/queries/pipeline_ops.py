@@ -962,3 +962,122 @@ def pl04_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+# --- events: conversion funnel (signup -> first purchase) ------------------
+@query(
+    "ev06_conversion_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events),
+    s AS (SELECT user_id, min(ts) AS signup_ts FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+          FROM e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+          GROUP BY e.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+           CAST(count(p.first_purchase_ts) AS BIGINT) AS n_converted,
+           round(CAST(count(p.first_purchase_ts) AS DOUBLE) / count(*), 6)
+               AS conversion_rate,
+           CAST(sum(CASE WHEN p.first_purchase_ts
+                         < s.signup_ts + INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h,
+           round(avg(epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts))
+                 / 1000000.0, 6) AS avg_secs_to_convert
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    tags=("events", "funnel", "pipeline"),
+)
+def ev06_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: per user, the first signup and the first
+    at-or-after purchase, rolled up to conversion rate and time-to-convert.
+    Two tiny per-user aggregates (map-side combinable) and a per-user join —
+    one shuffle on user_id shared by all three stages at any scale."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    joined = s.join(p, "user_id", "left")
+    return joined.agg(
+        F.count("*").alias("n_signup_users"),
+        F.count("first_purchase_ts").alias("n_converted"),
+        F.round(
+            F.count("first_purchase_ts").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+        F.sum(
+            F.when(
+                F.col("first_purchase_ts")
+                < F.col("signup_ts") + F.expr("INTERVAL 24 HOUR"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converted_24h"),
+        F.round(
+            F.avg(
+                F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+            )
+            / 1e6,
+            6,
+        ).alias("avg_secs_to_convert"),
+    )
+
+
+# --- text: intra-document repetition score (Gopher-style quality filter) ---
+@query(
+    "ts05_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                   AS bigrams
+        FROM t WHERE len(w) >= 2
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(len(bigrams) AS INT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS INT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / len(bigrams), 6) AS rep_fraction
+    FROM g
+    WHERE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+          >= 0.2
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def ts05_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-rule quality signal): fraction
+    of duplicate word bigrams per document; docs ≥ 0.2 are flagged for
+    removal. Pure higher-order array expressions — per-row, scan-local,
+    zero shuffle, zero Python — the cheapest quality gate in the filter
+    chain, so it runs first at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    g = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(sequence(0, size(split(text,' ')) - 2),"
+            " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))"
+        ).alias("bigrams"),
+    ).filter(F.size(w) >= 2)
+    rep = 1.0 - F.size(F.array_distinct("bigrams")).cast("double") / F.size("bigrams")
+    return g.filter(rep >= 0.2).select(
+        "doc_id",
+        "lang",
+        F.size("bigrams").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).alias("n_distinct"),
+        F.round(rep, 6).alias("rep_fraction"),
+    )
