@@ -1081,3 +1081,69 @@ def ts05_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("bigrams")).alias("n_distinct"),
         F.round(rep, 6).alias("rep_fraction"),
     )
+
+
+# --- events: hourly resample + forward fill (gap filling) ------------------
+@query(
+    "ev07_resample_ffill",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+        FROM events WHERE user_id < 10 GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    b AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+        FROM e GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS p
+        FROM b
+    )
+    SELECT CAST(s.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(s.p) AS BIGINT) AS t_us,
+           e.value AS filled
+    FROM spine s ASOF LEFT JOIN e
+      ON s.user_id = e.user_id AND e.ts <= s.p
+    """,
+    tags=("events", "resample", "gap-fill", "pipeline"),
+)
+def ev07_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event series onto an hourly spine and
+    forward-fill the last observed value — the gap-filling staple (and the
+    row-wise cousin of the reverse pivot's dense-grid materialization).
+
+    The spine is generated per user with sequence()+explode (no driver
+    loop); the fill reuses the as-of pattern: union spine and events, one
+    window per user ordered by (ts, kind) carrying last(value, ignoreNulls).
+    One shuffle on user_id end-to-end. Events sharing an exact microsecond
+    are pre-aggregated to max(value) so the as-of pick is well-defined in
+    every engine."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    b = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    spine = b.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("ets"),
+    ).select("user_id", "ets", F.lit(1).alias("kind"), F.lit(None).cast("double").alias("value"))
+    obs = e.select("user_id", F.col("ts").alias("ets"), F.lit(0).alias("kind"), "value")
+    u = spine.unionByName(obs)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ets", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.withColumn("filled", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ets").alias("t_us"),
+            "filled",
+        )
+    )
