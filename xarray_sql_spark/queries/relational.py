@@ -1261,3 +1261,79 @@ def q33_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sum3, 6).alias("sum_min3"),
         F.exists(emb, lambda x: F.abs(x) > 3).cast("int").alias("has_extreme"),
     )
+
+
+# --- q34: correlated scalar subquery (Catalyst decorrelation) ---------------
+@query(
+    "q34_correlated_subquery",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above_avg,
+           round(avg(o_totalprice), 6) AS avg_above
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("subquery", "correlated", "optimizer"),
+)
+def q34_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders 50% above their customer's own
+    average. Written as literal correlated SQL so Catalyst's decorrelation
+    rewrites it into aggregate + join (never per-row re-execution): the plan
+    is one per-customer aggregate and one equi-join, both sharing the
+    o_custkey shuffle — the only shape that survives 100 TB."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q34_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_above_avg,
+               round(avg(o_totalprice), 6) AS avg_above
+        FROM q34_orders o
+        WHERE o_totalprice > (
+            SELECT 1.5 * avg(o2.o_totalprice) FROM q34_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# --- q35: UNPIVOT / stack (wide metrics -> long) ----------------------------
+@query(
+    "q35_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_discount), 2) AS sum_disc,
+               round(sum(l_tax), 2) AS sum_tax
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (sum_qty, sum_disc, sum_tax))
+    """,
+    tags=("unpivot", "reshape"),
+)
+def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: the wide-to-long reshape dual of q24's pivot, via stack() —
+    a zero-shuffle projection that triples rows. The long form is what the
+    reverse pivot's scatter consumes; bounded-magnitude sums rounded on the
+    wide side so both engines unpivot identical values."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'sum_disc', sum_disc, 'sum_tax', sum_tax)"
+        ).alias("metric", "value"),
+    )
