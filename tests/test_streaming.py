@@ -140,3 +140,17 @@ def test_stream_stream_join_matches_batch(spark, batch_events):
     assert stream_out.count() > 0
     key = ("purchase_id", "click_us")
     assert _rows(stream_out, *key) == _rows(batch_out, *key)
+
+
+def test_stream_static_join_matches_batch(spark, batch_events):
+    """Stream-static enrichment must equal the same join computed in batch;
+    the static side carries no watermark/state (re-read per micro-batch)."""
+    dim = se.signup_dim(spark, SF_SMALL)
+    stream_out = se.run_to_memory(
+        se.enrich_stream_with_static(se.events_stream(spark, SF_SMALL), dim),
+        "t_static_join",
+    )
+    batch_out = se.enrich_stream_with_static(batch_events, dim)
+    assert stream_out.count() > 0
+    key = ("purchase_id",)
+    assert _rows(stream_out, *key) == _rows(batch_out, *key)

@@ -248,3 +248,38 @@ def purchase_click_stream_join(stream: DataFrame) -> DataFrame:
         F.unix_micros("purchase_ts").alias("purchase_us"),
         F.unix_micros("click_ts").alias("click_us"),
     )
+
+
+def enrich_stream_with_static(stream: DataFrame, static_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich streaming purchases with a static per-user
+    dimension (here: signup time). The static side needs no watermark and no
+    state — Spark re-evaluates (and with a broadcast hint, re-broadcasts) it
+    per micro-batch, which is exactly how a slowly-changing dimension table
+    is consumed at scale; the stream side never shuffles for it."""
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return purchases.join(F.broadcast(static_dim), "user_id").select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("signup_ts").alias("signup_us"),
+        ((F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")) / F.lit(1_000_000))
+        .alias("secs_since_signup"),
+    )
+
+
+def signup_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static dimension for enrich_stream_with_static: first signup per
+    user, computed in batch (on a cluster this is the slowly-changing dim
+    table maintained elsewhere)."""
+    from xarray_sql_spark.session import table
+
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
