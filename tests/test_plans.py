@@ -112,3 +112,37 @@ def test_hash_split_has_no_shuffle_before_agg(spark):
     # plan is the final tiny per-(lang, split) aggregate.
     plan = _plan(spark, "pl02_hash_split")
     assert plan.count("Exchange") <= 2, plan  # partial->final agg only
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    # The 100 TB lever the driver tables are too small to trigger naturally:
+    # a selective dim-side filter injects a bloom filter (might_contain) into
+    # the fact-side scan at runtime, dropping non-joining rows before the
+    # shuffle. Thresholds are lowered to make the local fact side eligible —
+    # on a real cluster the 10 GB default applies.
+    from xarray_sql_spark.session import table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_MED, "lineitem")
+        o = table(spark, SF_MED, "orders").filter("o_totalprice > 400000")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
