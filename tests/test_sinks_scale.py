@@ -114,3 +114,42 @@ def test_big_grid_projection_prunes_columns(big_grid):
     assert reads  # at least one partition read
     # the data var was never requested from storage — dims-only projection
     assert all(r["vars_read"] == [] for r in reads)
+
+
+def test_zorder_key_clusters_better_than_rowmajor(spark):
+    """The point of the Morton key: a 2-D box predicate maps to FEWER
+    contiguous key ranges than under row-major order — each contiguous range
+    is (at minimum) one row-group / file a sorted layout can skip or keep
+    whole. An aligned 8x8 box is ONE Morton range but 8 row-major ranges;
+    the key must also be a bijection onto 0..255 (no collisions, no gaps)."""
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.operators.layout import zorder_key_4bit
+
+    cells = (
+        spark.range(16).select(F.col("id").alias("y"))
+        .crossJoin(spark.range(16).select(F.col("id").alias("x")))
+        .select("y", "x", zorder_key_4bit(F.col("y"), F.col("x")).alias("zkey"))
+        .toPandas()
+    )
+    assert sorted(cells["zkey"]) == list(range(256))  # a bijection onto 0..255
+
+    def n_ranges(keys):
+        ks = sorted(keys)
+        return 1 + sum(1 for a, b in zip(ks, ks[1:]) if b != a + 1)
+
+    box = cells[(cells.y < 8) & (cells.x < 8)]
+    z_ranges = n_ranges(box["zkey"].tolist())
+    rm_ranges = n_ranges((box["y"] * 16 + box["x"]).tolist())
+    assert z_ranges == 1, z_ranges     # aligned quadrant: one contiguous run
+    assert rm_ranges == 8, rm_ranges   # row-major: one run per row
+
+    # block-granularity skipping (16-key blocks = 4x4 Morton tiles vs one
+    # full row): a predicate selective only in x touches HALF the blocks
+    # under z-order but EVERY block under row-major — the case single-key
+    # sorting cannot serve at all.
+    sel = cells[cells.x.between(2, 5)]
+    z_blocks = {k // 16 for k in sel["zkey"]}
+    rm_blocks = {k // 16 for k in (sel["y"] * 16 + sel["x"])}
+    assert len(z_blocks) == 8, sorted(z_blocks)    # 2 x-tiles x 4 y-tiles
+    assert len(rm_blocks) == 16, sorted(rm_blocks)  # every row block touched

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xarray_sql_spark.dataset import Dataset, Variable
+from xarray_sql_spark.operators.layout import zorder_sql_4bit
 from xarray_sql_spark.queries.registry import query
 from xarray_sql_spark.xr_session import XarraySession
 
@@ -288,3 +289,54 @@ def gq06_grid_anomaly_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).df
     return out
+
+
+@query(
+    "gq07_zorder_layout",
+    oracle=f"""
+    WITH cells AS (
+        SELECT y.i AS yi, x.i AS xi
+        FROM (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    sp AS (
+        SELECT yi, xi,
+               {zorder_sql_4bit('yi', 'xi')} AS zkey
+        FROM cells
+    )
+    SELECT CAST(zkey // 64 AS BIGINT) AS zquad,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(yi) AS BIGINT) AS min_y, CAST(max(yi) AS BIGINT) AS max_y,
+           CAST(min(xi) AS BIGINT) AS min_x, CAST(max(xi) AS BIGINT) AS max_x
+    FROM sp GROUP BY zkey // 64
+    """,
+    tags=("grid", "layout", "zorder", "beyond-reference"),
+    bench=False,
+)
+def gq07_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over the 16×16 grid plane, rolled up to the 4
+    top-level quadrants (zkey div 64). The oracle replicates the exact bit
+    interleave; the quadrant min/max rows ARE the data-skipping proof — each
+    quadrant's (y, x) bounds cover one disjoint 8×8 box, which is what makes
+    min/max row-group stats selective for 2-D box predicates after a
+    Z-order sort."""
+    from xarray_sql_spark.operators.layout import zorder_key_4bit
+
+    cells = (
+        spark.range(N_Y)
+        .select(F.col("id").alias("yi"))
+        .crossJoin(spark.range(N_X).select(F.col("id").alias("xi")))
+    )
+    z = cells.select(
+        "yi", "xi", zorder_key_4bit(F.col("yi"), F.col("xi")).alias("zkey")
+    )
+    return (
+        z.groupBy((F.col("zkey") / 64).cast("bigint").alias("zquad"))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.min("yi").alias("min_y"),
+            F.max("yi").alias("max_y"),
+            F.min("xi").alias("min_x"),
+            F.max("xi").alias("max_x"),
+        )
+    )
