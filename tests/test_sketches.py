@@ -40,3 +40,16 @@ def test_hll_and_approx_distinct_error_bounds(spark):
     ).collect()[0]
     assert abs(hll - exact) / exact < 0.05
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_word_ngrams_short_docs_yield_empty(spark):
+    """Docs shorter than the shingle width yield ZERO shingles (ADVICE r1:
+    a descending sequence() would fabricate shingles from null elements and
+    silently diverge from the DuckDB oracle's empty range())."""
+    from xarray_sql_spark.queries.pipeline_ops import _word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("a",), ("",)], ["text"]
+    ).select(F.split("text", " ").alias("w"))
+    rows = df.select(_word_ngrams(3).alias("sh")).collect()
+    assert [r["sh"] for r in rows] == [["a b c", "b c d"], [], [], []]
