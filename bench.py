@@ -4,10 +4,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Timing is end-to-end per query: build the DataFrame plan + execute to a
-driver-side count/collect (``df.count()`` after a no-op cache-free run —
-we use ``df.write.format("noop")``-style materialization via count to avoid
-result-transfer noise while still executing the full plan).
+Timing is end-to-end per query: build the DataFrame plan + execute it to the
+``noop`` batch sink (``df.write.format("noop")``), which runs EVERY operator
+including deterministic projections — ``df.count()`` is not used because
+Catalyst prunes projection work under a count (a pandas-UDF projection never
+executes; round-1 ADVICE verified this empirically), which under-measures
+projection-shaped queries. Each query gets one untimed warm-up execution
+first so single-rep driver runs (SPARK_GRAFT_BENCH_REPS=1) measure the
+query, not codegen/broadcast/worker-fork cold starts.
 """
 
 from __future__ import annotations
@@ -44,15 +48,21 @@ def main() -> None:
     # BASELINE.md) — single-shot numbers on a shared box swing 3-5x on GC /
     # noisy-neighbor hiccups.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def run_once(spec) -> None:
+        # noop sink executes the full plan (projections included) without
+        # result-transfer or disk-write noise.
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         if not spec.bench:
             continue
+        run_once(spec)  # untimed warm-up: codegen + broadcast + shuffle files
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.count()
+            run_once(spec)
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 4)
