@@ -1,0 +1,118 @@
+"""Dataset.isel indexing semantics (xarray parity; ADVICE r1 medium).
+
+Reference behavior being mirrored: xarray positional selection — integer
+indexers drop the dimension, 1-D array indexers on multiple dims combine
+OUTER-style (cross product), and store-backed reads touch only the covering
+slice of each requested extent (reference xarray_sql/reader.py:270-303).
+No xarray in the container, so expectations are hand-computed numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xarray_sql_spark.dataset import Dataset, Variable
+
+
+@pytest.fixture
+def ds() -> Dataset:
+    t = np.arange(4)
+    y = np.arange(5) * 10.0
+    x = np.arange(3) * 100.0
+    temp = np.arange(4 * 5 * 3, dtype=np.float64).reshape(4, 5, 3)
+    mask = (np.arange(5 * 3) % 2).reshape(5, 3).astype(np.int32)
+    return Dataset(
+        {"temp": (("t", "y", "x"), temp), "mask": (("y", "x"), mask)},
+        {"t": t, "y": y, "x": x},
+    )
+
+
+def test_isel_slice_passthrough(ds):
+    out = ds.isel({"t": slice(1, 3)})
+    assert out.sizes == {"t": 2, "y": 5, "x": 3}
+    np.testing.assert_array_equal(out.coords["t"], [1, 2])
+    np.testing.assert_array_equal(
+        out.data_vars["temp"].values(), ds.data_vars["temp"].values()[1:3]
+    )
+
+
+def test_isel_int_drops_dim(ds):
+    out = ds.isel({"t": 2})
+    assert out.data_vars["temp"].dims == ("y", "x")
+    assert "t" not in out.coords
+    assert out.sizes == {"y": 5, "x": 3}
+    np.testing.assert_array_equal(
+        out.data_vars["temp"].values(), ds.data_vars["temp"].values()[2]
+    )
+    # Variable without the dim is untouched.
+    np.testing.assert_array_equal(
+        out.data_vars["mask"].values(), ds.data_vars["mask"].values()
+    )
+
+
+def test_isel_negative_int(ds):
+    out = ds.isel({"t": -1})
+    np.testing.assert_array_equal(
+        out.data_vars["temp"].values(), ds.data_vars["temp"].values()[3]
+    )
+
+
+def test_isel_multi_array_outer_indexing(ds):
+    # xarray outer semantics: 2x2 cross product, NOT numpy pairwise.
+    out = ds.isel({"y": np.array([0, 3]), "x": np.array([2, 0])})
+    assert out.sizes == {"t": 4, "y": 2, "x": 2}
+    expected = ds.data_vars["temp"].values()[:, [0, 3], :][:, :, [2, 0]]
+    np.testing.assert_array_equal(out.data_vars["temp"].values(), expected)
+    np.testing.assert_array_equal(out.coords["y"], [0.0, 30.0])
+    np.testing.assert_array_equal(out.coords["x"], [200.0, 0.0])
+
+
+def test_isel_mixed_int_array_slice(ds):
+    out = ds.isel({"t": 1, "y": np.array([4, 1]), "x": slice(0, 2)})
+    assert out.data_vars["temp"].dims == ("y", "x")
+    expected = ds.data_vars["temp"].values()[1][[4, 1], 0:2]
+    np.testing.assert_array_equal(out.data_vars["temp"].values(), expected)
+
+
+def test_isel_negative_array_indices(ds):
+    out = ds.isel({"x": np.array([-1, 0])})
+    expected = ds.data_vars["temp"].values()[:, :, [2, 0]]
+    np.testing.assert_array_equal(out.data_vars["temp"].values(), expected)
+
+
+def test_isel_empty_array(ds):
+    out = ds.isel({"y": np.array([], dtype=np.intp)})
+    assert out.sizes["y"] == 0
+    assert out.data_vars["temp"].shape == (4, 0, 3)
+
+
+def test_isel_rejects_2d_indexer(ds):
+    with pytest.raises(ValueError, match="1-D"):
+        ds.isel({"y": np.zeros((2, 2), dtype=int)})
+
+
+def test_isel_store_backed_matches_memory(ds, tmp_path):
+    store = ds.to_store(str(tmp_path / "grid"))
+    lazy = Dataset.open_store(store)
+    for idx in (
+        {"t": 2},
+        {"y": np.array([0, 3]), "x": np.array([2, 0])},
+        {"t": slice(1, 3), "x": np.array([1])},
+    ):
+        a = ds.isel(idx)
+        b = lazy.isel(idx)
+        for name in a.data_vars:
+            np.testing.assert_array_equal(
+                a.data_vars[name].values(), b.data_vars[name].values()
+            )
+
+
+def test_isel_indexes_extra_coords():
+    ds = Dataset(
+        {"v": (("t",), np.arange(4.0))},
+        {"t": np.arange(4)},
+        extra_coords={"label": Variable(("t",), np.array(["a", "b", "c", "d"]))},
+    )
+    out = ds.isel({"t": np.array([3, 1])})
+    np.testing.assert_array_equal(out.extra_coords["label"].values(), ["d", "b"])

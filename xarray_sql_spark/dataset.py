@@ -127,15 +127,76 @@ class Dataset:
         return sizes
 
     def isel(self, indexers: Mapping[str, Any]) -> "Dataset":
-        """Positional selection by dim (slice or integer array)."""
-        data_vars = {}
-        for name, var in self.data_vars.items():
-            key = tuple(indexers.get(d, slice(None)) for d in var.dims)
-            data_vars[name] = Variable(var.dims, var.read_block(_as_slices(key, var.shape)), dict(var.attrs), dict(var.encoding))
-        coords = {
-            d: (c[indexers[d]] if d in indexers else c) for d, c in self.coords.items()
+        """Positional selection by dim with xarray semantics: slices pass
+        through, integers DROP the dimension, and 1-D integer arrays on
+        multiple dims index OUTER-style (cross product via ``np.ix_``), not
+        numpy's pairwise fancy indexing. Store-backed variables read only the
+        covering slice of each requested extent (reference
+        xarray_sql/reader.py:270-303 reads the same minimal region per chunk).
+        """
+        sizes = self.sizes
+        norm: dict[str, Any] = {}  # dim -> slice | 1-D positive int array
+        int_dims: set[str] = set()
+        for d, k in indexers.items():
+            n = sizes.get(d, 0)
+            if isinstance(k, slice):
+                norm[d] = k
+            elif isinstance(k, (int, np.integer)):
+                norm[d] = np.asarray([int(k) + n if k < 0 else int(k)])
+                int_dims.add(d)
+            else:
+                arr = np.asarray(k)
+                if arr.ndim != 1:
+                    raise ValueError(
+                        f"isel indexer for {d!r} must be a slice, int, or 1-D "
+                        f"integer array, got ndim={arr.ndim}"
+                    )
+                norm[d] = np.where(arr < 0, arr + n, arr).astype(np.intp)
+        data_vars = {
+            name: self._isel_var(var, norm, int_dims)
+            for name, var in self.data_vars.items()
         }
-        return Dataset(data_vars, coords, dict(self.attrs), dict(self.extra_coords))
+        coords = {}
+        for d, c in self.coords.items():
+            if d in int_dims:
+                continue  # dim dropped, xarray-style
+            coords[d] = c[norm[d]] if d in norm else c
+        extra = {
+            name: self._isel_var(var, norm, int_dims)
+            for name, var in self.extra_coords.items()
+        }
+        return Dataset(data_vars, coords, dict(self.attrs), extra)
+
+    @staticmethod
+    def _isel_var(var: "Variable", norm: Mapping[str, Any], int_dims: set) -> "Variable":
+        """Apply normalized indexers to one variable: covering-slice read,
+        then local outer indexing, then squeeze of int-indexed axes."""
+        covering: list[slice] = []
+        local: list[Any] = []  # per-axis local indexer into the read block
+        for d, n in zip(var.dims, var.shape):
+            k = norm.get(d, slice(None))
+            if isinstance(k, slice):
+                covering.append(k)
+                local.append(None)  # keep whole read extent
+            elif len(k) == 0:
+                covering.append(slice(0, 0))
+                local.append(np.asarray([], dtype=np.intp))
+            else:
+                lo, hi = int(k.min()), int(k.max())
+                covering.append(slice(lo, hi + 1))
+                local.append(k - lo)
+        block = var.read_block(tuple(covering))
+        if any(loc is not None for loc in local):
+            axes = [
+                loc if loc is not None else np.arange(extent, dtype=np.intp)
+                for loc, extent in zip(local, block.shape)
+            ]
+            block = block[np.ix_(*axes)] if axes else block
+        drop = tuple(i for i, d in enumerate(var.dims) if d in int_dims)
+        if drop:
+            block = np.squeeze(block, axis=drop)
+        new_dims = tuple(d for d in var.dims if d not in int_dims)
+        return Variable(new_dims, block, dict(var.attrs), dict(var.encoding))
 
     def select_vars(self, names) -> "Dataset":
         return Dataset(
@@ -200,8 +261,3 @@ class Dataset:
         return cls(data_vars, coords, meta.get("attrs", {}), extra)
 
 
-def _as_slices(key: tuple, shape: tuple[int, ...]) -> tuple:
-    """Normalize an indexer tuple for LazyVar.read_block (slices pass
-    through; arrays/ints are applied after a full-extent mmap read of the
-    covering slice)."""
-    return tuple(k if isinstance(k, slice) else k for k in key)
