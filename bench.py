@@ -54,18 +54,51 @@ def main() -> None:
         # result-transfer or disk-write noise.
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def densest_stage_tasks(group: str) -> int:
+        """Max task count across the stages of the jobs in ``group`` — the
+        per-query partition sanity signal (a heavy query whose densest stage
+        is a handful of tasks is running serially; single-row-group parquet
+        inputs hide exactly this)."""
+        st = spark.sparkContext.statusTracker()
+        best = 0
+        for jid in st.getJobIdsForGroup(group):
+            job = st.getJobInfo(jid)
+            if job is None:
+                continue
+            for sid in job.stageIds:
+                stage = st.getStageInfo(sid)
+                if stage is not None:
+                    best = max(best, stage.numTasks)
+        return best
+
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         if not spec.bench:
             continue
         run_once(spec)  # untimed warm-up: codegen + broadcast + shuffle files
+        # Collect the accumulated broadcast/shuffle garbage OUTSIDE the
+        # timed region: local-mode contexts otherwise defer cleanup until a
+        # full GC lands mid-query (observed as 5-15 s outlier samples).
+        spark.sparkContext._jvm.System.gc()
+        spark.sparkContext.setJobGroup(name, f"bench:{name}")
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             run_once(spec)
             samples.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobGroup("", "")
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
+        # Lower median: with reps=2 the upper-middle element reports the
+        # WORSE of two runs, so one GC hiccup inflated the round-2 numbers.
+        timings[name] = round(samples[(len(samples) - 1) // 2], 4)
+        # Partition sanity is meaningful only at bench scale (sf >= 0.05):
+        # at sf0.01 every stage is tiny and fixed overheads dominate.
+        if sf >= 0.05 and timings[name] > 1.0 and densest_stage_tasks(name) < 8:
+            print(
+                f"WARN {name}: {timings[name]}s but densest stage < 8 tasks "
+                f"— serial hot loop; repartition after the scan",
+                file=sys.stderr,
+            )
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

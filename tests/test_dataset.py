@@ -116,3 +116,39 @@ def test_isel_indexes_extra_coords():
     )
     out = ds.isel({"t": np.array([3, 1])})
     np.testing.assert_array_equal(out.extra_coords["label"].values(), ["d", "b"])
+
+
+def test_isel_boolean_mask_semantics():
+    """1-D boolean indexers are masks (xarray semantics), not 0/1 positions
+    (round-2 ADVICE)."""
+    import numpy as np
+
+    from xarray_sql_spark.dataset import Dataset
+
+    data = np.arange(12.0).reshape(4, 3)
+    ds = Dataset(
+        {"v": (("x", "y"), data)},
+        {"x": np.array([10, 20, 30, 40]), "y": np.array([1, 2, 3])},
+    )
+    mask = np.array([True, False, True, False])
+    sub = ds.isel({"x": mask})
+    np.testing.assert_array_equal(sub.coords["x"], [10, 30])
+    np.testing.assert_array_equal(sub.data_vars["v"].values(), data[[0, 2]])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="length"):
+        ds.isel({"x": np.array([True, False])})
+
+
+def test_isel_unknown_dim_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from xarray_sql_spark.dataset import Dataset
+
+    ds = Dataset(
+        {"v": (("x",), np.arange(3.0))},
+        {"x": np.array([1, 2, 3])},
+    )
+    with _pytest.raises(ValueError, match="unknown dimension"):
+        ds.isel({"z": 0})

@@ -315,3 +315,150 @@ def test_unknown_table_and_column_errors(xs):
         xs.sql("SELECT * FROM no_such_table").df.collect()
     with pytest.raises(AnalysisException):
         xs.sql("SELECT nope FROM err_air").df.collect()
+
+
+# --- Zarr v2 store backend (reference reader.py:192-337 reads real Zarr) ----
+def zarr_fixture(tmpdir: str, chunks=None, compressor={"id": "zlib", "level": 1}):
+    from xarray_sql_spark.zarr_store import write_zarr
+
+    ds = air_small()
+    path = os.path.join(tmpdir, "air.zarr")
+    write_zarr(ds, path, chunks=chunks or {"time": 4}, compressor=compressor)
+    return ds, path
+
+
+def test_zarr_roundtrip_values_and_attrs(tmp_path):
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    ds, path = zarr_fixture(str(tmp_path))
+    back = open_zarr(path)
+    assert back.attrs["title"] == "air_small"
+    assert back.data_vars["air"].attrs["units"] == "K"
+    np.testing.assert_array_equal(back.coords["time"], ds.coords["time"])
+    np.testing.assert_array_equal(back.coords["lat"], ds.coords["lat"])
+    np.testing.assert_allclose(
+        back.data_vars["air"].values(), ds.data_vars["air"].values()
+    )
+    assert back.data_vars["air"].dtype == np.float32
+
+
+def test_zarr_selective_chunk_reads(tmp_path):
+    """Per-chunk selectivity: a block read opens ONLY overlapping chunk
+    files (the reference's Zarr selective-read contract, reader.py:270-303)."""
+    ds, path = zarr_fixture(str(tmp_path))
+    back = Dataset.open_store(path)  # format dispatch: detects Zarr
+    zv = back.data_vars["air"].data
+    blk = zv.read_block((slice(4, 8), slice(0, 11), slice(0, 10)))
+    np.testing.assert_allclose(blk, ds.data_vars["air"].values()[4:8])
+    # time chunk 1 only (rows 4..8 of chunksize 4), single lat/lon chunk
+    assert zv.last_opened == ["1.0.0"]
+
+
+def test_zarr_missing_chunk_is_fill(tmp_path):
+    ds, path = zarr_fixture(str(tmp_path))
+    os.remove(os.path.join(path, "air", "0.0.0"))
+    back = Dataset.open_store(path)
+    blk = back.data_vars["air"].read_block((slice(0, 4), slice(0, 11), slice(0, 10)))
+    assert np.isnan(blk).all()
+    blk2 = back.data_vars["air"].read_block((slice(4, 12), slice(0, 11), slice(0, 10)))
+    np.testing.assert_allclose(blk2, ds.data_vars["air"].values()[4:12])
+
+
+def test_zarr_store_backed_table_selective(xs, read_log, tmp_path):
+    """End-to-end: register a Zarr v2 tree as a grid table; values match and
+    a dim-filtered query reads only the matching partitions (read log)."""
+    ds, path = zarr_fixture(str(tmp_path))
+    xs.from_dataset(
+        "z_air", Dataset.open_store(path), chunks={"time": 4}, store=path,
+        read_log_dir=read_log.dir,
+    )
+    read_log.drain()
+    row = xs.sql("SELECT AVG(air) AS a FROM z_air").df.collect()[0]
+    expect = float(ds.data_vars["air"].values().mean())
+    assert abs(row["a"] - expect) < 1e-3
+    assert len(read_log.drain()) == 3  # 12h / 4h chunks
+    row = xs.sql(
+        "SELECT COUNT(*) AS n FROM z_air WHERE time >= TIMESTAMP '2013-01-01 09:00:00'"
+    ).df.collect()[0]
+    assert row["n"] == 3 * 11 * 10
+    logs = read_log.drain()
+    assert len(logs) == 1  # only the last time chunk
+
+
+# --- OR-of-equalities pruning (reference src/lib.rs:340-423 prunes OR trees;
+# Spark's Python-DS pushFilters is conjunct-only, so the session rewrites the
+# chain to IN before planning) ----------------------------------------------
+def test_or_equalities_prune_partitions(xs, read_log):
+    xs.from_dataset("or_t", prune_fixture(), chunks={"time": 25}, read_log_dir=read_log.dir)
+    read_log.drain()
+    df = xs.sql(
+        "SELECT COUNT(*) AS n FROM or_t "
+        "WHERE time = TIMESTAMP '2020-01-05' OR time = TIMESTAMP '2020-01-20'"
+    ).df
+    assert df.collect()[0]["n"] == 2 * 5
+    logs = read_log.drain()
+    assert len(logs) == 1  # both days fall in the first 25-day chunk
+
+
+def test_or_rewrite_is_conservative(xs):
+    """A chain adjacent to AND keeps OR semantics (no rewrite): the result
+    must stay correct even when pruning is skipped."""
+    xs.from_dataset("or_c", prune_fixture(), chunks={"time": 25})
+    n = xs.sql(
+        "SELECT COUNT(*) AS n FROM or_c "
+        "WHERE lat > 0 AND time = TIMESTAMP '2020-01-05' OR time = TIMESTAMP '2020-01-20'"
+    ).df.collect()[0]["n"]
+    # (lat>0 AND t=jan5) OR t=jan20  ->  2 lats + 5 lats
+    assert n == 2 + 5
+
+
+def test_rewrite_preserves_string_literals(xs):
+    """A registered namespace name inside a quoted literal is not rewritten
+    (round-2 ADVICE: regex _rewrite corrupted 'era5.surface')."""
+    ds = air_small()
+    extra = Dataset(
+        {
+            "air": ds.data_vars["air"],
+            "flat": Variable((), np.float64(1.5)),
+        },
+        dict(ds.coords),
+    )
+    xs.from_dataset("era5", extra)  # mixed dims -> namespaced views
+    row = xs.sql(
+        "SELECT 'era5.time_lat_lon' AS tag, COUNT(*) AS n FROM era5.time_lat_lon"
+    ).df.collect()[0]
+    assert row["tag"] == "era5.time_lat_lon"
+    assert row["n"] == 12 * 11 * 10
+
+
+# --- error propagation from inside a partition read (reference
+# tests/test_reader.py:781-838) ---------------------------------------------
+def test_partition_read_error_propagates(xs, tmp_path):
+    ds, path = zarr_fixture(str(tmp_path))
+    xs.from_dataset("err_z", Dataset.open_store(path), chunks={"time": 4}, store=path)
+    # Corrupt one chunk AFTER registration: planning stays fine (coords are
+    # already loaded), but the executor's chunk decompression must raise and
+    # surface through collect(), not silently yield fill values.
+    chunk = os.path.join(path, "air", "1.0.0")
+    with open(chunk, "wb") as f:
+        f.write(b"not-zlib-data")
+    with pytest.raises(Exception):
+        xs.sql("SELECT SUM(air) AS s FROM err_z").df.collect()
+
+
+def test_fresh_stream_per_query_counts(xs, read_log):
+    """Three sequential queries re-read the source each time (reference
+    test_reader.py:869-945): cumulative partition-read counts 2, 4, 6."""
+    xs.from_dataset(
+        "fresh_t", prune_fixture(), chunks={"time": 50}, read_log_dir=read_log.dir
+    )
+    read_log.drain()
+    total = 0
+    for q in (
+        "SELECT * FROM fresh_t",
+        "SELECT AVG(temperature) AS a FROM fresh_t",
+        "SELECT MAX(temperature) AS m FROM fresh_t",
+    ):
+        xs.sql(q).df.collect()
+        total += len(read_log.drain())
+    assert total == 6

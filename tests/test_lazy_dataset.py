@@ -115,3 +115,64 @@ def test_auto_chunks(xs):
     )
     # budget >> data: one multiple covering the whole dim, snapped to 4s
     assert lazy.lazy_chunks["time"] % 4 == 0 or lazy.lazy_chunks["time"] == 12
+
+
+def test_lazy_typed_fill_preserves_int_dtype(xs):
+    """A typed fill_value sentinel keeps int columns int on the lazy path,
+    matching the eager path (reference ds.py:43-50; round-2 VERDICT item 4:
+    the lazy path used to coerce every int to float64)."""
+    time = np.arange("2021-01-01", "2021-01-09", dtype="datetime64[D]").astype("datetime64[ns]")
+    lat = np.linspace(-10, 10, 3)
+    counts = np.arange(24, dtype=np.int64).reshape(8, 3)
+    ds = Dataset({"n_obs": (("time", "lat"), counts)}, {"time": time, "lat": lat})
+    xs.from_dataset("lzint", ds, chunks={"time": 4})
+    q = "SELECT time, lat, n_obs FROM lzint WHERE lat > -10"
+    eager = xs.sql(q).to_dataset(dims=("time", "lat"), template="lzint", fill_value=-1)
+    lazy = xs.sql(q).to_dataset(
+        dims=("time", "lat"), template="lzint", fill_value=-1, chunks={"time": 4}
+    )
+    assert eager.data_vars["n_obs"].values().dtype == np.int64
+    lv = lazy.data_vars["n_obs"]
+    assert lv.dtype == np.int64
+    block = lv.read_block((slice(0, 8), slice(None)))
+    assert block.dtype == np.int64
+    np.testing.assert_array_equal(block, counts[:, 1:])
+    # default NaN fill still upcasts (both paths)
+    lazy_f = xs.sql(q).to_dataset(dims=("time", "lat"), template="lzint", chunks={"time": 4})
+    assert lazy_f.data_vars["n_obs"].dtype == np.float64
+    lazy.close()
+    lazy_f.close()
+
+
+def test_lazy_close_unpersists(xs, spark):
+    """to_dataset(chunks=...) persists its inner DataFrame; close() (and GC)
+    must release it — cached partitions may not grow across repeated calls
+    (round-1 ADVICE: the persist leaked forever)."""
+    import gc
+
+    ds = fixture_ds()
+    xs.from_dataset("lzleak", ds, chunks={"time": 4})
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    opened = []
+    for _ in range(3):
+        lz = xs.sql("SELECT time, lat, temp FROM lzleak").to_dataset(
+            dims=("time", "lat"), template="lzleak", chunks={"time": 4}
+        )
+        lz.data_vars["temp"].read_block((slice(0, 2), slice(None)))  # materialize cache
+        opened.append(lz)
+    for lz in opened:
+        lz.close()
+    gc.collect()
+    assert n_cached() <= base
+    # and the finalizer alone (no explicit close) also releases
+    lz = xs.sql("SELECT time, lat, temp FROM lzleak").to_dataset(
+        dims=("time", "lat"), template="lzleak", chunks={"time": 4}
+    )
+    lz.data_vars["temp"].read_block((slice(0, 2), slice(None)))
+    del lz
+    gc.collect()
+    assert n_cached() <= base

@@ -146,3 +146,18 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_repetition_splits_once_and_parallelizes(spark):
+    # ts05 (round-2 perf-weak): Catalyst's project-collapse + filter pushdown
+    # used to re-inline split(text) 10x and the single-row-group parquet file
+    # ran the whole query as 1 task. The fix computes the bigram sizes once
+    # inside a Generate (lambda-bound, not alias-substitutable) after a
+    # repartition. Pin both properties.
+    df = REGISTRY["ts05_repetition"].fn(spark, SF_MED)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(") <= 2, optimized
+    assert "Repartition" in optimized, optimized
+    # filters stay above the Generate: the generated int columns are the
+    # filter inputs, so no re-derivation of the heavy expression
+    assert optimized.index("Filter") < optimized.index("Generate"), optimized

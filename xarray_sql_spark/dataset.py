@@ -138,7 +138,12 @@ class Dataset:
         norm: dict[str, Any] = {}  # dim -> slice | 1-D positive int array
         int_dims: set[str] = set()
         for d, k in indexers.items():
-            n = sizes.get(d, 0)
+            if d not in sizes:
+                raise ValueError(
+                    f"isel got indexer for unknown dimension {d!r}; "
+                    f"dimensions are {sorted(sizes)}"
+                )
+            n = sizes[d]
             if isinstance(k, slice):
                 norm[d] = k
             elif isinstance(k, (int, np.integer)):
@@ -149,8 +154,16 @@ class Dataset:
                 if arr.ndim != 1:
                     raise ValueError(
                         f"isel indexer for {d!r} must be a slice, int, or 1-D "
-                        f"integer array, got ndim={arr.ndim}"
+                        f"integer/boolean array, got ndim={arr.ndim}"
                     )
+                if arr.dtype == bool:
+                    # xarray mask semantics, not positions-0/1
+                    if len(arr) != n:
+                        raise ValueError(
+                            f"boolean isel indexer for {d!r} has length "
+                            f"{len(arr)}, dimension size is {n}"
+                        )
+                    arr = np.flatnonzero(arr)
                 norm[d] = np.where(arr < 0, arr + n, arr).astype(np.intp)
         data_vars = {
             name: self._isel_var(var, norm, int_dims)
@@ -239,7 +252,17 @@ class Dataset:
     @classmethod
     def open_store(cls, path: str) -> "Dataset":
         """Open lazily: coordinates load eagerly (small, needed for bounds);
-        data variables become mmap-backed LazyVars."""
+        data variables become lazy block-readable handles. Dispatches on the
+        on-disk format: a Zarr v2 group (``.zgroup``/``.zarray`` JSON, the
+        format real users have — reference reader.py:192-337) opens through
+        :mod:`xarray_sql_spark.zarr_store`; otherwise the native ``.npy``
+        directory layout."""
+        if os.path.isfile(os.path.join(path, ".zgroup")) or not os.path.isfile(
+            os.path.join(path, "meta.json")
+        ):
+            from xarray_sql_spark.zarr_store import open_zarr
+
+            return open_zarr(path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         coords = {

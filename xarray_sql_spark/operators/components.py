@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xarray_sql_spark.queries.registry import query
-from xarray_sql_spark.queries.dedup_lsh import dd04_minhash_lsh
+from xarray_sql_spark.queries.dedup_lsh import _minhash_oracle, dd04_minhash_lsh
 from xarray_sql_spark.session import table
 
 MAX_ROUNDS = 12
@@ -118,5 +118,83 @@ def cc01_neardup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("keeper_doc_id", F.col("doc_id")).alias("keeper_doc_id"),
             F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
+        )
+    )
+
+
+def _cc02_oracle() -> str:
+    """Bounded 2-hop closure as plain SQL over the dd04 pair CTE — the
+    hash-checkable twin of one-and-a-bit rounds of the cc01 fixpoint."""
+    return f"""
+    WITH lsh AS ({_minhash_oracle()}),
+    sym AS (
+        SELECT doc_a AS id, doc_b AS nb FROM lsh
+        UNION ALL
+        SELECT doc_b AS id, doc_a AS nb FROM lsh
+    ),
+    m1 AS (
+        SELECT d.doc_id, least(d.doc_id, coalesce(min(s.nb), d.doc_id)) AS m1
+        FROM documents d LEFT JOIN sym s ON s.id = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    nm AS (
+        SELECT d.doc_id, min(m1n.m1) AS nmin
+        FROM documents d
+        LEFT JOIN sym s ON s.id = d.doc_id
+        LEFT JOIN m1 m1n ON m1n.doc_id = s.nb
+        GROUP BY d.doc_id
+    )
+    SELECT CAST(m1.doc_id AS BIGINT) AS doc_id,
+           CAST(least(m1.m1, coalesce(nm.nmin, m1.m1)) AS BIGINT) AS comp_2hop
+    FROM m1 JOIN nm ON nm.doc_id = m1.doc_id
+    """
+
+
+@query(
+    "cc02_twohop_components",
+    oracle=_cc02_oracle(),
+    tags=("dedup", "components", "pipeline"),
+    bench=False,  # same quadratic-pairs artifact as dd04 (synthetic corpus)
+)
+def cc02_twohop_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min label reachable within <= 2 hops of the dd04 near-dup graph —
+    the value-level driver evidence for the component-propagation logic
+    (round-2 VERDICT item 6): exactly the first propagation round of
+    :func:`connected_components` plus its path-compression half-step, but
+    depth-bounded so plain (non-recursive) SQL can oracle it. cc01 remains
+    the production fixpoint; for clusters of graph diameter <= 2 (the
+    overwhelming shape of near-dup clusters) the labels already agree.
+
+    Scale shape: two self-joins + min-aggregates on the (id, nb) pair
+    table — the same shuffle-bounded plan as one cc01 round; no iteration,
+    no driver-side work."""
+    pairs = dd04_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+    sym = pairs.selectExpr("doc_a AS id", "doc_b AS nb").union(
+        pairs.selectExpr("doc_b AS id", "doc_a AS nb")
+    )
+    docs = table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    m1 = (
+        docs.join(sym, docs.doc_id == sym.id, "left")
+        .groupBy("doc_id")
+        .agg(F.min("nb").alias("mn"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id"))).alias("m1"),
+        )
+    )
+    neigh_m1 = (
+        docs.join(sym, docs.doc_id == sym.id, "left")
+        .join(m1.selectExpr("doc_id AS nb_id", "m1 AS nb_m1"), F.col("nb") == F.col("nb_id"), "left")
+        .groupBy("doc_id")
+        .agg(F.min("nb_m1").alias("nmin"))
+    )
+    return (
+        m1.join(neigh_m1, "doc_id")
+        .select(
+            "doc_id",
+            F.least(F.col("m1"), F.coalesce("nmin", F.col("m1"))).alias("comp_2hop"),
         )
     )

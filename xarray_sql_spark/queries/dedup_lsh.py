@@ -370,11 +370,17 @@ def ss03_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) and every query prunes to its bucket's partitions; recall is
     tuned by multi-probe or more tables, not by widening the join.
     """
-    e = table(spark, sf_dir, "embeddings")
+    # single-row-group input: spread the 8 per-row plane projections across
+    # cores (bench partition sanity; same rationale as ss01)
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     v = F.col("embedding").cast("array<double>")
 
     def dot_plane(p: int):
-        plane = F.array(*[F.lit(x) for x in PLANES[p]])
+        # one ArrayType literal, not 384 element literals: keeps the
+        # expression tree (and per-execution plan/codegen cost) small
+        plane = F.lit(list(PLANES[p]))
         return F.aggregate(
             F.zip_with(F.col("v"), plane, lambda x, y: x * y),
             F.lit(0.0),

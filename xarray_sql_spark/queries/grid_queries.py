@@ -115,7 +115,7 @@ def gq02_grid_pruned_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).df
         # grid time is TIMESTAMP_NTZ; session TZ is UTC, so the cast is the
         # identity mapping DuckDB's epoch_us applies to its naive timestamps
-        .select(F.unix_micros(F.col("time").cast("timestamp")).alias("t_us"), "y", "x", "v")
+        .select(F.unix_micros(F.col("time").cast("timestamp_ltz")).alias("t_us"), "y", "x", "v")
     )
 
 

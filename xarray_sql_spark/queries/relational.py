@@ -21,7 +21,7 @@ Scale notes (100 TB design intent, applies to every query here):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xarray_sql_spark.queries.registry import query
@@ -800,6 +800,13 @@ def q22_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interp(lo_v, hi_v, frac, name: str):
+    """quantile_cont interpolation: v[floor(p)] + frac * (v[ceil(p)] -
+    v[floor(p)]) — the exact algebraic form DuckDB and Spark use, so the
+    rounded values hash-match across engines."""
+    return F.round(lo_v + frac * (hi_v - lo_v), 6).alias(name)
+
+
 @query(
     "q23_percentiles",
     oracle="""
@@ -814,19 +821,173 @@ def q22_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
 )
 def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont``). Exact percentiles sort within each group; at 100 TB
-    swap to ``approx_percentile`` (t-digest sketch, map-side mergeable, no
-    full sort) — kept exact here so the oracle can hash-match values."""
+    """Exact interpolated percentiles (== DuckDB ``quantile_cont``) via
+    fully-declarative distributed histogram selection — the two-pass
+    rank-selection algorithm MPP engines use, with no driver collect and no
+    per-group value buffering.
+
+    Two rejected shapes: Spark's ``percentile`` aggregate buffers every
+    value of a group (ObjectHashAggregate, unbounded per-group state —
+    round-2 perf-weak), and a global ``row_number() OVER (PARTITION BY
+    group)`` window serializes each group onto one sort task (a petabyte
+    group at 100 TB would sort on one task). Here parallelism is
+    independent of group cardinality:
+
+    - **High-cardinality measure** (``l_extendedprice``, ~583k distinct):
+      one map-side-combined histogram pass over the monotonic bucket key
+      ``floor(v * 0.01)`` (output bounded by bucket count); a cumulative
+      window + 4-row literal quantile spec resolve each target rank
+      k = floor/ceil((n-1)*q) + 1 to (straddling bucket, in-bucket offset)
+      — all histogram-sized; a second scan broadcast-joins the resolved
+      targets so only straddling-bucket rows survive, and a ``row_number``
+      over bucket-sized partitions picks the offset-th value.
+    - **Low-cardinality measure** (``l_discount``, 11 distinct): the
+      histogram is exact (bucket == value), so the quantile values come
+      straight from the rank walk — no second pass.
+
+    The two measure pipelines are independent subtrees (their scans
+    schedule concurrently) joined on the 3-row result. Interpolation
+    ``v[floor(p)] + frac * (v[ceil(p)] - v[floor(p)])`` is DuckDB's
+    algebraic form, so rounded values hash-match. ``approx_percentile``
+    (t-digest, one pass, mergeable) remains the documented sketch
+    alternative when a second scan is unaffordable."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
-            F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_discount"),
+
+    def qspec(*quantiles: tuple[str, float]) -> DataFrame:
+        return spark.range(1).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qn).alias("qname"),
+                            F.lit(q).alias("q"),
+                            F.lit(bound).alias("bound"),
+                        )
+                        for qn, q in quantiles
+                        for bound in ("lo", "hi")
+                    ]
+                )
+            )
         )
-        .orderBy("l_returnflag")
+
+    def targets(hist: DataFrame, spec: DataFrame) -> DataFrame:
+        """hist (group, bucket, c) + spec (qname, q, lo|hi) ->
+        (group, qname, bound, bucket, local_k, frac): which bucket holds
+        rank k = floor/ceil((n-1)*q)+1 and the offset inside it. All
+        histogram-sized; the cumulative window partitions by group but
+        iterates buckets, not rows."""
+        w_cum = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("l_returnflag")
+        h = hist.select(
+            "l_returnflag",
+            "bucket",
+            "c",
+            (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        p = (F.col("n") - 1) * F.col("q")
+        k = F.when(F.col("bound") == "lo", F.floor(p) + 1).otherwise(
+            F.ceil(p) + 1
+        )
+        return (
+            h.crossJoin(F.broadcast(spec))
+            .select(
+                "l_returnflag",
+                "qname",
+                "bound",
+                "bucket",
+                k.alias("k"),
+                (p - F.floor(p)).alias("frac"),
+                "cum_before",
+                "c",
+            )
+            .filter(
+                (F.col("cum_before") < F.col("k"))
+                & (F.col("k") <= F.col("cum_before") + F.col("c"))
+            )
+            .select(
+                "l_returnflag",
+                "qname",
+                "bound",
+                "bucket",
+                (F.col("k") - F.col("cum_before")).alias("local_k"),
+                "frac",
+            )
+        )
+
+    def val(qname: str, bound: str):
+        return F.max(
+            F.when(
+                (F.col("qname") == qname) & (F.col("bound") == bound), F.col("v")
+            )
+        )
+
+    def frac(qname: str):
+        return F.max(F.when(F.col("qname") == qname, F.col("frac")))
+
+    # price: coarse histogram + targeted second pass
+    prices = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.floor(F.col("l_extendedprice") * 0.01).alias("bucket"),
+    ).filter(F.col("v").isNotNull())
+    p_hist = prices.groupBy("l_returnflag", "bucket").agg(F.count("*").alias("c"))
+    p_targets = targets(p_hist, qspec(("med", 0.5), ("p90", 0.9)))
+    w_loc = Window.partitionBy("l_returnflag", "qname", "bound").orderBy("v")
+    p_pick = (
+        prices.join(F.broadcast(p_targets), ["l_returnflag", "bucket"])
+        .select(
+            "l_returnflag",
+            "qname",
+            "bound",
+            "v",
+            "frac",
+            "local_k",
+            F.row_number().over(w_loc).alias("rn"),
+        )
+        .filter(F.col("rn") == F.col("local_k"))
+    )
+    p_vals = p_pick.groupBy("l_returnflag").agg(
+        val("med", "lo").alias("v_m_lo"),
+        val("med", "hi").alias("v_m_hi"),
+        val("p90", "lo").alias("v_p_lo"),
+        val("p90", "hi").alias("v_p_hi"),
+        frac("med").alias("m_fr"),
+        frac("p90").alias("p_fr"),
+    )
+
+    # discount: exact-value histogram, resolved with no second pass
+    d_hist = (
+        li.select("l_returnflag", F.col("l_discount").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    d_vals = (
+        targets(d_hist, qspec(("p25", 0.25)))
+        .select("l_returnflag", "qname", "bound", F.col("bucket").alias("v"), "frac")
+        .groupBy("l_returnflag")
+        .agg(
+            val("p25", "lo").alias("v_d_lo"),
+            val("p25", "hi").alias("v_d_hi"),
+            frac("p25").alias("d_fr"),
+        )
+    )
+
+    return (
+        p_vals.join(d_vals, "l_returnflag")
+        .select(
+            "l_returnflag",
+            _interp(F.col("v_m_lo"), F.col("v_m_hi"), F.col("m_fr"), "median_price"),
+            _interp(F.col("v_p_lo"), F.col("v_p_hi"), F.col("p_fr"), "p90_price"),
+            _interp(F.col("v_d_lo"), F.col("v_d_hi"), F.col("d_fr"), "p25_discount"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag")
     )
 
 

@@ -23,6 +23,7 @@ ds.py:920-923) and adding ``to_dataset``:
 
 from __future__ import annotations
 
+import weakref
 from typing import Mapping, Sequence
 
 import numpy as np
@@ -106,7 +107,7 @@ class XarrayDataFrame:
         if chunks is not None:
             resolved = self._resolve_lazy_chunks(chunks, dims, template)
             if resolved is not None:
-                return self._build_lazy(dims, template, resolved)
+                return self._build_lazy(dims, template, resolved, fill_value)
         tmpl = self._resolve_template(template)
         pdf = self._df.toPandas()
         dims = self._infer_dims(list(pdf.columns), dims, tmpl)
@@ -224,7 +225,7 @@ class XarrayDataFrame:
 
         return is_pure_scan(self._df)
 
-    def _build_lazy(self, dims, template, chunk_map: dict) -> Dataset:
+    def _build_lazy(self, dims, template, chunk_map: dict, fill_value=None) -> Dataset:
         tmpl = self._resolve_template(template)
         columns = self._df.columns
         dims = self._infer_dims(columns, dims, tmpl)
@@ -255,19 +256,47 @@ class XarrayDataFrame:
         for col in columns:
             if col in dims:
                 continue
-            np_dtype = _spark_to_numpy(dtypes[col])
+            # A typed fill sentinel keeps integer columns integer, matching
+            # the eager path (reference rule ds.py:43-50: int -> float64
+            # upcast happens ONLY when the fill is the NaN default).
+            np_dtype = _spark_to_numpy(dtypes[col], typed_fill=fill_value is not None)
             data_vars[col] = Variable(
                 tuple(dims),
-                QueryBackedVar(inner, tuple(dims), coords, col, shape, np_dtype),
+                QueryBackedVar(
+                    inner, tuple(dims), coords, col, shape, np_dtype, fill_value
+                ),
             )
         out = Dataset(data_vars, coords)
         out.lazy_chunks = dict(chunk_map)  # advisory block sizes for callers
+
+        # The persisted inner DataFrame must not outlive the Dataset:
+        # release explicitly via close() or automatically when the Dataset
+        # is garbage-collected (round-1 ADVICE: _build_lazy leaked its
+        # cached partitions forever).
+        def _release(df=inner):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+        out.close = _release
+        out._lazy_finalizer = weakref.finalize(out, _release)
         if tmpl is not None:
             _recover_metadata(out, tmpl)
         return out
 
 
-def _spark_to_numpy(dt: str) -> np.dtype:
+_SPARK_INT_TYPES = {
+    "int": "int32",
+    "bigint": "int64",
+    "smallint": "int16",
+    "tinyint": "int8",
+}
+
+
+def _spark_to_numpy(dt: str, typed_fill: bool = False) -> np.dtype:
+    if typed_fill and dt in _SPARK_INT_TYPES:
+        return np.dtype(_SPARK_INT_TYPES[dt])
     mapping = {
         "float": np.dtype("float32"),
         "double": np.dtype("float64"),
@@ -289,13 +318,14 @@ class QueryBackedVar:
     scatters the returned rows (reference SQLBackendArray, ds.py:210-376).
     OUTER-indexing semantics: per-dim membership filters."""
 
-    def __init__(self, df: DataFrame, dims, coords, column, shape, dtype):
+    def __init__(self, df: DataFrame, dims, coords, column, shape, dtype, fill_value=None):
         self._df = df
         self._dims = dims
         self._coords = coords
         self._column = column
         self.shape = tuple(shape)
         self.dtype = np.dtype(dtype)
+        self.fill_value = fill_value
 
     def read_block(self, slices: tuple) -> np.ndarray:
         from pyspark.sql import functions as F
@@ -313,9 +343,12 @@ class QueryBackedVar:
         pdf = q.select(*self._dims, self._column).toPandas()
 
         shape = tuple(len(sel_coords[d]) for d in self._dims)
-        fv = np.nan if self.dtype.kind == "f" else (
-            np.datetime64("NaT") if self.dtype.kind == "M" else None
-        )
+        if self.fill_value is not None:
+            fv = self.fill_value
+        else:
+            fv = np.nan if self.dtype.kind == "f" else (
+                np.datetime64("NaT") if self.dtype.kind == "M" else None
+            )
         dense = (
             np.full(shape, fv, dtype=self.dtype)
             if fv is not None

@@ -155,6 +155,15 @@ class XarraySession:
             read_log_dir=read_log_dir,
             var_names=var_names,
         )
+        # Re-registration under an existing view name must invalidate the
+        # pruned-scan cache and the old payload mapping, or projection
+        # pushdown re-plans against the PREVIOUS dataset's data.
+        self._pruned_cache = {
+            k: v for k, v in self._pruned_cache.items() if k[0] != view
+        }
+        self._payload_views = {
+            p: t for p, t in self._payload_views.items() if t[0] != view
+        }
         df, path = self._scan_df(kwargs)
         df.createOrReplaceTempView(view)
         self._payload_views[path] = (view, kwargs, df)
@@ -204,20 +213,113 @@ class XarraySession:
                 full_df.createOrReplaceTempView(view)
 
     # -- query surface -----------------------------------------------------
+    @staticmethod
+    def _string_spans(query: str) -> list[tuple[int, int]]:
+        """Half-open spans of single-quoted SQL string literals (with ''
+        escapes) — regions every textual rewrite must leave untouched."""
+        spans: list[tuple[int, int]] = []
+        i, n = 0, len(query)
+        while i < n:
+            if query[i] == "'":
+                j = i + 1
+                while j < n:
+                    if query[j] == "'":
+                        if j + 1 < n and query[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                spans.append((i, j + 1))
+                i = j + 1
+            else:
+                i += 1
+        return spans
+
     def _rewrite(self, query: str) -> str:
         """Rewrite ``name.table`` -> ``name__table`` for registered
-        namespaced datasets (temp views cannot be schema-qualified)."""
+        namespaced datasets (temp views cannot be schema-qualified).
+        Quoted string literals are never rewritten — ``'era5.surface'``
+        stays a literal (round-2 ADVICE: the raw regex corrupted it)."""
+        spans = self._string_spans(query)
+
+        def outside(pos: int) -> bool:
+            return not any(a < pos < b for a, b in spans)
+
         for name, views in self._tables.items():
             if any(v.startswith(f"{name}__") for v in views):
-                query = re.sub(rf"\b{re.escape(name)}\.(\w+)", rf"{name}__\1", query)
+                query = re.sub(
+                    rf"\b{re.escape(name)}\.(\w+)",
+                    lambda m: f"{name}__{m.group(1)}" if outside(m.start()) else m.group(0),
+                    query,
+                )
         return query
+
+    # OR-of-equalities -> IN compensation (reference prunes through OR/IN
+    # trees, src/lib.rs:340-423; Spark's Python-DS pushFilters delivers only
+    # conjunctive simple predicates, so ``WHERE t = a OR t = b`` reaches
+    # partitions() as nothing and full-scans). Rewriting the chain to
+    # ``t IN (a, b)`` before planning is semantics-preserving (identical
+    # three-valued logic) and turns the predicate into the In filter that
+    # bounds.py already prunes on.
+    _SQL_LIT = (
+        r"(?:TIMESTAMP\s+'[^']*'|DATE\s+'[^']*'|'(?:[^']|'')*'"
+        r"|[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+    )
+    _OR_CHAIN = re.compile(
+        rf"\b(\w+)\s*=\s*{_SQL_LIT}(?:\s+OR\s+\1\s*=\s*{_SQL_LIT})+",
+        re.IGNORECASE,
+    )
+    _CHAIN_LIT = re.compile(rf"=\s*({_SQL_LIT})", re.IGNORECASE)
+    # A chain is only rewritten when its precedence context makes the whole
+    # OR-expression self-contained: AND binds tighter than OR, so a chain
+    # touching an AND on either side is part of a larger conjunct and is
+    # left alone (conservative keep — pruning is an optimization).
+    _OK_BEFORE = re.compile(r"(?:\(|\bWHERE|\bHAVING|\bWHEN|\bON|\bOR)\s*$|^\s*$", re.IGNORECASE)
+    _OK_AFTER = re.compile(
+        r"^\s*(?:\)|\bOR\b|\bORDER\b|\bGROUP\b|\bLIMIT\b|\bTHEN\b|\bELSE\b|\bEND\b|\bUNION\b|\bEXCEPT\b|\bINTERSECT\b|;|$)",
+        re.IGNORECASE,
+    )
+
+    def _or_to_in(self, query: str) -> str:
+        spans = self._string_spans(query)
+
+        def outside(pos: int) -> bool:
+            return not any(a < pos < b for a, b in spans)
+
+        out: list[str] = []
+        last = 0
+        for m in self._OR_CHAIN.finditer(query):
+            if m.start() < last or not outside(m.start()):
+                continue
+            if not self._OK_BEFORE.search(query[: m.start()]):
+                continue
+            if not self._OK_AFTER.search(query[m.end() :]):
+                continue
+            lits = self._CHAIN_LIT.findall(m.group(0))
+            out.append(query[last : m.start()])
+            out.append(f"{m.group(1)} IN ({', '.join(lits)})")
+            last = m.end()
+        out.append(query[last:])
+        return "".join(out)
 
     def sql(self, query: str, args=None) -> "XarrayDataFrame":
         from xarray_sql_spark.to_dataset import XarrayDataFrame
 
-        q = self._rewrite(query)
-        df = self.spark.sql(q, args=args) if args else self.spark.sql(q)
-        df = self._with_projection_pushdown(df, q, args)
+        q = self._or_to_in(self._rewrite(query))
+        # Scope TIMESTAMP-literal parsing to NTZ while ANALYZING grid
+        # queries (grid time coordinates are TIMESTAMP_NTZ; session tz is
+        # UTC so values agree). Comparisons fold the LTZ->NTZ literal cast
+        # either way, but `In` does not — without this, the OR->IN pruning
+        # rewrite on a time dim reaches pushFilters as nothing and
+        # full-scans. Restored immediately so plain-session behavior
+        # outside .sql() is untouched.
+        old = self.spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
+        self.spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        try:
+            df = self.spark.sql(q, args=args) if args else self.spark.sql(q)
+            df = self._with_projection_pushdown(df, q, args)
+        finally:
+            self.spark.conf.set("spark.sql.timestampType", old)
         return XarrayDataFrame(
             df, dict(self._registered_datasets), dict(self._registered_chunks)
         )
