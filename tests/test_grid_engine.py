@@ -462,3 +462,37 @@ def test_fresh_stream_per_query_counts(xs, read_log):
         xs.sql(q).df.collect()
         total += len(read_log.drain())
     assert total == 6
+
+
+def test_zarr_consolidated_metadata_roundtrip(tmp_path):
+    """.zmetadata (consolidated) is preferred when present — one metadata
+    read for the whole group — and the per-array fallback reads the same."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    ds, path = zarr_fixture(str(tmp_path))
+    assert os.path.isfile(os.path.join(path, ".zmetadata"))
+    cons = open_zarr(path)
+    os.remove(os.path.join(path, ".zmetadata"))
+    plain = open_zarr(path)
+    np.testing.assert_allclose(
+        cons.data_vars["air"].values(), plain.data_vars["air"].values()
+    )
+    assert cons.data_vars["air"].attrs == plain.data_vars["air"].attrs
+    assert cons.attrs == plain.attrs
+
+
+def test_sql_result_to_zarr_roundtrip(xs, tmp_path):
+    """Zarr in -> SQL -> Zarr out: the written result re-opens with the
+    query's values, dims and attrs-capable layout."""
+    ds, path = zarr_fixture(str(tmp_path))
+    xs.from_dataset("z_rt", Dataset.open_store(path), chunks={"time": 4}, store=path)
+    out = str(tmp_path / "anomaly.zarr")
+    xs.sql(
+        "SELECT time, lat, lon, air - 280.0 AS anom FROM z_rt"
+    ).to_zarr(out, dims=("time", "lat", "lon"), template="z_rt", chunks={"time": 6})
+    back = Dataset.open_store(out)
+    got = back.data_vars["anom"].values()
+    expect = ds.data_vars["air"].values().astype(np.float64) - 280.0
+    # output coord order follows the result rows; template dims fix order here
+    np.testing.assert_allclose(np.sort(got.ravel()), np.sort(expect.ravel()), rtol=1e-6)
+    assert set(back.coords) == {"time", "lat", "lon"}

@@ -166,6 +166,27 @@ class XarrayDataFrame:
         return out
 
 
+    def to_zarr(
+        self,
+        path: str,
+        dims: Sequence[str] | None = None,
+        template: "Dataset | str | None" = None,
+        sparsity: str = "result",
+        fill_value=None,
+        chunks: "Mapping[str, int] | None" = None,
+        compressor: dict | None = {"id": "zlib", "level": 1},
+    ) -> str:
+        """Materialize the query result and write it as a Zarr v2 directory
+        group (with consolidated metadata) — the round-trip closer: Zarr in
+        (``Dataset.open_store``), SQL, Zarr out. ``chunks`` sets the written
+        chunk grid (defaults to single-chunk arrays)."""
+        from xarray_sql_spark.zarr_store import write_zarr
+
+        out = self.to_dataset(
+            dims=dims, template=template, sparsity=sparsity, fill_value=fill_value
+        )
+        return write_zarr(out, path, chunks=chunks, compressor=compressor)
+
     # -- lazy path (A11/A12/A14) ---------------------------------------
     def _source_dataset(self, template=None) -> tuple[str, Dataset] | tuple[None, None]:
         if isinstance(template, str) and template in self._registered:

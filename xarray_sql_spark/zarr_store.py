@@ -98,9 +98,10 @@ class ZarrArray:
     chunks that were never written.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, meta: dict | None = None):
         self.path = path
-        meta = _read_json(os.path.join(path, ".zarray"))
+        if meta is None:
+            meta = _read_json(os.path.join(path, ".zarray"))
         if meta.get("zarr_format") != 2:
             raise ValueError(f"{path}: not a Zarr v2 array")
         if meta.get("filters"):
@@ -179,6 +180,34 @@ def _array_dirs(path: str) -> list[str]:
     )
 
 
+def _load_group_metadata(path: str) -> tuple[dict, dict[str, tuple[dict, dict]]]:
+    """(group attrs, {array name: (.zarray meta, .zattrs)}).
+
+    Prefers consolidated metadata (``.zmetadata``, what xarray writes with
+    ``consolidated=True``): ONE metadata read instead of 2 per array — on
+    object stores with thousands of variables that is the difference
+    between one round trip and thousands at registration time."""
+    zmeta_path = os.path.join(path, ".zmetadata")
+    if os.path.isfile(zmeta_path):
+        entries = _read_json(zmeta_path)["metadata"]
+        attrs = entries.get(".zattrs", {})
+        arrays: dict[str, tuple[dict, dict]] = {}
+        for key, val in entries.items():
+            if key.endswith("/.zarray"):
+                name = key[: -len("/.zarray")]
+                arrays[name] = (val, entries.get(f"{name}/.zattrs", {}))
+        return attrs, dict(sorted(arrays.items()))
+    group_attrs_path = os.path.join(path, ".zattrs")
+    attrs = _read_json(group_attrs_path) if os.path.isfile(group_attrs_path) else {}
+    arrays = {}
+    for name in _array_dirs(path):
+        zarray = _read_json(os.path.join(path, name, ".zarray"))
+        zattrs_path = os.path.join(path, name, ".zattrs")
+        zattrs = _read_json(zattrs_path) if os.path.isfile(zattrs_path) else {}
+        arrays[name] = (zarray, zattrs)
+    return attrs, arrays
+
+
 def open_zarr(path: str):
     """Open a Zarr v2 directory group as a lazy :class:`Dataset`.
 
@@ -190,19 +219,21 @@ def open_zarr(path: str):
     """
     from xarray_sql_spark.dataset import Dataset, Variable
 
-    if not os.path.isfile(os.path.join(path, ".zgroup")) and not _array_dirs(path):
+    if (
+        not os.path.isfile(os.path.join(path, ".zgroup"))
+        and not os.path.isfile(os.path.join(path, ".zmetadata"))
+        and not _array_dirs(path)
+    ):
         raise ValueError(f"{path}: not a Zarr v2 group")
-    group_attrs_path = os.path.join(path, ".zattrs")
-    attrs = _read_json(group_attrs_path) if os.path.isfile(group_attrs_path) else {}
+    attrs, arrays = _load_group_metadata(path)
 
     coords: dict[str, np.ndarray] = {}
     coord_attrs: dict[str, dict] = {}
     data_vars: dict[str, Variable] = {}
     extra_coords: dict[str, Variable] = {}
-    for name in _array_dirs(path):
-        arr = ZarrArray(os.path.join(path, name))
-        zattrs_path = os.path.join(path, name, ".zattrs")
-        zattrs = _read_json(zattrs_path) if os.path.isfile(zattrs_path) else {}
+    for name, (zarray_meta, zattrs) in arrays.items():
+        arr = ZarrArray(os.path.join(path, name), zarray_meta)
+        zattrs = dict(zattrs)
         dims = tuple(zattrs.pop(_ARRAY_DIMENSIONS, ()) or (f"dim_{i}" for i in range(len(arr.shape))))
         if dims == (name,) and len(arr.shape) == 1:
             coords[name] = arr.values()
@@ -227,11 +258,14 @@ def write_zarr(
     spec requires; all-fill chunks are still written (simplicity over
     sparseness — the reader handles both)."""
     os.makedirs(path, exist_ok=True)
+    consolidated: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
     if ds.attrs:
+        group_attrs = json.loads(json.dumps(ds.attrs, default=str))
+        consolidated[".zattrs"] = group_attrs
         with open(os.path.join(path, ".zattrs"), "w") as f:
-            json.dump(ds.attrs, f, default=str)
+            json.dump(group_attrs, f)
 
     def write_array(name: str, dims: tuple[str, ...], data: np.ndarray, attrs: dict):
         data = np.ascontiguousarray(data)
@@ -259,8 +293,13 @@ def write_zarr(
         }
         with open(os.path.join(adir, ".zarray"), "w") as f:
             json.dump(meta, f)
+        zattrs = json.loads(
+            json.dumps({_ARRAY_DIMENSIONS: list(dims), **attrs}, default=str)
+        )
         with open(os.path.join(adir, ".zattrs"), "w") as f:
-            json.dump({_ARRAY_DIMENSIONS: list(dims), **attrs}, f, default=str)
+            json.dump(zattrs, f)
+        consolidated[f"{name}/.zarray"] = meta
+        consolidated[f"{name}/.zattrs"] = zattrs
         grid = [range((n + c - 1) // c) for n, c in zip(data.shape, chunk_shape)]
         for idx in itertools.product(*grid) if data.shape else [()]:
             sel = tuple(
@@ -280,4 +319,8 @@ def write_zarr(
         write_array(d, (d,), np.asarray(c), dict(ds.coord_attrs.get(d, {})))
     for name, var in ds.data_vars.items():
         write_array(name, var.dims, var.values(), dict(var.attrs))
+    # consolidated metadata (xarray's consolidated=True default): readers
+    # get the whole group's metadata in one file read
+    with open(os.path.join(path, ".zmetadata"), "w") as f:
+        json.dump({"zarr_consolidated_format": 1, "metadata": consolidated}, f)
     return path
