@@ -94,9 +94,26 @@ def main() -> None:
         # Partition sanity is meaningful only at bench scale (sf >= 0.05):
         # at sf0.01 every stage is tiny and fixed overheads dominate.
         if sf >= 0.05 and timings[name] > 1.0 and densest_stage_tasks(name) < 8:
+            # Two distinct causes. (a) Heavy per-row work after an
+            # unsplittable scan: fixable with table(spread=True), warn.
+            # (b) The scan ITSELF is the bottleneck on a single-row-group
+            # file: parquet can't split a row group, and a repartition only
+            # adds a shuffle on top of the same serial read (measured in
+            # round 3) — nothing actionable in the query, so say that.
+            import pyarrow.parquet as pq
+
+            splittable = any(
+                pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).num_row_groups >= 8
+                for t in ("lineitem", "orders", "events", "documents", "embeddings")
+            )
+            kind = (
+                "serial hot loop; spread the scan (session.table spread=True)"
+                if splittable
+                else "input-bound: single-row-group parquet caps scan parallelism "
+                "(layout artifact of the local testdata, not the plan)"
+            )
             print(
-                f"WARN {name}: {timings[name]}s but densest stage < 8 tasks "
-                f"— serial hot loop; repartition after the scan",
+                f"WARN {name}: {timings[name]}s but densest stage < 8 tasks — {kind}",
                 file=sys.stderr,
             )
     total = round(sum(timings.values()), 4)

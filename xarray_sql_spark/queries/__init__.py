@@ -51,12 +51,13 @@ _DRIVER_GREEN_R1R2 = (
 # Queries whose implementation changed in round 3 (perf rework / added
 # repartition / refactor): their old green rows are void.
 _MODIFIED_THIS_ROUND = {
-    "q23_percentiles",  # distributed histogram selection rewrite
-    "ts05_repetition",  # repartition + single-projection bigram sizes
-    "ss01_ann_topk",  # repartition after single-row-group scan
+    "q23_percentiles",  # single-SQL two-pass histogram selection rewrite
+    "ts05_repetition",  # spread + single-projection bigram sizes
+    "ts02_langid",  # tokenize-once projection + spread
+    "ss01_ann_topk",  # adaptive spread after single-row-group scan
     "ss02_embedding_neardup",  # repartition after single-row-group scan
-    "ss03_lsh_ann",  # repartition + array-literal planes
-    "ss04_ivf_ann",  # repartition after single-row-group scan
+    "ss03_lsh_ann",  # adaptive spread + array-literal planes
+    "ss04_ivf_ann",  # adaptive spread after single-row-group scan
     "dd03_ngram_jaccard",  # round-2 refactor shipped unchecked (ADVICE r2)
 }
 

@@ -370,11 +370,9 @@ def ss03_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) and every query prunes to its bucket's partitions; recall is
     tuned by multi-probe or more tables, not by widening the join.
     """
-    # single-row-group input: spread the 8 per-row plane projections across
-    # cores (bench partition sanity; same rationale as ss01)
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the 8 per-row plane projections if the layout is unsplittable
+    # (bench partition sanity; same rationale as ss01)
+    e = table(spark, sf_dir, "embeddings", spread=True)
     v = F.col("embedding").cast("array<double>")
 
     def dot_plane(p: int):

@@ -280,13 +280,17 @@ def ts02_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (de > en > es > fr > zh precedence), reported as a confusion matrix
     against the labeled ``lang`` column. The real engine swaps the marker
     lists for per-language n-gram profiles; the dataflow is identical."""
-    d = table(spark, sf_dir, "documents")
+    # spread: serial on unsplittable local layout otherwise (session.table)
+    d = table(spark, sf_dir, "documents", spread=True)
 
     def score(lang: str):
         words = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
-        return F.size(F.filter(_tokens(), lambda x: F.array_contains(words, x)))
+        return F.size(F.filter(F.col("toks"), lambda x: F.array_contains(words, x)))
 
-    scored = d.select(
+    # tokenize ONCE: "toks" is non-cheap and referenced five times, so
+    # CollapseProject keeps the projection boundary instead of re-inlining
+    # split() into every score column (the ts05 lesson)
+    scored = d.select("doc_id", "lang", _tokens().alias("toks")).select(
         "doc_id",
         "lang",
         score("en").alias("s_en"),
@@ -351,11 +355,10 @@ def ss01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, stream the corpus, rank per query. This is the exact-recall baseline
     the IVF/LSH variants are measured against; at 100 TB the corpus side
     stays partitioned and only (query × top-k) rows shuffle."""
-    # embeddings.parquet is a single row group; without a repartition the
-    # per-row dot products all run on one task (bench partition sanity).
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread: embeddings.parquet is a single row group locally, so the
+    # per-row dot products would all run on one task; on splittable layouts
+    # the spread is a no-op (see session.table).
+    e = table(spark, sf_dir, "embeddings", spread=True)
     vec = F.col("embedding").cast("array<double>")
     withn = e.select(
         "vec_id",
@@ -769,10 +772,8 @@ def ss04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of only the probed cells' rows. Recall is approximate by
     construction; the oracle replicates the identical algorithm, so the
     correctness gate checks the *structure*, not exact-NN recall."""
-    # single-row-group input: spread the per-row centroid math (see ss01)
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the per-row centroid math if the layout is unsplittable (ss01)
+    e = table(spark, sf_dir, "embeddings", spread=True)
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     cent = v.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
@@ -1090,11 +1091,7 @@ def ts05_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       re-inlined it 10x via project-collapse + filter pushdown).
     - Downstream filter and rounding touch only the two int outputs.
     """
-    d = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    d = table(spark, sf_dir, "documents", spread=True).select("doc_id", "lang", "text")
     sizes = F.expr(
         """
         inline(transform(array(split(text, ' ')), w ->

@@ -800,11 +800,88 @@ def q22_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _interp(lo_v, hi_v, frac, name: str):
-    """quantile_cont interpolation: v[floor(p)] + frac * (v[ceil(p)] -
-    v[floor(p)]) — the exact algebraic form DuckDB and Spark use, so the
-    rounded values hash-match across engines."""
-    return F.round(lo_v + frac * (hi_v - lo_v), 6).alias(name)
+_Q23_SQL = """
+WITH p_hist AS (             -- marginal histograms: two narrow 2-column scans whose
+                             -- subtrees schedule concurrently (a shared-CTE form gets
+                             -- inlined per consumer by Spark, costing a WIDER scan each)
+  SELECT l_returnflag AS flag, floor(l_extendedprice * 0.01) AS bucket, count(*) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+),
+d_hist AS (
+  SELECT l_returnflag AS flag, l_discount AS bucket, count(*) AS c
+  FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1, 2
+),
+p_spec AS (SELECT * FROM VALUES ('med', CAST(0.5 AS DOUBLE), 'lo'), ('med', CAST(0.5 AS DOUBLE), 'hi'),
+                                ('p90', CAST(0.9 AS DOUBLE), 'lo'), ('p90', CAST(0.9 AS DOUBLE), 'hi')
+           AS s(qname, q, bound)),
+d_spec AS (SELECT * FROM VALUES ('p25', CAST(0.25 AS DOUBLE), 'lo'), ('p25', CAST(0.25 AS DOUBLE), 'hi')
+           AS s(qname, q, bound)),
+p_cum AS (
+  SELECT flag, bucket, c,
+         sum(c) OVER (PARTITION BY flag ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_before,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM p_hist
+),
+d_cum AS (
+  SELECT flag, bucket, c,
+         sum(c) OVER (PARTITION BY flag ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_before,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM d_hist
+),
+-- which bucket holds rank k = floor/ceil((n-1)*q)+1, and the offset inside it
+p_tgt AS (
+  SELECT flag, qname, bound, bucket, k - cum_before AS local_k, frac FROM (
+    SELECT h.flag, s.qname, s.bound, h.bucket, h.cum_before, h.c,
+           CASE WHEN s.bound = 'lo' THEN floor((h.n - 1) * s.q) + 1
+                ELSE ceil((h.n - 1) * s.q) + 1 END AS k,
+           (h.n - 1) * s.q - floor((h.n - 1) * s.q) AS frac
+    FROM p_cum h CROSS JOIN p_spec s)
+  WHERE cum_before < k AND k <= cum_before + c
+),
+d_tgt AS (
+  SELECT flag, qname, bound, bucket, frac FROM (
+    SELECT h.flag, s.qname, s.bound, h.bucket, h.cum_before, h.c,
+           CASE WHEN s.bound = 'lo' THEN floor((h.n - 1) * s.q) + 1
+                ELSE ceil((h.n - 1) * s.q) + 1 END AS k,
+           (h.n - 1) * s.q - floor((h.n - 1) * s.q) AS frac
+    FROM d_cum h CROSS JOIN d_spec s)
+  WHERE cum_before < k AND k <= cum_before + c
+),
+-- second fact scan: only straddling-bucket rows survive the broadcast join
+p_pick AS (
+  SELECT /*+ BROADCAST(t) */ p.flag, t.qname, t.bound, p.v, t.frac, t.local_k,
+         row_number() OVER (PARTITION BY p.flag, t.qname, t.bound ORDER BY p.v) AS rn
+  FROM (SELECT l_returnflag AS flag, l_extendedprice AS v,
+               floor(l_extendedprice * 0.01) AS bucket
+        FROM lineitem WHERE l_extendedprice IS NOT NULL) p
+  JOIN p_tgt t ON p.flag = t.flag AND p.bucket = t.bucket
+),
+p_vals AS (
+  SELECT flag,
+         max(CASE WHEN qname = 'med' AND bound = 'lo' THEN v END) AS v_m_lo,
+         max(CASE WHEN qname = 'med' AND bound = 'hi' THEN v END) AS v_m_hi,
+         max(CASE WHEN qname = 'p90' AND bound = 'lo' THEN v END) AS v_p_lo,
+         max(CASE WHEN qname = 'p90' AND bound = 'hi' THEN v END) AS v_p_hi,
+         max(CASE WHEN qname = 'med' THEN frac END) AS m_fr,
+         max(CASE WHEN qname = 'p90' THEN frac END) AS p_fr
+  FROM p_pick WHERE rn = local_k GROUP BY flag
+),
+-- discount histogram is exact (bucket == value): no second pass
+d_vals AS (
+  SELECT flag,
+         max(CASE WHEN bound = 'lo' THEN bucket END) AS v_d_lo,
+         max(CASE WHEN bound = 'hi' THEN bucket END) AS v_d_hi,
+         max(frac) AS d_fr
+  FROM d_tgt GROUP BY flag
+)
+SELECT p.flag AS l_returnflag,
+       round(v_m_lo + m_fr * (v_m_hi - v_m_lo), 6) AS median_price,
+       round(v_p_lo + p_fr * (v_p_hi - v_p_lo), 6) AS p90_price,
+       round(v_d_lo + d_fr * (v_d_hi - v_d_lo), 6) AS p25_discount
+FROM p_vals p JOIN d_vals d ON p.flag = d.flag
+"""
 
 
 @query(
@@ -833,159 +910,30 @@ def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group at 100 TB would sort on one task). Here parallelism is
     independent of group cardinality:
 
-    - **High-cardinality measure** (``l_extendedprice``, ~583k distinct):
-      one map-side-combined histogram pass over the monotonic bucket key
-      ``floor(v * 0.01)`` (output bounded by bucket count); a cumulative
-      window + 4-row literal quantile spec resolve each target rank
-      k = floor/ceil((n-1)*q) + 1 to (straddling bucket, in-bucket offset)
-      — all histogram-sized; a second scan broadcast-joins the resolved
-      targets so only straddling-bucket rows survive, and a ``row_number``
-      over bucket-sized partitions picks the offset-th value.
-    - **Low-cardinality measure** (``l_discount``, 11 distinct): the
-      histogram is exact (bucket == value), so the quantile values come
-      straight from the rank walk — no second pass.
+    - **Pass 1** builds per-measure marginal histograms with map-side
+      combine (output bounded by bucket count), as two independent
+      2-column scans whose subtrees schedule concurrently. (A shared
+      joint-histogram CTE was tried and rejected: Spark inlines a CTE
+      into each consumer, so it re-scanned anyway — wider.)
+    - A cumulative window + literal quantile spec resolve each target
+      rank k = floor/ceil((n-1)*q) + 1 to (straddling bucket, in-bucket
+      offset) — all histogram-sized work.
+    - **Pass 2** re-scans the fact and broadcast-joins the resolved
+      price targets, so only straddling-bucket rows (~1/1000th) survive;
+      a ``row_number`` over bucket-sized partitions picks the offset-th
+      value. The discount histogram is exact (bucket == value, 11
+      distinct), so its quantile comes straight from the rank walk.
 
-    The two measure pipelines are independent subtrees (their scans
-    schedule concurrently) joined on the 3-row result. Interpolation
-    ``v[floor(p)] + frac * (v[ceil(p)] - v[floor(p)])`` is DuckDB's
-    algebraic form, so rounded values hash-match. ``approx_percentile``
-    (t-digest, one pass, mergeable) remains the documented sketch
-    alternative when a second scan is unaffordable."""
-    li = table(spark, sf_dir, "lineitem")
-
-    def qspec(*quantiles: tuple[str, float]) -> DataFrame:
-        return spark.range(1).select(
-            F.inline(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(qn).alias("qname"),
-                            F.lit(q).alias("q"),
-                            F.lit(bound).alias("bound"),
-                        )
-                        for qn, q in quantiles
-                        for bound in ("lo", "hi")
-                    ]
-                )
-            )
-        )
-
-    def targets(hist: DataFrame, spec: DataFrame) -> DataFrame:
-        """hist (group, bucket, c) + spec (qname, q, lo|hi) ->
-        (group, qname, bound, bucket, local_k, frac): which bucket holds
-        rank k = floor/ceil((n-1)*q)+1 and the offset inside it. All
-        histogram-sized; the cumulative window partitions by group but
-        iterates buckets, not rows."""
-        w_cum = (
-            Window.partitionBy("l_returnflag")
-            .orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        w_all = Window.partitionBy("l_returnflag")
-        h = hist.select(
-            "l_returnflag",
-            "bucket",
-            "c",
-            (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
-            F.sum("c").over(w_all).alias("n"),
-        )
-        p = (F.col("n") - 1) * F.col("q")
-        k = F.when(F.col("bound") == "lo", F.floor(p) + 1).otherwise(
-            F.ceil(p) + 1
-        )
-        return (
-            h.crossJoin(F.broadcast(spec))
-            .select(
-                "l_returnflag",
-                "qname",
-                "bound",
-                "bucket",
-                k.alias("k"),
-                (p - F.floor(p)).alias("frac"),
-                "cum_before",
-                "c",
-            )
-            .filter(
-                (F.col("cum_before") < F.col("k"))
-                & (F.col("k") <= F.col("cum_before") + F.col("c"))
-            )
-            .select(
-                "l_returnflag",
-                "qname",
-                "bound",
-                "bucket",
-                (F.col("k") - F.col("cum_before")).alias("local_k"),
-                "frac",
-            )
-        )
-
-    def val(qname: str, bound: str):
-        return F.max(
-            F.when(
-                (F.col("qname") == qname) & (F.col("bound") == bound), F.col("v")
-            )
-        )
-
-    def frac(qname: str):
-        return F.max(F.when(F.col("qname") == qname, F.col("frac")))
-
-    # price: coarse histogram + targeted second pass
-    prices = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.floor(F.col("l_extendedprice") * 0.01).alias("bucket"),
-    ).filter(F.col("v").isNotNull())
-    p_hist = prices.groupBy("l_returnflag", "bucket").agg(F.count("*").alias("c"))
-    p_targets = targets(p_hist, qspec(("med", 0.5), ("p90", 0.9)))
-    w_loc = Window.partitionBy("l_returnflag", "qname", "bound").orderBy("v")
-    p_pick = (
-        prices.join(F.broadcast(p_targets), ["l_returnflag", "bucket"])
-        .select(
-            "l_returnflag",
-            "qname",
-            "bound",
-            "v",
-            "frac",
-            "local_k",
-            F.row_number().over(w_loc).alias("rn"),
-        )
-        .filter(F.col("rn") == F.col("local_k"))
-    )
-    p_vals = p_pick.groupBy("l_returnflag").agg(
-        val("med", "lo").alias("v_m_lo"),
-        val("med", "hi").alias("v_m_hi"),
-        val("p90", "lo").alias("v_p_lo"),
-        val("p90", "hi").alias("v_p_hi"),
-        frac("med").alias("m_fr"),
-        frac("p90").alias("p_fr"),
-    )
-
-    # discount: exact-value histogram, resolved with no second pass
-    d_hist = (
-        li.select("l_returnflag", F.col("l_discount").alias("bucket"))
-        .filter(F.col("bucket").isNotNull())
-        .groupBy("l_returnflag", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
-    d_vals = (
-        targets(d_hist, qspec(("p25", 0.25)))
-        .select("l_returnflag", "qname", "bound", F.col("bucket").alias("v"), "frac")
-        .groupBy("l_returnflag")
-        .agg(
-            val("p25", "lo").alias("v_d_lo"),
-            val("p25", "hi").alias("v_d_hi"),
-            frac("p25").alias("d_fr"),
-        )
-    )
-
+    Interpolation ``v[lo] + frac * (v[hi] - v[lo])`` is DuckDB's algebraic
+    form, so rounded values hash-match. The whole thing is ONE ``spark.sql``
+    statement: a single parse/analyze round trip instead of hundreds of
+    driver DSL calls (the DSL build alone cost ~0.9 s of the round-2
+    bench time). ``approx_percentile`` (t-digest, one pass, mergeable)
+    remains the documented sketch alternative when a second scan is
+    unaffordable."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return (
-        p_vals.join(d_vals, "l_returnflag")
-        .select(
-            "l_returnflag",
-            _interp(F.col("v_m_lo"), F.col("v_m_hi"), F.col("m_fr"), "median_price"),
-            _interp(F.col("v_p_lo"), F.col("v_p_hi"), F.col("p_fr"), "p90_price"),
-            _interp(F.col("v_d_lo"), F.col("v_d_hi"), F.col("d_fr"), "p25_discount"),
-        )
+        spark.sql(_Q23_SQL)
         .coalesce(1)
         .sortWithinPartitions("l_returnflag")
     )

@@ -58,22 +58,57 @@ def get_spark(app_name: str = "xarray-sql-spark", cpus: int | None = None) -> Sp
     return spark
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Parquet's split unit is the row group: N row groups can never feed more
+# than N scan tasks, whatever maxPartitionBytes says. The driver's testdata
+# files are each ONE row group, so without compensation every scan (and its
+# map-side partial aggregation / per-row expression work) runs serially on
+# one of 32 cores. Cache: path -> row-group count.
+_ROW_GROUPS: dict[str, int] = {}
+
+
+def _scan_tasks_available(path: str) -> int:
+    if path not in _ROW_GROUPS:
+        try:
+            import pyarrow.parquet as pq
+
+            _ROW_GROUPS[path] = pq.ParquetFile(path).num_row_groups
+        except Exception:
+            _ROW_GROUPS[path] = 1 << 30  # unknown layout: assume splittable
+    return _ROW_GROUPS[path]
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one of the driver-provided parquet tables.
 
     ``events.ts`` is nanosecond-precision; with ``nanosAsLong`` it arrives as
     epoch nanos, converted here to a µs timestamp by floor division — exactly
     DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation, so oracles agree.
+
+    ``spread=True`` declares the downstream per-row/aggregation work heavy
+    enough to be worth distributing: if (and only if) the file's row-group
+    count can't feed the session's cores, a round-robin ``repartition``
+    follows the scan. On real multi-row-group / multi-file data this is a
+    no-op — the check is on the physical layout, not the environment — so
+    at 100 TB no gratuitous shuffle is added. Catalyst still pushes filters
+    below the repartition into the scan (PushPredicateThroughNonJoin), so
+    pushdown is preserved.
     """
     if name == "events":
         # Runtime conf (not builder-only) so this works on ANY caller-supplied
         # SparkSession — the driver constructs its own plain session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        cores = spark.sparkContext.defaultParallelism
+        if _scan_tasks_available(path) < max(cores // 4, 2):
+            df = df.repartition(cores)
     return df
 
 
