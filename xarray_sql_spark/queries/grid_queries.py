@@ -15,6 +15,7 @@ Spark's and DuckDB's float arithmetic agree bit-for-bit with no rounding.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -339,4 +340,197 @@ def gq07_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("xi").alias("min_x"),
             F.max("xi").alias("max_x"),
         )
+    )
+
+
+@query(
+    "gq08_grid_regrid_weights",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    weights AS (
+        SELECT i AS dst, i * 2 AS y, 0.75 AS w FROM (SELECT unnest(range(8)) AS i)
+        UNION ALL
+        SELECT i AS dst, i * 2 + 1 AS y, 0.25 AS w FROM (SELECT unnest(range(8)) AS i)
+    )
+    SELECT CAST(w.dst AS BIGINT) AS dst_y, CAST(c.xi AS BIGINT) AS x,
+           sum(c.v * w.w) AS regridded, CAST(count(*) AS BIGINT) AS n_src
+    FROM cells c JOIN weights w ON c.yi = w.y
+    GROUP BY w.dst, c.xi
+    """,
+    tags=("grid", "datasource", "regrid", "geospatial-shape"),
+    bench=False,
+)
+def gq08_grid_regrid_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-weight regrid join over the DataSource grid (geospatial case
+    08 shape, reference 08_regrid_weights.py:195-203): a 16-row source y
+    axis collapses onto an 8-row destination axis through an explicit
+    (src_y, dst_y, weight) sparse matrix — two entries per destination,
+    weights 0.75/0.25 (exact binary fractions, so ``SUM(v*w)`` is exact in
+    any accumulation order and both engines agree bit-for-bit). The weight
+    table is broadcast (a real regrid matrix is O(dst x stencil), small
+    relative to the fact grid), the grid side streams from the chunked
+    scan, and the one shuffle is the (dst, x) group key — the shape that
+    keeps a 100 TB regrid a map-side join + bounded-key aggregate."""
+    xs = _register(spark, "gq_grid8")
+    dst = spark.range(8).select(F.col("id").alias("dst"))
+    weights = dst.select(
+        "dst", (F.col("dst") * 2).alias("wy"), F.lit(0.75).alias("w")
+    ).unionAll(
+        dst.select("dst", (F.col("dst") * 2 + 1).alias("wy"), F.lit(0.25).alias("w"))
+    )
+    g = xs.sql("SELECT y, x, v FROM gq_grid8").df
+    return (
+        g.join(F.broadcast(weights), g.y == F.col("wy"))
+        .groupBy(F.col("dst").alias("dst_y"), F.col("x"))
+        .agg(
+            F.sum(F.col("v") * F.col("w")).alias("regridded"),
+            F.count("*").alias("n_src"),
+        )
+    )
+
+
+N_INIT = 216  # forecast init times: valid = init + 24 h stays inside obs range
+
+
+@query(
+    "gq09_grid_forecast_skill",
+    oracle=f"""
+    WITH obs AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               t.i * 0.25 + y.i * 0.5 + x.i * 1.0 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    fcst AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i + 24) * 0.25 + y.i * 0.5 + x.i * 1.0 + x.i * 0.25 AS vf
+        FROM (SELECT unnest(range({N_INIT})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )
+    SELECT CAST(o.yi AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o.v - f.vf), 6) AS mean_err,
+           round(sqrt(avg(power(o.v - f.vf, 2))), 6) AS rmse
+    FROM obs o
+    JOIN fcst f ON o.ti = f.ti + 24 AND o.yi = f.yi AND o.xi = f.xi
+    GROUP BY o.yi
+    """,
+    tags=("grid", "datasource", "interval-join", "geospatial-shape"),
+    bench=False,
+)
+def gq09_grid_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill join over TWO DataSource grid tables (geospatial case
+    05 shape, reference 05_forecast_skill.py:158-171): observations join a
+    24-hour-lead forecast on ``obs.time = fcst.init + INTERVAL 24 HOURS``
+    — interval arithmetic in the join key, computed on TIMESTAMP_NTZ grid
+    coordinates — then RMSE/bias per y row via SQRT/POWER. The obs value
+    ramps with absolute time (not hour-of-day), so a 24-hour misalignment
+    shifts every error by 6.0 and fails the hash gate; the forecast's
+    x-dependent bias (x * 0.25) makes axis swaps visible. Both scans are
+    chunked DataSource streams; the equi+interval key shuffles fact-sized
+    but bounded-width rows, and the group key is the 16-row y axis."""
+    t_obs = np.arange("2024-01-01T00", "2024-01-11T00", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    t_init = t_obs[:N_INIT]
+    y = np.arange(N_Y, dtype=np.int64)
+    x = np.arange(N_X, dtype=np.int64)
+    ti = np.arange(N_T, dtype=np.int64)
+    v_obs = (
+        ti[:, None, None] * 0.25 + y[None, :, None] * 0.5 + x[None, None, :] * 1.0
+    )
+    tif = np.arange(N_INIT, dtype=np.int64)
+    v_fc = (
+        (tif[:, None, None] + 24) * 0.25
+        + y[None, :, None] * 0.5
+        + x[None, None, :] * 1.25
+    )
+    xs = XarraySession(spark)
+    xs.from_dataset(
+        "gq_obs",
+        Dataset({"v": Variable(("time", "y", "x"), v_obs)}, {"time": t_obs, "y": y, "x": x}),
+        chunks={"time": 48},
+    )
+    xs.from_dataset(
+        "gq_fcst",
+        Dataset(
+            {"vf": Variable(("init", "y", "x"), v_fc)}, {"init": t_init, "y": y, "x": x}
+        ),
+        chunks={"init": 48},
+    )
+    return xs.sql(
+        """
+        SELECT o.y AS y, COUNT(*) AS n,
+               ROUND(AVG(o.v - f.vf), 6) AS mean_err,
+               ROUND(SQRT(AVG(POWER(o.v - f.vf, 2))), 6) AS rmse
+        FROM gq_obs o
+        JOIN gq_fcst f
+          ON o.time = f.init + INTERVAL 24 HOURS
+         AND o.y = f.y AND o.x = f.x
+        GROUP BY o.y
+        """
+    ).df
+
+
+@query(
+    "gq10_grid_reproject_udf",
+    oracle=f"""
+    WITH cells AS (
+        SELECT y.i AS yi, x.i AS xi
+        FROM (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    proj AS (
+        SELECT yi, xi,
+               50.0 + yi * 0.25 AS lat,
+               -120.0 + xi * 0.5 + yi * 0.125 AS lon
+        FROM cells
+    )
+    SELECT CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x, lat, lon,
+           lat + lon AS checksum
+    FROM proj
+    """,
+    tags=("grid", "datasource", "udf", "geospatial-shape"),
+    bench=False,
+)
+def gq10_grid_reproject_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-returning vectorized pandas UDF over the DataSource grid
+    (geospatial case 07 shape, reference 07_reproject_udf.py:76-113,163-169):
+    an affine "reprojection" maps each (y, x) cell to (lat, lon) inside an
+    Arrow-batched pandas UDF returning a struct, then SQL accesses the
+    struct fields. The affine coefficients are exact binary fractions so
+    both engines agree bit-for-bit. The reference must run its PROJ UDF
+    serially (thread-unsafe C library); Spark executes the UDF per
+    partition in separate Python workers, so the same query parallelizes —
+    the scale story for UDF-heavy raster math. A 16x16 slice of the grid
+    keeps the result table small; the UDF sees Arrow batches, not rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<lat: double, lon: double>")
+    def reproject(cell: pd.Series) -> pd.DataFrame:
+        # single-Series -> DataFrame is the struct-returning pandas-UDF
+        # signature PySpark's type-hint inference accepts (same as q21);
+        # the flat cell id packs (y, x) losslessly for a 16-wide row
+        y, x = cell // N_X, cell % N_X
+        return pd.DataFrame({"lat": 50.0 + y * 0.25, "lon": -120.0 + x * 0.5 + y * 0.125})
+
+    xs = _register(spark, "gq_grid10")
+    g = xs.sql(
+        "SELECT DISTINCT y, x FROM gq_grid10"
+    ).df
+    p = g.select("y", "x", reproject(F.col("y") * N_X + F.col("x")).alias("p"))
+    return p.select(
+        "y",
+        "x",
+        F.col("p.lat").alias("lat"),
+        F.col("p.lon").alias("lon"),
+        (F.col("p.lat") + F.col("p.lon")).alias("checksum"),
     )
