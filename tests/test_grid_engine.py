@@ -496,3 +496,37 @@ def test_sql_result_to_zarr_roundtrip(xs, tmp_path):
     # output coord order follows the result rows; template dims fix order here
     np.testing.assert_allclose(np.sort(got.ravel()), np.sort(expect.ravel()), rtol=1e-6)
     assert set(back.coords) == {"time", "lat", "lon"}
+
+
+def test_pruning_operator_matrix(xs, read_log):
+    """Per-operator pruning goldens (reference tests/test_reader.py:948-1271
+    breadth): =, >, <= prune to exactly the covering chunks; IN prunes to
+    the named chunks even when non-contiguous; != and NOT BETWEEN never
+    prune (conservative keep, reference src/lib.rs:206-448) yet still
+    return exact rows because pruning is Inexact — Catalyst re-applies
+    every filter above the scan."""
+    xs.from_dataset(
+        "prune_m", prune_fixture(), chunks={"time": 25}, read_log_dir=read_log.dir
+    )
+
+    def run(where: str) -> tuple[int, int]:
+        n = xs.sql(f"SELECT COUNT(*) AS n FROM prune_m WHERE {where}").df.collect()[0]["n"]
+        return n, len([l for l in read_log.drain() if l["partition"] >= 0])
+
+    # '2020-02-15' is day index 45 -> chunk 1 of [0..24][25..49][50..74][75..99]
+    assert run("time = TIMESTAMP '2020-02-15'") == (5, 1)
+    # day 74 is '2020-03-15'; strict > leaves only chunk 3
+    assert run("time > TIMESTAMP '2020-03-15'") == (25 * 5, 1)
+    # <= day 24 is exactly chunk 0
+    assert run("time <= TIMESTAMP '2020-01-25'") == (25 * 5, 1)
+    # IN with values in chunks 0 and 3: both read, middle two pruned
+    assert run(
+        "time IN (TIMESTAMP '2020-01-05', TIMESTAMP '2020-03-20')"
+    ) == (2 * 5, 2)
+    # != cannot prune (the excluded value sits inside one chunk's bounds
+    # but every chunk still holds matching rows): all 4 read, exact rows
+    assert run("time != TIMESTAMP '2020-02-15'") == (99 * 5, 4)
+    # NOT BETWEEN: conservative keep on all chunks, row-exact result
+    assert run(
+        "time NOT BETWEEN TIMESTAMP '2020-01-26' AND TIMESTAMP '2020-04-09'"
+    ) == (25 * 5, 4)

@@ -176,3 +176,28 @@ def test_lazy_close_unpersists(xs, spark):
     del lz
     gc.collect()
     assert n_cached() <= base
+
+
+def test_eager_aggregation_single_scan(xs):
+    """The eager reverse pivot materializes an aggregation ("barrier"
+    query) with exactly ONE source scan (reference tests/test_ds.py:142-177):
+    coords + every data var come from the same executed result, never from
+    per-var or discovery re-queries."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="readlog_")
+    xs.from_dataset(
+        "barrier_t", fixture_ds(), chunks={"time": 4}, read_log_dir=d
+    )
+    out = xs.sql(
+        "SELECT lat, AVG(temp) AS mean_temp FROM barrier_t GROUP BY lat"
+    ).to_dataset(dims=("lat",))
+    logs = [json.load(open(p)) for p in sorted(glob.glob(d + "/*.json"))]
+    reads = [l for l in logs if l["partition"] >= 0]
+    # 3 chunk partitions, each read exactly once by the one aggregation scan
+    assert len(reads) == 3
+    assert sorted(l["partition"] for l in reads) == [0, 1, 2]
+    assert out.data_vars["mean_temp"].values().shape == (5,)
