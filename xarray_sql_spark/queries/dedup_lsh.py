@@ -372,54 +372,47 @@ def ss03_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # spread the 8 per-row plane projections if the layout is unsplittable
     # (bench partition sanity; same rationale as ss01)
-    e = table(spark, sf_dir, "embeddings", spread=True)
-    v = F.col("embedding").cast("array<double>")
-
-    def dot_plane(p: int):
-        # one ArrayType literal, not 384 element literals: keeps the
-        # expression tree (and per-execution plan/codegen cost) small
-        plane = F.lit(list(PLANES[p]))
-        return F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    table(spark, sf_dir, "embeddings", spread=True).createOrReplaceTempView(
+        "ss03_embeddings"
+    )
+    # ONE SQL statement with the 8x64 plane matrix appearing ONCE inside a
+    # sequence-aggregate: the previous DSL form duplicated a 64-float array
+    # literal into each of 8 when(zip_with(...)) subtrees, and the driver
+    # paid ~1 s per build in py4j literal conversion + analysis.
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(repr(x) for x in PLANES[p]) + ")"
+        for p in range(N_PLANES)
+    ) + ")"
+    return spark.sql(f"""
+        WITH b AS (
+            SELECT vec_id, v,
+                   aggregate(sequence(0, {N_PLANES - 1}), 0, (acc, p) ->
+                       acc + IF(aggregate(zip_with(v, {planes_sql}[p],
+                                                   (x, y) -> x * y),
+                                CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= 0,
+                                shiftleft(1, p), 0)) AS bucket,
+                   sqrt(aggregate(transform(v, x -> x * x),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS norm
+            FROM (SELECT vec_id, CAST(embedding AS array<double>) AS v
+                  FROM ss03_embeddings)
+        ),
+        scored AS (
+            SELECT /*+ BROADCAST(q) */
+                   q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   aggregate(zip_with(q.v, c.v, (x, y) -> x * y),
+                             CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+                       / (q.norm * c.norm) AS cos
+            FROM b c JOIN (SELECT * FROM b WHERE vec_id < 10) q
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         )
-
-    base = e.select("vec_id", v.alias("v"))
-    bucket = sum(
-        F.when(dot_plane(p) >= 0, F.lit(1 << p)).otherwise(0) for p in range(N_PLANES)
-    )
-    norm = F.sqrt(
-        F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    bucketed = base.select("vec_id", "v", bucket.alias("bucket"), norm.alias("norm"))
-    q = bucketed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"),
-        F.col("norm").alias("qn"),
-    )
-    c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.col("bucket").alias("cb"),
-        F.col("norm").alias("cn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    scored = c.join(
-        F.broadcast(q),
-        (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")),
-    ).select("query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("cos"))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               round(cos, 6) AS cosine
+        FROM (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= 3
+    """)
 
 
 # --- BPE-ish regex tokenization --------------------------------------------

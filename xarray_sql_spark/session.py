@@ -65,6 +65,15 @@ def get_spark(app_name: str = "xarray-sql-spark", cpus: int | None = None) -> Sp
 # one of 32 cores. Cache: path -> row-group count.
 _ROW_GROUPS: dict[str, int] = {}
 
+# session -> {(path, spread): reader DataFrame}; see table() docstring.
+# Weak-keyed on the SparkSession so a stopped/collected session releases its
+# DataFrames and a recycled object address can never serve stale plans.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def _scan_tasks_available(path: str) -> int:
     if path not in _ROW_GROUPS:
@@ -94,12 +103,22 @@ def table(
     at 100 TB no gratuitous shuffle is added. Catalyst still pushes filters
     below the repartition into the scan (PushPredicateThroughNonJoin), so
     pushdown is preserved.
+
+    The returned DataFrame is cached per (session, path, spread): a
+    ``spark.read.parquet`` costs a driver round trip + footer/schema read
+    every call, which multiplied across a six-table join's builder was the
+    dominant share of its latency. DataFrames are immutable, so reuse is
+    side-effect-free.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cached = per_session.get((path, spread))
+    if cached is not None:
+        return cached
     if name == "events":
         # Runtime conf (not builder-only) so this works on ANY caller-supplied
         # SparkSession — the driver constructs its own plain session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -109,6 +128,7 @@ def table(
         cores = spark.sparkContext.defaultParallelism
         if _scan_tasks_available(path) < max(cores // 4, 2):
             df = df.repartition(cores)
+    per_session[(path, spread)] = df
     return df
 
 
