@@ -774,26 +774,35 @@ def ss04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate checks the *structure*, not exact-NN recall."""
     # spread the per-row centroid math if the layout is unsplittable (ss01)
     e = table(spark, sf_dir, "embeddings", spread=True)
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    cent = v.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
-    )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x
     )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
+    # Norms are precomputed ONCE per vector / per centroid: inlining norm()
+    # into the cos expression would re-run a 384-element aggregate for both
+    # sides of every (row, centroid) and (query, candidate) pair — 3x the
+    # higher-order-function work for identical doubles (multiplication is
+    # deterministic, so the oracle hash is unchanged).
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).select("vec_id", "emb", norm("emb").alias("nrm"))
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
     ranked = (
         v.join(F.broadcast(cent))
-        .select("vec_id", "cell", "emb", (dot("emb", "cemb") / (norm("emb") * norm("cemb"))).alias("cos"))
+        .select("vec_id", "cell", "emb", "nrm", (dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias("cos"))
     )
     wcell = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
     both = ranked.withColumn("rnk", F.row_number().over(wcell))
-    assign = both.filter(F.col("rnk") == 1).select("vec_id", "cell", F.col("emb").alias("nemb"))
+    assign = both.filter(F.col("rnk") == 1).select(
+        "vec_id", "cell", F.col("emb").alias("nemb"), F.col("nrm").alias("nnrm")
+    )
     probes = (
         both.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20) & (F.col("rnk") <= 2))
-        .select(F.col("vec_id").alias("query_id"), "cell", F.col("emb").alias("qemb"))
+        .select(F.col("vec_id").alias("query_id"), "cell", F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm"))
     )
     scored = (
         probes.join(assign, "cell")
@@ -801,7 +810,7 @@ def ss04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot("qemb", "nemb") / (norm("qemb") * norm("nemb"))).alias("cos"),
+            (dot("qemb", "nemb") / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
         )
     )
     wtop = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
