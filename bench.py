@@ -72,10 +72,18 @@ def main() -> None:
         return best
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         if not spec.bench:
             continue
-        run_once(spec)  # untimed warm-up: codegen + broadcast + shuffle files
+        try:
+            run_once(spec)  # untimed warm-up: codegen + broadcast + shuffle files
+        except Exception as exc:  # noqa: BLE001 — one broken query must not
+            # kill the whole bench (round 3: a single AnalysisException left
+            # the driver with rc=1 and NO bench JSON at all).
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         # Collect the accumulated broadcast/shuffle garbage OUTSIDE the
         # timed region: local-mode contexts otherwise defer cleanup until a
         # full GC lands mid-query (observed as 5-15 s outlier samples).
@@ -117,17 +125,16 @@ def main() -> None:
                 file=sys.stderr,
             )
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -124,6 +124,21 @@ def table(
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The driver's parquet has been observed with three timestamp physical
+    # encodings across regenerations: TIMESTAMP(NANOS) (handled above),
+    # µs-with-UTC-flag (read as TIMESTAMP_LTZ), and µs-without-flag (read as
+    # TIMESTAMP_NTZ under inferTimestampNTZ). NTZ breaks unix_micros()/
+    # numeric casts, so normalize every flavor to one type — µs LTZ under a
+    # UTC session — which makes wall-clock values, epoch math and DuckDB's
+    # epoch_us() agree exactly.
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast("timestamp_ltz") for c in ntz_cols})
     if spread:
         cores = spark.sparkContext.defaultParallelism
         if _scan_tasks_available(path) < max(cores // 4, 2):

@@ -51,19 +51,44 @@ EVENTS_RAW_SCHEMA = StructType(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file here; a dated
     directory tree in production — the source incrementally lists new files).
+
+    The file's physical ``ts`` encoding has varied across testdata
+    regenerations (TIMESTAMP(NANOS) vs µs-without-UTC-flag); a stream needs
+    its schema declared up front, so sniff the footer once with pyarrow and
+    declare the matching raw type, normalizing to a µs TIMESTAMP_LTZ column
+    under the UTC session either way (same rule as ``session.table``).
     """
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    nanos = str(arrow_ts) == "timestamp[ns]"
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", LongType() if nanos else TimestampNTZType())
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
     # The file source wants a directory; sf_dir holds all tables, so filter
     # the listing down to the events file(s).
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if nanos
+        else F.col("ts").cast("timestamp_ltz")
+    )
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",
