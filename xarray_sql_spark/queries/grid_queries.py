@@ -534,3 +534,216 @@ def gq10_grid_reproject_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.lon").alias("lon"),
         (F.col("p.lat") + F.col("p.lon")).alias("checksum"),
     )
+
+
+@query(
+    "gq11_grid_ndvi",
+    oracle=f"""
+    WITH cells AS (
+        SELECT y.i AS yi, x.i AS xi
+        FROM (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    bands AS (
+        SELECT yi, xi,
+               CASE WHEN (yi + xi) % 7 = 0 THEN NULL
+                    ELSE 0.25 + yi * 0.25 + xi * 0.125 END AS red,
+               CASE WHEN (yi + xi) % 7 = 0 THEN NULL
+                    ELSE 0.75 + yi * 0.25 + xi * 0.0625 END AS nir
+        FROM cells
+    )
+    SELECT CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           (nir - red) / (nir + red) AS ndvi
+    FROM bands
+    """,
+    tags=("grid", "datasource", "band-math", "geospatial-shape"),
+    bench=False,
+)
+def gq11_grid_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel band arithmetic over a two-variable DataSource grid
+    (geospatial case 01 shape, reference 01_ndvi.py:27-37): NDVI =
+    (nir - red) / (nir + red) as plain column arithmetic — the
+    ``apply_ufunc`` of the array world is a SELECT expression here. Cloudy
+    pixels are NaN in BOTH bands; the pivot maps NaN to SQL NULL (reference
+    df.py:271-273) and NULL propagates through the arithmetic, so the mask
+    costs nothing — no CASE in the query. Band values are exact binary
+    fractions and IEEE division is deterministic on identical operands, so
+    the unrounded ratios hash-match DuckDB bit-for-bit. Both variables
+    stream from the same chunked scan: one pass, zero joins, and at 100 TB
+    the expression runs inside whole-stage codegen with no shuffle at all."""
+    y = np.arange(N_Y, dtype=np.int64)
+    x = np.arange(N_X, dtype=np.int64)
+    red = 0.25 + y[:, None] * 0.25 + x[None, :] * 0.125
+    nir = 0.75 + y[:, None] * 0.25 + x[None, :] * 0.0625
+    mask = (y[:, None] + x[None, :]) % 7 == 0
+    red, nir = red.copy(), nir.copy()
+    red[mask] = np.nan
+    nir[mask] = np.nan
+    ds = Dataset(
+        {
+            "red": Variable(("y", "x"), red),
+            "nir": Variable(("y", "x"), nir),
+        },
+        {"y": y, "x": x},
+    )
+    xs = XarraySession(spark)
+    xs.from_dataset("gq_ndvi", ds, chunks={"y": 4})
+    return xs.sql(
+        "SELECT y, x, (nir - red) / (nir + red) AS ndvi FROM gq_ndvi"
+    ).df
+
+
+@query(
+    "gq12_grid_zonal_mean",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )
+    SELECT CAST(yi AS BIGINT) AS lat_band,
+           avg(v) AS zonal_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cells GROUP BY yi
+    """,
+    tags=("grid", "datasource", "zonal-mean", "geospatial-shape"),
+    bench=False,
+)
+def gq12_grid_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array reduction that is secretly a GROUP BY (geospatial case 03
+    shape, reference 03_zonal_mean.py:23-30): ``mean over (time, x)``
+    becomes ``GROUP BY y`` over the pivoted grid — a 16-key hash aggregate
+    fed by partial aggregation inside every scan partition, so the shuffle
+    carries 16 rows per partition regardless of grid size. Cell values are
+    exact binary fractions: partial sums are exactly representable at any
+    accumulation order, and both engines' final sum/count division rounds
+    identically — the hash gate needs no rounding."""
+    xs = _register(spark, "gq_grid12")
+    return xs.sql(
+        "SELECT y AS lat_band, AVG(v) AS zonal_mean, COUNT(*) AS n "
+        "FROM gq_grid12 GROUP BY y"
+    ).df
+
+
+N_DST = 8  # warp destination grid is N_DST x N_DST
+
+
+@query(
+    "gq13_grid_warp",
+    oracle=f"""
+    WITH src AS (
+        SELECT y.i AS yi, x.i AS xi, y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    dst AS (
+        SELECT dy.i AS dy, dx.i AS dx,
+               dy.i * 1.5 + 0.25 AS sy, dx.i * 1.75 + 0.5 AS sx
+        FROM (SELECT unnest(range({N_DST})) AS i) dy,
+             (SELECT unnest(range({N_DST})) AS i) dx
+    ),
+    stencil AS (
+        SELECT dy, dx,
+               CAST(floor(sy) AS BIGINT) + oy.i AS sy_i,
+               CAST(floor(sx) AS BIGINT) + ox.i AS sx_i,
+               (CASE WHEN oy.i = 0 THEN 1 - (sy - floor(sy))
+                     ELSE sy - floor(sy) END)
+               * (CASE WHEN ox.i = 0 THEN 1 - (sx - floor(sx))
+                       ELSE sx - floor(sx) END) AS w
+        FROM dst,
+             (SELECT unnest(range(2)) AS i) oy,
+             (SELECT unnest(range(2)) AS i) ox
+    )
+    SELECT CAST(s.dy AS BIGINT) AS dst_y, CAST(s.dx AS BIGINT) AS dst_x,
+           sum(s.w * c.v) AS warped
+    FROM stencil s JOIN src c ON c.yi = s.sy_i AND c.xi = s.sx_i
+    GROUP BY s.dy, s.dx
+    """,
+    tags=("grid", "datasource", "udf", "regrid", "geospatial-shape"),
+    bench=False,
+)
+def gq13_grid_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp = reproject + resample in one query (geospatial case 09 shape,
+    reference 09_warp.py:19-45,216-256): case 07's coordinate-transform UDF
+    composed with case 08's sparse-weight JOIN. A struct-returning pandas
+    UDF maps each destination cell to fractional source coordinates; JVM
+    expressions derive the 4-point bilinear stencil (floor + frac weights)
+    and ``posexplode``-style expansion yields (src_y, src_x, w) rows; the
+    source grid streams from the chunked DataSource scan and joins the
+    BROADCAST stencil on the integer cell key; SUM(w*v) per destination
+    cell finishes it. All coefficients are exact binary fractions, so the
+    bilinear products and their 4-term sums are exact in both engines. The
+    100 TB shape: the stencil is O(dst cells x 4) — tiny next to the source
+    raster — so the join is map-side; the only shuffle is the dst-cell
+    group key, and the UDF batch-parallelizes where the reference must run
+    its PROJ transform serially (thread-unsafe C library)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<sy: double, sx: double>")
+    def reproject(cell: pd.Series) -> pd.DataFrame:
+        dy, dx = cell // N_DST, cell % N_DST
+        return pd.DataFrame({"sy": dy * 1.5 + 0.25, "sx": dx * 1.75 + 0.5})
+
+    y = np.arange(N_Y, dtype=np.int64)
+    x = np.arange(N_X, dtype=np.int64)
+    v = y[:, None] * 0.5 + x[None, :] * 0.25
+    xs = XarraySession(spark)
+    xs.from_dataset(
+        "gq_warp_src",
+        Dataset({"v": Variable(("y", "x"), v)}, {"y": y, "x": x}),
+        chunks={"y": 4},
+    )
+    src = xs.sql("SELECT y, x, v FROM gq_warp_src").df
+
+    d = spark.range(N_DST * N_DST).select(
+        F.expr(f"id div {N_DST}").alias("dy"),
+        (F.col("id") % N_DST).alias("dx"),
+        reproject(F.col("id")).alias("p"),
+    )
+    d = d.select(
+        "dy",
+        "dx",
+        F.floor("p.sy").cast("long").alias("y0"),
+        (F.col("p.sy") - F.floor("p.sy")).alias("fy"),
+        F.floor("p.sx").cast("long").alias("x0"),
+        (F.col("p.sx") - F.floor("p.sx")).alias("fx"),
+    )
+    one = F.lit(1.0)
+    stencil = d.select(
+        "dy",
+        "dx",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("y0").alias("sy"),
+                    F.col("x0").alias("sx"),
+                    ((one - F.col("fy")) * (one - F.col("fx"))).alias("w"),
+                ),
+                F.struct(
+                    F.col("y0").alias("sy"),
+                    (F.col("x0") + 1).alias("sx"),
+                    ((one - F.col("fy")) * F.col("fx")).alias("w"),
+                ),
+                F.struct(
+                    (F.col("y0") + 1).alias("sy"),
+                    F.col("x0").alias("sx"),
+                    (F.col("fy") * (one - F.col("fx"))).alias("w"),
+                ),
+                F.struct(
+                    (F.col("y0") + 1).alias("sy"),
+                    (F.col("x0") + 1).alias("sx"),
+                    (F.col("fy") * F.col("fx")).alias("w"),
+                ),
+            )
+        ).alias("s"),
+    )
+    return (
+        src.join(
+            F.broadcast(stencil),
+            (src.y == F.col("s.sy")) & (src.x == F.col("s.sx")),
+        )
+        .groupBy(F.col("dy").alias("dst_y"), F.col("dx").alias("dst_x"))
+        .agg(F.sum(F.col("s.w") * F.col("v")).alias("warped"))
+    )
