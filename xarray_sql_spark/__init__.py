@@ -22,4 +22,44 @@ Layers:
 
 from xarray_sql_spark.version import __version__
 
-__all__ = ["__version__"]
+# Reference-parity public API (reference xarray_sql/__init__.py:1-12): a
+# reference user's imports map 1:1 —
+#   XarrayContext        -> XarraySession (alias below)
+#   read_xarray          -> arrow_io.read_xarray (eager) / to_arrow_reader
+#                           (the RecordBatchReader flavor)
+#   read_xarray_table    -> compat.read_xarray_table (lazy registered scan)
+#   from_map (deprecated)-> compat.from_map (+ from_map_spark, distributed)
+#   cftime               -> functions.cftime
+# Imports are lazy (module __getattr__) so `import xarray_sql_spark` stays
+# cheap for tooling that only wants __version__ — pyspark/pyarrow load on
+# first attribute access.
+
+_EXPORTS = {
+    "XarraySession": ("xarray_sql_spark.xr_session", "XarraySession"),
+    "XarrayContext": ("xarray_sql_spark.xr_session", "XarraySession"),
+    "Dataset": ("xarray_sql_spark.dataset", "Dataset"),
+    "Variable": ("xarray_sql_spark.dataset", "Variable"),
+    "read_xarray": ("xarray_sql_spark.arrow_io", "read_xarray"),
+    "to_arrow_reader": ("xarray_sql_spark.arrow_io", "to_arrow_reader"),
+    "read_xarray_table": ("xarray_sql_spark.compat", "read_xarray_table"),
+    "from_map": ("xarray_sql_spark.compat", "from_map"),
+    "from_map_batched": ("xarray_sql_spark.compat", "from_map_batched"),
+    "from_map_spark": ("xarray_sql_spark.compat", "from_map_spark"),
+    "cftime": ("xarray_sql_spark.functions.cftime", None),
+}
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'xarray_sql_spark' has no attribute {name!r}")
+    import importlib
+
+    module = importlib.import_module(mod_name)
+    value = module if attr is None else getattr(module, attr)
+    globals()[name] = value  # cache for subsequent lookups
+    return value
+
+
+__all__ = ["__version__", *_EXPORTS]

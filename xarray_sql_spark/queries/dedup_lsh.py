@@ -533,16 +533,22 @@ def dd06_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per language (document-frequency IDF over the
-    whole corpus, term frequency within the language). Two shuffles — one
-    per aggregation — then a broadcast join of the tiny df table back onto
-    tf; the per-language top-k is a bounded window."""
-    d = table(spark, sf_dir, "documents")
+    whole corpus, term frequency within the language).
+
+    One tokenization pass, not two: tf(lang, term) counts docs-in-language
+    containing the term, and df(term) is exactly Σ_lang tf — so the
+    document frequency aggregates the (already tiny) tf table instead of
+    re-scanning and re-exploding the corpus (the original plan tokenized
+    100 TB twice). ``spread=True`` fans the explode across cores on the
+    single-row-group local file. The corpus-size scalar reads the unspread
+    table so it stays a parquet metadata count (no shuffle)."""
+    d = table(spark, sf_dir, "documents", spread=True)
     tok = d.select(
-        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+        "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
     )
-    n_docs = d.count()  # scalar; at scale use a metadata count
-    df_t = tok.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = table(spark, sf_dir, "documents").count()  # parquet metadata count
     tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.sum("tf").alias("df"))
     scored = tf.join(F.broadcast(df_t), "term").select(
         "lang",
         "term",
