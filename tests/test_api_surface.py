@@ -101,3 +101,13 @@ def test_cftime_module_exported():
     import xarray_sql_spark as xqs
 
     assert hasattr(xqs.cftime, "decode_to_timestamps")
+
+
+def test_context_no_args_attaches_to_active_session(spark):
+    import xarray_sql_spark as xqs
+
+    ctx = xqs.XarrayContext()  # reference spelling: no engine handle
+    assert ctx.spark is spark
+    ctx.from_dataset("api_noarg", _small_ds(), chunks={"y": 2})
+    out = ctx.sql("SELECT COUNT(*) AS n FROM api_noarg")
+    assert out.to_pandas()["n"][0] == 12

@@ -56,6 +56,11 @@ class XarrayDataFrame:
     def df(self) -> DataFrame:
         return self._df
 
+    def to_pandas(self) -> pd.DataFrame:
+        """Reference-parity spelling (reference sql.py result surface:
+        ``ctx.sql(...).to_pandas()``); Spark calls this ``toPandas``."""
+        return self._df.toPandas()
+
     # ------------------------------------------------------------------
     def _infer_dims(self, columns: Sequence[str], dims, template) -> tuple[str, ...]:
         if dims is not None:

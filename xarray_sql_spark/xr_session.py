@@ -40,7 +40,16 @@ def _group_vars_by_dims(ds: Dataset) -> dict[tuple[str, ...], list[str]]:
 
 
 class XarraySession:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession | None = None):
+        if spark is None:
+            # Reference-parity ergonomics: the reference's XarrayContext()
+            # takes no engine handle (reference sql.py) — when none is
+            # given, attach to the active session or build the tuned local
+            # default so ``XarrayContext(); ctx.from_dataset(...)`` works
+            # verbatim after an import switch.
+            from xarray_sql_spark.session import get_spark
+
+            spark = SparkSession.getActiveSession() or get_spark()
         self.spark = spark
         # Python DS filter pushdown is opt-in; without it partitions() never
         # sees the predicates and every query is a full scan.
