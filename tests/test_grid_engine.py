@@ -530,3 +530,106 @@ def test_pruning_operator_matrix(xs, read_log):
     assert run(
         "time NOT BETWEEN TIMESTAMP '2020-01-26' AND TIMESTAMP '2020-04-09'"
     ) == (25 * 5, 4)
+
+
+# --- Zarr v3 store backend (zarr.json metadata, c/-prefixed chunk keys,
+# bytes+gzip codecs, inline consolidated metadata — the format zarr-python 3
+# writes; the reference's benchmark stack pins zarr>=3) ----------------------
+def zarr3_fixture(tmpdir: str, chunks=None, compressor={"id": "zlib", "level": 1}):
+    from xarray_sql_spark.zarr_store import write_zarr
+
+    ds = air_small()
+    path = os.path.join(tmpdir, "air_v3.zarr")
+    write_zarr(ds, path, chunks=chunks or {"time": 4}, compressor=compressor,
+               zarr_format=3)
+    return ds, path
+
+
+def test_zarr3_roundtrip_values_attrs_and_dims(tmp_path):
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    ds, path = zarr3_fixture(str(tmp_path))
+    back = open_zarr(path)
+    assert back.attrs["title"] == "air_small"
+    assert back.data_vars["air"].attrs["units"] == "K"
+    assert back.data_vars["air"].dims == ("time", "lat", "lon")
+    np.testing.assert_array_equal(back.coords["time"], ds.coords["time"])
+    np.testing.assert_array_equal(back.coords["lat"], ds.coords["lat"])
+    np.testing.assert_allclose(
+        back.data_vars["air"].values(), ds.data_vars["air"].values()
+    )
+    assert back.data_vars["air"].dtype == np.float32
+
+
+def test_zarr3_selective_chunk_reads(tmp_path):
+    ds, path = zarr3_fixture(str(tmp_path))
+    back = Dataset.open_store(path)
+    zv = back.data_vars["air"].data
+    blk = zv.read_block((slice(4, 8), slice(0, 11), slice(0, 10)))
+    np.testing.assert_allclose(blk, ds.data_vars["air"].values()[4:8])
+    assert zv.last_opened == [os.path.join("c", "1", "0", "0")]
+
+
+def test_zarr3_missing_chunk_is_fill(tmp_path):
+    ds, path = zarr3_fixture(str(tmp_path))
+    os.remove(os.path.join(path, "air", "c", "0", "0", "0"))
+    back = Dataset.open_store(path)
+    blk = back.data_vars["air"].read_block((slice(0, 4), slice(0, 11), slice(0, 10)))
+    assert np.isnan(blk).all()
+    blk2 = back.data_vars["air"].read_block((slice(4, 12), slice(0, 11), slice(0, 10)))
+    np.testing.assert_allclose(blk2, ds.data_vars["air"].values()[4:12])
+
+
+def test_zarr3_consolidated_metadata_is_sufficient(tmp_path):
+    """The root zarr.json's inline consolidated_metadata alone must open the
+    group — per-array zarr.json files are never read when it is present
+    (one metadata round trip, the zarr-python 3 convention)."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    ds, path = zarr3_fixture(str(tmp_path))
+    for name in ("air", "time", "lat", "lon"):
+        os.remove(os.path.join(path, name, "zarr.json"))
+    back = open_zarr(path)
+    np.testing.assert_allclose(
+        back.data_vars["air"].values(), ds.data_vars["air"].values()
+    )
+
+
+def test_zarr3_uncompressed_and_no_consolidated(tmp_path):
+    """bytes-codec-only chunks read back; with consolidated metadata
+    stripped the loader walks per-array zarr.json files instead."""
+    import json
+
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    ds, path = zarr3_fixture(str(tmp_path), compressor=None)
+    root_path = os.path.join(path, "zarr.json")
+    with open(root_path) as f:
+        root = json.load(f)
+    del root["consolidated_metadata"]
+    with open(root_path, "w") as f:
+        json.dump(root, f)
+    back = open_zarr(path)
+    np.testing.assert_allclose(
+        back.data_vars["air"].values(), ds.data_vars["air"].values()
+    )
+
+
+def test_zarr3_store_backed_table_selective(xs, read_log, tmp_path):
+    """End-to-end over a v3 tree: values match and a dim-filtered query
+    reads only the matching partitions (same contract as the v2 twin)."""
+    ds, path = zarr3_fixture(str(tmp_path))
+    xs.from_dataset(
+        "z3_air", Dataset.open_store(path), chunks={"time": 4}, store=path,
+        read_log_dir=read_log.dir,
+    )
+    read_log.drain()
+    row = xs.sql("SELECT AVG(air) AS a FROM z3_air").df.collect()[0]
+    expect = float(ds.data_vars["air"].values().mean())
+    assert abs(row["a"] - expect) < 1e-3
+    assert len(read_log.drain()) == 3
+    row = xs.sql(
+        "SELECT COUNT(*) AS n FROM z3_air WHERE time >= TIMESTAMP '2013-01-01 09:00:00'"
+    ).df.collect()[0]
+    assert row["n"] == 3 * 11 * 10
+    assert len(read_log.drain()) == 1  # only the last time chunk

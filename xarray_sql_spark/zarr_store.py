@@ -1,15 +1,17 @@
-"""Minimal public-spec Zarr v2 directory store: reader + test writer.
+"""Minimal public-spec Zarr v2 + v3 directory store: reader + test writer.
 
-Implements the subset of the Zarr v2 storage spec
-(https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html) that xarray's
-``to_zarr`` produces, so grid tables can be registered directly over the
-format users actually have (the reference's primary input — reference
-xarray_sql/reader.py:192-337 builds its table provider over Zarr and reads
-per-chunk, per-variable byte ranges; ``ZarrArray.read_block`` keeps that
-selective-read contract: only chunk files overlapping the requested block
-are opened, and only requested variables are touched).
+Implements the subsets of the Zarr v2 storage spec
+(https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html) and the Zarr v3
+core spec (https://zarr-specs.readthedocs.io/en/latest/v3/core/v3.0.html)
+that xarray's ``to_zarr`` / zarr-python 3 produce, so grid tables can be
+registered directly over the format users actually have (the reference's
+primary input — reference xarray_sql/reader.py:192-337 builds its table
+provider over Zarr and reads per-chunk, per-variable byte ranges;
+``ZarrArray.read_block`` keeps that selective-read contract: only chunk
+files overlapping the requested block are opened, and only requested
+variables are touched).
 
-Supported:
+Supported, v2:
 - directory layout: group ``.zgroup``/``.zattrs``, one subdirectory per
   array holding ``.zarray``, optional ``.zattrs`` (xarray's
   ``_ARRAY_DIMENSIONS`` names the dims), and chunk files ``i.j.k``
@@ -19,9 +21,23 @@ Supported:
   (blosc, zstd, lz4) is delegated to ``numcodecs`` when importable and
   raises a clear error otherwise (this container has no numcodecs).
 - ``fill_value``: chunks absent from disk materialize as the fill
-  (Zarr v2 writes are sparse); JSON ``"NaN"``/``"Infinity"`` handled.
+  (Zarr writes are sparse); JSON ``"NaN"``/``"Infinity"`` handled.
 - ``order``: "C" or "F".
 - filters: only ``null``/``[]`` (xarray's default); otherwise error.
+
+Supported, v3 (the reference's benchmark stack pins ``zarr>=3``):
+- ``zarr.json`` node metadata (``node_type`` group/array), array dims via
+  ``dimension_names``, attributes inline.
+- ``chunk_grid`` ``regular``; ``chunk_key_encoding`` ``default``
+  (``c/0/1``-style keys, "/" or "." separator) and ``v2`` (``0.1``).
+- ``data_type``: core fixed-size names (``float64`` ...) plus numpy
+  extension spellings for datetimes.
+- ``codecs``: the mandatory ``bytes`` (endian) array->bytes codec,
+  optionally followed by ``gzip`` / ``zlib``; ``transpose`` with a
+  reversed order list maps to F-order. Sharding and other codecs raise a
+  clear error.
+- inline ``consolidated_metadata`` in the root ``zarr.json`` (zarr-python
+  3 convention): one metadata read for the whole group.
 """
 
 from __future__ import annotations
@@ -89,8 +105,28 @@ def _compress(raw: bytes, compressor: dict | None) -> bytes:
     raise NotImplementedError(f"unsupported write compressor {cid!r}")
 
 
+def _parse_v3_dtype(spec: Any) -> np.dtype:
+    """v3 ``data_type``: core names ("float64", "int32", "bool", ...) or an
+    extension object/name — zarr-python 3 spells numpy datetimes as
+    ``numpy.datetime64`` with a unit configuration."""
+    if isinstance(spec, dict):  # extension form {"name": ..., "configuration": {...}}
+        name = spec.get("name", "")
+        cfg = spec.get("configuration", {}) or {}
+        if name in ("numpy.datetime64", "numpy.timedelta64"):
+            unit = cfg.get("unit", "ns")
+            kind = "M8" if name.endswith("datetime64") else "m8"
+            return np.dtype(f"{kind}[{unit}]")
+        raise NotImplementedError(f"unsupported Zarr v3 data_type {spec!r}")
+    if isinstance(spec, str):
+        try:
+            return np.dtype(spec)
+        except TypeError:
+            raise NotImplementedError(f"unsupported Zarr v3 data_type {spec!r}") from None
+    raise NotImplementedError(f"unsupported Zarr v3 data_type {spec!r}")
+
+
 class ZarrArray:
-    """Lazy chunk-addressable handle to one Zarr v2 array directory.
+    """Lazy chunk-addressable handle to one Zarr v2 or v3 array directory.
 
     ``read_block(slices)`` opens ONLY the chunk files overlapping the
     requested extent (``last_opened`` records them for observability
@@ -101,29 +137,91 @@ class ZarrArray:
     def __init__(self, path: str, meta: dict | None = None):
         self.path = path
         if meta is None:
-            meta = _read_json(os.path.join(path, ".zarray"))
-        if meta.get("zarr_format") != 2:
-            raise ValueError(f"{path}: not a Zarr v2 array")
+            v3_path = os.path.join(path, "zarr.json")
+            if os.path.isfile(v3_path):
+                meta = _read_json(v3_path)
+            else:
+                meta = _read_json(os.path.join(path, ".zarray"))
+        self.last_opened: list[str] = []
+        fmt = meta.get("zarr_format")
+        if fmt == 2:
+            self._init_v2(meta)
+        elif fmt == 3:
+            self._init_v3(meta)
+        else:
+            raise ValueError(f"{path}: unsupported zarr_format {fmt!r}")
+
+    def _init_v2(self, meta: dict) -> None:
         if meta.get("filters"):
-            raise NotImplementedError(f"{path}: Zarr filters are not supported")
+            raise NotImplementedError(f"{self.path}: Zarr filters are not supported")
         self.shape = tuple(int(n) for n in meta["shape"])
         self.chunks = tuple(int(c) for c in meta["chunks"])
         self.dtype = _parse_dtype(meta["dtype"])
         self.order = meta.get("order", "C")
         self.fill_value = _parse_fill(meta.get("fill_value"), self.dtype)
         self.compressor = meta.get("compressor")
-        self.separator = meta.get("dimension_separator", ".")
-        self.last_opened: list[str] = []
+        self._key_encoding = ("v2", meta.get("dimension_separator", "."))
+
+    def _init_v3(self, meta: dict) -> None:
+        if meta.get("node_type") != "array":
+            raise ValueError(f"{self.path}: zarr.json node_type is not 'array'")
+        self.shape = tuple(int(n) for n in meta["shape"])
+        grid = meta.get("chunk_grid", {})
+        if grid.get("name") != "regular":
+            raise NotImplementedError(
+                f"{self.path}: only the 'regular' chunk grid is supported"
+            )
+        self.chunks = tuple(int(c) for c in grid["configuration"]["chunk_shape"])
+        self.dtype = _parse_v3_dtype(meta["data_type"])
+        self.order = "C"
+        self.compressor = None
+        for codec in meta.get("codecs", [{"name": "bytes"}]):
+            name = codec.get("name")
+            cfg = codec.get("configuration", {}) or {}
+            if name == "bytes":
+                endian = cfg.get("endian", "little")
+                if self.dtype.itemsize > 1:
+                    self.dtype = self.dtype.newbyteorder(
+                        "<" if endian == "little" else ">"
+                    )
+            elif name == "transpose":
+                order = list(cfg.get("order", []))
+                if order == list(reversed(range(len(self.shape)))):
+                    self.order = "F"
+                elif order != list(range(len(self.shape))):
+                    raise NotImplementedError(
+                        f"{self.path}: general transpose codec order {order} unsupported"
+                    )
+            elif name in ("gzip", "zlib"):
+                self.compressor = {"id": name, "level": cfg.get("level", 6)}
+            else:
+                raise NotImplementedError(
+                    f"{self.path}: Zarr v3 codec {name!r} is not supported "
+                    f"(sharding/blosc/zstd need external libraries)"
+                )
+        self.fill_value = _parse_fill(meta.get("fill_value"), self.dtype)
+        cke = meta.get("chunk_key_encoding", {"name": "default"})
+        self._key_encoding = (
+            cke.get("name", "default"),
+            (cke.get("configuration", {}) or {}).get(
+                "separator", "/" if cke.get("name", "default") == "default" else "."
+            ),
+        )
 
     def _chunk_file(self, idx: tuple[int, ...]) -> str:
-        key = self.separator.join(str(i) for i in idx) if idx else "0"
+        kind, sep = self._key_encoding
+        if kind == "default":  # v3 default: c/0/1 (or c.0.1)
+            key = sep.join(["c", *(str(i) for i in idx)])
+        else:  # v2-style: 0.1 / "0" for scalars
+            key = sep.join(str(i) for i in idx) if idx else "0"
         return os.path.join(self.path, key)
 
     def _load_chunk(self, idx: tuple[int, ...]) -> np.ndarray | None:
         fname = self._chunk_file(idx)
         if not os.path.exists(fname):
             return None  # sparse chunk -> fill_value
-        self.last_opened.append(os.path.basename(fname))
+        # record the key relative to the array dir (v3 keys span subdirs)
+        self.last_opened.append(os.path.relpath(fname, self.path))
         with open(fname, "rb") as f:
             raw = _decompress(f.read(), self.compressor)
         return np.frombuffer(raw, dtype=self.dtype).reshape(
@@ -180,6 +278,47 @@ def _array_dirs(path: str) -> list[str]:
     )
 
 
+def _v3_array_dirs(path: str) -> list[str]:
+    out = []
+    for name in sorted(os.listdir(path)):
+        p = os.path.join(path, name, "zarr.json")
+        if os.path.isfile(p) and _read_json(p).get("node_type") == "array":
+            out.append(name)
+    return out
+
+
+def _load_group_metadata_v3(path: str) -> tuple[dict, dict[str, tuple[dict, dict]]]:
+    """v3 twin of :func:`_load_group_metadata`: (group attrs, {array name:
+    (zarr.json meta, normalized attrs incl. _ARRAY_DIMENSIONS)}).
+
+    Prefers zarr-python 3's inline ``consolidated_metadata`` in the root
+    ``zarr.json`` — one read for the whole group; falls back to walking
+    per-array ``zarr.json`` files. Dims come from the spec's
+    ``dimension_names``, normalized into the xarray ``_ARRAY_DIMENSIONS``
+    attribute so the open path is format-agnostic."""
+    root = _read_json(os.path.join(path, "zarr.json"))
+    attrs = dict(root.get("attributes") or {})
+    arrays: dict[str, tuple[dict, dict]] = {}
+
+    def add(name: str, meta: dict) -> None:
+        if meta.get("node_type") != "array":
+            return
+        zattrs = dict(meta.get("attributes") or {})
+        dims = meta.get("dimension_names")
+        if dims and _ARRAY_DIMENSIONS not in zattrs:
+            zattrs[_ARRAY_DIMENSIONS] = list(dims)
+        arrays[name] = (meta, zattrs)
+
+    consolidated = root.get("consolidated_metadata") or {}
+    if consolidated.get("metadata"):
+        for name, meta in sorted(consolidated["metadata"].items()):
+            add(name, meta)
+    else:
+        for name in _v3_array_dirs(path):
+            add(name, _read_json(os.path.join(path, name, "zarr.json")))
+    return attrs, arrays
+
+
 def _load_group_metadata(path: str) -> tuple[dict, dict[str, tuple[dict, dict]]]:
     """(group attrs, {array name: (.zarray meta, .zattrs)}).
 
@@ -209,23 +348,27 @@ def _load_group_metadata(path: str) -> tuple[dict, dict[str, tuple[dict, dict]]]
 
 
 def open_zarr(path: str):
-    """Open a Zarr v2 directory group as a lazy :class:`Dataset`.
+    """Open a Zarr v2 or v3 directory group as a lazy :class:`Dataset`.
 
-    Coordinates (1-D arrays whose ``_ARRAY_DIMENSIONS`` is their own name,
-    the xarray convention) load eagerly — they are small and drive the
-    partition-bounds metadata. Data variables stay chunk-lazy; executors
-    read only the chunk files their block overlaps (reference selective
-    read: xarray_sql/reader.py:270-303).
+    Coordinates (1-D arrays whose ``_ARRAY_DIMENSIONS`` / v3
+    ``dimension_names`` entry is their own name, the xarray convention)
+    load eagerly — they are small and drive the partition-bounds metadata.
+    Data variables stay chunk-lazy; executors read only the chunk files
+    their block overlaps (reference selective read:
+    xarray_sql/reader.py:270-303).
     """
     from xarray_sql_spark.dataset import Dataset, Variable
 
-    if (
-        not os.path.isfile(os.path.join(path, ".zgroup"))
-        and not os.path.isfile(os.path.join(path, ".zmetadata"))
-        and not _array_dirs(path)
+    if os.path.isfile(os.path.join(path, "zarr.json")):
+        attrs, arrays = _load_group_metadata_v3(path)
+    elif (
+        os.path.isfile(os.path.join(path, ".zgroup"))
+        or os.path.isfile(os.path.join(path, ".zmetadata"))
+        or _array_dirs(path)
     ):
-        raise ValueError(f"{path}: not a Zarr v2 group")
-    attrs, arrays = _load_group_metadata(path)
+        attrs, arrays = _load_group_metadata(path)
+    else:
+        raise ValueError(f"{path}: not a Zarr v2/v3 group")
 
     coords: dict[str, np.ndarray] = {}
     coord_attrs: dict[str, dict] = {}
@@ -246,17 +389,115 @@ def open_zarr(path: str):
     return ds
 
 
+def _v3_data_type(dtype: np.dtype):
+    if dtype.kind == "M":
+        unit = np.datetime_data(dtype)[0]
+        return {
+            "name": "numpy.datetime64",
+            "configuration": {"unit": unit, "scale_factor": 1},
+        }
+    return dtype.name  # float64 / int64 / bool / ...
+
+
+def _write_zarr_v3(
+    ds,
+    path: str,
+    chunks: Mapping[str, int] | None,
+    compressor: dict | None,
+) -> str:
+    """Zarr v3 layout: per-node ``zarr.json``, ``c/``-prefixed chunk keys,
+    ``bytes``(+``gzip``) codec chain, inline consolidated metadata."""
+    os.makedirs(path, exist_ok=True)
+    consolidated: dict[str, Any] = {}
+
+    def write_array(name: str, dims: tuple[str, ...], data: np.ndarray, attrs: dict):
+        data = np.ascontiguousarray(data)
+        adir = os.path.join(path, name)
+        os.makedirs(adir, exist_ok=True)
+        chunk_shape = tuple(
+            min((chunks or {}).get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
+        )
+        codecs: list[dict] = [
+            {"name": "bytes", "configuration": {"endian": "little"}}
+        ]
+        if compressor is not None:
+            codecs.append(
+                {"name": "gzip", "configuration": {"level": compressor.get("level", 1)}}
+            )
+        fill = "NaN" if data.dtype.kind == "f" else 0
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(data.shape),
+            "data_type": _v3_data_type(data.dtype),
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(chunk_shape) or [1]},
+            },
+            "chunk_key_encoding": {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            },
+            "fill_value": fill,
+            "codecs": codecs,
+            "dimension_names": list(dims),
+            "attributes": json.loads(json.dumps(attrs, default=str)),
+        }
+        with open(os.path.join(adir, "zarr.json"), "w") as f:
+            json.dump(meta, f)
+        consolidated[name] = meta
+        little = data.astype(data.dtype.newbyteorder("<"), copy=False)
+        grid = [range((n + c - 1) // c) for n, c in zip(data.shape, chunk_shape)]
+        gz = {"id": "gzip", "level": compressor.get("level", 1)} if compressor else None
+        for idx in itertools.product(*grid) if data.shape else [()]:
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, n))
+                for i, c, n in zip(idx, chunk_shape, data.shape)
+            )
+            block = little[sel]
+            if block.shape != chunk_shape:  # pad edge chunk to full size
+                padded = np.zeros(chunk_shape, dtype=little.dtype)
+                padded[tuple(slice(0, s) for s in block.shape)] = block
+                block = padded
+            key = os.path.join("c", *(str(i) for i in idx)) if idx else "c"
+            fname = os.path.join(adir, key)
+            os.makedirs(os.path.dirname(fname), exist_ok=True)
+            with open(fname, "wb") as f:
+                f.write(_compress(np.ascontiguousarray(block).tobytes(), gz))
+
+    for d, c in ds.coords.items():
+        write_array(d, (d,), np.asarray(c), dict(ds.coord_attrs.get(d, {})))
+    for name, var in ds.data_vars.items():
+        write_array(name, var.dims, var.values(), dict(var.attrs))
+    root = {
+        "zarr_format": 3,
+        "node_type": "group",
+        "attributes": json.loads(json.dumps(ds.attrs, default=str)) if ds.attrs else {},
+        "consolidated_metadata": {
+            "kind": "inline",
+            "must_understand": False,
+            "metadata": consolidated,
+        },
+    }
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(root, f)
+    return path
+
+
 def write_zarr(
     ds,
     path: str,
     chunks: Mapping[str, int] | None = None,
     compressor: dict | None = {"id": "zlib", "level": 1},
+    zarr_format: int = 2,
 ) -> str:
-    """Write a :class:`Dataset` as a Zarr v2 directory tree (test twin of
-    xarray's ``to_zarr``; real stores read back through the same
-    :func:`open_zarr`). Edge chunks are padded to full chunk shape as the
-    spec requires; all-fill chunks are still written (simplicity over
+    """Write a :class:`Dataset` as a Zarr v2 (default) or v3 directory tree
+    (test twin of xarray's ``to_zarr``; real stores read back through the
+    same :func:`open_zarr`). Edge chunks are padded to full chunk shape as
+    the spec requires; all-fill chunks are still written (simplicity over
     sparseness — the reader handles both)."""
+    if zarr_format == 3:
+        return _write_zarr_v3(ds, path, chunks, compressor)
     os.makedirs(path, exist_ok=True)
     consolidated: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
     with open(os.path.join(path, ".zgroup"), "w") as f:
