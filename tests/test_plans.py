@@ -161,3 +161,32 @@ def test_repetition_splits_once_and_parallelizes(spark):
     # filters stay above the Generate: the generated int columns are the
     # filter inputs, so no re-derivation of the heavy expression
     assert optimized.index("Filter") < optimized.index("Generate"), optimized
+
+
+def test_warp_stencil_is_broadcast_hash_join(spark):
+    """gq13: the bilinear stencil (O(dst cells x 4)) must broadcast and the
+    source-grid join must be a hash equi-join on the integer cell key —
+    never a nested loop over the raster. pl01-style inline barrier is not
+    needed here, but a cartesian pairing would be O(raster x stencil)."""
+    df = REGISTRY["gq13_grid_warp"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_training_mix_splits_text_once(spark):
+    """pl01: the token split must survive optimization as a single
+    expression (generator barrier) — the naive version re-inlined it into
+    every size/filter consumer and ran 3x the text work per row."""
+    df = REGISTRY["pl01_training_mix"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(text") == 1, plan.count("split(text")
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    """ts04: document frequency aggregates the tf table, so the corpus is
+    tokenized (exploded) exactly once in the optimized plan."""
+    df = REGISTRY["ts04_tfidf_terms"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(text") == 1, plan.count("split(text")

@@ -536,10 +536,12 @@ def ts04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus, term frequency within the language).
 
     One tokenization pass, not two: tf(lang, term) counts docs-in-language
-    containing the term, and df(term) is exactly Σ_lang tf — so the
-    document frequency aggregates the (already tiny) tf table instead of
-    re-scanning and re-exploding the corpus (the original plan tokenized
-    100 TB twice). ``spread=True`` fans the explode across cores on the
+    containing the term, and df(term) is exactly Σ_lang tf — a window sum
+    over the term partition of the (already tiny) tf table, so there is no
+    second scan, no second explode, and no self-join at all (the naive
+    join-back plan tokenized 100 TB twice; a join on a re-aliased copy of
+    tf defeats exchange reuse, measured 2 split(text) in the executed
+    plan). ``spread=True`` fans the explode across cores on the
     single-row-group local file. The corpus-size scalar reads the unspread
     table so it stays a parquet metadata count (no shuffle)."""
     d = table(spark, sf_dir, "documents", spread=True)
@@ -548,8 +550,8 @@ def ts04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = table(spark, sf_dir, "documents").count()  # parquet metadata count
     tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("term").agg(F.sum("tf").alias("df"))
-    scored = tf.join(F.broadcast(df_t), "term").select(
+    wdf = W.partitionBy("term")
+    scored = tf.withColumn("df", F.sum("tf").over(wdf)).select(
         "lang",
         "term",
         F.round(
