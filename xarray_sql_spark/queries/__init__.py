@@ -35,8 +35,9 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 _PRIORITY = (
     # 0. new this round: remaining geospatial benchmark shapes (cases 01/03/09)
     "gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp "
-    # 1. regressions fixed this round
-    "q27_asof_join ev01_sessionization "
+    # 1. regressions fixed this round + queries whose builder/oracle changed
+    #    this round (ss02 threshold now yields rows, pl01/ts04 plan rework)
+    "q27_asof_join ev01_sessionization ss02_embedding_neardup "
     # 2. not in round 3's window
     "gq01_grid_climatology gq02_grid_pruned_slice gq03_cftime_360day "
     "gq04_nan_null_semantics gq05_grid_zonal_bands gq06_grid_anomaly_selfjoin "

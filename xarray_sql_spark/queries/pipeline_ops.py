@@ -399,7 +399,7 @@ def ss01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.6
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
     tags=("similarity", "dedup", "pipeline"),
     bench=False,  # pairwise-within-bucket; LSH is the bench-scale path
@@ -434,7 +434,7 @@ def ss02_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos"),
         )
-        .filter(F.col("cos") >= 0.6)
+        .filter(F.col("cos") >= 0.3)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
 
