@@ -1208,3 +1208,109 @@ def ev07_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled",
         )
     )
+
+
+# --- similarity: k-means coarse-quantizer training (IVF model fit) ---------
+@query(
+    "ss05_kmeans_train",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell, emb AS cemb FROM v WHERE vec_id < 8),
+    a1 AS (
+        SELECT v.vec_id, c.cell, v.emb, list_distance(v.emb, c.cemb) AS d,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_distance(v.emb, c.cemb), c.cell) AS rn
+        FROM v, c0 c
+    ),
+    a1f AS (SELECT * FROM a1 WHERE rn = 1),
+    c1e AS (
+        SELECT cell, dims.dim AS dim, round(avg(emb[dims.dim]), 4) AS val
+        FROM a1f, (SELECT unnest(range(1, 65)) AS dim) dims
+        GROUP BY cell, dims.dim
+    ),
+    c1 AS (SELECT cell, list(val ORDER BY dim) AS cemb FROM c1e GROUP BY cell),
+    c1f AS (
+        SELECT c0.cell, COALESCE(c1.cemb, c0.cemb) AS cemb
+        FROM c0 LEFT JOIN c1 USING (cell)
+    ),
+    a2 AS (
+        SELECT v.vec_id, c.cell, list_distance(v.emb, c.cemb) AS d,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_distance(v.emb, c.cemb), c.cell) AS rn
+        FROM v, c1f c
+    ),
+    a2f AS (SELECT * FROM a2 WHERE rn = 1)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(d), 6) AS avg_dist
+    FROM a2f GROUP BY cell
+    """,
+    tags=("similarity", "ml", "iterative", "pipeline"),
+)
+def ss05_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm, k=8, 2 iterations) — the
+    training step that produces ss04's IVF coarse quantizer, run as pure
+    DataFrame ops: assignment is a broadcast join + argmin window over the
+    (tiny) centroid set; the update step is a per-(cell, dimension) average
+    via posexplode. Model state (8 x 64 doubles) lives on the driver
+    between iterations — the standard ML-on-Spark pattern; the data never
+    collects.
+
+    Cross-engine determinism: DuckDB's ``list_distance`` equals Spark's
+    sequential ``aggregate(zip_with(...))`` fold bit-for-bit (verified over
+    every (vector, centroid) pair at sf0.01), so both engines produce the
+    IDENTICAL argmin assignment; recomputed centroids are rounded to 4
+    decimals on both sides, putting cross-engine summation-order noise
+    (~1e-14) eleven orders of magnitude under the rounding boundary. The
+    oracle unrolls both Lloyd iterations as CTEs, so the driver hash-checks
+    the full iterative computation — not just its shape (contrast cc01's
+    rows-only gate).
+
+    At 100 TB: per iteration one broadcast join (k*dims doubles) + one
+    shuffle keyed by (cell, dim) with map-side partial aggregation; empty
+    cells keep their previous centroid (both engines).
+    """
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    cent = [list(r["emb"]) for r in v.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    n_dim = len(cent[0])
+    assign = None
+    for it in range(2):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cent)], "cell int, cemb array<double>"
+        )
+        wv = W.partitionBy("vec_id").orderBy("d", "cell")
+        assign = (
+            v.join(F.broadcast(cdf))
+            .select("vec_id", "cell", "emb", dist.alias("d"))
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it == 0:
+            newc = (
+                assign.select("cell", F.posexplode("emb").alias("dim", "val"))
+                .groupBy("cell", "dim")
+                .agg(F.round(F.avg("val"), 4).alias("val"))
+            )
+            byc: dict[int, dict[int, float]] = {}
+            for r in newc.collect():
+                byc.setdefault(r["cell"], {})[r["dim"]] = r["val"]
+            cent = [
+                [byc[i][d] for d in range(n_dim)] if i in byc else cent[i]
+                for i in range(len(cent))
+            ]
+    return (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"), F.round(F.avg("d"), 6).alias("avg_dist"))
+        .select(F.col("cell").cast("long").alias("cell"), "n_vecs", "avg_dist")
+    )
