@@ -154,3 +154,19 @@ def test_stream_static_join_matches_batch(spark, batch_events):
     assert stream_out.count() > 0
     key = ("purchase_id",)
     assert _rows(stream_out, *key) == _rows(batch_out, *key)
+
+
+def test_asof_enrich_matches_batch_q27(spark, batch_events):
+    """Streaming as-of enrichment == the batch as-of join (q27) over the
+    same events: per-purchase (purchase_us, last_click_us, gap_us) sets
+    must be identical when the whole feed fits one availableNow batch."""
+    from xarray_sql_spark.queries import REGISTRY
+
+    stream_out = se.run_to_memory(
+        se.asof_enrich(se.events_stream(spark, SF_SMALL)), "t_asof"
+    )
+    batch_out = REGISTRY["q27_asof_join"].fn(spark, SF_SMALL)
+    s = {tuple(r) for r in stream_out.collect()}
+    b = {tuple(r) for r in batch_out.collect()}
+    assert len(s) == len(b) > 0
+    assert s == b

@@ -308,3 +308,85 @@ def signup_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
     )
+
+
+# --- streaming as-of enrichment (point-in-time-correct feature lookup) ------
+_ASOF_STATE_SCHEMA = StructType([StructField("last_click", TimestampType())])
+_ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("purchase_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("purchase_us", LongType()),
+        StructField("last_click_us", LongType()),
+        StructField("gap_us", LongType()),
+    ]
+)
+
+
+def _us(series: pd.Series) -> pd.Series:
+    return series.astype("datetime64[us]").astype("int64")
+
+
+def _asof_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user kernel: carry the latest click timestamp as state; each
+    purchase is enriched with the most recent click at or before it.
+    Vectorized — sort clicks-before-purchases at equal timestamps, forward-
+    fill the click column, seed with the state carried from prior batches."""
+    carried = state.get[0] if state.exists else None
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return
+    rows = pd.concat(frames, ignore_index=True)
+    rows = rows.sort_values(["ts", "kind"], kind="stable", ignore_index=True)
+    click_ts = rows["ts"].where(rows["kind"] == 0).ffill()
+    if carried is not None:
+        click_ts = click_ts.fillna(pd.Timestamp(carried))
+    p = rows["kind"] == 1
+    out = pd.DataFrame(
+        {
+            "purchase_id": rows.loc[p, "event_id"].astype("int64"),
+            "user_id": key[0],
+            "purchase_us": _us(rows.loc[p, "ts"]),
+            "last_click_us": [
+                None if pd.isna(v) else int(pd.Timestamp(v).value // 1000)
+                for v in click_ts[p]
+            ],
+        }
+    )
+    out["gap_us"] = out["purchase_us"] - out["last_click_us"]
+    new_last = click_ts.iloc[-1] if len(click_ts) else None
+    if pd.notna(new_last):
+        state.update((pd.Timestamp(new_last),))
+    yield out
+
+
+def asof_enrich(stream: DataFrame) -> DataFrame:
+    """Streaming as-of join — the streaming twin of the batch
+    ``q27_asof_join`` query: every purchase is annotated with the user's
+    most recent click at or before the purchase time, state = one
+    timestamp per user (bounded, unlike buffering the click stream).
+
+    Within a micro-batch ordering is exact (stable sort, clicks visible to
+    same-microsecond purchases); across micro-batches the state carries the
+    latest click forward, so in-order feeds are exact and late clicks obey
+    the same bounded-delay contract as Spark's built-in stream-stream
+    interval join. Keys shard by user across executors; at 100 TB the
+    state store holds one row per active user."""
+    tagged = (
+        stream.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+        )
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
