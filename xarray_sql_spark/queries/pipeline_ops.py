@@ -1254,9 +1254,10 @@ def ss05_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     training step that produces ss04's IVF coarse quantizer, run as pure
     DataFrame ops: assignment is a broadcast join + argmin window over the
     (tiny) centroid set; the update step is a per-(cell, dimension) average
-    via posexplode. Model state (8 x 64 doubles) lives on the driver
-    between iterations — the standard ML-on-Spark pattern; the data never
-    collects.
+    via posexplode, rebuilt into an array with an ordered collect_list.
+    Both iterations fuse into one lazy plan with zero driver round trips;
+    the data never collects (8 x 64 doubles of model state flow through a
+    broadcast between stages).
 
     Cross-engine determinism: DuckDB's ``list_distance`` equals Spark's
     sequential ``aggregate(zip_with(...))`` fold bit-for-bit (verified over
@@ -1281,36 +1282,44 @@ def ss05_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         )
     )
-    cent = [list(r["emb"]) for r in v.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
-    n_dim = len(cent[0])
-    assign = None
-    for it in range(2):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cent)], "cell int, cemb array<double>"
-        )
-        wv = W.partitionBy("vec_id").orderBy("d", "cell")
-        assign = (
-            v.join(F.broadcast(cdf))
+    wv = W.partitionBy("vec_id").orderBy("d", "cell")
+
+    def assign_to(centroids: DataFrame) -> DataFrame:
+        return (
+            v.join(F.broadcast(centroids))
             .select("vec_id", "cell", "emb", dist.alias("d"))
             .withColumn("rn", F.row_number().over(wv))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        if it == 0:
-            newc = (
-                assign.select("cell", F.posexplode("emb").alias("dim", "val"))
-                .groupBy("cell", "dim")
-                .agg(F.round(F.avg("val"), 4).alias("val"))
-            )
-            byc: dict[int, dict[int, float]] = {}
-            for r in newc.collect():
-                byc.setdefault(r["cell"], {})[r["dim"]] = r["val"]
-            cent = [
-                [byc[i][d] for d in range(n_dim)] if i in byc else cent[i]
-                for i in range(len(cent))
-            ]
+
+    # Both Lloyd iterations fuse into ONE lazy plan — the centroid update
+    # rebuilds the array with an ordered collect_list instead of a driver
+    # collect, so a fixed-iteration fit costs zero barrier round trips
+    # (a convergence-driven fit would hoist the loop to the driver like
+    # cc01 does; this is the pipeline-embedded flavor).
+    c0 = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("emb").alias("cemb")
+    )
+    a1 = assign_to(c0)
+    c1 = (
+        a1.select("cell", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("val"), 4).alias("val"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, val))), s -> s.val)"
+            ).alias("cemb")
+        )
+    )
+    # empty cells keep their previous centroid (same rule as the oracle)
+    c1f = c0.select("cell", F.col("cemb").alias("prev")).join(
+        c1, "cell", "left"
+    ).select("cell", F.coalesce("cemb", "prev").alias("cemb"))
+    a2 = assign_to(c1f)
     return (
-        assign.groupBy("cell")
+        a2.groupBy("cell")
         .agg(F.count("*").alias("n_vecs"), F.round(F.avg("d"), 6).alias("avg_dist"))
         .select(F.col("cell").cast("long").alias("cell"), "n_vecs", "avg_dist")
     )
