@@ -633,3 +633,54 @@ def test_zarr3_store_backed_table_selective(xs, read_log, tmp_path):
     ).df.collect()[0]
     assert row["n"] == 3 * 11 * 10
     assert len(read_log.drain()) == 1  # only the last time chunk
+
+
+def test_zarr3_sharded_roundtrip_and_subshard_selectivity(tmp_path):
+    """sharding_indexed: values round-trip, and a block read touches ONLY
+    the overlapped inner chunks' byte ranges of the one overlapped shard
+    (the cloud-store layout: few big files, selective range reads)."""
+    from xarray_sql_spark.zarr_store import open_zarr, write_zarr
+
+    ds = air_small()  # time=12, lat=11, lon=10
+    path = os.path.join(str(tmp_path), "air_sharded.zarr")
+    write_zarr(ds, path, chunks={"time": 2}, zarr_format=3, shards={"time": 8})
+    back = open_zarr(path)
+    np.testing.assert_allclose(
+        back.data_vars["air"].values(), ds.data_vars["air"].values()
+    )
+    zv = back.data_vars["air"].data
+    assert zv.chunks[0] == 2  # read granularity is the INNER chunk
+    zv.last_opened = []
+    blk = zv.read_block((slice(2, 4), slice(0, 11), slice(0, 10)))
+    np.testing.assert_allclose(blk, ds.data_vars["air"].values()[2:4])
+    # inner chunk #1 of shard c/0/0/0 only
+    assert zv.last_opened == [os.path.join("c", "0", "0", "0") + "[1]"]
+    # a read crossing the shard boundary opens both shard files
+    zv.last_opened = []
+    zv.read_block((slice(6, 10), slice(0, 11), slice(0, 10)))
+    opened = {k.split("[")[0] for k in zv.last_opened}
+    assert opened == {os.path.join("c", "0", "0", "0"), os.path.join("c", "1", "0", "0")}
+
+
+def test_zarr3_sharded_store_backed_table(xs, read_log, tmp_path):
+    """End-to-end: a sharded v3 tree registers as a grid table; values and
+    partition pruning behave identically to the unsharded layouts."""
+    from xarray_sql_spark.zarr_store import write_zarr
+
+    ds = air_small()
+    path = os.path.join(str(tmp_path), "air_sharded2.zarr")
+    write_zarr(ds, path, chunks={"time": 2}, zarr_format=3, shards={"time": 4})
+    xs.from_dataset(
+        "z3s_air", Dataset.open_store(path), chunks={"time": 4}, store=path,
+        read_log_dir=read_log.dir,
+    )
+    read_log.drain()
+    row = xs.sql("SELECT AVG(air) AS a FROM z3s_air").df.collect()[0]
+    expect = float(ds.data_vars["air"].values().mean())
+    assert abs(row["a"] - expect) < 1e-3
+    assert len(read_log.drain()) == 3
+    row = xs.sql(
+        "SELECT COUNT(*) AS n FROM z3s_air WHERE time >= TIMESTAMP '2013-01-01 09:00:00'"
+    ).df.collect()[0]
+    assert row["n"] == 3 * 11 * 10
+    assert len(read_log.drain()) == 1

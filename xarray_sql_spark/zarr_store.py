@@ -34,8 +34,12 @@ Supported, v3 (the reference's benchmark stack pins ``zarr>=3``):
   extension spellings for datetimes.
 - ``codecs``: the mandatory ``bytes`` (endian) array->bytes codec,
   optionally followed by ``gzip`` / ``zlib``; ``transpose`` with a
-  reversed order list maps to F-order. Sharding and other codecs raise a
-  clear error.
+  reversed order list maps to F-order. blosc/zstd raise a clear error.
+- ``sharding_indexed``: shard files packing an inner chunk grid + binary
+  (offset, nbytes) index ("start" or "end" located, crc32c length handled
+  but not verified — no crc32c in the stdlib). The read granularity stays
+  the INNER chunk: block reads slice only the overlapped byte ranges out
+  of each shard — the cloud-store layout (few big files, range reads).
 - inline ``consolidated_metadata`` in the root ``zarr.json`` (zarr-python
   3 convention): one metadata read for the whole group.
 """
@@ -143,6 +147,7 @@ class ZarrArray:
             else:
                 meta = _read_json(os.path.join(path, ".zarray"))
         self.last_opened: list[str] = []
+        self._shard: dict | None = None  # set by _init_v3 for sharded arrays
         fmt = meta.get("zarr_format")
         if fmt == 2:
             self._init_v2(meta)
@@ -162,20 +167,13 @@ class ZarrArray:
         self.compressor = meta.get("compressor")
         self._key_encoding = ("v2", meta.get("dimension_separator", "."))
 
-    def _init_v3(self, meta: dict) -> None:
-        if meta.get("node_type") != "array":
-            raise ValueError(f"{self.path}: zarr.json node_type is not 'array'")
-        self.shape = tuple(int(n) for n in meta["shape"])
-        grid = meta.get("chunk_grid", {})
-        if grid.get("name") != "regular":
-            raise NotImplementedError(
-                f"{self.path}: only the 'regular' chunk grid is supported"
-            )
-        self.chunks = tuple(int(c) for c in grid["configuration"]["chunk_shape"])
-        self.dtype = _parse_v3_dtype(meta["data_type"])
-        self.order = "C"
-        self.compressor = None
-        for codec in meta.get("codecs", [{"name": "bytes"}]):
+    def _parse_v3_codecs(self, codecs: list) -> tuple[str, dict | None]:
+        """Apply a v3 codec chain to self.dtype; return (order, compressor).
+
+        Handles ``bytes`` (endian), ``transpose`` (reversed order == F),
+        ``gzip``/``zlib``; anything else raises with a clear message."""
+        order, compressor = "C", None
+        for codec in codecs or [{"name": "bytes"}]:
             name = codec.get("name")
             cfg = codec.get("configuration", {}) or {}
             if name == "bytes":
@@ -185,20 +183,64 @@ class ZarrArray:
                         "<" if endian == "little" else ">"
                     )
             elif name == "transpose":
-                order = list(cfg.get("order", []))
-                if order == list(reversed(range(len(self.shape)))):
-                    self.order = "F"
-                elif order != list(range(len(self.shape))):
+                o = list(cfg.get("order", []))
+                if o == list(reversed(range(len(self.shape)))):
+                    order = "F"
+                elif o != list(range(len(self.shape))):
                     raise NotImplementedError(
-                        f"{self.path}: general transpose codec order {order} unsupported"
+                        f"{self.path}: general transpose codec order {o} unsupported"
                     )
             elif name in ("gzip", "zlib"):
-                self.compressor = {"id": name, "level": cfg.get("level", 6)}
+                compressor = {"id": name, "level": cfg.get("level", 6)}
             else:
                 raise NotImplementedError(
                     f"{self.path}: Zarr v3 codec {name!r} is not supported "
-                    f"(sharding/blosc/zstd need external libraries)"
+                    f"(blosc/zstd need external libraries)"
                 )
+        return order, compressor
+
+    def _init_v3(self, meta: dict) -> None:
+        if meta.get("node_type") != "array":
+            raise ValueError(f"{self.path}: zarr.json node_type is not 'array'")
+        self.shape = tuple(int(n) for n in meta["shape"])
+        grid = meta.get("chunk_grid", {})
+        if grid.get("name") != "regular":
+            raise NotImplementedError(
+                f"{self.path}: only the 'regular' chunk grid is supported"
+            )
+        outer = tuple(int(c) for c in grid["configuration"]["chunk_shape"])
+        self.dtype = _parse_v3_dtype(meta["data_type"])
+        codecs = meta.get("codecs", [{"name": "bytes"}])
+        self._shard: dict | None = None
+        if codecs and codecs[0].get("name") == "sharding_indexed":
+            # Sharded array: the storage key addresses a SHARD (outer chunk
+            # grid); each shard file packs a sub-grid of inner chunks plus a
+            # binary index of (offset, nbytes) uint64-LE pairs. The read
+            # granularity (self.chunks) becomes the INNER chunk, so block
+            # reads stay selective *within* a shard — only the overlapped
+            # inner chunks' byte ranges are sliced out of the shard file.
+            cfg = codecs[0].get("configuration", {}) or {}
+            inner = tuple(int(c) for c in cfg["chunk_shape"])
+            if any(o % i for o, i in zip(outer, inner)):
+                raise ValueError(
+                    f"{self.path}: shard shape {outer} not divisible by "
+                    f"inner chunk shape {inner}"
+                )
+            self.order, self.compressor = self._parse_v3_codecs(cfg.get("codecs"))
+            index_codecs = [c.get("name") for c in cfg.get("index_codecs", [])]
+            self._shard = {
+                "outer": outer,
+                "per_shard": tuple(o // i for o, i in zip(outer, inner)),
+                "index_location": cfg.get("index_location", "end"),
+                # crc32c checksum appends 4 bytes to the index; we locate
+                # around it but do not verify (no crc32c in the stdlib)
+                "index_checksum": 4 if "crc32c" in index_codecs else 0,
+                "index_cache": {},
+            }
+            self.chunks = inner
+        else:
+            self.chunks = outer
+            self.order, self.compressor = self._parse_v3_codecs(codecs)
         self.fill_value = _parse_fill(meta.get("fill_value"), self.dtype)
         cke = meta.get("chunk_key_encoding", {"name": "default"})
         self._key_encoding = (
@@ -216,7 +258,32 @@ class ZarrArray:
             key = sep.join(str(i) for i in idx) if idx else "0"
         return os.path.join(self.path, key)
 
+    def _shard_index(self, fname: str) -> np.ndarray | None:
+        """(n_inner, 2) uint64 array of (offset, nbytes) per inner chunk in
+        C order; cached per shard file. None if the shard file is absent."""
+        cache = self._shard["index_cache"]
+        if fname in cache:
+            return cache[fname]
+        if not os.path.exists(fname):
+            cache[fname] = None
+            return None
+        import math
+
+        n_inner = math.prod(self._shard["per_shard"])
+        idx_size = 16 * n_inner + self._shard["index_checksum"]
+        with open(fname, "rb") as f:
+            if self._shard["index_location"] == "start":
+                raw = f.read(idx_size)
+            else:
+                f.seek(-idx_size, os.SEEK_END)
+                raw = f.read(idx_size)
+        table = np.frombuffer(raw[: 16 * n_inner], dtype="<u8").reshape(n_inner, 2)
+        cache[fname] = table
+        return table
+
     def _load_chunk(self, idx: tuple[int, ...]) -> np.ndarray | None:
+        if self._shard is not None:
+            return self._load_inner_chunk(idx)
         fname = self._chunk_file(idx)
         if not os.path.exists(fname):
             return None  # sparse chunk -> fill_value
@@ -224,6 +291,33 @@ class ZarrArray:
         self.last_opened.append(os.path.relpath(fname, self.path))
         with open(fname, "rb") as f:
             raw = _decompress(f.read(), self.compressor)
+        return np.frombuffer(raw, dtype=self.dtype).reshape(
+            self.chunks, order=self.order
+        )
+
+    def _load_inner_chunk(self, idx: tuple[int, ...]) -> np.ndarray | None:
+        """Sharded read: ``idx`` is an INNER-chunk index; locate its shard
+        file, look up its (offset, nbytes) in the shard index, slice and
+        decode only that byte range."""
+        per = self._shard["per_shard"]
+        outer_idx = tuple(i // p for i, p in zip(idx, per))
+        local = tuple(i % p for i, p in zip(idx, per))
+        fname = self._chunk_file(outer_idx)
+        table = self._shard_index(fname)
+        if table is None:
+            return None  # whole shard absent -> fill
+        pos = 0
+        for l, p in zip(local, per):
+            pos = pos * p + l
+        offset, nbytes = int(table[pos, 0]), int(table[pos, 1])
+        if offset == 0xFFFFFFFFFFFFFFFF:
+            return None  # inner chunk never written -> fill
+        self.last_opened.append(
+            f"{os.path.relpath(fname, self.path)}[{pos}]"
+        )
+        with open(fname, "rb") as f:
+            f.seek(offset)
+            raw = _decompress(f.read(nbytes), self.compressor)
         return np.frombuffer(raw, dtype=self.dtype).reshape(
             self.chunks, order=self.order
         )
@@ -404,9 +498,13 @@ def _write_zarr_v3(
     path: str,
     chunks: Mapping[str, int] | None,
     compressor: dict | None,
+    shards: Mapping[str, int] | None = None,
 ) -> str:
     """Zarr v3 layout: per-node ``zarr.json``, ``c/``-prefixed chunk keys,
-    ``bytes``(+``gzip``) codec chain, inline consolidated metadata."""
+    ``bytes``(+``gzip``) codec chain, inline consolidated metadata. With
+    ``shards``, data variables write through the ``sharding_indexed`` codec:
+    one file per shard packing the inner chunk grid + an end-located binary
+    index of (offset, nbytes) uint64-LE pairs."""
     os.makedirs(path, exist_ok=True)
     consolidated: dict[str, Any] = {}
 
@@ -417,13 +515,40 @@ def _write_zarr_v3(
         chunk_shape = tuple(
             min((chunks or {}).get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
         )
-        codecs: list[dict] = [
+        sharded = bool(shards) and bool(data.shape) and any(d in shards for d in dims)
+        gz = {"id": "gzip", "level": compressor.get("level", 1)} if compressor else None
+        inner_codecs: list[dict] = [
             {"name": "bytes", "configuration": {"endian": "little"}}
         ]
         if compressor is not None:
-            codecs.append(
+            inner_codecs.append(
                 {"name": "gzip", "configuration": {"level": compressor.get("level", 1)}}
             )
+        if sharded:
+            shard_shape = tuple(
+                min(shards.get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
+            )
+            # spec: shard shape must be a multiple of the inner chunk shape
+            shard_shape = tuple(
+                (s // c) * c if s >= c else c for s, c in zip(shard_shape, chunk_shape)
+            )
+            key_shape = shard_shape
+            codecs = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(chunk_shape),
+                        "codecs": inner_codecs,
+                        "index_codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}}
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ]
+        else:
+            key_shape = chunk_shape
+            codecs = inner_codecs
         fill = "NaN" if data.dtype.kind == "f" else 0
         meta = {
             "zarr_format": 3,
@@ -432,7 +557,7 @@ def _write_zarr_v3(
             "data_type": _v3_data_type(data.dtype),
             "chunk_grid": {
                 "name": "regular",
-                "configuration": {"chunk_shape": list(chunk_shape) or [1]},
+                "configuration": {"chunk_shape": list(key_shape) or [1]},
             },
             "chunk_key_encoding": {
                 "name": "default",
@@ -447,23 +572,48 @@ def _write_zarr_v3(
             json.dump(meta, f)
         consolidated[name] = meta
         little = data.astype(data.dtype.newbyteorder("<"), copy=False)
-        grid = [range((n + c - 1) // c) for n, c in zip(data.shape, chunk_shape)]
-        gz = {"id": "gzip", "level": compressor.get("level", 1)} if compressor else None
-        for idx in itertools.product(*grid) if data.shape else [()]:
-            sel = tuple(
-                slice(i * c, min((i + 1) * c, n))
-                for i, c, n in zip(idx, chunk_shape, data.shape)
-            )
+
+        def encoded_block(sel: tuple, shape: tuple) -> bytes:
             block = little[sel]
-            if block.shape != chunk_shape:  # pad edge chunk to full size
-                padded = np.zeros(chunk_shape, dtype=little.dtype)
+            if block.shape != shape:  # pad edge chunk to full size
+                padded = np.zeros(shape, dtype=little.dtype)
                 padded[tuple(slice(0, s) for s in block.shape)] = block
                 block = padded
+            return _compress(np.ascontiguousarray(block).tobytes(), gz)
+
+        grid = [range((n + c - 1) // c) for n, c in zip(data.shape, key_shape)]
+        for idx in itertools.product(*grid) if data.shape else [()]:
             key = os.path.join("c", *(str(i) for i in idx)) if idx else "c"
             fname = os.path.join(adir, key)
             os.makedirs(os.path.dirname(fname), exist_ok=True)
+            if not sharded:
+                sel = tuple(
+                    slice(i * c, min((i + 1) * c, n))
+                    for i, c, n in zip(idx, key_shape, data.shape)
+                )
+                with open(fname, "wb") as f:
+                    f.write(encoded_block(sel, key_shape))
+                continue
+            # shard file: inner chunks in C order + (offset, nbytes) index
+            per = tuple(s // c for s, c in zip(shard_shape, chunk_shape))
+            index = np.empty((int(np.prod(per)), 2), dtype="<u8")
+            payload = bytearray()
+            for pos, inner_idx in enumerate(itertools.product(*(range(p) for p in per))):
+                sel = tuple(
+                    slice(o * s + i * c, min(o * s + (i + 1) * c, n))
+                    for o, s, i, c, n in zip(
+                        idx, shard_shape, inner_idx, chunk_shape, data.shape
+                    )
+                )
+                if any(sl.start >= sl.stop for sl in sel):
+                    index[pos] = (0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+                    continue
+                enc = encoded_block(sel, chunk_shape)
+                index[pos] = (len(payload), len(enc))
+                payload.extend(enc)
             with open(fname, "wb") as f:
-                f.write(_compress(np.ascontiguousarray(block).tobytes(), gz))
+                f.write(bytes(payload))
+                f.write(index.tobytes())
 
     for d, c in ds.coords.items():
         write_array(d, (d,), np.asarray(c), dict(ds.coord_attrs.get(d, {})))
@@ -490,14 +640,18 @@ def write_zarr(
     chunks: Mapping[str, int] | None = None,
     compressor: dict | None = {"id": "zlib", "level": 1},
     zarr_format: int = 2,
+    shards: Mapping[str, int] | None = None,
 ) -> str:
     """Write a :class:`Dataset` as a Zarr v2 (default) or v3 directory tree
     (test twin of xarray's ``to_zarr``; real stores read back through the
     same :func:`open_zarr`). Edge chunks are padded to full chunk shape as
     the spec requires; all-fill chunks are still written (simplicity over
-    sparseness — the reader handles both)."""
+    sparseness — the reader handles both). ``shards`` (v3 only) writes data
+    variables through the ``sharding_indexed`` codec."""
     if zarr_format == 3:
-        return _write_zarr_v3(ds, path, chunks, compressor)
+        return _write_zarr_v3(ds, path, chunks, compressor, shards)
+    if shards:
+        raise ValueError("shards requires zarr_format=3")
     os.makedirs(path, exist_ok=True)
     consolidated: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
     with open(os.path.join(path, ".zgroup"), "w") as f:
