@@ -93,3 +93,24 @@ def test_set_and_explain_surface(xs, spark):
         "EXPLAIN SELECT lat, AVG(air) AS a FROM explain_air GROUP BY lat"
     ).df.collect()[0][0]
     assert "Aggregate" in plan or "HashAggregate" in plan
+
+
+def test_arrow_stream_feeds_duckdb_zero_copy():
+    """The reference's read_xarray contract: the RecordBatchReader follows
+    the Arrow stream protocol, so ANY Arrow-consuming engine can ingest it
+    (reference reader.py:175-189). Prove it cross-engine: DuckDB queries
+    the stream directly and matches the numpy ground truth."""
+    import duckdb
+
+    ds = air_small()
+    reader = arrow_io.to_arrow_reader(ds, chunks={"time": 4})
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CAST(lat AS DOUBLE) AS lat, avg(air) AS a FROM reader GROUP BY lat ORDER BY lat"
+    ).fetchall()
+    vals = ds.data_vars["air"].values()
+    lats = list(ds.coords["lat"])
+    assert len(got) == len(lats)
+    want = {float(l): float(np.nanmean(vals[:, i, :])) for i, l in enumerate(lats)}
+    for lat, a in got:
+        assert a == pytest.approx(want[lat], rel=1e-6)
