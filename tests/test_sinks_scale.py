@@ -153,3 +153,79 @@ def test_zorder_key_clusters_better_than_rowmajor(spark):
     rm_blocks = {k // 16 for k in (sel["y"] * 16 + sel["x"])}
     assert len(z_blocks) == 8, sorted(z_blocks)    # 2 x-tiles x 4 y-tiles
     assert len(rm_blocks) == 16, sorted(rm_blocks)  # every row block touched
+
+
+# --- distributed Zarr sink --------------------------------------------------
+def test_distributed_zarr_sink_roundtrip(spark, tmp_path):
+    """SQL result -> executor-parallel chunked Zarr -> open_zarr: values
+    equal the eager to_dataset path, multiple chunk files exist, and the
+    per-chunk write stats account for every row."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    t = np.arange(48, dtype=np.int64)
+    y = np.arange(6, dtype=np.int64)
+    v = t[:, None] * 0.5 + y[None, :] * 0.25
+    ds = Dataset({"v": Variable(("t", "y"), v)}, {"t": t, "y": y})
+    xs = XarraySession(spark)
+    xs.from_dataset("dz_grid", ds, chunks={"t": 12})
+    res = xs.sql("SELECT t, y, v * 2 AS v2 FROM dz_grid")
+
+    path = str(tmp_path / "dz_out.zarr")
+    stats = res.to_zarr_distributed(path, dims=["t", "y"], chunks={"t": 8})
+    assert sum(stats.values()) == 48 * 6
+    assert len(stats) == 6  # 48/8 chunks along t
+    assert len(glob.glob(os.path.join(path, "v2", "*.0"))) == 6
+
+    back = open_zarr(path)
+    assert back.data_vars["v2"].dims == ("t", "y")
+    np.testing.assert_allclose(back.data_vars["v2"].values(), v * 2)
+    np.testing.assert_array_equal(back.coords["t"], t)
+
+
+def test_distributed_zarr_sink_sparse_cells_fill(spark, tmp_path):
+    """Rows absent from the result leave fill_value cells; whole chunks with
+    no rows are never written (sparse-chunk contract)."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    t = np.arange(20, dtype=np.int64)
+    y = np.arange(4, dtype=np.int64)
+    v = t[:, None] * 1.0 + y[None, :]
+    ds = Dataset({"v": Variable(("t", "y"), v)}, {"t": t, "y": y})
+    xs = XarraySession(spark)
+    xs.from_dataset("dz_sparse", ds, chunks={"t": 10})
+    res = xs.sql("SELECT t, y, v FROM dz_sparse WHERE t < 10 AND NOT (t = 3 AND y = 2)")
+
+    path = str(tmp_path / "dz_sparse.zarr")
+    stats = res.to_zarr_distributed(path, dims=["t", "y"], chunks={"t": 5})
+    # only t<10 rows survive -> coords span 0..9 -> 2 chunks, both written
+    assert len(stats) == 2
+    back = open_zarr(path)
+    got = back.data_vars["v"].values()
+    assert got.shape == (10, 4)
+    assert np.isnan(got[3, 2])  # the removed cell fell back to fill
+    mask = np.ones_like(got, dtype=bool); mask[3, 2] = False
+    np.testing.assert_allclose(got[mask], v[:10][mask])
+
+
+def test_distributed_zarr_sink_timestamp_dim(spark, tmp_path):
+    """A timestamp axis survives the distributed round trip (position join
+    on timestamps, M8[us] coord array on disk)."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    t = np.arange("2024-03-01T00", "2024-03-02T00", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    ti = np.arange(24, dtype=np.int64)
+    ds = Dataset(
+        {"v": Variable(("time",), ti * 0.25)}, {"time": t}
+    )
+    xs = XarraySession(spark)
+    xs.from_dataset("dz_ts", ds, chunks={"time": 6})
+    res = xs.sql("SELECT time, v FROM dz_ts")
+    path = str(tmp_path / "dz_ts.zarr")
+    stats = res.to_zarr_distributed(path, dims=["time"], chunks={"time": 6})
+    assert sum(stats.values()) == 24
+    back = open_zarr(path)
+    np.testing.assert_allclose(back.data_vars["v"].values(), ti * 0.25)
+    assert back.coords["time"].dtype.kind == "M"
+    assert len(back.coords["time"]) == 24

@@ -1,0 +1,174 @@
+"""Distributed Zarr v2 sink: executors write chunk files in parallel.
+
+``XarrayDataFrame.to_zarr`` materializes the result on the driver first —
+right for small grids (and what the reference's eager reverse pivot does),
+wrong at scale. This sink keeps the data on executors end to end:
+
+1. coordinates are the only thing collected (one ``distinct`` per dim —
+   axes are small by construction);
+2. every row gets its chunk index via a broadcast position join, rows
+   shuffle ONCE on the chunk key;
+3. each chunk-key group scatter-fills its dense block and writes the chunk
+   file directly from the executor (``applyInPandas``);
+4. the driver writes only metadata (``.zarray``/``.zattrs``/``.zmetadata``)
+   and the coordinate arrays.
+
+The output is a plain public-spec Zarr v2 group readable by
+``zarr_store.open_zarr`` (and any Zarr client). ``path`` must be storage
+every executor can reach (shared FS / object store on a cluster; the local
+FS here). Chunk writes are idempotent — a task retry rewrites the same
+bytes — so speculative execution is safe. Cells absent from the result stay
+at ``fill_value`` (sparse chunks: all-missing chunks are never written);
+duplicate (dims) rows are last-writer-wins, same as the eager scatter.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xarray_sql_spark.zarr_store import _ARRAY_DIMENSIONS, _compress
+
+_SPARK_TO_NP = {
+    "double": "<f8",
+    "float": "<f4",
+    "bigint": "<i8",
+    "int": "<i4",
+    "smallint": "<i2",
+    "tinyint": "|i1",
+    "boolean": "|b1",
+    "timestamp": "<M8[us]",
+    "timestamp_ntz": "<M8[us]",
+}
+
+
+def _np_dtype(spark_type: str, col: str) -> np.dtype:
+    try:
+        return np.dtype(_SPARK_TO_NP[spark_type])
+    except KeyError:
+        raise NotImplementedError(
+            f"column {col!r}: Spark type {spark_type!r} has no Zarr mapping "
+            f"(supported: {sorted(_SPARK_TO_NP)})"
+        ) from None
+
+
+def write_zarr_distributed(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[str],
+    chunks: Mapping[str, int] | None = None,
+    compressor: dict | None = {"id": "zlib", "level": 1},
+) -> dict[str, int]:
+    """Write ``df`` (dim columns + value columns) as a chunked Zarr v2 group
+    with executor-parallel chunk writes. Returns {chunk_key: rows_written}.
+
+    ``chunks`` defaults to splitting the FIRST dim into ~32 chunks (one
+    write task per core here; on a cluster pick chunks so a block is
+    10-100 MB). Coordinates are sorted ascending.
+    """
+    dims = list(dims)
+    spark_types = dict(df.dtypes)
+    var_cols = [c for c in df.columns if c not in dims]
+    if not var_cols:
+        raise ValueError("no value columns: every column is a dim")
+    dtypes = {v: _np_dtype(spark_types[v], v) for v in var_cols}
+    dim_dtypes = {d: _np_dtype(spark_types[d], d) for d in dims}
+
+    # 1) axes (small): one distinct+sort per dim
+    coords = {
+        d: np.array([r[0] for r in df.select(d).distinct().orderBy(d).collect()])
+        .astype(dim_dtypes[d])
+        for d in dims
+    }
+    sizes = {d: len(coords[d]) for d in dims}
+    if any(sizes[d] == 0 for d in dims):
+        raise ValueError("empty result: nothing to write")
+    if chunks is None:
+        chunks = {dims[0]: max(1, -(-sizes[dims[0]] // 32))}
+    chunk_shape = tuple(min(chunks.get(d, sizes[d]), sizes[d]) for d in dims)
+
+    # 2) chunk index per row via broadcast position joins (axes are tiny)
+    spark = df.sparkSession
+    work = df
+    for d, c in zip(dims, chunk_shape):
+        pos_pdf = pd.DataFrame({d: coords[d], f"__pos_{d}": np.arange(sizes[d], dtype=np.int64)})
+        work = work.join(F.broadcast(spark.createDataFrame(pos_pdf)), d)
+        work = work.withColumn(f"__ck_{d}", F.expr(f"__pos_{d} div {c}").cast("int"))
+
+    # 3) executor-side chunk writes
+    for v in var_cols:
+        os.makedirs(os.path.join(path, v), exist_ok=True)
+    dlist, vlist = list(dims), list(var_cols)
+    cs = chunk_shape
+    dt_strs = {v: dtypes[v].str for v in vlist}
+    comp = compressor
+    root = path
+
+    def _write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = tuple(int(pdf[f"__ck_{d}"].iloc[0]) for d in dlist)
+        locs = tuple(
+            pdf[f"__pos_{d}"].to_numpy(dtype=np.int64) - i * c
+            for d, i, c in zip(dlist, idx, cs)
+        )
+        key = ".".join(str(i) for i in idx)
+        for v in vlist:
+            dt = np.dtype(dt_strs[v])
+            fill = np.nan if dt.kind == "f" else 0
+            block = np.full(cs, fill, dtype=dt)
+            block[locs] = pdf[v].to_numpy().astype(dt)
+            with open(os.path.join(root, v, key), "wb") as f:
+                f.write(_compress(np.ascontiguousarray(block).tobytes(), comp))
+        return pd.DataFrame({"chunk": [key], "n": [len(pdf)]})
+
+    stats = (
+        work.groupBy(*[f"__ck_{d}" for d in dims])
+        .applyInPandas(_write_chunk, "chunk string, n long")
+        .collect()
+    )
+
+    # 4) driver-side metadata + coordinate arrays
+    consolidated: dict = {".zgroup": {"zarr_format": 2}}
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _meta(name: str, ndims: tuple[str, ...], shape: tuple[int, ...],
+              cshape: tuple[int, ...], dtype: np.dtype) -> None:
+        fill = "NaN" if dtype.kind == "f" else 0
+        meta = {
+            "zarr_format": 2,
+            "shape": list(shape),
+            "chunks": list(cshape),
+            "dtype": dtype.str,
+            "compressor": compressor,
+            "fill_value": fill,
+            "order": "C",
+            "filters": None,
+        }
+        zattrs = {_ARRAY_DIMENSIONS: list(ndims)}
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump(zattrs, f)
+        consolidated[f"{name}/.zarray"] = meta
+        consolidated[f"{name}/.zattrs"] = zattrs
+
+    full_shape = tuple(sizes[d] for d in dims)
+    for v in var_cols:
+        _meta(v, tuple(dims), full_shape, cs, dtypes[v])
+    for d in dims:
+        os.makedirs(os.path.join(path, d), exist_ok=True)
+        arr = coords[d]
+        _meta(d, (d,), (len(arr),), (len(arr),), arr.dtype)
+        with open(os.path.join(path, d, "0"), "wb") as f:
+            f.write(_compress(np.ascontiguousarray(arr).tobytes(), compressor))
+    with open(os.path.join(path, ".zmetadata"), "w") as f:
+        json.dump({"zarr_consolidated_format": 1, "metadata": consolidated}, f)
+    return {r["chunk"]: r["n"] for r in stats}

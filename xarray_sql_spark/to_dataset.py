@@ -192,6 +192,22 @@ class XarrayDataFrame:
         )
         return write_zarr(out, path, chunks=chunks, compressor=compressor)
 
+    def to_zarr_distributed(
+        self,
+        path: str,
+        dims: Sequence[str],
+        chunks: "Mapping[str, int] | None" = None,
+        compressor: dict | None = {"id": "zlib", "level": 1},
+    ) -> dict[str, int]:
+        """Executor-parallel Zarr sink — the scale path ``to_zarr`` isn't:
+        rows shuffle once on their chunk key and every chunk file is written
+        from the executor holding it; the driver handles only axes +
+        metadata (see :mod:`xarray_sql_spark.operators.zarr_sink`).
+        Returns {chunk_key: rows_written}."""
+        from xarray_sql_spark.operators.zarr_sink import write_zarr_distributed
+
+        return write_zarr_distributed(self._df, path, dims, chunks, compressor)
+
     # -- lazy path (A11/A12/A14) ---------------------------------------
     def _source_dataset(self, template=None) -> tuple[str, Dataset] | tuple[None, None]:
         if isinstance(template, str) and template in self._registered:
