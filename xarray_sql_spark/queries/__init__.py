@@ -33,8 +33,9 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # Everything else was hash-proven in round 3 on inputs the loader change
 # cannot affect (no timestamp columns) and rotates to the back.
 _PRIORITY = (
-    # 0. new this round: remaining geospatial benchmark shapes (cases 01/03/09)
-    "gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp "
+    # 0. new this round: remaining geospatial benchmark shapes (cases
+    #    01/03/09) + the distributed-sink round trip
+    "gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp gq14_zarr_roundtrip "
     # 1. regressions fixed this round + queries whose builder/oracle changed
     #    this round (ss02 threshold now yields rows, pl01/ts04 plan rework)
     "q27_asof_join ev01_sessionization ss02_embedding_neardup "

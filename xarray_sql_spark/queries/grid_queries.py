@@ -747,3 +747,52 @@ def gq13_grid_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dy").alias("dst_y"), F.col("dx").alias("dst_x"))
         .agg(F.sum(F.col("s.w") * F.col("v")).alias("warped"))
     )
+
+
+@query(
+    "gq14_zarr_roundtrip",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    vmean AS (
+        SELECT yi, xi, avg(v) AS vmean FROM cells GROUP BY yi, xi
+    )
+    SELECT CAST(yi AS BIGINT) AS y, sum(vmean) AS total, 
+           CAST(count(*) AS BIGINT) AS n_cols
+    FROM vmean GROUP BY yi
+    """,
+    tags=("grid", "datasource", "sink", "roundtrip"),
+    bench=False,
+)
+def gq14_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole loop under one hash gate: DataSource scan -> SQL aggregate
+    -> EXECUTOR-PARALLEL Zarr sink (operators/zarr_sink.py: rows shuffle
+    once on their chunk key, each chunk file written from the executor
+    holding it) -> public-spec Zarr v2 reader -> re-registered DataSource
+    table -> second SQL aggregate. Values are exact binary fractions, and
+    float64 bits survive the zlib-compressed store losslessly, so the
+    round-tripped result hash-matches an oracle that never left SQL. This
+    is the query-shaped twin of the sink's pytest coverage — driver-value
+    evidence that the write path preserves every cell."""
+    import tempfile
+
+    xs = _register(spark, "gq_grid14")
+    res = xs.sql(
+        "SELECT y, x, AVG(v) AS vmean FROM gq_grid14 GROUP BY y, x"
+    )
+    path = tempfile.mkdtemp(prefix="gq14_") + "/roundtrip.zarr"
+    res.to_zarr_distributed(path, dims=["y", "x"], chunks={"y": 4})
+
+    xs2 = XarraySession(spark)
+    xs2.from_dataset(
+        "gq_grid14_back", Dataset.open_store(path), chunks={"y": 4}, store=path
+    )
+    return xs2.sql(
+        "SELECT y, SUM(vmean) AS total, COUNT(*) AS n_cols "
+        "FROM gq_grid14_back GROUP BY y"
+    ).df
