@@ -684,3 +684,66 @@ def test_zarr3_sharded_store_backed_table(xs, read_log, tmp_path):
     ).df.collect()[0]
     assert row["n"] == 3 * 11 * 10
     assert len(read_log.drain()) == 1
+
+
+def test_zarr3_dialect_corners(tmp_path):
+    """v3 dialect variations the writer does not emit must still read:
+    '.'-separated default keys, v2-style key encoding, and the transpose
+    codec with a reversed order list (F-order chunks)."""
+    import json
+
+    from xarray_sql_spark.zarr_store import ZarrArray
+
+    base = str(tmp_path)
+    data = np.arange(24, dtype="<f8").reshape(4, 6)
+
+    def make(name, meta, chunk_writes):
+        adir = os.path.join(base, name)
+        os.makedirs(adir, exist_ok=True)
+        with open(os.path.join(adir, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "array", **meta}, f)
+        for key, arr in chunk_writes.items():
+            fname = os.path.join(adir, key)
+            os.makedirs(os.path.dirname(fname), exist_ok=True) if os.sep in key else None
+            with open(fname, "wb") as f:
+                f.write(np.ascontiguousarray(arr).tobytes())
+        return ZarrArray(adir)
+
+    common = {
+        "shape": [4, 6],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 6]}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+    }
+
+    # default encoding with "." separator -> key "c.0.0"
+    a = make(
+        "dotsep",
+        {**common, "chunk_key_encoding": {"name": "default", "configuration": {"separator": "."}}},
+        {"c.0.0": data},
+    )
+    np.testing.assert_array_equal(a.values(), data)
+
+    # v2-style key encoding -> key "0.0"
+    b = make(
+        "v2keys",
+        {**common, "chunk_key_encoding": {"name": "v2", "configuration": {"separator": "."}}},
+        {"0.0": data},
+    )
+    np.testing.assert_array_equal(b.values(), data)
+
+    # transpose codec, reversed order -> chunk stored F-order
+    c = make(
+        "forder",
+        {
+            **common,
+            "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+            "codecs": [
+                {"name": "transpose", "configuration": {"order": [1, 0]}},
+                {"name": "bytes", "configuration": {"endian": "little"}},
+            ],
+        },
+        {os.path.join("c", "0", "0"): np.asfortranarray(data).T.copy()},
+    )
+    np.testing.assert_array_equal(c.values(), data)
