@@ -1094,13 +1094,13 @@ def ev06_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(bigrams), 6) AS rep_fraction
     FROM g
     WHERE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
-          >= 0.2
+          >= 0.1
     """,
     tags=("text", "quality", "pipeline"),
 )
 def ts05_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition (the Gopher-rule quality signal): fraction
-    of duplicate word bigrams per document; docs ≥ 0.2 are flagged for
+    of duplicate word bigrams per document; docs ≥ 0.1 are flagged for
     removal.
 
     Plan shape (round-2 judge flagged the naive version as perf-weak):
@@ -1133,7 +1133,7 @@ def ts05_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = 1.0 - F.col("n_distinct").cast("double") / F.col("n_bigrams")
     return (
         g.filter(F.col("n_bigrams") >= 1)
-        .filter(rep >= 0.2)
+        .filter(rep >= 0.1)
         .select(
             "doc_id",
             "lang",
