@@ -1226,9 +1226,12 @@ def ev07_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a1f AS (SELECT * FROM a1 WHERE rn = 1),
     c1e AS (
-        SELECT cell, dims.dim AS dim, round(avg(emb[dims.dim]), 4) AS val
-        FROM a1f, (SELECT unnest(range(1, 65)) AS dim) dims
-        GROUP BY cell, dims.dim
+        SELECT cell, dim, round(avg(val), 4) AS val
+        FROM (
+            SELECT cell, generate_subscripts(emb, 1) AS dim, unnest(emb) AS val
+            FROM a1f
+        )
+        GROUP BY cell, dim
     ),
     c1 AS (SELECT cell, list(val ORDER BY dim) AS cemb FROM c1e GROUP BY cell),
     c1f AS (
