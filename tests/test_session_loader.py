@@ -1,0 +1,71 @@
+"""The table() loader's timestamp-encoding contract.
+
+The driver's parquet has shipped with three physical encodings across
+regenerations: TIMESTAMP(NANOS), µs-with-UTC-flag, µs-without-flag (read as
+TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ). Round 3 broke on the NTZ
+flavor (unix_micros/AnalysisException, bench rc=1). These tests write each
+flavor and assert table() always lands on the same thing: a µs
+TIMESTAMP_LTZ column with identical wall-clock values under the UTC
+session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_sql_spark.session import table
+
+TS = pd.to_datetime(
+    [
+        "2024-05-01 00:00:00.123456",
+        "2024-05-01 06:30:00.000000",
+        "2024-05-02 12:00:00.000000",
+    ]
+)
+WANT_US = [int(t.value // 1000) for t in TS]
+
+
+def _write_events(dirpath: str, arrow_type) -> str:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(TS, arrow_type),
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(tbl, os.path.join(dirpath, "events.parquet"))
+    return dirpath
+
+
+@pytest.mark.parametrize(
+    "arrow_type",
+    [
+        pa.timestamp("us"),  # µs, no UTC flag -> Spark reads TIMESTAMP_NTZ
+        pa.timestamp("us", tz="UTC"),  # µs adjusted-to-UTC -> TIMESTAMP_LTZ
+        pa.timestamp("ns"),  # nanos -> bigint under nanosAsLong
+    ],
+    ids=["us-ntz", "us-ltz", "nanos"],
+)
+def test_table_normalizes_every_ts_encoding(spark, tmp_path, arrow_type):
+    sf_dir = _write_events(str(tmp_path / str(arrow_type).replace("[", "_")), arrow_type)
+    df = table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"  # µs LTZ, never ntz/bigint
+    got = [
+        r["us"]
+        for r in df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
+    ]
+    assert got == sorted(WANT_US)
+    # numeric cast works too (ev01's seconds-since-epoch path)
+    secs = df.select(F.col("ts").cast("double").alias("s")).orderBy("s").collect()
+    assert secs[0]["s"] == pytest.approx(WANT_US[0] / 1e6)
