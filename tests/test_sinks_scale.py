@@ -229,3 +229,34 @@ def test_distributed_zarr_sink_timestamp_dim(spark, tmp_path):
     np.testing.assert_allclose(back.data_vars["v"].values(), ti * 0.25)
     assert back.coords["time"].dtype.kind == "M"
     assert len(back.coords["time"]) == 24
+
+
+def test_distributed_zarr_sink_v3_roundtrip(spark, tmp_path):
+    """zarr_format=3 emits the modern dialect (zarr.json, c/-keys, gzip
+    codec) from executors; values round-trip through the v3 reader and a
+    timestamp axis survives."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    t = np.arange("2024-06-01T00", "2024-06-02T00", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    y = np.arange(5, dtype=np.int64)
+    ti = np.arange(24, dtype=np.int64)
+    v = ti[:, None] * 0.5 + y[None, :] * 0.25
+    ds = Dataset({"v": Variable(("time", "y"), v)}, {"time": t, "y": y})
+    xs = XarraySession(spark)
+    xs.from_dataset("dz3_grid", ds, chunks={"time": 6})
+    res = xs.sql("SELECT time, y, v FROM dz3_grid")
+    path = str(tmp_path / "dz3.zarr")
+    stats = res.to_zarr_distributed(
+        path, dims=["time", "y"], chunks={"time": 8}, zarr_format=3
+    )
+    assert sum(stats.values()) == 24 * 5
+    assert os.path.isfile(os.path.join(path, "zarr.json"))
+    assert os.path.isfile(os.path.join(path, "v", "c", "0", "0"))
+    back = open_zarr(path)
+    np.testing.assert_allclose(back.data_vars["v"].values(), v)
+    assert back.coords["time"].dtype.kind == "M"
+    np.testing.assert_array_equal(
+        back.coords["time"].astype("datetime64[us]"), t.astype("datetime64[us]")
+    )

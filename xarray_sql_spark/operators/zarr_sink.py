@@ -66,13 +66,17 @@ def write_zarr_distributed(
     dims: Sequence[str],
     chunks: Mapping[str, int] | None = None,
     compressor: dict | None = {"id": "zlib", "level": 1},
+    zarr_format: int = 2,
 ) -> dict[str, int]:
-    """Write ``df`` (dim columns + value columns) as a chunked Zarr v2 group
-    with executor-parallel chunk writes. Returns {chunk_key: rows_written}.
+    """Write ``df`` (dim columns + value columns) as a chunked Zarr v2 (or
+    v3) group with executor-parallel chunk writes. Returns
+    {chunk_key: rows_written}.
 
     ``chunks`` defaults to splitting the FIRST dim into ~32 chunks (one
     write task per core here; on a cluster pick chunks so a block is
-    10-100 MB). Coordinates are sorted ascending.
+    10-100 MB). Coordinates are sorted ascending. ``zarr_format=3`` emits
+    ``zarr.json`` metadata, ``c/``-prefixed chunk keys and a
+    bytes(+gzip) codec chain instead of the v2 dialect.
     """
     dims = list(dims)
     spark_types = dict(df.dtypes)
@@ -109,7 +113,13 @@ def write_zarr_distributed(
     dlist, vlist = list(dims), list(var_cols)
     cs = chunk_shape
     dt_strs = {v: dtypes[v].str for v in vlist}
-    comp = compressor
+    v3 = zarr_format == 3
+    # v3 declares a gzip codec, so the bytes must BE gzip (v2 keeps zlib)
+    comp = (
+        {"id": "gzip", "level": compressor.get("level", 1)}
+        if (v3 and compressor is not None)
+        else compressor
+    )
     root = path
 
     def _write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -118,13 +128,20 @@ def write_zarr_distributed(
             pdf[f"__pos_{d}"].to_numpy(dtype=np.int64) - i * c
             for d, i, c in zip(dlist, idx, cs)
         )
-        key = ".".join(str(i) for i in idx)
+        key = (
+            os.path.join("c", *(str(i) for i in idx))
+            if v3
+            else ".".join(str(i) for i in idx)
+        )
         for v in vlist:
             dt = np.dtype(dt_strs[v])
             fill = np.nan if dt.kind == "f" else 0
             block = np.full(cs, fill, dtype=dt)
             block[locs] = pdf[v].to_numpy().astype(dt)
-            with open(os.path.join(root, v, key), "wb") as f:
+            fname = os.path.join(root, v, key)
+            if v3:
+                os.makedirs(os.path.dirname(fname), exist_ok=True)
+            with open(fname, "wb") as f:
                 f.write(_compress(np.ascontiguousarray(block).tobytes(), comp))
         return pd.DataFrame({"chunk": [key], "n": [len(pdf)]})
 
@@ -135,6 +152,68 @@ def write_zarr_distributed(
     )
 
     # 4) driver-side metadata + coordinate arrays
+    full_shape = tuple(sizes[d] for d in dims)
+    if v3:
+        from xarray_sql_spark.zarr_store import _v3_data_type
+
+        consolidated_v3: dict = {}
+
+        def _meta3(name: str, ndims: tuple[str, ...], shape: tuple[int, ...],
+                   cshape: tuple[int, ...], dtype: np.dtype) -> None:
+            codecs: list[dict] = [
+                {"name": "bytes", "configuration": {"endian": "little"}}
+            ]
+            if comp is not None:
+                codecs.append(
+                    {"name": "gzip", "configuration": {"level": comp.get("level", 1)}}
+                )
+            meta = {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": list(shape),
+                "data_type": _v3_data_type(dtype),
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": list(cshape)},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": "NaN" if dtype.kind == "f" else 0,
+                "codecs": codecs,
+                "dimension_names": list(ndims),
+                "attributes": {},
+            }
+            with open(os.path.join(path, name, "zarr.json"), "w") as f:
+                json.dump(meta, f)
+            consolidated_v3[name] = meta
+
+        for v in var_cols:
+            _meta3(v, tuple(dims), full_shape, cs, dtypes[v])
+        for d in dims:
+            os.makedirs(os.path.join(path, d), exist_ok=True)
+            arr = coords[d]
+            # write as little-endian to match the declared bytes codec
+            arr_le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+            _meta3(d, (d,), (len(arr),), (len(arr),), arr_le.dtype)
+            os.makedirs(os.path.join(path, d, "c"), exist_ok=True)
+            with open(os.path.join(path, d, "c", "0"), "wb") as f:
+                f.write(_compress(np.ascontiguousarray(arr_le).tobytes(), comp))
+        root_doc = {
+            "zarr_format": 3,
+            "node_type": "group",
+            "attributes": {},
+            "consolidated_metadata": {
+                "kind": "inline",
+                "must_understand": False,
+                "metadata": consolidated_v3,
+            },
+        }
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump(root_doc, f)
+        return {r["chunk"]: r["n"] for r in stats}
+
     consolidated: dict = {".zgroup": {"zarr_format": 2}}
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
@@ -160,7 +239,6 @@ def write_zarr_distributed(
         consolidated[f"{name}/.zarray"] = meta
         consolidated[f"{name}/.zattrs"] = zattrs
 
-    full_shape = tuple(sizes[d] for d in dims)
     for v in var_cols:
         _meta(v, tuple(dims), full_shape, cs, dtypes[v])
     for d in dims:

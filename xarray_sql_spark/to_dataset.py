@@ -198,6 +198,7 @@ class XarrayDataFrame:
         dims: Sequence[str],
         chunks: "Mapping[str, int] | None" = None,
         compressor: dict | None = {"id": "zlib", "level": 1},
+        zarr_format: int = 2,
     ) -> dict[str, int]:
         """Executor-parallel Zarr sink — the scale path ``to_zarr`` isn't:
         rows shuffle once on their chunk key and every chunk file is written
@@ -206,7 +207,9 @@ class XarrayDataFrame:
         Returns {chunk_key: rows_written}."""
         from xarray_sql_spark.operators.zarr_sink import write_zarr_distributed
 
-        return write_zarr_distributed(self._df, path, dims, chunks, compressor)
+        return write_zarr_distributed(
+            self._df, path, dims, chunks, compressor, zarr_format
+        )
 
     # -- lazy path (A11/A12/A14) ---------------------------------------
     def _source_dataset(self, template=None) -> tuple[str, Dataset] | tuple[None, None]:
