@@ -190,3 +190,14 @@ def test_tfidf_single_tokenize_pass(spark):
     df = REGISTRY["ts04_tfidf_terms"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(text") == 1, plan.count("split(text")
+
+
+def test_kmeans_assignments_broadcast_centroids(spark):
+    """ss05: both Lloyd assignment joins must broadcast the centroid side
+    (8 rows) — the data side streams; a shuffle or cartesian pairing of
+    the vector table against centroids would not survive 100 TB."""
+    df = REGISTRY["ss05_kmeans_train"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan.count("BroadcastNestedLoopJoin")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1316,9 +1316,10 @@ def ss05_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cemb")
         )
     )
-    # empty cells keep their previous centroid (same rule as the oracle)
+    # empty cells keep their previous centroid (same rule as the oracle);
+    # model-state-sized join, broadcast both ways
     c1f = c0.select("cell", F.col("cemb").alias("prev")).join(
-        c1, "cell", "left"
+        F.broadcast(c1), "cell", "left"
     ).select("cell", F.coalesce("cemb", "prev").alias("cemb"))
     a2 = assign_to(c1f)
     return (
