@@ -39,7 +39,7 @@ _PRIORITY = (
     # 1. regressions fixed this round + queries whose builder/oracle changed
     #    this round (ss02 threshold now yields rows, pl01/ts04 plan rework)
     "q27_asof_join ev01_sessionization ss02_embedding_neardup "
-    "ss05_kmeans_train ts05_repetition "
+    "ss05_kmeans_train ts05_repetition q36_interval_range_frame "
     # 2. not in round 3's window
     "gq01_grid_climatology gq02_grid_pruned_slice gq03_cftime_360day "
     "gq04_nan_null_semantics gq05_grid_zonal_bands gq06_grid_anomaly_selfjoin "

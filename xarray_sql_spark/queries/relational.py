@@ -1446,3 +1446,41 @@ def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'sum_qty', sum_qty, 'sum_disc', sum_disc, 'sum_tax', sum_tax)"
         ).alias("metric", "value"),
     )
+
+
+# --- q36: event-time RANGE window frame ------------------------------------
+@query(
+    "q36_interval_range_frame",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS t_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(sum(value) OVER w, 6) AS sum_7d
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "datetime", "beyond-reference"),
+)
+def q36_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: every purchase annotated with the user's
+    trailing-7-day purchase count and spend — the sliding-window feature
+    the ROWS-frame suite (q29) can't express, because the frame boundary
+    is a time interval over an uneven event sequence, not a row offset.
+    One shuffle on user_id; the frame is evaluated in a single sort pass
+    per partition (no self-join, no explode of candidate windows — the
+    naive equivalent is an O(events x window) range join). Peers with
+    identical timestamps enter the frame together in both engines, so the
+    result is deterministic without a tiebreak."""
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("q36_events")
+    return spark.sql(
+        """
+        SELECT user_id, unix_micros(ts) AS t_us,
+               COUNT(*) OVER w AS n_7d,
+               ROUND(SUM(value) OVER w, 6) AS sum_7d
+        FROM q36_events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )
