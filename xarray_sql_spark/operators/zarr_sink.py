@@ -24,7 +24,6 @@ duplicate (dims) rows are last-writer-wins, same as the eager scatter.
 
 from __future__ import annotations
 
-import itertools
 import json
 import os
 from collections.abc import Mapping, Sequence
