@@ -170,3 +170,38 @@ def test_asof_enrich_matches_batch_q27(spark, batch_events):
     b = {tuple(r) for r in batch_out.collect()}
     assert len(s) == len(b) > 0
     assert s == b
+
+
+def test_asof_enrich_state_carries_across_microbatches(spark, batch_events, tmp_path):
+    """Split the (time-ordered) events into two files and force one file
+    per micro-batch: purchases in batch 2 must still see clicks from
+    batch 1 via the carried per-user state — the cross-batch half of the
+    as-of contract that a single availableNow batch never exercises."""
+    import os
+
+    src = batch_events.select("event_id", "ts", "user_id", "event_type", "value")
+    rows = src.orderBy("ts").collect()
+    half = len(rows) // 2
+    outdir = str(tmp_path / "asof_feed")
+    os.makedirs(outdir)
+    for i, part in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(part, src.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(outdir, f"b{i}"))
+
+    schema = src.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(outdir, "b*"))
+    )
+    out = se.run_to_memory(se.asof_enrich(stream), "t_asof_batches")
+
+    batch = {tuple(r) for r in
+             __import__("xarray_sql_spark.queries", fromlist=["REGISTRY"])
+             .REGISTRY["q27_asof_join"].fn(spark, SF_SMALL).collect()}
+    got = {tuple(r) for r in out.collect()}
+    assert len(got) == len(batch) > 0
+    # Streaming processes files in order, so in-order feeds are exact —
+    # including purchases whose latest click landed in the earlier batch.
+    assert got == batch
