@@ -90,11 +90,19 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         spark.sparkContext.setJobGroup(name, f"bench:{name}")
         samples = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run_once(spec)
-            samples.append(time.perf_counter() - t0)
-        spark.sparkContext.setJobGroup("", "")
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run_once(spec)
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — flaky mid-rep failures
+            # (OOM, broadcast timeout) must also degrade to a per-query
+            # error, not an rc=1 bench with no JSON.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
+        finally:
+            spark.sparkContext.setJobGroup("", "")
         samples.sort()
         # Lower median: with reps=2 the upper-middle element reports the
         # WORSE of two runs, so one GC hiccup inflated the round-2 numbers.

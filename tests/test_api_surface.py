@@ -111,3 +111,33 @@ def test_context_no_args_attaches_to_active_session(spark):
     ctx.from_dataset("api_noarg", _small_ds(), chunks={"y": 2})
     out = ctx.sql("SELECT COUNT(*) AS n FROM api_noarg")
     assert out.to_pandas()["n"][0] == 12
+
+
+def test_from_map_batched_infers_schema():
+    """schema=None must work (the reference-parity default): the first
+    element is mapped eagerly to infer it, the rest stay lazy."""
+    import xarray_sql_spark as xqs
+
+    calls = []
+
+    def make(i):
+        calls.append(i)
+        return pd.DataFrame({"i": [i]})
+
+    r = xqs.from_map_batched(make, range(4))
+    assert calls == [0]  # only the probe ran so far
+    assert r.read_all().num_rows == 4
+    assert calls == [0, 1, 2, 3]
+
+    with pytest.raises(ValueError):
+        xqs.from_map_batched(make, [])
+
+
+def test_from_map_spark_rejects_unmappable_dtype(spark):
+    import xarray_sql_spark as xqs
+
+    def make(i):
+        return pd.DataFrame({"c": pd.Series([complex(i, 1)], dtype="complex128")})
+
+    with pytest.raises(NotImplementedError):
+        xqs.from_map_spark(spark, make, range(2))

@@ -61,12 +61,32 @@ def from_map_batched(
     **kwargs: Any,
 ) -> pa.RecordBatchReader:
     """Lazy driver-local map: one Arrow RecordBatch per element (reference
-    df.py:120-153). Use ``from_map_spark`` for cluster-scale fan-out."""
+    df.py:120-153). Use ``from_map_spark`` for cluster-scale fan-out.
+
+    With ``schema=None`` the first element is mapped eagerly to infer the
+    schema (``RecordBatchReader.from_batches`` requires a concrete one —
+    the reference's None default crashes there); the remaining elements
+    stay lazy.
+    """
     if args is None:
         args = ()
+    it = zip(*iterables)
+    first: pa.RecordBatch | None = None
+    if schema is None:
+        try:
+            items = next(it)
+        except StopIteration:
+            raise ValueError(
+                "from_map_batched needs at least one element to infer a "
+                "schema; pass schema= for an empty stream"
+            ) from None
+        first = pa.RecordBatch.from_pandas(func(*items, *args, **kwargs))
+        schema = first.schema
 
     def gen() -> Iterator[pa.RecordBatch]:
-        for items in zip(*iterables):
+        if first is not None:
+            yield first
+        for items in it:
             yield pa.RecordBatch.from_pandas(func(*items, *args, **kwargs), schema=schema)
 
     return pa.RecordBatchReader.from_batches(schema, gen())
@@ -133,13 +153,27 @@ _NUMPY_TO_SPARK = {
     "int16": "smallint",
     "int32": "int",
     "int64": "bigint",
+    "uint8": "smallint",
+    "uint16": "int",
+    "uint32": "bigint",
     "float32": "float",
     "float64": "double",
     "bool": "boolean",
     "object": "string",
+    "string": "string",
     "datetime64[ns]": "timestamp",
+    "datetime64[us]": "timestamp",
+    "datetime64[ms]": "timestamp",
 }
 
 
 def _spark_type(dtype: Any) -> str:
-    return _NUMPY_TO_SPARK.get(str(dtype), "string")
+    try:
+        return _NUMPY_TO_SPARK[str(dtype)]
+    except KeyError:
+        # a silent 'string' fallback would surface later as an opaque
+        # executor-side Arrow conversion error — fail at inference instead
+        raise NotImplementedError(
+            f"from_map_spark cannot infer a Spark type for dtype {dtype!r}; "
+            f"pass schema= explicitly"
+        ) from None

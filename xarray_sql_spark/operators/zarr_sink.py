@@ -85,6 +85,30 @@ def write_zarr_distributed(
     dtypes = {v: _np_dtype(spark_types[v], v) for v in var_cols}
     dim_dtypes = {d: _np_dtype(spark_types[d], d) for d in dims}
 
+    # The plan is consumed N_dims+1 times (one distinct per dim + the chunk
+    # write); persist so an expensive upstream query computes once, not
+    # once per consumer. Released in the finally below.
+    df = df.persist()
+    try:
+        return _write_persisted(
+            df, path, dims, chunks, compressor, zarr_format, var_cols, dtypes,
+            dim_dtypes,
+        )
+    finally:
+        df.unpersist()
+
+
+def _write_persisted(
+    df: DataFrame,
+    path: str,
+    dims: list,
+    chunks: Mapping[str, int] | None,
+    compressor: dict | None,
+    zarr_format: int,
+    var_cols: list,
+    dtypes: dict,
+    dim_dtypes: dict,
+) -> dict[str, int]:
     # 1) axes (small): one distinct+sort per dim
     coords = {
         d: np.array([r[0] for r in df.select(d).distinct().orderBy(d).collect()])

@@ -119,6 +119,11 @@ def table(
         # Runtime conf (not builder-only) so this works on ANY caller-supplied
         # SparkSession — the driver constructs its own plain session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC must hold for EVERY timestamp flavor, not just the NTZ branch
+    # below: on a caller-supplied session with a non-UTC JVM default,
+    # hour()/date_trunc() on LTZ columns would shift by the local offset
+    # while the DuckDB oracles use UTC wall clock.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -137,7 +142,6 @@ def table(
     if ntz_cols:
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp_ltz") for c in ntz_cols})
     if spread:
         cores = spark.sparkContext.defaultParallelism

@@ -60,13 +60,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.types import TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    nanos = str(arrow_ts) == "timestamp[ns]"
+    # unit check, not string equality: a tz-flagged nanos encoding
+    # ("timestamp[ns, tz=UTC]") also surfaces as bigint under nanosAsLong
+    nanos = pa.types.is_timestamp(arrow_ts) and arrow_ts.unit == "ns"
     schema = StructType(
         [
             f if f.name != "ts" else StructField("ts", LongType() if nanos else TimestampNTZType())
