@@ -34,7 +34,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xarray_sql_spark.zarr_store import _ARRAY_DIMENSIONS, _compress
+from xarray_sql_spark.zarr_store import (
+    _ARRAY_DIMENSIONS,
+    _compress,
+    v2_array_meta,
+    v3_array_meta,
+    v3_codec_chain,
+)
 
 _SPARK_TO_NP = {
     "double": "<f8",
@@ -177,37 +183,11 @@ def _write_persisted(
     # 4) driver-side metadata + coordinate arrays
     full_shape = tuple(sizes[d] for d in dims)
     if v3:
-        from xarray_sql_spark.zarr_store import _v3_data_type
-
         consolidated_v3: dict = {}
 
         def _meta3(name: str, ndims: tuple[str, ...], shape: tuple[int, ...],
                    cshape: tuple[int, ...], dtype: np.dtype) -> None:
-            codecs: list[dict] = [
-                {"name": "bytes", "configuration": {"endian": "little"}}
-            ]
-            if comp is not None:
-                codecs.append(
-                    {"name": "gzip", "configuration": {"level": comp.get("level", 1)}}
-                )
-            meta = {
-                "zarr_format": 3,
-                "node_type": "array",
-                "shape": list(shape),
-                "data_type": _v3_data_type(dtype),
-                "chunk_grid": {
-                    "name": "regular",
-                    "configuration": {"chunk_shape": list(cshape)},
-                },
-                "chunk_key_encoding": {
-                    "name": "default",
-                    "configuration": {"separator": "/"},
-                },
-                "fill_value": "NaN" if dtype.kind == "f" else 0,
-                "codecs": codecs,
-                "dimension_names": list(ndims),
-                "attributes": {},
-            }
+            meta = v3_array_meta(shape, cshape, dtype, v3_codec_chain(comp), ndims)
             with open(os.path.join(path, name, "zarr.json"), "w") as f:
                 json.dump(meta, f)
             consolidated_v3[name] = meta
@@ -243,17 +223,7 @@ def _write_persisted(
 
     def _meta(name: str, ndims: tuple[str, ...], shape: tuple[int, ...],
               cshape: tuple[int, ...], dtype: np.dtype) -> None:
-        fill = "NaN" if dtype.kind == "f" else 0
-        meta = {
-            "zarr_format": 2,
-            "shape": list(shape),
-            "chunks": list(cshape),
-            "dtype": dtype.str,
-            "compressor": compressor,
-            "fill_value": fill,
-            "order": "C",
-            "filters": None,
-        }
+        meta = v2_array_meta(shape, cshape, dtype, compressor)
         zattrs = {_ARRAY_DIMENSIONS: list(ndims)}
         with open(os.path.join(path, name, ".zarray"), "w") as f:
             json.dump(meta, f)

@@ -493,6 +493,65 @@ def _v3_data_type(dtype: np.dtype):
     return dtype.name  # float64 / int64 / bool / ...
 
 
+# -- shared array-metadata builders (single source of truth for every writer:
+# the in-file test writers AND operators/zarr_sink's distributed sink) -------
+
+
+def v3_codec_chain(compressor: dict | None) -> list[dict]:
+    """bytes(+gzip) codec chain matching what _compress produces for
+    ``{"id": "gzip", ...}`` / ``None``."""
+    codecs: list[dict] = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compressor is not None:
+        codecs.append(
+            {"name": "gzip", "configuration": {"level": compressor.get("level", 1)}}
+        )
+    return codecs
+
+
+def v2_array_meta(
+    shape: tuple, chunk_shape: tuple, dtype: np.dtype, compressor: dict | None
+) -> dict:
+    fill = "NaN" if dtype.kind == "f" else None if dtype.kind == "M" else 0
+    return {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunk_shape) or [1],
+        "dtype": dtype.str,
+        "compressor": compressor,
+        "fill_value": fill,
+        "order": "C",
+        "filters": None,
+    }
+
+
+def v3_array_meta(
+    shape: tuple,
+    chunk_shape: tuple,
+    dtype: np.dtype,
+    codecs: list[dict],
+    dims: tuple,
+    attrs: dict | None = None,
+) -> dict:
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": _v3_data_type(dtype),
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunk_shape) or [1]},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "fill_value": "NaN" if dtype.kind == "f" else 0,
+        "codecs": codecs,
+        "dimension_names": list(dims),
+        "attributes": attrs or {},
+    }
+
+
 def _write_zarr_v3(
     ds,
     path: str,
@@ -517,13 +576,7 @@ def _write_zarr_v3(
         )
         sharded = bool(shards) and bool(data.shape) and any(d in shards for d in dims)
         gz = {"id": "gzip", "level": compressor.get("level", 1)} if compressor else None
-        inner_codecs: list[dict] = [
-            {"name": "bytes", "configuration": {"endian": "little"}}
-        ]
-        if compressor is not None:
-            inner_codecs.append(
-                {"name": "gzip", "configuration": {"level": compressor.get("level", 1)}}
-            )
+        inner_codecs = v3_codec_chain(compressor)
         if sharded:
             shard_shape = tuple(
                 min(shards.get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
@@ -549,25 +602,10 @@ def _write_zarr_v3(
         else:
             key_shape = chunk_shape
             codecs = inner_codecs
-        fill = "NaN" if data.dtype.kind == "f" else 0
-        meta = {
-            "zarr_format": 3,
-            "node_type": "array",
-            "shape": list(data.shape),
-            "data_type": _v3_data_type(data.dtype),
-            "chunk_grid": {
-                "name": "regular",
-                "configuration": {"chunk_shape": list(key_shape) or [1]},
-            },
-            "chunk_key_encoding": {
-                "name": "default",
-                "configuration": {"separator": "/"},
-            },
-            "fill_value": fill,
-            "codecs": codecs,
-            "dimension_names": list(dims),
-            "attributes": json.loads(json.dumps(attrs, default=str)),
-        }
+        meta = v3_array_meta(
+            data.shape, key_shape, data.dtype, codecs, dims,
+            json.loads(json.dumps(attrs, default=str)),
+        )
         with open(os.path.join(adir, "zarr.json"), "w") as f:
             json.dump(meta, f)
         consolidated[name] = meta
@@ -669,23 +707,7 @@ def write_zarr(
         chunk_shape = tuple(
             min((chunks or {}).get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
         )
-        fill = (
-            "NaN"
-            if data.dtype.kind == "f"
-            else 0
-            if data.dtype.kind != "M"
-            else None
-        )
-        meta = {
-            "zarr_format": 2,
-            "shape": list(data.shape),
-            "chunks": list(chunk_shape) or [1],
-            "dtype": data.dtype.str,
-            "compressor": compressor,
-            "fill_value": fill,
-            "order": "C",
-            "filters": None,
-        }
+        meta = v2_array_meta(data.shape, chunk_shape, data.dtype, compressor)
         with open(os.path.join(adir, ".zarray"), "w") as f:
             json.dump(meta, f)
         zattrs = json.loads(
