@@ -75,54 +75,45 @@ def test_pivot_rows_and_coords(nt, ny, batch):
 
 
 # --- property: Zarr store roundtrip across formats/dtypes/chunking ----------
-try:
-    from hypothesis import given, settings, strategies as st
+@st.composite
+def _grids(draw):
+    nd = draw(st.integers(1, 3))
+    shape = tuple(draw(st.integers(1, 7)) for _ in range(nd))
+    dtype = draw(st.sampled_from(["<f8", "<f4", "<i8", "<i4"]))
+    chunks = {f"d{i}": draw(st.integers(1, s)) for i, s in enumerate(shape)}
+    seed = draw(st.integers(0, 2**31 - 1))
+    fmt = draw(st.sampled_from([2, 3]))
+    shard = draw(st.booleans()) if fmt == 3 else False
+    comp = draw(st.sampled_from([None, {"id": "zlib", "level": 1}]))
+    return shape, dtype, chunks, seed, fmt, shard, comp
 
-    _HYP = True
-except ImportError:  # pragma: no cover
-    _HYP = False
+@settings(max_examples=40, deadline=None)
+@given(_grids())
+def test_zarr_roundtrip_property(case):
+    """Any (shape, dtype, chunk grid, format, sharding, codec) combo the
+    writer supports must read back value-identical — including NaNs for
+    float dtypes and edge chunks that need padding."""
+    import tempfile
 
-if _HYP:
+    from xarray_sql_spark.dataset import Dataset, Variable
+    from xarray_sql_spark.zarr_store import open_zarr, write_zarr
 
-    @st.composite
-    def _grids(draw):
-        nd = draw(st.integers(1, 3))
-        shape = tuple(draw(st.integers(1, 7)) for _ in range(nd))
-        dtype = draw(st.sampled_from(["<f8", "<f4", "<i8", "<i4"]))
-        chunks = {f"d{i}": draw(st.integers(1, s)) for i, s in enumerate(shape)}
-        seed = draw(st.integers(0, 2**31 - 1))
-        fmt = draw(st.sampled_from([2, 3]))
-        shard = draw(st.booleans()) if fmt == 3 else False
-        comp = draw(st.sampled_from([None, {"id": "zlib", "level": 1}]))
-        return shape, dtype, chunks, seed, fmt, shard, comp
-
-    @settings(max_examples=40, deadline=None)
-    @given(_grids())
-    def test_zarr_roundtrip_property(case):
-        """Any (shape, dtype, chunk grid, format, sharding, codec) combo the
-        writer supports must read back value-identical — including NaNs for
-        float dtypes and edge chunks that need padding."""
-        import tempfile
-
-        from xarray_sql_spark.dataset import Dataset, Variable
-        from xarray_sql_spark.zarr_store import open_zarr, write_zarr
-
-        shape, dtype, chunks, seed, fmt, shard, comp = case
-        rng = np.random.default_rng(seed)
-        data = (rng.integers(-1000, 1000, size=shape) / 4).astype(dtype)
-        if np.dtype(dtype).kind == "f" and data.size > 1:
-            flat = data.reshape(-1)
-            flat[:: max(1, data.size // 3)] = np.nan
-        dims = tuple(f"d{i}" for i in range(len(shape)))
-        coords = {d: np.arange(s, dtype=np.int64) for d, s in zip(dims, shape)}
-        ds = Dataset({"v": Variable(dims, data)}, coords)
-        path = os.path.join(tempfile.mkdtemp(), "prop.zarr")
-        shards = (
-            {dims[0]: min(shape[0], chunks[dims[0]] * 2)} if shard else None
-        )
-        write_zarr(ds, path, chunks=chunks, compressor=comp, zarr_format=fmt,
-                   shards=shards)
-        back = open_zarr(path)
-        got = back.data_vars["v"].values()
-        assert got.dtype == np.dtype(dtype)
-        np.testing.assert_array_equal(got, data)
+    shape, dtype, chunks, seed, fmt, shard, comp = case
+    rng = np.random.default_rng(seed)
+    data = (rng.integers(-1000, 1000, size=shape) / 4).astype(dtype)
+    if np.dtype(dtype).kind == "f" and data.size > 1:
+        flat = data.reshape(-1)
+        flat[:: max(1, data.size // 3)] = np.nan
+    dims = tuple(f"d{i}" for i in range(len(shape)))
+    coords = {d: np.arange(s, dtype=np.int64) for d, s in zip(dims, shape)}
+    ds = Dataset({"v": Variable(dims, data)}, coords)
+    path = os.path.join(tempfile.mkdtemp(), "prop.zarr")
+    shards = (
+        {dims[0]: min(shape[0], chunks[dims[0]] * 2)} if shard else None
+    )
+    write_zarr(ds, path, chunks=chunks, compressor=comp, zarr_format=fmt,
+               shards=shards)
+    back = open_zarr(path)
+    got = back.data_vars["v"].values()
+    assert got.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(got, data)

@@ -287,3 +287,40 @@ def test_distributed_zarr_sink_million_cells(spark, tmp_path):
     back = open_zarr(path)
     blk = back.data_vars["v"].read_block((slice(37, 42), slice(0, 100), slice(0, 100)))
     np.testing.assert_allclose(blk, v[37:42])
+
+
+def test_distributed_zarr_sink_datetime_value_fill_consistency(spark, tmp_path):
+    """A timestamp VALUE column's missing cells read back as NaT both for a
+    partially-written chunk and a never-written chunk, in both dialects."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    t = np.arange(8, dtype=np.int64)
+    y = np.arange(2, dtype=np.int64)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ds = Dataset(
+        {
+            "ev": Variable(
+                ("t", "y"),
+                (base + (np.arange(16).reshape(8, 2) * np.timedelta64(1, "h"))),
+            )
+        },
+        {"t": t, "y": y},
+    )
+    xs = XarraySession(spark)
+    xs.from_dataset("dz_dt", ds, chunks={"t": 4})
+    # drop one cell inside chunk 0 and ALL of chunk 1 (t >= 4)
+    res = xs.sql("SELECT t, y, ev FROM dz_dt WHERE t < 4 AND NOT (t = 1 AND y = 1)")
+    for fmt in (2, 3):
+        path = str(tmp_path / f"dz_dt_{fmt}.zarr")
+        xs2 = res.to_zarr_distributed(
+            path, dims=["t", "y"], chunks={"t": 4}, zarr_format=fmt
+        )
+        back = open_zarr(path)
+        got = back.data_vars["ev"].values()
+        assert got.shape == (4, 2)
+        assert np.isnat(got[1, 1])  # missing inside a written chunk
+        mask = ~np.isnat(got)
+        np.testing.assert_array_equal(
+            got[mask].astype("datetime64[us]"),
+            ds.data_vars["ev"].values()[:4][mask].astype("datetime64[us]"),
+        )

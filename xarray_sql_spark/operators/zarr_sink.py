@@ -164,7 +164,14 @@ def _write_persisted(
         )
         for v in vlist:
             dt = np.dtype(dt_strs[v])
-            fill = np.nan if dt.kind == "f" else 0
+            # must equal the .zarray/zarr.json fill_value: a cell missing
+            # inside a written chunk and one in a never-written chunk have
+            # to read back identically (NaN floats, NaT datetimes, 0 ints)
+            fill = (
+                np.nan if dt.kind == "f"
+                else np.datetime64("NaT") if dt.kind == "M"
+                else 0
+            )
             block = np.full(cs, fill, dtype=dt)
             block[locs] = pdf[v].to_numpy().astype(dt)
             fname = os.path.join(root, v, key)

@@ -52,10 +52,10 @@ _PRIORITY = (
     "cc01_neardup_purge "
     # 3. round-3-green but timestamp-consuming: re-prove under the LTZ
     #    loader (q11/q15/q29 touch no timestamp columns — rotated out to
-    #    keep the list at the driver's 50-entry window)
+    #    keep the list at exactly the driver's 50-entry window)
     "q01_pricing_summary q02_filter_scan q03_top_revenue q04_exists_semijoin "
-    "q06_forecast_revenue q09_climatology_hour q10_anomaly_cte "
-    "q12_interval_join q22_parameterized q25_set_ops"
+    "q05_region_volume q06_forecast_revenue q09_climatology_hour "
+    "q10_anomaly_cte q12_interval_join q22_parameterized q25_set_ops"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]

@@ -545,7 +545,11 @@ def v3_array_meta(
             "name": "default",
             "configuration": {"separator": "/"},
         },
-        "fill_value": "NaN" if dtype.kind == "f" else 0,
+        # datetime fill is the NaT sentinel so sparse chunks read back
+        # exactly like the v2 dialect's null fill (both -> NaT)
+        "fill_value": (
+            "NaN" if dtype.kind == "f" else -(2**63) if dtype.kind == "M" else 0
+        ),
         "codecs": codecs,
         "dimension_names": list(dims),
         "attributes": attrs or {},
