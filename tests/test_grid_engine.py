@@ -747,3 +747,32 @@ def test_zarr3_dialect_corners(tmp_path):
         {os.path.join("c", "0", "0"): np.asfortranarray(data).T.copy()},
     )
     np.testing.assert_array_equal(c.values(), data)
+
+
+def test_zarr3_shard_index_crc32c_detects_corruption(tmp_path):
+    """The writer appends a crc32c over the shard index; the reader
+    verifies it and refuses a corrupted index instead of reading bogus
+    (offset, nbytes) pairs as data."""
+    from xarray_sql_spark.zarr_store import _crc32c, open_zarr, write_zarr
+
+    # known-answer check (RFC 3720 test vector: 32 zero bytes)
+    assert _crc32c(bytes(32)) == 0x8A9136AA
+
+    ds = air_small()
+    path = os.path.join(str(tmp_path), "air_crc.zarr")
+    write_zarr(ds, path, chunks={"time": 2}, zarr_format=3, shards={"time": 8})
+    back = open_zarr(path)  # clean read verifies every index it touches
+    np.testing.assert_allclose(
+        back.data_vars["air"].values(), ds.data_vars["air"].values()
+    )
+
+    shard = os.path.join(path, "air", "c", "0", "0", "0")
+    data = bytearray(open(shard, "rb").read())
+    data[-6] ^= 0xFF  # flip a byte inside the index (not the checksum)
+    with open(shard, "wb") as f:
+        f.write(bytes(data))
+    fresh = open_zarr(path)
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        fresh.data_vars["air"].read_block(
+            (slice(0, 4), slice(0, 11), slice(0, 10))
+        )

@@ -36,10 +36,11 @@ Supported, v3 (the reference's benchmark stack pins ``zarr>=3``):
   optionally followed by ``gzip`` / ``zlib``; ``transpose`` with a
   reversed order list maps to F-order. blosc/zstd raise a clear error.
 - ``sharding_indexed``: shard files packing an inner chunk grid + binary
-  (offset, nbytes) index ("start" or "end" located, crc32c length handled
-  but not verified — no crc32c in the stdlib). The read granularity stays
-  the INNER chunk: block reads slice only the overlapped byte ranges out
-  of each shard — the cloud-store layout (few big files, range reads).
+  (offset, nbytes) index ("start" or "end" located; the crc32c the default
+  index_codecs append is VERIFIED with a pure-Python CRC-32C and emitted
+  by the writer). The read granularity stays the INNER chunk: block reads
+  slice only the overlapped byte ranges out of each shard — the
+  cloud-store layout (few big files, range reads).
 - inline ``consolidated_metadata`` in the root ``zarr.json`` (zarr-python
   3 convention): one metadata read for the whole group.
 """
@@ -107,6 +108,29 @@ def _compress(raw: bytes, compressor: dict | None) -> bytes:
     if cid == "gzip":
         return gzip.compress(raw, compresslevel=compressor.get("level", 6))
     raise NotImplementedError(f"unsupported write compressor {cid!r}")
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, polynomial 0x1EDC6F41 reflected to 0x82F63B78)
+    — the checksum zarr v3's default shard index_codecs append. Pure
+    Python with a lazily-built 256-entry table; index blobs are tiny
+    (16 bytes per inner chunk), so speed is irrelevant."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+            table.append(crc)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+_CRC32C_TABLE: list[int] | None = None
 
 
 def _parse_v3_dtype(spec: Any) -> np.dtype:
@@ -277,6 +301,14 @@ class ZarrArray:
             else:
                 f.seek(-idx_size, os.SEEK_END)
                 raw = f.read(idx_size)
+        if self._shard["index_checksum"]:
+            want = int.from_bytes(raw[16 * n_inner : 16 * n_inner + 4], "little")
+            got = _crc32c(raw[: 16 * n_inner])
+            if got != want:
+                raise ValueError(
+                    f"{fname}: shard index crc32c mismatch "
+                    f"(stored {want:#010x}, computed {got:#010x}) — corrupt shard"
+                )
         table = np.frombuffer(raw[: 16 * n_inner], dtype="<u8").reshape(n_inner, 2)
         cache[fname] = table
         return table
@@ -597,7 +629,8 @@ def _write_zarr_v3(
                         "chunk_shape": list(chunk_shape),
                         "codecs": inner_codecs,
                         "index_codecs": [
-                            {"name": "bytes", "configuration": {"endian": "little"}}
+                            {"name": "bytes", "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
                         ],
                         "index_location": "end",
                     },
@@ -653,9 +686,11 @@ def _write_zarr_v3(
                 enc = encoded_block(sel, chunk_shape)
                 index[pos] = (len(payload), len(enc))
                 payload.extend(enc)
+            idx_bytes = index.tobytes()
             with open(fname, "wb") as f:
                 f.write(bytes(payload))
-                f.write(index.tobytes())
+                f.write(idx_bytes)
+                f.write(_crc32c(idx_bytes).to_bytes(4, "little"))
 
     for d, c in ds.coords.items():
         write_array(d, (d,), np.asarray(c), dict(ds.coord_attrs.get(d, {})))
