@@ -324,3 +324,36 @@ def test_distributed_zarr_sink_datetime_value_fill_consistency(spark, tmp_path):
             got[mask].astype("datetime64[us]"),
             ds.data_vars["ev"].values()[:4][mask].astype("datetime64[us]"),
         )
+
+
+def test_distributed_zarr_sink_sharded_write(spark, tmp_path):
+    """shards= writes one sharding_indexed file per shard from the
+    executors (few big files, the object-store layout); the reader
+    round-trips values and still does sub-shard inner-chunk range reads."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    t = np.arange(32, dtype=np.int64)
+    y = np.arange(4, dtype=np.int64)
+    v = t[:, None] * 0.5 + y[None, :] * 0.25
+    ds = Dataset({"v": Variable(("t", "y"), v)}, {"t": t, "y": y})
+    xs = XarraySession(spark)
+    xs.from_dataset("dzs_grid", ds, chunks={"t": 8})
+    res = xs.sql("SELECT t, y, v FROM dzs_grid")
+    path = str(tmp_path / "dzs.zarr")
+    stats = res.to_zarr_distributed(
+        path, dims=["t", "y"], chunks={"t": 4}, zarr_format=3, shards={"t": 16}
+    )
+    assert len(stats) == 2  # 32 / 16 -> two shard files
+    assert sum(stats.values()) == 32 * 4
+    assert os.path.isfile(os.path.join(path, "v", "c", "0", "0"))
+    assert os.path.isfile(os.path.join(path, "v", "c", "1", "0"))
+    back = open_zarr(path)
+    np.testing.assert_allclose(back.data_vars["v"].values(), v)
+    # sub-shard selectivity: rows 4..7 live in inner chunk 1 of shard 0
+    zv = back.data_vars["v"].data
+    assert zv.chunks == (4, 4)
+    zv.last_opened = []
+    np.testing.assert_allclose(
+        zv.read_block((slice(4, 8), slice(0, 4))), v[4:8]
+    )
+    assert zv.last_opened == [os.path.join("c", "0", "0") + "[1]"]

@@ -72,6 +72,7 @@ def write_zarr_distributed(
     chunks: Mapping[str, int] | None = None,
     compressor: dict | None = {"id": "zlib", "level": 1},
     zarr_format: int = 2,
+    shards: Mapping[str, int] | None = None,
 ) -> dict[str, int]:
     """Write ``df`` (dim columns + value columns) as a chunked Zarr v2 (or
     v3) group with executor-parallel chunk writes. Returns
@@ -81,8 +82,14 @@ def write_zarr_distributed(
     write task per core here; on a cluster pick chunks so a block is
     10-100 MB). Coordinates are sorted ascending. ``zarr_format=3`` emits
     ``zarr.json`` metadata, ``c/``-prefixed chunk keys and a
-    bytes(+gzip) codec chain instead of the v2 dialect.
+    bytes(+gzip) codec chain instead of the v2 dialect. ``shards`` (v3
+    only) groups rows by SHARD instead: each task writes one
+    sharding_indexed file — inner chunk payloads + crc32c-checked binary
+    index — giving the few-big-files layout object stores want while the
+    reader keeps sub-shard range reads.
     """
+    if shards and zarr_format != 3:
+        raise ValueError("shards requires zarr_format=3")
     dims = list(dims)
     spark_types = dict(df.dtypes)
     var_cols = [c for c in df.columns if c not in dims]
@@ -98,7 +105,7 @@ def write_zarr_distributed(
     try:
         return _write_persisted(
             df, path, dims, chunks, compressor, zarr_format, var_cols, dtypes,
-            dim_dtypes,
+            dim_dtypes, shards,
         )
     finally:
         df.unpersist()
@@ -114,6 +121,7 @@ def _write_persisted(
     var_cols: list,
     dtypes: dict,
     dim_dtypes: dict,
+    shards: Mapping[str, int] | None = None,
 ) -> dict[str, int]:
     # 1) axes (small): one distinct+sort per dim
     coords = {
@@ -127,11 +135,22 @@ def _write_persisted(
     if chunks is None:
         chunks = {dims[0]: max(1, -(-sizes[dims[0]] // 32))}
     chunk_shape = tuple(min(chunks.get(d, sizes[d]), sizes[d]) for d in dims)
+    if shards:
+        shard_shape = tuple(
+            min(shards.get(d, sizes[d]), sizes[d]) for d in dims
+        )
+        # spec: shard shape is a whole multiple of the inner chunk shape
+        shard_shape = tuple(
+            (s // c) * c if s >= c else c for s, c in zip(shard_shape, chunk_shape)
+        )
+        key_shape = shard_shape
+    else:
+        key_shape = chunk_shape
 
-    # 2) chunk index per row via broadcast position joins (axes are tiny)
+    # 2) chunk/shard index per row via broadcast position joins (tiny axes)
     spark = df.sparkSession
     work = df
-    for d, c in zip(dims, chunk_shape):
+    for d, c in zip(dims, key_shape):
         pos_pdf = pd.DataFrame({d: coords[d], f"__pos_{d}": np.arange(sizes[d], dtype=np.int64)})
         work = work.join(F.broadcast(spark.createDataFrame(pos_pdf)), d)
         work = work.withColumn(f"__ck_{d}", F.expr(f"__pos_{d} div {c}").cast("int"))
@@ -140,9 +159,11 @@ def _write_persisted(
     for v in var_cols:
         os.makedirs(os.path.join(path, v), exist_ok=True)
     dlist, vlist = list(dims), list(var_cols)
-    cs = chunk_shape
+    cs = key_shape
+    inner_cs = chunk_shape
     dt_strs = {v: dtypes[v].str for v in vlist}
     v3 = zarr_format == 3
+    do_shard = bool(shards)
     # v3 declares a gzip codec, so the bytes must BE gzip (v2 keeps zlib)
     comp = (
         {"id": "gzip", "level": compressor.get("level", 1)}
@@ -177,8 +198,31 @@ def _write_persisted(
             fname = os.path.join(root, v, key)
             if v3:
                 os.makedirs(os.path.dirname(fname), exist_ok=True)
+            if not do_shard:
+                with open(fname, "wb") as f:
+                    f.write(_compress(np.ascontiguousarray(block).tobytes(), comp))
+                continue
+            # one sharding_indexed file: inner chunk payloads in C order +
+            # (offset, nbytes) uint64-LE index + crc32c (zarr_store dialect)
+            import itertools as _it
+
+            from xarray_sql_spark.zarr_store import _crc32c
+
+            per = tuple(sh // c for sh, c in zip(cs, inner_cs))
+            index = np.empty((int(np.prod(per)), 2), dtype="<u8")
+            payload = bytearray()
+            for pos, iidx in enumerate(_it.product(*(range(p) for p in per))):
+                sel = tuple(
+                    slice(i * c, (i + 1) * c) for i, c in zip(iidx, inner_cs)
+                )
+                enc = _compress(np.ascontiguousarray(block[sel]).tobytes(), comp)
+                index[pos] = (len(payload), len(enc))
+                payload.extend(enc)
+            idx_bytes = index.tobytes()
             with open(fname, "wb") as f:
-                f.write(_compress(np.ascontiguousarray(block).tobytes(), comp))
+                f.write(bytes(payload))
+                f.write(idx_bytes)
+                f.write(_crc32c(idx_bytes).to_bytes(4, "little"))
         return pd.DataFrame({"chunk": [key], "n": [len(pdf)]})
 
     stats = (
@@ -193,14 +237,35 @@ def _write_persisted(
         consolidated_v3: dict = {}
 
         def _meta3(name: str, ndims: tuple[str, ...], shape: tuple[int, ...],
-                   cshape: tuple[int, ...], dtype: np.dtype) -> None:
-            meta = v3_array_meta(shape, cshape, dtype, v3_codec_chain(comp), ndims)
+                   cshape: tuple[int, ...], dtype: np.dtype,
+                   inner: tuple[int, ...] | None = None) -> None:
+            if inner is not None:
+                codecs = [
+                    {
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": list(inner),
+                            "codecs": v3_codec_chain(comp),
+                            "index_codecs": [
+                                {"name": "bytes", "configuration": {"endian": "little"}},
+                                {"name": "crc32c"},
+                            ],
+                            "index_location": "end",
+                        },
+                    }
+                ]
+            else:
+                codecs = v3_codec_chain(comp)
+            meta = v3_array_meta(shape, cshape, dtype, codecs, ndims)
             with open(os.path.join(path, name, "zarr.json"), "w") as f:
                 json.dump(meta, f)
             consolidated_v3[name] = meta
 
         for v in var_cols:
-            _meta3(v, tuple(dims), full_shape, cs, dtypes[v])
+            _meta3(
+                v, tuple(dims), full_shape, cs, dtypes[v],
+                inner=inner_cs if do_shard else None,
+            )
         for d in dims:
             os.makedirs(os.path.join(path, d), exist_ok=True)
             arr = coords[d]

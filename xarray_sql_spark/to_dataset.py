@@ -199,16 +199,17 @@ class XarrayDataFrame:
         chunks: "Mapping[str, int] | None" = None,
         compressor: dict | None = {"id": "zlib", "level": 1},
         zarr_format: int = 2,
+        shards: "Mapping[str, int] | None" = None,
     ) -> dict[str, int]:
         """Executor-parallel Zarr sink — the scale path ``to_zarr`` isn't:
-        rows shuffle once on their chunk key and every chunk file is written
-        from the executor holding it; the driver handles only axes +
-        metadata (see :mod:`xarray_sql_spark.operators.zarr_sink`).
+        rows shuffle once on their chunk (or shard) key and every file is
+        written from the executor holding it; the driver handles only axes
+        + metadata (see :mod:`xarray_sql_spark.operators.zarr_sink`).
         Returns {chunk_key: rows_written}."""
         from xarray_sql_spark.operators.zarr_sink import write_zarr_distributed
 
         return write_zarr_distributed(
-            self._df, path, dims, chunks, compressor, zarr_format
+            self._df, path, dims, chunks, compressor, zarr_format, shards
         )
 
     # -- lazy path (A11/A12/A14) ---------------------------------------
