@@ -205,3 +205,53 @@ def test_asof_enrich_state_carries_across_microbatches(spark, batch_events, tmp_
     # Streaming processes files in order, so in-order feeds are exact —
     # including purchases whose latest click landed in the earlier batch.
     assert got == batch
+
+
+def test_lsh_neardup_gate_matches_batch(spark):
+    """Streaming MinHash-LSH near-dup verdicts == the batch computation
+    with the same band keys (min doc_id per band claims it), driven in two
+    micro-batches so the band state carries across them. Also pins that
+    the per-row band expression equals dd04's aggregated banding."""
+    import os
+    import tempfile
+
+    from xarray_sql_spark.queries.dedup_lsh import minhash_bands_expr
+    from xarray_sql_spark.streaming import dedup as sd
+
+    docs = table(spark, SF_SMALL, "documents")
+    bands = docs.select(
+        "doc_id", F.explode(minhash_bands_expr()).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+
+    # batch ground truth: first claimant per band, verdict per doc
+    firsts = bands.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    want = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in bands.join(firsts, ["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.max((F.col("first_doc") < F.col("doc_id")).cast("int")).alias("is_near_dup"))
+        .collect()
+    }
+
+    # two-file feed -> two micro-batches
+    rows = docs.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    outdir = tempfile.mkdtemp()
+    for i, part in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(outdir, f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(outdir, "b*"))
+    )
+    sink = se.run_to_memory(sd.lsh_band_firsts(stream), "t_lsh_firsts")
+    got = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in sd.near_dup_verdicts(sink).collect()
+    }
+    assert got == want
+    assert sum(got.values()) > 0  # the synthetic corpus has near-dups

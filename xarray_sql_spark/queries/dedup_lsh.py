@@ -563,3 +563,32 @@ def ts04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+def minhash_bands_expr():
+    """Per-ROW MinHash banding: (band_idx, band_hash) structs computed with
+    higher-order array functions only — no explode/groupBy, so the same
+    expression works in batch projections AND streaming selects (streaming
+    aggregations are stateful; a per-row expression is free). Constants are
+    shared with dd04, so band keys are comparable across both paths. The
+    token-hash array binds ONCE per row via a transform lambda (the ts05
+    single-evaluation pattern); each of the 16 permutation mins reads it
+    without re-hashing the tokens."""
+    h_sql = f"transform(array_distinct(split(text, ' ')), t -> {_spark_h31('t')})"
+
+    def sig_term(i: int) -> str:
+        return (
+            f"array_min(transform(hh, x -> (CAST({PERM_A[i]} AS BIGINT) * x"
+            f" + {PERM_B[i]}) % {MERSENNE31}))"
+        )
+
+    bands = ", ".join(
+        "named_struct('band_idx', {j}, 'band_hash', md5(concat_ws('-', {terms})))".format(
+            j=j,
+            terms=", ".join(
+                sig_term(j * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for j in range(N_BANDS)
+    )
+    return F.expr(f"transform(array({h_sql}), hh -> array({bands}))[0]")
