@@ -776,3 +776,32 @@ def test_zarr3_shard_index_crc32c_detects_corruption(tmp_path):
         fresh.data_vars["air"].read_block(
             (slice(0, 4), slice(0, 11), slice(0, 10))
         )
+
+
+def test_zarr3_shard_spec_default_index_codecs(tmp_path):
+    """The sharding spec's DEFAULT index_codecs is bytes+crc32c, so a store
+    whose metadata omits the key still carries the 4-byte checksum: the
+    reader must locate the index around it (and verify it), not read 4
+    bytes short."""
+    import json
+
+    from xarray_sql_spark.zarr_store import open_zarr, write_zarr
+
+    ds = air_small()
+    path = os.path.join(str(tmp_path), "air_defidx.zarr")
+    write_zarr(ds, path, chunks={"time": 2}, zarr_format=3, shards={"time": 8})
+    # strip index_codecs from every array's sharding config — the bytes on
+    # disk (which include the crc32c trailer) are now a spec-default store
+    for name in ("air", "time", "lat", "lon"):
+        meta_path = os.path.join(path, name, "zarr.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        codec0 = meta["codecs"][0]
+        if codec0.get("name") == "sharding_indexed":
+            codec0["configuration"].pop("index_codecs", None)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+    back = open_zarr(path)
+    np.testing.assert_allclose(
+        back.data_vars["air"].values(), ds.data_vars["air"].values()
+    )

@@ -207,6 +207,23 @@ def test_distributed_zarr_sink_sparse_cells_fill(spark, tmp_path):
     np.testing.assert_allclose(got[mask], v[:10][mask])
 
 
+def test_distributed_zarr_sink_null_in_int_column_raises(spark, tmp_path):
+    """A NULL in a column mapped to a non-nullable dtype (int/bool) fails
+    with a clear message naming the column, not an opaque astype error;
+    float columns degrade to NaN fill as documented."""
+    t = np.arange(8, dtype=np.int64)
+    ds = Dataset({"v": Variable(("t",), t * 1.0)}, {"t": t})
+    xs = XarraySession(spark)
+    xs.from_dataset("dz_null", ds, chunks={"t": 4})
+    res = xs.sql(
+        "SELECT t, CASE WHEN t = 3 THEN NULL ELSE t END AS iv FROM dz_null"
+    )
+    with pytest.raises(Exception, match="non-nullable dtype"):
+        res.to_zarr_distributed(
+            str(tmp_path / "dz_null.zarr"), dims=["t"], chunks={"t": 4}
+        )
+
+
 def test_distributed_zarr_sink_timestamp_dim(spark, tmp_path):
     """A timestamp axis survives the distributed round trip (position join
     on timestamps, M8[us] coord array on disk)."""

@@ -194,6 +194,15 @@ def _write_persisted(
                 else 0
             )
             block = np.full(cs, fill, dtype=dt)
+            # float/datetime NULLs degrade to the NaN/NaT fill, but an
+            # int/bool dtype has no missing sentinel — fail with the column
+            # name instead of an opaque astype cast error
+            if dt.kind in "iub" and pdf[v].isna().any():
+                raise ValueError(
+                    f"write_zarr_distributed: column {v!r} maps to "
+                    f"non-nullable dtype {dt} but contains NULLs; fill or "
+                    f"cast it to a float/timestamp type before writing"
+                )
             block[locs] = pdf[v].to_numpy().astype(dt)
             fname = os.path.join(root, v, key)
             if v3:

@@ -62,7 +62,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from pyspark.sql.types import TimestampNTZType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -70,9 +70,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit check, not string equality: a tz-flagged nanos encoding
     # ("timestamp[ns, tz=UTC]") also surfaces as bigint under nanosAsLong
     nanos = pa.types.is_timestamp(arrow_ts) and arrow_ts.unit == "ns"
+    # tz-flagged µs/ms (TIMESTAMP_LTZ parquet) must be declared TimestampType;
+    # an NTZ declaration would still decode the right instant under the UTC
+    # session pin, but the declared type would misstate the file's semantics.
+    tz_flagged = (
+        not nanos and pa.types.is_timestamp(arrow_ts) and arrow_ts.tz is not None
+    )
+    if nanos:
+        raw_ts_type = LongType()
+    elif tz_flagged:
+        raw_ts_type = TimestampType()
+    else:
+        raw_ts_type = TimestampNTZType()
     schema = StructType(
         [
-            f if f.name != "ts" else StructField("ts", LongType() if nanos else TimestampNTZType())
+            f if f.name != "ts" else StructField("ts", raw_ts_type)
             for f in EVENTS_RAW_SCHEMA.fields
         ]
     )

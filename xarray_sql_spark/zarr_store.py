@@ -251,14 +251,20 @@ class ZarrArray:
                     f"inner chunk shape {inner}"
                 )
             self.order, self.compressor = self._parse_v3_codecs(cfg.get("codecs"))
-            index_codecs = [c.get("name") for c in cfg.get("index_codecs", [])]
+            # Spec default for index_codecs is [bytes, crc32c], so an absent
+            # key means the 4-byte checksum IS present. The crc32c trailer is
+            # verified in _shard_index (pure-Python CRC-32C) — a corrupted
+            # index raises instead of yielding garbage (offset, nbytes) pairs.
+            if "index_codecs" in cfg:
+                index_codecs = [c.get("name") for c in cfg["index_codecs"]]
+                index_checksum = 4 if "crc32c" in index_codecs else 0
+            else:
+                index_checksum = 4
             self._shard = {
                 "outer": outer,
                 "per_shard": tuple(o // i for o, i in zip(outer, inner)),
                 "index_location": cfg.get("index_location", "end"),
-                # crc32c checksum appends 4 bytes to the index; we locate
-                # around it but do not verify (no crc32c in the stdlib)
-                "index_checksum": 4 if "crc32c" in index_codecs else 0,
+                "index_checksum": index_checksum,
                 "index_cache": {},
             }
             self.chunks = inner
