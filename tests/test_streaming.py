@@ -207,6 +207,119 @@ def test_asof_enrich_state_carries_across_microbatches(spark, batch_events, tmp_
     assert got == batch
 
 
+def _poll_to_memory(spark, df, name, done, *, output_mode="append", timeout=90):
+    """Run a stream that can NEVER terminate on its own (processing-time
+    TTLs keep scheduling timer-service micro-batches even after the feed is
+    exhausted — by design: a TTL stream is a continuous query). Poll the
+    memory sink until ``done(batch_df)`` holds, then stop the query."""
+    import time
+
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if done(spark.table(name)):
+                return spark.table(name)
+            time.sleep(1.0)
+        raise AssertionError(f"stream {name} never reached the done condition")
+    finally:
+        q.stop()
+
+
+def test_asof_ttl_evicts_idle_user_state(spark, tmp_path):
+    """With a (tiny) processing-time TTL, a user idle across a micro-batch
+    loses the carried click: the later purchase enriches to NULL — the
+    bounded-state trade. The same feed without a TTL keeps the click."""
+    import datetime as dt
+    import os
+    import time
+
+    import pandas as pd
+
+    def _ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    def _feed(suffix):
+        outdir = str(tmp_path / f"ttl_feed_{suffix}")
+        os.makedirs(outdir)
+        batches = [
+            # b0: user 1 clicks
+            [(1, _ts("2024-01-01 10:00:00"), 1, "click", 1.0)],
+            # b1: only user 2 traffic -> user 1 idle, its timer may fire
+            [(2, _ts("2024-01-01 10:01:00"), 2, "view", 1.0)],
+            # b2: user 1 purchases
+            [(3, _ts("2024-01-01 10:05:00"), 1, "purchase", 9.0)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double"
+            ).coalesce(1).write.parquet(os.path.join(outdir, f"b{i}"))
+            time.sleep(0.05)  # distinct mtimes keep file order deterministic
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(outdir, "b*"))
+        )
+
+    with_ttl = _poll_to_memory(
+        spark, se.asof_enrich(_feed("on"), ttl_ms=1), "t_asof_ttl_on",
+        lambda t: t.count() >= 1,
+    )
+    got = {r["purchase_id"]: r["last_click_us"] for r in with_ttl.collect()}
+    assert got == {3: None}  # click state evicted before the purchase
+
+    # without a TTL the feed terminates on its own and the click carries
+    no_ttl = se.run_to_memory(se.asof_enrich(_feed("off")), "t_asof_ttl_off")
+    got = {r["purchase_id"]: r["last_click_us"] for r in no_ttl.collect()}
+    assert got == {3: int(pd.Timestamp("2024-01-01 10:00:00").value // 1000)}
+
+
+def test_user_stats_with_ttl_matches_batch_when_horizon_is_long(
+    spark, batch_events
+):
+    """A TTL far beyond the run's wall time must not change results — pins
+    that the timeout wiring (setTimeoutDuration per update) is inert until
+    a key actually idles past it."""
+    expect = {
+        r["user_id"]: r
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+
+    def _complete(t):
+        # update mode: last row per user wins; done when every user's
+        # running count has reached its batch total
+        rows = t.collect()
+        final = {}
+        for r in rows:  # memory sink appends updates in batch order
+            final[r["user_id"]] = r
+        return set(final) == set(expect) and all(
+            final[u]["n_events"] == expect[u]["n"] for u in expect
+        )
+
+    stream_out = _poll_to_memory(
+        spark,
+        se.user_running_stats(se.events_stream(spark, SF_SMALL), ttl_ms=3_600_000),
+        "t_user_stats_ttl",
+        _complete,
+        output_mode="update",
+    )
+    final = {r["user_id"]: r for r in stream_out.collect()}
+    assert set(final) == set(expect)
+    for uid, r in final.items():
+        assert r["n_events"] == expect[uid]["n"]
+
+
 def test_lsh_neardup_gate_matches_batch(spark):
     """Streaming MinHash-LSH near-dup verdicts == the batch computation
     with the same band keys (min doc_id per band claims it), driven in two

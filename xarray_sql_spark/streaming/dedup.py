@@ -13,7 +13,7 @@ band's first-claimant doc_id; its per-band verdicts aggregate to per-doc
 verdicts downstream (batch over the micro-batch sink — the standard
 two-stage layout for multi-key streaming logic). State is one long per
 DISTINCT band key — bounded by corpus novelty, not corpus size; at 100 TB
-add a TTL timeout for keys idle past the dedup horizon.
+pass ``ttl_ms`` so keys idle past the dedup horizon are evicted.
 """
 
 from __future__ import annotations
@@ -67,42 +67,66 @@ _BAND_OUT = StructType(
 )
 
 
-def _band_firsts_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per band key: the lowest doc_id ever seen claims the band; every
-    arrival is emitted with that claimant (itself included). Within a
-    micro-batch arrival order is doc_id order (deterministic replay)."""
-    frames = [p for p in pdfs if len(p)]
-    if not frames:
-        return
-    rows = pd.concat(frames, ignore_index=True).sort_values("doc_id")
-    first = state.get[0] if state.exists else int(rows["doc_id"].iloc[0])
-    state.update((int(first),))
-    yield pd.DataFrame(
-        {
-            "band_idx": int(key[0]),
-            "band_hash": key[1],
-            "doc_id": rows["doc_id"].to_numpy(),
-            "first_doc": first,
-        }
-    )
+def _band_firsts_fn_factory(ttl_ms: int | None):
+    def _band_firsts_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per band key: the lowest doc_id ever seen claims the band; every
+        arrival is emitted with that claimant (itself included). Within a
+        micro-batch arrival order is doc_id order (deterministic replay)."""
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # band idle past the dedup horizon: release it
+            return
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames, ignore_index=True).sort_values("doc_id")
+        first = state.get[0] if state.exists else int(rows["doc_id"].iloc[0])
+        state.update((int(first),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "band_idx": int(key[0]),
+                "band_hash": key[1],
+                "doc_id": rows["doc_id"].to_numpy(),
+                "first_doc": first,
+            }
+        )
+
+    return _band_firsts_fn
 
 
-def lsh_band_firsts(stream: DataFrame) -> DataFrame:
+def lsh_band_firsts(stream: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
     """Stage 1 (the stateful op): explode each document's MinHash bands and
-    track the first claimant per band key across micro-batches."""
+    track the first claimant per band key across micro-batches.
+
+    ``ttl_ms`` bounds the state store at 100 TB: a band key idle for longer
+    than the dedup horizon is dropped (processing-time timeout), so state
+    tracks the ACTIVE near-dup frontier instead of every band ever seen.
+    The trade is explicit: a duplicate arriving after the horizon is
+    re-admitted — the standard windowed-dedup contract. Default (None)
+    keeps exact forever-dedup.
+
+    Caveat: with a TTL the query is a CONTINUOUS stream — Spark keeps
+    scheduling timer-service micro-batches after the feed drains, so an
+    ``availableNow`` run never self-terminates; drive it with a real
+    trigger and stop it explicitly (see tests)."""
     from xarray_sql_spark.queries.dedup_lsh import minhash_bands_expr
 
     bands = stream.select(
         "doc_id", F.explode(minhash_bands_expr()).alias("b")
     ).select("doc_id", "b.band_idx", "b.band_hash")
     return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        _band_firsts_fn,
+        _band_firsts_fn_factory(ttl_ms),
         outputStructType=_BAND_OUT,
         stateStructType=_BAND_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

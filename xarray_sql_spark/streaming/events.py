@@ -160,40 +160,56 @@ _USER_STATS_SCHEMA = StructType(
 )
 
 
-def _user_stats_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Custom stateful kernel: running per-user event count and max value.
-    State survives across micro-batches; emitted once per batch per user."""
-    n, max_v = state.get if state.exists else (0, None)
-    last_ts = None
-    for pdf in pdfs:
-        n += len(pdf)
-        batch_max = pdf["value"].max()
-        if max_v is None or (pd.notna(batch_max) and float(batch_max) > float(max_v)):
-            max_v = str(float(batch_max))
-        last_ts = pdf["ts"].max()
-    state.update((n, max_v))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "max_value": [max_v],
-            "last_ts": [last_ts],
-        }
-    )
+def _user_stats_fn_factory(ttl_ms: int | None):
+    def _user_stats_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Custom stateful kernel: running per-user event count and max value.
+        State survives across micro-batches; emitted once per batch per user."""
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # user idle past the TTL: running stats reset
+            return
+        n, max_v = state.get if state.exists else (0, None)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["value"].max()
+            if max_v is None or (pd.notna(batch_max) and float(batch_max) > float(max_v)):
+                max_v = str(float(batch_max))
+            last_ts = pdf["ts"].max()
+        state.update((n, max_v))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [max_v],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return _user_stats_fn
 
 
-def user_running_stats(stream: DataFrame) -> DataFrame:
+def user_running_stats(stream: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
     """applyInPandasWithState: arbitrary per-key running state (the escape
     hatch for operators session_window/window can't express). Keys shard
-    across executors; each micro-batch touches only keys with new data."""
+    across executors; each micro-batch touches only keys with new data.
+    ``ttl_ms`` evicts users idle past it (their running stats restart on
+    return) — the knob that bounds the state store when the key space
+    grows without bound. With a TTL the query never self-terminates under
+    ``availableNow`` (timer-service batches keep coming); stop explicitly."""
     return stream.groupBy("user_id").applyInPandasWithState(
-        _user_stats_fn,
+        _user_stats_fn_factory(ttl_ms),
         outputStructType=_USER_STATS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -342,42 +358,51 @@ def _us(series: pd.Series) -> pd.Series:
     return series.astype("datetime64[us]").astype("int64")
 
 
-def _asof_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-user kernel: carry the latest click timestamp as state; each
-    purchase is enriched with the most recent click at or before it.
-    Vectorized — sort clicks-before-purchases at equal timestamps, forward-
-    fill the click column, seed with the state carried from prior batches."""
-    carried = state.get[0] if state.exists else None
-    frames = [p for p in pdfs if len(p)]
-    if not frames:
-        return
-    rows = pd.concat(frames, ignore_index=True)
-    rows = rows.sort_values(["ts", "kind"], kind="stable", ignore_index=True)
-    click_ts = rows["ts"].where(rows["kind"] == 0).ffill()
-    if carried is not None:
-        click_ts = click_ts.fillna(pd.Timestamp(carried))
-    p = rows["kind"] == 1
-    out = pd.DataFrame(
-        {
-            "purchase_id": rows.loc[p, "event_id"].astype("int64"),
-            "user_id": key[0],
-            "purchase_us": _us(rows.loc[p, "ts"]),
-            "last_click_us": [
-                None if pd.isna(v) else int(pd.Timestamp(v).value // 1000)
-                for v in click_ts[p]
-            ],
-        }
-    )
-    out["gap_us"] = out["purchase_us"] - out["last_click_us"]
-    new_last = click_ts.iloc[-1] if len(click_ts) else None
-    if pd.notna(new_last):
-        state.update((pd.Timestamp(new_last),))
-    yield out
+def _asof_fn_factory(ttl_ms: int | None):
+    def _asof_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user kernel: carry the latest click timestamp as state; each
+        purchase is enriched with the most recent click at or before it.
+        Vectorized — sort clicks-before-purchases at equal timestamps,
+        forward-fill the click column, seed with the state carried from
+        prior batches."""
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # user idle past the feature-freshness horizon
+            return
+        carried = state.get[0] if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames, ignore_index=True)
+        rows = rows.sort_values(["ts", "kind"], kind="stable", ignore_index=True)
+        click_ts = rows["ts"].where(rows["kind"] == 0).ffill()
+        if carried is not None:
+            click_ts = click_ts.fillna(pd.Timestamp(carried))
+        p = rows["kind"] == 1
+        out = pd.DataFrame(
+            {
+                "purchase_id": rows.loc[p, "event_id"].astype("int64"),
+                "user_id": key[0],
+                "purchase_us": _us(rows.loc[p, "ts"]),
+                "last_click_us": [
+                    None if pd.isna(v) else int(pd.Timestamp(v).value // 1000)
+                    for v in click_ts[p]
+                ],
+            }
+        )
+        out["gap_us"] = out["purchase_us"] - out["last_click_us"]
+        new_last = click_ts.iloc[-1] if len(click_ts) else None
+        if pd.notna(new_last):
+            state.update((pd.Timestamp(new_last),))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        yield out
+
+    return _asof_fn
 
 
-def asof_enrich(stream: DataFrame) -> DataFrame:
+def asof_enrich(stream: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
     """Streaming as-of join — the streaming twin of the batch
     ``q27_asof_join`` query: every purchase is annotated with the user's
     most recent click at or before the purchase time, state = one
@@ -388,7 +413,11 @@ def asof_enrich(stream: DataFrame) -> DataFrame:
     latest click forward, so in-order feeds are exact and late clicks obey
     the same bounded-delay contract as Spark's built-in stream-stream
     interval join. Keys shard by user across executors; at 100 TB the
-    state store holds one row per active user."""
+    state store holds one row per active user — and ``ttl_ms`` evicts users
+    idle past the feature-freshness horizon (a purchase after eviction sees
+    no click, the point-in-time-lookup equivalent of a feature-store TTL).
+    With a TTL the query never self-terminates under ``availableNow``
+    (timer-service batches keep coming); stop explicitly."""
     tagged = (
         stream.filter(F.col("event_type").isin("click", "purchase"))
         .select(
@@ -399,9 +428,13 @@ def asof_enrich(stream: DataFrame) -> DataFrame:
         )
     )
     return tagged.groupBy("user_id").applyInPandasWithState(
-        _asof_fn,
+        _asof_fn_factory(ttl_ms),
         outputStructType=_ASOF_OUT_SCHEMA,
         stateStructType=_ASOF_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
