@@ -164,10 +164,11 @@ def _write_persisted(
     dt_strs = {v: dtypes[v].str for v in vlist}
     v3 = zarr_format == 3
     do_shard = bool(shards)
-    # v3 declares a gzip codec, so the bytes must BE gzip (v2 keeps zlib)
+    # v3's core spec registers gzip but not raw zlib (v2 keeps zlib);
+    # zstd/blosc pass through — they have v3 codec spellings
     comp = (
         {"id": "gzip", "level": compressor.get("level", 1)}
-        if (v3 and compressor is not None)
+        if (v3 and compressor is not None and compressor.get("id") == "zlib")
         else compressor
     )
     root = path
@@ -209,7 +210,9 @@ def _write_persisted(
                 os.makedirs(os.path.dirname(fname), exist_ok=True)
             if not do_shard:
                 with open(fname, "wb") as f:
-                    f.write(_compress(np.ascontiguousarray(block).tobytes(), comp))
+                    f.write(
+                        _compress(np.ascontiguousarray(block).tobytes(), comp, dt.itemsize)
+                    )
                 continue
             # one sharding_indexed file: inner chunk payloads in C order +
             # (offset, nbytes) uint64-LE index + crc32c (zarr_store dialect)
@@ -224,7 +227,9 @@ def _write_persisted(
                 sel = tuple(
                     slice(i * c, (i + 1) * c) for i, c in zip(iidx, inner_cs)
                 )
-                enc = _compress(np.ascontiguousarray(block[sel]).tobytes(), comp)
+                enc = _compress(
+                    np.ascontiguousarray(block[sel]).tobytes(), comp, dt.itemsize
+                )
                 index[pos] = (len(payload), len(enc))
                 payload.extend(enc)
             idx_bytes = index.tobytes()
@@ -254,7 +259,7 @@ def _write_persisted(
                         "name": "sharding_indexed",
                         "configuration": {
                             "chunk_shape": list(inner),
-                            "codecs": v3_codec_chain(comp),
+                            "codecs": v3_codec_chain(comp, dtype.itemsize),
                             "index_codecs": [
                                 {"name": "bytes", "configuration": {"endian": "little"}},
                                 {"name": "crc32c"},
@@ -264,7 +269,7 @@ def _write_persisted(
                     }
                 ]
             else:
-                codecs = v3_codec_chain(comp)
+                codecs = v3_codec_chain(comp, dtype.itemsize)
             meta = v3_array_meta(shape, cshape, dtype, codecs, ndims)
             with open(os.path.join(path, name, "zarr.json"), "w") as f:
                 json.dump(meta, f)
@@ -283,7 +288,11 @@ def _write_persisted(
             _meta3(d, (d,), (len(arr),), (len(arr),), arr_le.dtype)
             os.makedirs(os.path.join(path, d, "c"), exist_ok=True)
             with open(os.path.join(path, d, "c", "0"), "wb") as f:
-                f.write(_compress(np.ascontiguousarray(arr_le).tobytes(), comp))
+                f.write(
+                    _compress(
+                        np.ascontiguousarray(arr_le).tobytes(), comp, arr_le.dtype.itemsize
+                    )
+                )
         root_doc = {
             "zarr_format": 3,
             "node_type": "group",
@@ -320,7 +329,11 @@ def _write_persisted(
         arr = coords[d]
         _meta(d, (d,), (len(arr),), (len(arr),), arr.dtype)
         with open(os.path.join(path, d, "0"), "wb") as f:
-            f.write(_compress(np.ascontiguousarray(arr).tobytes(), compressor))
+            f.write(
+                _compress(
+                    np.ascontiguousarray(arr).tobytes(), compressor, arr.dtype.itemsize
+                )
+            )
     with open(os.path.join(path, ".zmetadata"), "w") as f:
         json.dump({"zarr_consolidated_format": 1, "metadata": consolidated}, f)
     return {r["chunk"]: r["n"] for r in stats}

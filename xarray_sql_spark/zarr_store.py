@@ -17,9 +17,12 @@ Supported, v2:
   ``_ARRAY_DIMENSIONS`` names the dims), and chunk files ``i.j.k``
   (``dimension_separator`` "." or "/").
 - dtype: any numpy typestr (endian-aware), incl. ``datetime64``.
-- compressor: ``null``, ``zlib``, ``gzip`` via the stdlib; anything else
-  (blosc, zstd, lz4) is delegated to ``numcodecs`` when importable and
-  raises a clear error otherwise (this container has no numcodecs).
+- compressor: ``null``, ``zlib``, ``gzip`` via the stdlib; ``blosc``
+  (c-blosc 1.x chunk format: byte-shuffle + lz4/zstd/snappy/zlib inner
+  codecs), ``zstd`` (frames) and ``lz4`` (numcodecs u32-size framing)
+  via :mod:`xarray_sql_spark.zarr_codecs` (pure-Python framing over
+  pyarrow codecs — no numcodecs needed). blosclz and bit-shuffle raise
+  a clear error.
 - ``fill_value``: chunks absent from disk materialize as the fill
   (Zarr writes are sparse); JSON ``"NaN"``/``"Infinity"`` handled.
 - ``order``: "C" or "F".
@@ -33,8 +36,9 @@ Supported, v3 (the reference's benchmark stack pins ``zarr>=3``):
 - ``data_type``: core fixed-size names (``float64`` ...) plus numpy
   extension spellings for datetimes.
 - ``codecs``: the mandatory ``bytes`` (endian) array->bytes codec,
-  optionally followed by ``gzip`` / ``zlib``; ``transpose`` with a
-  reversed order list maps to F-order. blosc/zstd raise a clear error.
+  optionally followed by ``gzip`` / ``zlib`` / ``zstd`` / ``blosc``
+  (zarr-python 3's default is zstd — both decode via zarr_codecs);
+  ``transpose`` with a reversed order list maps to F-order.
 - ``sharding_indexed``: shard files packing an inner chunk grid + binary
   (offset, nbytes) index ("start" or "end" located; the crc32c the default
   index_codecs append is VERIFIED with a pure-Python CRC-32C and emitted
@@ -80,7 +84,10 @@ def _parse_fill(fill: Any, dtype: np.dtype):
     return dtype.type(fill)
 
 
-def _decompress(raw: bytes, compressor: dict | None) -> bytes:
+def _decompress(raw: bytes, compressor: dict | None, nbytes: int) -> bytes:
+    """One chunk's bytes -> raw buffer. ``nbytes`` is the chunk's known
+    decoded size (always derivable from chunk shape × itemsize), which the
+    size-requiring pyarrow codecs (zstd/lz4/snappy) need."""
     if compressor is None:
         return raw
     cid = compressor.get("id")
@@ -88,18 +95,21 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
         return zlib.decompress(raw)
     if cid == "gzip":
         return gzip.decompress(raw)
-    try:  # pragma: no cover - numcodecs absent in this container
-        import numcodecs
+    from xarray_sql_spark import zarr_codecs
 
-        return numcodecs.get_codec(compressor).decode(raw)
-    except ImportError:
-        raise NotImplementedError(
-            f"Zarr compressor {cid!r} needs numcodecs, which is not "
-            f"installed; re-write the store with zlib/gzip/null compression"
-        ) from None
+    if cid == "blosc":
+        return zarr_codecs.blosc_decompress(raw, expected_nbytes=nbytes)
+    if cid == "zstd":
+        return zarr_codecs.zstd_decompress(raw, nbytes)
+    if cid == "lz4":
+        return zarr_codecs.lz4_numcodecs_decompress(raw)
+    raise NotImplementedError(
+        f"Zarr compressor {cid!r} is not supported; supported ids are "
+        f"null/zlib/gzip/blosc/zstd/lz4"
+    )
 
 
-def _compress(raw: bytes, compressor: dict | None) -> bytes:
+def _compress(raw: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
     if compressor is None:
         return raw
     cid = compressor.get("id")
@@ -107,6 +117,20 @@ def _compress(raw: bytes, compressor: dict | None) -> bytes:
         return zlib.compress(raw, compressor.get("level", 6))
     if cid == "gzip":
         return gzip.compress(raw, compresslevel=compressor.get("level", 6))
+    from xarray_sql_spark import zarr_codecs
+
+    if cid == "blosc":
+        return zarr_codecs.blosc_compress(
+            raw,
+            typesize,
+            cname=compressor.get("cname", "lz4"),
+            shuffle=compressor.get("shuffle", 1),
+            blocksize=compressor.get("blocksize", 0),
+        )
+    if cid == "zstd":
+        return zarr_codecs.zstd_compress(raw)
+    if cid == "lz4":
+        return zarr_codecs.lz4_numcodecs_compress(raw)
     raise NotImplementedError(f"unsupported write compressor {cid!r}")
 
 
@@ -216,10 +240,20 @@ class ZarrArray:
                     )
             elif name in ("gzip", "zlib"):
                 compressor = {"id": name, "level": cfg.get("level", 6)}
+            elif name == "zstd":
+                compressor = {"id": "zstd", "level": cfg.get("level", 0)}
+            elif name == "blosc":
+                shuffle_names = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}
+                compressor = {
+                    "id": "blosc",
+                    "cname": cfg.get("cname", "lz4"),
+                    "clevel": cfg.get("clevel", 5),
+                    "shuffle": shuffle_names.get(cfg.get("shuffle", "noshuffle"), 0),
+                    "blocksize": cfg.get("blocksize", 0),
+                }
             else:
                 raise NotImplementedError(
-                    f"{self.path}: Zarr v3 codec {name!r} is not supported "
-                    f"(blosc/zstd need external libraries)"
+                    f"{self.path}: Zarr v3 codec {name!r} is not supported"
                 )
         return order, compressor
 
@@ -280,6 +314,12 @@ class ZarrArray:
             ),
         )
 
+    def _chunk_nbytes(self) -> int:
+        n = self.dtype.itemsize
+        for c in self.chunks:
+            n *= c
+        return n
+
     def _chunk_file(self, idx: tuple[int, ...]) -> str:
         kind, sep = self._key_encoding
         if kind == "default":  # v3 default: c/0/1 (or c.0.1)
@@ -328,7 +368,7 @@ class ZarrArray:
         # record the key relative to the array dir (v3 keys span subdirs)
         self.last_opened.append(os.path.relpath(fname, self.path))
         with open(fname, "rb") as f:
-            raw = _decompress(f.read(), self.compressor)
+            raw = _decompress(f.read(), self.compressor, self._chunk_nbytes())
         return np.frombuffer(raw, dtype=self.dtype).reshape(
             self.chunks, order=self.order
         )
@@ -355,7 +395,7 @@ class ZarrArray:
         )
         with open(fname, "rb") as f:
             f.seek(offset)
-            raw = _decompress(f.read(nbytes), self.compressor)
+            raw = _decompress(f.read(nbytes), self.compressor, self._chunk_nbytes())
         return np.frombuffer(raw, dtype=self.dtype).reshape(
             self.chunks, order=self.order
         )
@@ -535,14 +575,39 @@ def _v3_data_type(dtype: np.dtype):
 # the in-file test writers AND operators/zarr_sink's distributed sink) -------
 
 
-def v3_codec_chain(compressor: dict | None) -> list[dict]:
-    """bytes(+gzip) codec chain matching what _compress produces for
-    ``{"id": "gzip", ...}`` / ``None``."""
+def v3_codec_chain(compressor: dict | None, typesize: int = 1) -> list[dict]:
+    """``bytes`` + compression codec chain matching what ``_compress``
+    produces for the internal ``{"id": ...}`` compressor dicts. gzip/zlib,
+    zstd and blosc all have v3 codec spellings; numcodecs-framed lz4 has
+    no v3 codec name (use blosc+lz4 instead)."""
     codecs: list[dict] = [{"name": "bytes", "configuration": {"endian": "little"}}]
-    if compressor is not None:
+    if compressor is None:
+        return codecs
+    cid = compressor.get("id")
+    if cid in ("gzip", "zlib"):
+        codecs.append({"name": cid, "configuration": {"level": compressor.get("level", 1)}})
+    elif cid == "zstd":
         codecs.append(
-            {"name": "gzip", "configuration": {"level": compressor.get("level", 1)}}
+            {"name": "zstd", "configuration": {"level": compressor.get("level", 0), "checksum": False}}
         )
+    elif cid == "blosc":
+        shuffle = {0: "noshuffle", 1: "shuffle", 2: "bitshuffle"}[
+            compressor.get("shuffle", 1) if compressor.get("shuffle", 1) != -1 else (1 if typesize > 1 else 0)
+        ]
+        codecs.append(
+            {
+                "name": "blosc",
+                "configuration": {
+                    "cname": compressor.get("cname", "lz4"),
+                    "clevel": compressor.get("clevel", 5),
+                    "shuffle": shuffle,
+                    "typesize": typesize,
+                    "blocksize": compressor.get("blocksize", 0),
+                },
+            }
+        )
+    else:
+        raise NotImplementedError(f"no Zarr v3 codec spelling for compressor {cid!r}")
     return codecs
 
 
@@ -606,6 +671,9 @@ def _write_zarr_v3(
     ``shards``, data variables write through the ``sharding_indexed`` codec:
     one file per shard packing the inner chunk grid + an end-located binary
     index of (offset, nbytes) uint64-LE pairs."""
+    if compressor and compressor.get("id") == "zlib":
+        # v3's core spec registers gzip but not raw zlib
+        compressor = {"id": "gzip", "level": compressor.get("level", 1)}
     os.makedirs(path, exist_ok=True)
     consolidated: dict[str, Any] = {}
 
@@ -617,8 +685,7 @@ def _write_zarr_v3(
             min((chunks or {}).get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
         )
         sharded = bool(shards) and bool(data.shape) and any(d in shards for d in dims)
-        gz = {"id": "gzip", "level": compressor.get("level", 1)} if compressor else None
-        inner_codecs = v3_codec_chain(compressor)
+        inner_codecs = v3_codec_chain(compressor, data.dtype.itemsize)
         if sharded:
             shard_shape = tuple(
                 min(shards.get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
@@ -660,7 +727,9 @@ def _write_zarr_v3(
                 padded = np.zeros(shape, dtype=little.dtype)
                 padded[tuple(slice(0, s) for s in block.shape)] = block
                 block = padded
-            return _compress(np.ascontiguousarray(block).tobytes(), gz)
+            return _compress(
+                np.ascontiguousarray(block).tobytes(), compressor, little.dtype.itemsize
+            )
 
         grid = [range((n + c - 1) // c) for n, c in zip(data.shape, key_shape)]
         for idx in itertools.product(*grid) if data.shape else [()]:
@@ -775,7 +844,13 @@ def write_zarr(
                 block = padded
             key = ".".join(str(i) for i in idx) if idx else "0"
             with open(os.path.join(adir, key), "wb") as f:
-                f.write(_compress(np.ascontiguousarray(block).tobytes(), compressor))
+                f.write(
+                    _compress(
+                        np.ascontiguousarray(block).tobytes(),
+                        compressor,
+                        data.dtype.itemsize,
+                    )
+                )
 
     for d, c in ds.coords.items():
         write_array(d, (d,), np.asarray(c), dict(ds.coord_attrs.get(d, {})))
