@@ -201,3 +201,29 @@ def test_kmeans_assignments_broadcast_centroids(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan.count("BroadcastNestedLoopJoin")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lateral_topn_decorrelates(spark):
+    """q37: Catalyst must rewrite the LATERAL ORDER BY/LIMIT subquery into
+    a join + window (DecorrelateInnerQuery), NOT execute it as a per-row
+    nested loop — at 100 TB the correlated re-scan would be O(n x m)."""
+    df = REGISTRY["q37_lateral_topn"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_semantic_dedup_pairs_are_equi_join(spark):
+    """dd07: the within-cluster pairwise check must be an equi-join on the
+    cluster id (SMJ/SHJ/BHJ); only the k=8 seed fanout may be a broadcast
+    nested loop."""
+    df = REGISTRY["dd07_semantic_dedup"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    import re as _re
+
+    assert _re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cluster", plan) or (
+        "SortMergeJoin" in plan
+    ), plan

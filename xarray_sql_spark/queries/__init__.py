@@ -16,46 +16,42 @@ from xarray_sql_spark.queries import pipeline_ops  # noqa: F401,E402
 from xarray_sql_spark.queries import dedup_lsh  # noqa: F401,E402
 from xarray_sql_spark.operators import multimodal  # noqa: F401,E402
 from xarray_sql_spark.queries import grid_queries  # noqa: F401,E402
+from xarray_sql_spark.queries import advanced_ops  # noqa: F401,E402
 from xarray_sql_spark.operators import skew  # noqa: F401,E402
 from xarray_sql_spark.operators import components  # noqa: F401,E402
 
 # The driver's correctness gate records only the FIRST 50 registry entries
-# (dict order). Round-4 window priority:
-#   1. The two round-3 REGRESSIONS (q27, ev01) — broke when the testdata's
-#      timestamp encoding changed to µs-NTZ; fixed by the session.table
-#      LTZ normalization, so the driver must re-prove them first.
-#   2. The 29 queries OUTSIDE round 3's 50-entry window (gq01-07, dd04-06,
-#      ev02-07, mm*, sk*, pl*, ts03/04, cc01) — green in r1/r2 but the
-#      events/orders/lineitem timestamp normalization touches several of
-#      their inputs, so their old rows predate the current loader.
-#   3. Timestamp-consuming queries that WERE green in round 3 (under NTZ) —
-#      re-proven under the LTZ loader in the remaining slots.
-# Everything else was hash-proven in round 3 on inputs the loader change
-# cannot affect (no timestamp columns) and rotates to the back.
+# (dict order). Round-5 window priority:
+#   1. The four queries NEW this round (ev08/q37/dd07/ss06) — never
+#      driver-checked.
+#   2. Everything OUTSIDE round 4's 50-entry window (the relational
+#      q07-q35 block, dd01-03, ts01/02, ss01/03/04, gq08-10, cc02) —
+#      last proven in round 3 or earlier; rotate them back in.
+#   3. Remaining slots: re-prove the highest-risk round-4-green entries —
+#      the grid DataSource shapes (whose store layer grew new codecs this
+#      round), the timestamp-heavy q27/ev01, and the iterative ss05.
+# Everything else was hash-proven in round 4 on unchanged inputs and
+# rotates to the back.
 _PRIORITY = (
-    # 0. new this round: remaining geospatial benchmark shapes (cases
-    #    01/03/09) + the distributed-sink round trip
-    "gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp gq14_zarr_roundtrip "
-    # 1. regressions fixed this round + queries whose builder/oracle changed
-    #    this round (ss02 threshold now yields rows, pl01/ts04 plan rework)
-    "q27_asof_join ev01_sessionization ss02_embedding_neardup "
-    "ss05_kmeans_train ts05_repetition q36_interval_range_frame "
-    # 2. not in round 3's window
+    # 1. new this round
+    "ev08_cohort_retention q37_lateral_topn dd07_semantic_dedup ss06_sq_topk "
+    # 2. outside round 4's window
+    "q07_cross_join q08_agg_filter q11_window_topk q13_range_join "
+    "q14_math_rmse q15_case_having_union q16_distinct_sort q17_subqueries "
+    "q18_rollup q19_count_star q20_weighted_regrid q21_udf_reproject "
+    "q23_percentiles q24_pivot q26_anti_join q28_grouping_sets "
+    "q29_window_suite q30_string_funcs q31_null_ops q32_json_extract "
+    "q33_array_funcs q34_correlated_subquery q35_unpivot "
+    "dd01_exact_dedup dd02_fingerprint_dedup dd03_ngram_jaccard "
+    "ts01_text_quality ts02_langid ss01_ann_topk ss04_ivf_ann ss03_lsh_ann "
+    "gq08_grid_regrid_weights gq09_grid_forecast_skill gq10_grid_reproject_udf "
+    "cc02_twohop_components "
+    # 3. re-prove: grid shapes over the store layer that gained codecs,
+    #    timestamp-heavy events queries, the iterative k-means
     "gq01_grid_climatology gq02_grid_pruned_slice gq03_cftime_360day "
-    "gq04_nan_null_semantics gq05_grid_zonal_bands gq06_grid_anomaly_selfjoin "
-    "gq07_zorder_layout dd04_minhash_lsh dd05_simhash dd06_rolling_fingerprint "
-    "ev02_session_windows ev03_hourly_windows ev04_moving_avg "
-    "ev05_purchase_click_join ev06_conversion_funnel ev07_resample_ffill "
-    "mm01_decode_meta mm02_frame_sample mm03_feature_extract mm04_resize "
-    "sk01_salted_agg sk02_salted_join pl01_training_mix pl02_hash_split "
-    "pl03_decontaminate pl04_training_set ts03_regex_tokens ts04_tfidf_terms "
-    "cc01_neardup_purge "
-    # 3. round-3-green but timestamp-consuming: re-prove under the LTZ
-    #    loader (q11/q15/q29 touch no timestamp columns — rotated out to
-    #    keep the list at exactly the driver's 50-entry window)
-    "q01_pricing_summary q02_filter_scan q03_top_revenue q04_exists_semijoin "
-    "q05_region_volume q06_forecast_revenue q09_climatology_hour "
-    "q10_anomaly_cte q12_interval_join q22_parameterized q25_set_ops"
+    "gq04_nan_null_semantics gq11_grid_ndvi gq14_zarr_roundtrip "
+    "q27_asof_join ev01_sessionization ss05_kmeans_train q01_pricing_summary "
+    "q36_interval_range_frame"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]
