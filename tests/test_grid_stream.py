@@ -1,0 +1,98 @@
+"""Streaming grid source: micro-batches over a store growing along time.
+
+The Zarr append commit protocol (chunks first, shape metadata last) makes
+the metadata shape the stream's high-water mark; these tests pin the
+offset semantics (earliest/latest), exactly-once delivery across restarts
+from the checkpoint, and value fidelity vs the batch reader.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from xarray_sql_spark.dataset import Dataset
+from xarray_sql_spark.sources.grid_source import read_grid_stream
+from xarray_sql_spark.zarr_store import append_zarr, open_zarr, write_zarr
+
+
+def _slab(t0: int, nt: int, nlat: int = 5):
+    time = np.datetime64("2024-01-01", "h") + np.arange(t0, t0 + nt)
+    lat = np.linspace(-60.0, 60.0, nlat)
+    temp = ((np.arange(t0 * nlat, (t0 + nt) * nlat, dtype=np.float32)) % 89).reshape(
+        nt, nlat
+    )
+    return Dataset({"temp": (("time", "lat"), temp)}, {"time": time, "lat": lat})
+
+
+def _run(stream_df, out_dir: str, ckpt: str) -> None:
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+
+def test_append_zarr_roundtrip(tmp_path):
+    path = write_zarr(_slab(0, 8), str(tmp_path / "g.zarr"), chunks={"time": 4})
+    append_zarr(_slab(8, 6), path, "time")
+    back = open_zarr(path)
+    full = _slab(0, 14)
+    np.testing.assert_array_equal(back.coords["time"], full.coords["time"])
+    np.testing.assert_allclose(back.data_vars["temp"].values(), full.data_vars["temp"].values())
+
+
+def test_append_requires_chunk_alignment(tmp_path):
+    path = write_zarr(_slab(0, 6), str(tmp_path / "g.zarr"), chunks={"time": 4})
+    with pytest.raises(NotImplementedError, match="multiple"):
+        append_zarr(_slab(6, 4), path, "time")
+
+
+def test_stream_tails_appends_exactly_once(spark, tmp_path):
+    path = write_zarr(_slab(0, 8), str(tmp_path / "g.zarr"), chunks={"time": 4})
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    stream = read_grid_stream(spark, path, chunks={"time": 4}, payload_dir=str(tmp_path))
+    _run(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == 8 * 5  # full history replayed
+
+    # append 6 steps; a restarted query picks up ONLY the new slab
+    append_zarr(_slab(8, 6), path, "time")
+    stream = read_grid_stream(spark, path, chunks={"time": 4}, payload_dir=str(tmp_path))
+    _run(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 14 * 5
+
+    # no new data -> restart emits nothing (offsets from the checkpoint)
+    stream = read_grid_stream(spark, path, chunks={"time": 4}, payload_dir=str(tmp_path))
+    _run(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == 14 * 5
+
+    # value fidelity vs the dataset itself
+    full = _slab(0, 14)
+    pdf = got.toPandas().sort_values(["time", "lat"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        pdf["temp"].to_numpy().reshape(14, 5),
+        full.data_vars["temp"].values(),
+    )
+
+
+def test_stream_start_latest_skips_history(spark, tmp_path):
+    path = write_zarr(_slab(0, 8), str(tmp_path / "g.zarr"), chunks={"time": 4})
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_grid_stream(
+        spark, path, chunks={"time": 4}, start="latest", payload_dir=str(tmp_path)
+    )
+    _run(stream, out, ckpt)
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+
+    append_zarr(_slab(8, 4), path, "time")
+    stream = read_grid_stream(
+        spark, path, chunks={"time": 4}, start="latest", payload_dir=str(tmp_path)
+    )
+    _run(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == 4 * 5

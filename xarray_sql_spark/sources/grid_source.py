@@ -39,6 +39,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     Filter,
     InputPartition,
 )
@@ -124,6 +125,9 @@ class GridDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "GridReader":
         return GridReader(self._load(), schema)
+
+    def streamReader(self, schema: StructType) -> "GridStreamReader":
+        return GridStreamReader(self._load(), schema)
 
 
 class GridReader(DataSourceReader):
@@ -295,3 +299,131 @@ def make_payload(
         "var_names": var_names,
         "arrow_schema": schema,
     }
+
+
+# --- streaming: micro-batches over a growing store (append dim) -------------
+class GridStreamReader(DataSourceStreamReader):
+    """Structured-Streaming reader over a store that GROWS along one dim.
+
+    Zarr appends commit by updating the shape in the array metadata AFTER
+    the new chunk files land, so the metadata shape is the stream's
+    high-water mark: ``latestOffset`` re-reads it (one JSON read), each
+    micro-batch covers the new ``[start, end)`` slab of the append dim,
+    and executors read only the chunk files their block overlaps — the
+    same selective-read contract as the batch scan. Offsets live in the
+    checkpoint, so recovery replays a slab idempotently (chunk reads are
+    pure functions of the block bounds).
+
+    Scale: one InputPartition per chunk block of the new slab; a
+    1000-executor cluster ingests a day's append of an ERA5-shaped store
+    as (time_chunks x lat_chunks x lon_chunks) parallel tasks. The driver
+    touches metadata and coordinates only.
+    """
+
+    def __init__(self, payload: dict, schema: StructType):
+        if not payload.get("store"):
+            raise ValueError(
+                "streaming grid reads require a store-backed registration "
+                "(an inline Dataset cannot grow)"
+            )
+        self.store_path: str = payload["store"]
+        self.chunks: dict | None = payload.get("chunks")
+        self.batch_size: int = payload.get("batch_size", pivot.DEFAULT_BATCH_SIZE)
+        self.dims: tuple[str, ...] = tuple(payload["dims"])
+        self.var_names: list[str] = list(payload["var_names"])
+        self.arrow_schema: pa.Schema = payload["arrow_schema"]
+        self.read_columns = [f.name for f in schema.fields]
+        self.append_dim: str = payload.get("append_dim") or (
+            "time" if "time" in self.dims else self.dims[0]
+        )
+        if self.append_dim not in self.dims:
+            raise ValueError(f"append_dim {self.append_dim!r} is not a dim of the table")
+        self._start_at = payload.get("stream_start", "earliest")
+
+    def _current_size(self) -> int:
+        return Dataset.open_store(self.store_path).sizes[self.append_dim]
+
+    def initialOffset(self) -> dict:
+        if self._start_at == "latest":
+            return {"offset": self._current_size()}
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        return {"offset": self._current_size()}
+
+    def partitions(self, start: dict, end: dict) -> list[GridPartition]:
+        lo, hi = int(start["offset"]), int(end["offset"])
+        if hi <= lo:
+            return [GridPartition(-1, {d: (0, 0) for d in self.dims})]
+        ds = Dataset.open_store(self.store_path)
+        sizes = {d: ds.sizes[d] for d in self.dims}
+        sizes[self.append_dim] = hi - lo
+        parts = []
+        for i, block in enumerate(chunklib.block_slices(sizes, self.chunks)):
+            shifted = {
+                d: (
+                    (s.start + lo, s.stop + lo) if d == self.append_dim else (s.start, s.stop)
+                )
+                for d, s in block.items()
+            }
+            parts.append(GridPartition(i, shifted))
+        return parts
+
+    def read(self, partition: GridPartition) -> Iterator[pa.RecordBatch]:
+        if partition.index < 0:
+            return
+        block = {d: slice(a, b) for d, (a, b) in partition.block.items()}
+        ds = Dataset.open_store(self.store_path)
+        wanted_vars = [v for v in self.var_names if v in self.read_columns]
+        out_schema = pa.schema(
+            [self.arrow_schema.field(n) for n in self.read_columns if n in self.arrow_schema.names]
+        )
+        block_coords = {d: np.asarray(ds.coords[d])[block[d]] for d in self.dims}
+        block_arrays = {
+            name: ds.data_vars[name].read_block(
+                tuple(block[d] for d in ds.data_vars[name].dims)
+            )
+            for name in wanted_vars
+        }
+        yield from pivot.iter_record_batches(
+            self.dims, block_coords, block_arrays, out_schema, self.batch_size
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; the store is immutable history
+
+    def stop(self) -> None:
+        pass
+
+
+def read_grid_stream(
+    spark,
+    store: str,
+    *,
+    chunks: dict | None = None,
+    append_dim: str | None = None,
+    batch_size: int = pivot.DEFAULT_BATCH_SIZE,
+    start: str = "earliest",
+    payload_dir: str | None = None,
+):
+    """``spark.readStream`` over a growing Zarr/grid store.
+
+    Returns a streaming DataFrame with the same schema as the batch scan;
+    compose with watermarks / windowed aggs downstream. ``start="latest"``
+    skips history. The payload pickle lands in ``payload_dir`` (defaults
+    to the Spark local temp dir)."""
+    import tempfile
+
+    payload = make_payload(store=store, chunks=chunks, batch_size=batch_size)
+    payload["append_dim"] = append_dim
+    payload["stream_start"] = start
+    path = os.path.join(
+        payload_dir or tempfile.gettempdir(), f"xgrid_stream_{uuid.uuid4().hex}.pkl"
+    )
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    try:
+        spark.dataSource.register(GridDataSource)
+    except Exception:
+        pass  # already registered
+    return spark.readStream.format(FORMAT_NAME).option("payload", path).load()

@@ -861,3 +861,83 @@ def write_zarr(
     with open(os.path.join(path, ".zmetadata"), "w") as f:
         json.dump({"zarr_consolidated_format": 1, "metadata": consolidated}, f)
     return path
+
+
+def append_zarr(slab, path: str, dim: str) -> str:
+    """Append a Dataset slab along ``dim`` to an existing Zarr v2 store.
+
+    Follows the append commit protocol streaming readers rely on (and
+    zarr-python's ``Array.append`` implements): ALL new chunk files are
+    written first, the shape in the array metadata is updated LAST — a
+    reader that observes the new shape is guaranteed to find the chunks.
+    The existing length along ``dim`` must be chunk-aligned (a partial
+    trailing chunk would need a read-modify-write of a committed file,
+    which breaks reader idempotence); appends themselves may be any size.
+    """
+    zmeta_path = os.path.join(path, ".zmetadata")
+    consolidated = _read_json(zmeta_path)["metadata"] if os.path.isfile(zmeta_path) else None
+
+    def _meta(name: str) -> dict:
+        return _read_json(os.path.join(path, name, ".zarray"))
+
+    coord_meta = _meta(dim)
+    old_n = int(coord_meta["shape"][0])
+    chunk_n = int(coord_meta["chunks"][0])
+    if old_n % chunk_n:
+        raise NotImplementedError(
+            f"append requires the existing {dim} length ({old_n}) to be a "
+            f"multiple of its chunk size ({chunk_n})"
+        )
+
+    new_metas: dict[str, dict] = {}
+
+    def _write_append(name: str, dims: tuple[str, ...], data: np.ndarray) -> None:
+        meta = _meta(name)
+        axis = dims.index(dim)
+        chunk_shape = tuple(int(c) for c in meta["chunks"])
+        dtype = _parse_dtype(meta["dtype"])
+        compressor = meta.get("compressor")
+        sep = meta.get("dimension_separator", ".")
+        data = np.ascontiguousarray(data.astype(dtype, copy=False))
+        base_idx = old_n // chunk_shape[axis]
+        grid = [
+            range((n + c - 1) // c) for n, c in zip(data.shape, chunk_shape)
+        ]
+        for idx in itertools.product(*grid):
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, n))
+                for i, c, n in zip(idx, chunk_shape, data.shape)
+            )
+            block = data[sel]
+            if block.shape != chunk_shape:
+                padded = np.zeros(chunk_shape, dtype=dtype)
+                padded[tuple(slice(0, s) for s in block.shape)] = block
+                block = padded
+            store_idx = tuple(
+                i + base_idx if ax == axis else i for ax, i in enumerate(idx)
+            )
+            key = sep.join(str(i) for i in store_idx)
+            with open(os.path.join(path, name, key), "wb") as f:
+                f.write(
+                    _compress(
+                        np.ascontiguousarray(block).tobytes(), compressor, dtype.itemsize
+                    )
+                )
+        meta["shape"][axis] = int(meta["shape"][axis]) + data.shape[axis]
+        new_metas[name] = meta
+
+    _write_append(dim, (dim,), np.asarray(slab.coords[dim]))
+    for name, var in slab.data_vars.items():
+        if dim in var.dims:
+            _write_append(name, var.dims, var.values())
+
+    # commit point: shapes become visible only after every chunk is on disk
+    for name, meta in new_metas.items():
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        if consolidated is not None:
+            consolidated[f"{name}/.zarray"] = meta
+    if consolidated is not None:
+        with open(zmeta_path, "w") as f:
+            json.dump({"zarr_consolidated_format": 1, "metadata": consolidated}, f)
+    return path
