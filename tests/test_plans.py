@@ -215,15 +215,14 @@ def test_lateral_topn_decorrelates(spark):
     assert "Window" in plan, plan
 
 
-def test_semantic_dedup_pairs_are_equi_join(spark):
-    """dd07: the within-cluster pairwise check must be an equi-join on the
-    cluster id (SMJ/SHJ/BHJ); only the k=8 seed fanout may be a broadcast
-    nested loop."""
+def test_semantic_dedup_groups_by_cluster(spark):
+    """dd07: the within-cluster pairwise check must be ONE vectorized
+    Arrow-batched group kernel per cluster (FlatMapGroupsInPandas after a
+    single exchange on the cluster id); only the k=16 seed fanout may be
+    a broadcast nested loop. A cartesian pairing or a second corpus-wide
+    shuffle would not survive 100 TB."""
     df = REGISTRY["dd07_semantic_dedup"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    import re as _re
-
-    assert _re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cluster", plan) or (
-        "SortMergeJoin" in plan
-    ), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

@@ -105,7 +105,7 @@ def q37_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), seeds AS (
-        SELECT vec_id AS seed_id, v AS sv FROM d WHERE vec_id < 8
+        SELECT vec_id AS seed_id, v AS sv FROM d WHERE vec_id < 16
     ), assigned AS (
         SELECT d.vec_id, d.v, s.seed_id,
                row_number() OVER (
@@ -128,17 +128,27 @@ def q37_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup-style): assign every embedding to its
-    nearest of k=8 fixed seed centroids (deterministic: the first 8
-    vectors), then run the pairwise cosine check WITHIN clusters only.
+    nearest of k=16 fixed seed centroids (deterministic: the first 16
+    vectors), then run the pairwise cosine check WITHIN clusters only —
+    vectorized per cluster.
 
     Scale: the centroid table broadcasts (k rows), assignment is a
-    narrow map over the corpus, and candidate generation is an equi-join
-    on the cluster id — the same sublinear shape as the LSH dedups, with
-    cluster granularity trading recall for candidate-set size."""
+    narrow map over the corpus, and candidate generation is grouped on
+    the cluster id — the same sublinear shape as the LSH dedups. The
+    within-cluster check is an Arrow-batched ``applyInPandas`` doing ONE
+    numpy gram-matrix per cluster instead of |pairs| x dim interpreted
+    lambda evaluations; per-task memory is O(cluster_size x dim), which
+    stays bounded because k scales with the corpus (constant target
+    cluster size). np.einsum with optimize=False sums sequentially like
+    the oracle's list_cosine_similarity, keeping the 6-dp rounding
+    deterministic cross-engine."""
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings", spread=True)
     vec = F.col("embedding").cast("array<double>")
-    base = e.select("vec_id", vec.alias("v"), F.sqrt(_sq_norm(vec)).alias("norm"))
-    seeds = base.filter(F.col("vec_id") < 8).select(
+    base = e.select("vec_id", vec.alias("v"))
+    seeds = base.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
     )
     d2 = F.aggregate(
@@ -146,31 +156,38 @@ def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    assigned = base.join(F.broadcast(seeds)).select(
-        "vec_id", "v", "norm", "seed_id", d2.alias("d2")
-    )
+    assigned = base.join(F.broadcast(seeds)).select("vec_id", "v", "seed_id", d2.alias("d2"))
     rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "seed_id"))
     clustered = (
         assigned.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "norm", F.col("seed_id").alias("cluster"))
+        .select("vec_id", "v", F.col("seed_id").alias("cluster"))
     )
-    a, b = clustered.alias("a"), clustered.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["v"].to_numpy())  # (n, dim) float64
+        # sequential-sum dots (optimize=False): same accumulation order as
+        # the oracle's list arithmetic -> identical doubles
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X, optimize=False))
+        gram = np.einsum("ij,kj->ik", X, X, optimize=False)
+        cos = gram / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = cos[ia, ib] >= 0.4
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(ia), pdf["cluster"].iloc[0], dtype=np.int64),
+                "vec_a": pdf["vec_id"].to_numpy()[ia],
+                "vec_b": pdf["vec_id"].to_numpy()[ib],
+                "cosine": np.round(cos[ia, ib], 6),
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.cluster").alias("cluster"),
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.4)
-        .select("cluster", "vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        clustered.groupBy("cluster")
+        .applyInPandas(_pairs, "cluster long, vec_a long, vec_b long, cosine double")
+        .orderBy("cluster", "vec_a", "vec_b")
     )
 
 
