@@ -46,6 +46,61 @@ def test_append_zarr_roundtrip(tmp_path):
     np.testing.assert_allclose(back.data_vars["temp"].values(), full.data_vars["temp"].values())
 
 
+def test_append_zarr_foreign_store_f_order_nested_keys(tmp_path):
+    """Append to a store written by another tool: v2 metadata declaring
+    ``order: "F"`` and ``dimension_separator: "/"``. The appended chunk
+    bytes must honor the declared order (readers reshape with it) and the
+    nested chunk-key directories must be created."""
+    import json
+
+    path = str(tmp_path / "ext.zarr")
+    t0 = np.datetime64("2024-01-01", "h") + np.arange(4)
+    lat = np.linspace(-30.0, 30.0, 3)
+    temp0 = np.arange(12, dtype="<f8").reshape(4, 3)
+    for name in ("time", "lat", "temp"):
+        os.makedirs(os.path.join(path, name))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _arr(name, arr, dims, order="C", sep="."):
+        meta = {
+            "zarr_format": 2,
+            "shape": list(arr.shape),
+            "chunks": list(arr.shape),
+            "dtype": arr.dtype.str,
+            "compressor": None,
+            "fill_value": 0,
+            "order": order,
+            "filters": None,
+        }
+        if sep != ".":
+            meta["dimension_separator"] = sep
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
+        key = sep.join("0" for _ in arr.shape)
+        fname = os.path.join(path, name, key)
+        os.makedirs(os.path.dirname(fname), exist_ok=True)
+        with open(fname, "wb") as f:
+            f.write(arr.tobytes(order=order))
+
+    _arr("time", t0.astype("<M8[h]"), ("time",))
+    _arr("lat", lat.astype("<f8"), ("lat",))
+    _arr("temp", temp0, ("time", "lat"), order="F", sep="/")
+
+    slab = Dataset(
+        {"temp": (("time", "lat"), np.arange(12, 24, dtype=np.float64).reshape(4, 3))},
+        {"time": t0 + 4, "lat": lat},
+    )
+    append_zarr(slab, path, "time")
+    assert os.path.isfile(os.path.join(path, "temp", "1", "0"))  # nested key
+    back = open_zarr(path)
+    np.testing.assert_array_equal(
+        back.data_vars["temp"].values(), np.arange(24, dtype=np.float64).reshape(8, 3)
+    )
+
+
 def test_append_requires_chunk_alignment(tmp_path):
     path = write_zarr(_slab(0, 6), str(tmp_path / "g.zarr"), chunks={"time": 4})
     with pytest.raises(NotImplementedError, match="multiple"):

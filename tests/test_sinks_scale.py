@@ -224,6 +224,27 @@ def test_distributed_zarr_sink_null_in_int_column_raises(spark, tmp_path):
         )
 
 
+def test_distributed_zarr_sink_rejects_v3_lz4_before_writing(spark, tmp_path):
+    """A compressor with no v3 codec spelling fails fast on the driver —
+    BEFORE the distributed chunk-write job runs — so no partial store is
+    left behind."""
+    t = np.arange(8, dtype=np.int64)
+    ds = Dataset({"v": Variable(("t",), t * 1.0)}, {"t": t})
+    xs = XarraySession(spark)
+    xs.from_dataset("dz_lz4v3", ds, chunks={"t": 4})
+    res = xs.sql("SELECT t, v FROM dz_lz4v3")
+    out = tmp_path / "dz_lz4v3.zarr"
+    with pytest.raises(NotImplementedError, match="v3 codec spelling"):
+        res.to_zarr_distributed(
+            str(out),
+            dims=["t"],
+            chunks={"t": 4},
+            zarr_format=3,
+            compressor={"id": "lz4"},
+        )
+    assert not (out / "v").exists() or not any((out / "v").iterdir())
+
+
 def test_distributed_zarr_sink_timestamp_dim(spark, tmp_path):
     """A timestamp axis survives the distributed round trip (position join
     on timestamps, M8[us] coord array on disk)."""

@@ -89,6 +89,73 @@ def test_blosc_decode_handcrafted():
     assert blosc_decompress(header + body) == raw
 
 
+def test_blosc_decode_handcrafted_split_streams():
+    """Hand-build a SPLIT chunk: c-blosc's default FORWARD_COMPAT mode
+    stores each non-leftover lz4 block as ``typesize`` independent
+    byte-plane streams (each ``csize(u32) + payload``) when header flag
+    bit 4 is clear, typesize <= 16 and blocksize/typesize >= 128 — the
+    layout numcodecs' default ``blosc(cname='lz4', shuffle=1)`` writes
+    for any realistic chunk. Built independently of our encoder."""
+    import pyarrow as pa
+
+    typesize = 4
+    vals = np.arange(600, dtype="<u4")  # 2400 bytes
+    raw = vals.tobytes()
+    nbytes = len(raw)
+    blocksize = 2048  # 2048/4 = 512 >= 128 -> block 0 splits; block 1 leftover
+    shuffled0 = (
+        np.frombuffer(raw[:blocksize], np.uint8).reshape(-1, typesize).T
+    )  # 4 byte planes x 512
+    streams = []
+    for plane in shuffled0:  # one compressed stream per byte plane
+        c = bytes(pa.Codec("lz4_raw").compress(plane.tobytes()))
+        if len(c) >= plane.size:
+            c = plane.tobytes()
+        streams.append(len(c).to_bytes(4, "little") + c)
+    left = raw[blocksize:]  # 352 bytes, leftover block: single stream
+    lshuf = np.frombuffer(left, np.uint8).reshape(-1, typesize).T.reshape(-1).tobytes()
+    lc = bytes(pa.Codec("lz4_raw").compress(lshuf))
+    leftover_stream = len(lc).to_bytes(4, "little") + lc
+    start0 = 16 + 4 * 2
+    start1 = start0 + sum(len(s) for s in streams)
+    body = (
+        np.array([start0, start1], dtype="<u4").tobytes()
+        + b"".join(streams)
+        + leftover_stream
+    )
+    cbytes = 16 + len(body)
+    flags = (1 << 5) | 0x1  # lz4, byte-shuffle, bit 4 CLEAR -> split
+    header = (
+        bytes([2, 1, flags, typesize])
+        + nbytes.to_bytes(4, "little")
+        + blocksize.to_bytes(4, "little")
+        + cbytes.to_bytes(4, "little")
+    )
+    assert blosc_decompress(header + body) == raw
+
+
+def test_blosc_split_flag_and_roundtrip_matrix():
+    """Encoder emits the FORWARD_COMPAT split decision in flag bit 4 and
+    the decoder inverts every regime: split multi-block, split with a
+    leftover tail, non-split small streams, non-split zstd."""
+    base = np.arange(3000, dtype="<f8")  # 24000 bytes, typesize 8
+    raw = base.tobytes()
+    # lz4, blocksize 8192 -> 8192/8 = 1024 >= 128: split (bit 4 clear)
+    c = blosc_compress(raw, typesize=8, cname="lz4", shuffle=1, blocksize=8192)
+    assert not c[2] & 0x10
+    assert blosc_decompress(c) == raw
+    # nbytes not a multiple of typesize: leftover tail block stays unsplit
+    ragged = raw[:-5]
+    c = blosc_compress(ragged, typesize=8, cname="lz4", shuffle=1, blocksize=8192)
+    assert not c[2] & 0x10 and blosc_decompress(c) == ragged
+    # streams would be < 128 bytes: no split, bit 4 set
+    c = blosc_compress(raw[:960], typesize=8, cname="lz4", shuffle=1)
+    assert c[2] & 0x10 and blosc_decompress(c) == raw[:960]
+    # zstd never splits under FORWARD_COMPAT
+    c = blosc_compress(raw, typesize=8, cname="zstd", shuffle=1, blocksize=8192)
+    assert c[2] & 0x10 and blosc_decompress(c) == raw
+
+
 def test_blosc_unsupported_paths_raise_clearly():
     data = np.zeros(64, dtype="<f4").tobytes()
     chunk = bytearray(blosc_compress(data, typesize=4, cname="lz4", shuffle=1))

@@ -46,6 +46,11 @@ _EXPORTS = {
     "from_map_batched": ("xarray_sql_spark.compat", "from_map_batched"),
     "from_map_spark": ("xarray_sql_spark.compat", "from_map_spark"),
     "cftime": ("xarray_sql_spark.functions.cftime", None),
+    # beyond-reference: Structured Streaming over a growing store
+    "read_grid_stream": ("xarray_sql_spark.sources.grid_source", "read_grid_stream"),
+    "open_zarr": ("xarray_sql_spark.zarr_store", "open_zarr"),
+    "write_zarr": ("xarray_sql_spark.zarr_store", "write_zarr"),
+    "append_zarr": ("xarray_sql_spark.zarr_store", "append_zarr"),
 }
 
 

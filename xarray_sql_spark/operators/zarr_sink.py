@@ -171,6 +171,11 @@ def _write_persisted(
         if (v3 and compressor is not None and compressor.get("id") == "zlib")
         else compressor
     )
+    if v3:
+        # Validate the codec has a v3 spelling BEFORE the cluster spends a
+        # full applyInPandas job writing chunks the metadata step would
+        # then reject (leaving a metadata-less partial store).
+        v3_codec_chain(comp, 1)
     root = path
 
     def _write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -16,14 +16,6 @@ from xarray_sql_spark.queries.registry import query
 from xarray_sql_spark.session import table
 
 
-def _sq_norm(col):
-    return F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x)
-
-
 # --- ev08: weekly cohort retention matrix -----------------------------------
 @query(
     "ev08_cohort_retention",
@@ -157,7 +149,11 @@ def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     assigned = base.join(F.broadcast(seeds)).select("vec_id", "v", "seed_id", d2.alias("d2"))
-    rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "seed_id"))
+    # Rank by sqrt(d2), not d2: the oracle's list_distance IS
+    # sqrt(sum-of-squares), and sqrt can collapse adjacent doubles —
+    # ranking the identical IEEE value on both sides means any such
+    # collapse falls through to the seed_id tie-break identically.
+    rn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.sqrt("d2"), "seed_id"))
     clustered = (
         assigned.withColumn("rn", rn)
         .filter(F.col("rn") == 1)

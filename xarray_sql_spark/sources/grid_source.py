@@ -193,54 +193,75 @@ class GridReader(DataSourceReader):
     # -- execution (A1/A3/A5) ---------------------------------------------
     def read(self, partition: GridPartition) -> Iterator[pa.RecordBatch]:
         block = {d: slice(a, b) for d, (a, b) in partition.block.items()}
-        wanted_vars = [v for v in self.var_names if v in self.read_columns]
-        out_fields = [
-            self.arrow_schema.field(n)
-            for n in self.read_columns
-            if n in self.arrow_schema.names
-        ]
-        out_schema = pa.schema(out_fields)
         if self.read_log_dir:
             rec = {
                 "partition": partition.index,
                 "block": {d: [s.start, s.stop] for d, s in block.items()},
                 "columns": list(self.read_columns),
-                "vars_read": wanted_vars,
+                "vars_read": [v for v in self.var_names if v in self.read_columns],
             }
             fname = f"read_{partition.index}_{uuid.uuid4().hex}.json"
             with open(os.path.join(self.read_log_dir, fname), "w") as f:
                 json.dump(rec, f)
         if partition.index < 0:
             return iter(())
+        return _block_batches(
+            self._open(),
+            self.coords,
+            self.dims,
+            self.var_names,
+            self.read_columns,
+            self.arrow_schema,
+            self.pivot_schema,
+            block,
+            self.batch_size,
+        )
 
-        ds = self._open()
-        block_coords = {d: self.coords[d][block[d]] for d in self.dims}
-        block_arrays = {
-            name: ds.data_vars[name].read_block(
-                tuple(block[d] for d in ds.data_vars[name].dims)
-            )
-            for name in wanted_vars
-        }
-        out_dims = tuple(d for d in self.dims if d in self.read_columns)
 
-        if set(out_dims) != set(self.dims) or list(out_schema.names) != list(
-            self.dims
-        ) + wanted_vars:
-            # Column-pruned/reordered read: pivot over full dims, then
-            # project+reorder per batch to the requested schema.
-            full_schema = pa.schema(
-                [self.pivot_schema.field(d) for d in self.dims]
-                + [self.pivot_schema.field(v) for v in wanted_vars]
-            )
-            for batch in pivot.iter_record_batches(
-                self.dims, block_coords, block_arrays, full_schema, self.batch_size
-            ):
-                arrays = [batch.column(batch.schema.get_field_index(n)) for n in out_schema.names]
-                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
-        else:
-            yield from pivot.iter_record_batches(
-                self.dims, block_coords, block_arrays, out_schema, self.batch_size
-            )
+def _block_batches(
+    ds: Dataset,
+    coords: dict,
+    dims: tuple,
+    var_names: list,
+    read_columns: list,
+    arrow_schema: pa.Schema,
+    pivot_schema: pa.Schema,
+    block: dict,
+    batch_size: int,
+) -> Iterator[pa.RecordBatch]:
+    """One partition block -> Arrow batches, shared by the batch and
+    streaming readers so projection/reorder compensation stays in sync.
+
+    Pivot synthesis needs every dim; when Spark's read schema prunes or
+    reorders columns, pivot over the full dims+vars schema and project
+    each batch down to the requested column order.
+    """
+    wanted_vars = [v for v in var_names if v in read_columns]
+    out_schema = pa.schema(
+        [arrow_schema.field(n) for n in read_columns if n in arrow_schema.names]
+    )
+    block_coords = {d: coords[d][block[d]] for d in dims}
+    block_arrays = {
+        name: ds.data_vars[name].read_block(
+            tuple(block[d] for d in ds.data_vars[name].dims)
+        )
+        for name in wanted_vars
+    }
+    out_dims = tuple(d for d in dims if d in read_columns)
+    if set(out_dims) != set(dims) or list(out_schema.names) != list(dims) + wanted_vars:
+        full_schema = pa.schema(
+            [pivot_schema.field(d) for d in dims]
+            + [pivot_schema.field(v) for v in wanted_vars]
+        )
+        for batch in pivot.iter_record_batches(
+            dims, block_coords, block_arrays, full_schema, batch_size
+        ):
+            arrays = [batch.column(batch.schema.get_field_index(n)) for n in out_schema.names]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+    else:
+        yield from pivot.iter_record_batches(
+            dims, block_coords, block_arrays, out_schema, batch_size
+        )
 
 
 def make_payload(
@@ -332,6 +353,7 @@ class GridStreamReader(DataSourceStreamReader):
         self.dims: tuple[str, ...] = tuple(payload["dims"])
         self.var_names: list[str] = list(payload["var_names"])
         self.arrow_schema: pa.Schema = payload["arrow_schema"]
+        self.pivot_schema: pa.Schema = payload.get("pivot_schema", payload["arrow_schema"])
         self.read_columns = [f.name for f in schema.fields]
         self.append_dim: str = payload.get("append_dim") or (
             "time" if "time" in self.dims else self.dims[0]
@@ -339,8 +361,28 @@ class GridStreamReader(DataSourceStreamReader):
         if self.append_dim not in self.dims:
             raise ValueError(f"append_dim {self.append_dim!r} is not a dim of the table")
         self._start_at = payload.get("stream_start", "earliest")
+        # Non-append dims never grow: capture their sizes once at stream
+        # start so per-trigger planning doesn't re-open the store.
+        self._static_sizes = {
+            d: n
+            for d, n in Dataset.open_store(self.store_path).sizes.items()
+            if d != self.append_dim
+        }
 
     def _current_size(self) -> int:
+        """High-water mark of the append dim — ONE metadata JSON read.
+
+        The append commit protocol (chunks first, shape last) makes the
+        dim array's declared shape the safe watermark; falling back to a
+        full store open only for store layouts without per-array JSON."""
+        for rel in (
+            os.path.join(self.append_dim, ".zarray"),  # v2
+            os.path.join(self.append_dim, "zarr.json"),  # v3
+        ):
+            p = os.path.join(self.store_path, rel)
+            if os.path.isfile(p):
+                with open(p) as f:
+                    return int(json.load(f)["shape"][0])
         return Dataset.open_store(self.store_path).sizes[self.append_dim]
 
     def initialOffset(self) -> dict:
@@ -355,8 +397,7 @@ class GridStreamReader(DataSourceStreamReader):
         lo, hi = int(start["offset"]), int(end["offset"])
         if hi <= lo:
             return [GridPartition(-1, {d: (0, 0) for d in self.dims})]
-        ds = Dataset.open_store(self.store_path)
-        sizes = {d: ds.sizes[d] for d in self.dims}
+        sizes = dict(self._static_sizes)
         sizes[self.append_dim] = hi - lo
         parts = []
         for i, block in enumerate(chunklib.block_slices(sizes, self.chunks)):
@@ -374,19 +415,17 @@ class GridStreamReader(DataSourceStreamReader):
             return
         block = {d: slice(a, b) for d, (a, b) in partition.block.items()}
         ds = Dataset.open_store(self.store_path)
-        wanted_vars = [v for v in self.var_names if v in self.read_columns]
-        out_schema = pa.schema(
-            [self.arrow_schema.field(n) for n in self.read_columns if n in self.arrow_schema.names]
-        )
-        block_coords = {d: np.asarray(ds.coords[d])[block[d]] for d in self.dims}
-        block_arrays = {
-            name: ds.data_vars[name].read_block(
-                tuple(block[d] for d in ds.data_vars[name].dims)
-            )
-            for name in wanted_vars
-        }
-        yield from pivot.iter_record_batches(
-            self.dims, block_coords, block_arrays, out_schema, self.batch_size
+        coords = {d: np.asarray(ds.coords[d]) for d in self.dims}
+        yield from _block_batches(
+            ds,
+            coords,
+            self.dims,
+            self.var_names,
+            self.read_columns,
+            self.arrow_schema,
+            self.pivot_schema,
+            block,
+            self.batch_size,
         )
 
     def commit(self, end: dict) -> None:

@@ -14,10 +14,18 @@ Formats implemented from public specifications only:
   repository's ``README_CHUNK_FORMAT.rst``): a 16-byte header
   ``version | versionlz | flags | typesize | nbytes(u32) | blocksize(u32)
   | cbytes(u32)``, then either the raw buffer (``MEMCPYED`` flag) or a
-  ``uint32`` offset table (one absolute offset per block) where each
-  block is ``csize(u32) + payload`` — payload stored *uncompressed* when
-  ``csize == uncompressed block size``. Byte-shuffle is applied per
-  block (stride = typesize). Inner codec ids (``flags >> 5``):
+  ``uint32`` offset table (one absolute offset per block). Each block
+  holds one *or typesize* compressed streams: c-blosc splits non-leftover
+  blocks into ``typesize`` independent per-byte-plane streams when header
+  flag bit 4 (``0x10``, "blocks were not split") is clear AND
+  ``typesize <= 16`` AND ``blocksize/typesize >= 128`` (the compressor's
+  default FORWARD_COMPAT split rule applies it for blosclz/lz4 only and
+  records the decision in bit 4; pre-1.11 chunks have bit 4 = 0 and rely
+  on the size conditions alone, which this decoder mirrors). Every
+  stream is ``csize(u32) + payload`` — payload stored *uncompressed*
+  when ``csize == uncompressed stream size``. Byte-shuffle is applied
+  per block (stride = typesize) before splitting, so each split stream
+  is exactly one byte plane. Inner codec ids (``flags >> 5``):
   0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib, 4 zstd — all but blosclz
   map onto pyarrow codecs; blosclz and bit-shuffle raise a clear
   ``NotImplementedError`` rather than risk silent corruption.
@@ -40,9 +48,23 @@ import numpy as np
 _BYTE_SHUFFLE = 0x1
 _MEMCPYED = 0x2
 _BIT_SHUFFLE = 0x4
+_DONT_SPLIT = 0x10  # c-blosc >= 1.11: blocks were NOT split into streams
 _BLOSC_CODECS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _BLOSC_CODEC_IDS = {"blosclz": 0, "lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4}
 _MAX_OVERHEAD = 16  # blosc chunk header size
+_MAX_SPLITS = 16  # c-blosc MAX_SPLITS: never more streams than this
+_MIN_STREAM = 128  # c-blosc MIN_BUFFERSIZE: min bytes per split stream
+
+
+def _split_streams(flags: int, typesize: int, blocksize: int, leftover: bool) -> int:
+    """Stream count for one block, mirroring c-blosc's decompressor rule:
+    split into ``typesize`` streams unless the header says don't, the
+    block is the leftover (short) one, or the size conditions fail."""
+    if leftover or flags & _DONT_SPLIT:
+        return 1
+    if not 1 < typesize <= _MAX_SPLITS or blocksize // typesize < _MIN_STREAM:
+        return 1
+    return typesize
 
 
 def _pa_codec(name: str):
@@ -136,10 +158,19 @@ def blosc_decompress(chunk: bytes, expected_nbytes: int | None = None) -> bytes:
     )
     out = bytearray()
     for j, start in enumerate(starts):
-        neblock = min(blocksize, nbytes - j * blocksize)
-        csize = int.from_bytes(chunk[start : start + 4], "little")
-        payload = chunk[start + 4 : start + 4 + csize]
-        raw = payload if csize == neblock else _inner_decompress(cname, payload, neblock)
+        bsize = min(blocksize, nbytes - j * blocksize)
+        nstreams = _split_streams(flags, typesize, blocksize, bsize != blocksize)
+        neblock = bsize // nstreams
+        pos = int(start)
+        parts = []
+        for _ in range(nstreams):
+            csize = int.from_bytes(chunk[pos : pos + 4], "little")
+            payload = chunk[pos + 4 : pos + 4 + csize]
+            parts.append(
+                payload if csize == neblock else _inner_decompress(cname, payload, neblock)
+            )
+            pos += 4 + csize
+        raw = b"".join(parts)
         if flags & _BYTE_SHUFFLE:
             raw = _unshuffle(raw, typesize)
         out.extend(raw)
@@ -169,11 +200,21 @@ def blosc_compress(
     nbytes = len(raw)
     if not blocksize:
         blocksize = min(max(nbytes, 1), 1 << 20)
-    if typesize > 1:
-        blocksize = max(blocksize // typesize * typesize, typesize)
     blocksize = min(blocksize, max(nbytes, 1))
+    if typesize > 1 and blocksize >= typesize:
+        # keep split streams byte-plane aligned (c-blosc forces this too)
+        blocksize = blocksize // typesize * typesize
     nblocks = max((nbytes + blocksize - 1) // blocksize, 1)
+    # FORWARD_COMPAT split rule (c-blosc default, what numcodecs bundles):
+    # split only blosclz/lz4, small typesizes, streams >= MIN_BUFFERSIZE.
+    split = (
+        cname in ("blosclz", "lz4", "lz4hc")
+        and 1 < typesize <= _MAX_SPLITS
+        and blocksize // typesize >= _MIN_STREAM
+    )
     flags = (_BLOSC_CODEC_IDS[cname] << 5) | (_BYTE_SHUFFLE if shuffle == 1 else 0)
+    if not split:
+        flags |= _DONT_SPLIT
 
     starts = np.empty(nblocks, dtype="<u4")
     body = bytearray()
@@ -182,12 +223,16 @@ def blosc_compress(
         block = raw[j * blocksize : min((j + 1) * blocksize, nbytes)]
         if shuffle == 1:
             block = _shuffle(block, typesize)
-        comp = _inner_compress(cname, block)
-        if len(comp) >= len(block):  # incompressible block: store raw
-            comp = block
+        nstreams = typesize if split and len(block) == blocksize else 1
+        neblock = len(block) // nstreams
         starts[j] = base + len(body)
-        body.extend(len(comp).to_bytes(4, "little"))
-        body.extend(comp)
+        for k in range(nstreams):
+            stream = block[k * neblock : (k + 1) * neblock]
+            comp = _inner_compress(cname, stream)
+            if len(comp) >= len(stream):  # incompressible stream: store raw
+                comp = stream
+            body.extend(len(comp).to_bytes(4, "little"))
+            body.extend(comp)
 
     if base + len(body) >= nbytes + _MAX_OVERHEAD:
         # whole chunk incompressible: MEMCPYED fallback (verbatim, unshuffled)

@@ -898,6 +898,7 @@ def append_zarr(slab, path: str, dim: str) -> str:
         dtype = _parse_dtype(meta["dtype"])
         compressor = meta.get("compressor")
         sep = meta.get("dimension_separator", ".")
+        order = meta.get("order", "C")
         data = np.ascontiguousarray(data.astype(dtype, copy=False))
         base_idx = old_n // chunk_shape[axis]
         grid = [
@@ -917,11 +918,15 @@ def append_zarr(slab, path: str, dim: str) -> str:
                 i + base_idx if ax == axis else i for ax, i in enumerate(idx)
             )
             key = sep.join(str(i) for i in store_idx)
-            with open(os.path.join(path, name, key), "wb") as f:
+            fname = os.path.join(path, name, key)
+            if sep == "/":
+                os.makedirs(os.path.dirname(fname), exist_ok=True)
+            with open(fname, "wb") as f:
+                # serialize in the array's declared order — readers reshape
+                # chunk bytes with order=meta["order"], so an F-order store
+                # must get F-order bytes
                 f.write(
-                    _compress(
-                        np.ascontiguousarray(block).tobytes(), compressor, dtype.itemsize
-                    )
+                    _compress(block.tobytes(order=order), compressor, dtype.itemsize)
                 )
         meta["shape"][axis] = int(meta["shape"][axis]) + data.shape[axis]
         new_metas[name] = meta
