@@ -369,3 +369,110 @@ def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the no-shuffle per-partition preprocessing stage feeding vision
     training."""
     return resize_images(media_table(spark, sf_dir))
+
+
+# --- mm05: perceptual-hash near-duplicate images ----------------------------
+PHASH_BANDS = 8
+PHASH_BLOCK = 64  # fixed-width content blocks (chars), like pHash's fixed tiles
+
+_PH_BANDS_SQL = ", ".join(
+    f"substr(md5(substring(text, {k} * PHB + 1, PHB)), 1, 4) AS b{k}".replace(
+        "PHB", str(PHASH_BLOCK)
+    )
+    for k in range(PHASH_BANDS)
+)
+_PH_HAM_SQL = " + ".join(
+    f"CAST(a.b{k} <> b.b{k} AS INT)" for k in range(PHASH_BANDS)
+)
+
+
+@query(
+    "mm05_phash_neardup",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE {_MT_SQL} = 'image'
+    ), ph AS (
+        SELECT doc_id, n, {_PH_BANDS_SQL} FROM img
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST({_PH_HAM_SQL} AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE {_PH_HAM_SQL} <= 1 AND greatest(a.n, b.n) > {PHASH_BLOCK}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("multimodal", "dedup", "phash", "pipeline"),
+)
+def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over image payloads: a
+    fingerprint of 8 x 16-bit bands, one per fixed 64-byte content block
+    (with a real decoder the blocks would be fixed-grid downsampled
+    luminance tiles; the stub hashes payload byte blocks), candidate
+    pairs from an equi-join on any equal NON-EMPTY band, then a
+    Hamming-distance <= 1 verify. The image-side twin of dd05's SimHash
+    byte-banding, tuned for the append/truncate edits real scraped media
+    exhibit (fixed blocks keep every band before the edit identical).
+
+    Scale: pairwise work only happens inside (band_idx, band_value)
+    buckets — an equi-join, never a cross join. Empty trailing blocks are
+    excluded from candidate generation (every short doc shares them, so
+    they would form one mega-bucket ~ a cross join); recall stays exact
+    because hamming <= 1 over >= 2 informative bands forces at least one
+    shared non-empty band. Single-block docs (<= 64 bytes) carry too
+    little signal and are excluded by the greatest(n_a, n_b) guard.
+    Payload bytes are hashed once per band in the scan projection and
+    dropped before the join; only 16-byte fingerprints shuffle. The
+    oracle replicates the md5 block arithmetic pairwise (correctness
+    scale only)."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    s = F.col("content").cast("string")
+    base = m.select("doc_id", s.alias("s")).select(
+        "doc_id", "s", F.length("s").alias("n")
+    )
+    bands = F.array(
+        *[
+            F.expr(
+                f"substr(md5(substring(s, {k * PHASH_BLOCK} + 1, {PHASH_BLOCK})), 1, 4)"
+            )
+            for k in range(PHASH_BANDS)
+        ]
+    )
+    ph = base.select("doc_id", "n", bands.alias("bands"))
+    ex = ph.select("doc_id", "n", F.posexplode("bands").alias("k", "bv")).filter(
+        F.col("k") * PHASH_BLOCK < F.col("n")  # non-empty blocks only
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa_, pb_ = ph.alias("pa"), ph.alias("pb")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("pa.bands"),
+            F.col("pb.bands"),
+            lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(pa_, cand["doc_a"] == F.col("pa.doc_id"))
+        .join(pb_, cand["doc_b"] == F.col("pb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.cast("int").alias("hamming"),
+            F.greatest(F.col("pa.n"), F.col("pb.n")).alias("maxn"),
+        )
+        .filter((F.col("hamming") <= 1) & (F.col("maxn") > PHASH_BLOCK))
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

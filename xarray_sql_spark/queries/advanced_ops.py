@@ -124,9 +124,11 @@ def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors), then run the pairwise cosine check WITHIN clusters only —
     vectorized per cluster.
 
-    Scale: the centroid table broadcasts (k rows), assignment is a
-    narrow map over the corpus, and candidate generation is grouped on
-    the cluster id — the same sublinear shape as the LSH dedups. The
+    Scale: the k centroids ship in the UDF closure (the broadcast-dim
+    pattern), assignment is a narrow Arrow-batched map over the corpus
+    (no per-(vector, seed) row explosion, no window), and candidate
+    generation is grouped on the cluster id — the same sublinear shape
+    as the LSH dedups. The
     within-cluster check is an Arrow-batched ``applyInPandas`` doing ONE
     numpy gram-matrix per cluster instead of |pairs| x dim interpreted
     lambda evaluations; per-task memory is O(cluster_size x dim), which
@@ -140,24 +142,34 @@ def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings", spread=True)
     vec = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", vec.alias("v"))
-    seeds = base.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    # k seed centroids: a bounded driver-side collect (the dimension side
+    # of a broadcast, not a data-scale action), shipped in the UDF closure.
+    seed_rows = sorted(
+        base.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    assigned = base.join(F.broadcast(seeds)).select("vec_id", "v", "seed_id", d2.alias("d2"))
-    # Rank by sqrt(d2), not d2: the oracle's list_distance IS
-    # sqrt(sum-of-squares), and sqrt can collapse adjacent doubles —
-    # ranking the identical IEEE value on both sides means any such
-    # collapse falls through to the seed_id tie-break identically.
-    rn = F.row_number().over(W.partitionBy("vec_id").orderBy(F.sqrt("d2"), "seed_id"))
-    clustered = (
-        assigned.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("seed_id").alias("cluster"))
+    S = np.stack([np.asarray(r.v, dtype=np.float64) for r in seed_rows])  # (k, dim)
+    seed_ids = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
+
+    def _assign(batches):
+        # Vectorized over rows, SEQUENTIAL over dims: acc += (x_j - s_j)^2
+        # left-to-right reproduces exactly the doubles the oracle's
+        # list_distance builds (and sqrt is correctly rounded on both
+        # sides), so argmin — first index wins ties, seeds sorted by
+        # seed_id — picks the identical cluster cross-engine.
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy())  # (n, dim)
+            dist = np.empty((len(S), X.shape[0]))
+            for si, s in enumerate(S):
+                acc = np.zeros(X.shape[0])
+                for j in range(X.shape[1]):
+                    d = X[:, j] - s[j]
+                    acc = acc + d * d
+                dist[si] = np.sqrt(acc)
+            pdf["cluster"] = seed_ids[np.argmin(dist, axis=0)]
+            yield pdf
+
+    clustered = base.mapInPandas(
+        _assign, "vec_id long, v array<double>, cluster long"
     )
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -271,4 +283,129 @@ def ss06_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", F.round("s", 6).alias("approx_dot"))
         .orderBy("query_id", F.desc("approx_dot"), "neighbor_id")
+    )
+
+
+# --- q38: SCD2 dimension build + point-in-time join -------------------------
+@query(
+    "q38_scd2_pit_join",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS dup_rn
+        FROM events WHERE event_type = 'view'
+    ), dim AS (
+        SELECT user_id, ts AS valid_from, value,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM versions WHERE dup_rn = 1
+    )
+    SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from,
+           round(d.value, 6) AS version_value
+    FROM events p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    tags=("events", "scd2", "interval-join", "window"),
+)
+def q38_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build + point-in-time join: each
+    user's 'view' events become profile versions with [valid_from,
+    valid_to) intervals (valid_to = next version's start, open-ended for
+    the current row); every 'purchase' is enriched with the version that
+    was in force at its timestamp — the feature-store / training-data
+    "no-peeking" join.
+
+    Scale: the dimension derives with one user_id-partitioned window (no
+    self-join), and the PIT join is a user_id equi-join whose interval
+    predicate filters post-shuffle — versions-per-user is small and
+    bounded, so no key explodes. Duplicate-timestamp versions collapse
+    deterministically (highest event_id wins) so both engines build the
+    identical dimension."""
+    e = table(spark, sf_dir, "events", spread=True)
+    views = e.filter(F.col("event_type") == "view")
+    dup_rn = F.row_number().over(
+        W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    )
+    versions = views.withColumn("dup_rn", dup_rn).filter(F.col("dup_rn") == 1)
+    dim = versions.select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("valid_from"),
+        F.col("value").alias("d_value"),
+    ).withColumn(
+        "valid_to", F.lead("valid_from").over(W.partitionBy("d_user").orderBy("valid_from"))
+    )
+    p = e.filter(F.col("event_type") == "purchase")
+    joined = p.join(
+        dim,
+        (p["user_id"] == dim["d_user"])
+        & (p["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (p["ts"] < dim["valid_to"])),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("version_from"),
+        F.round("d_value", 6).alias("version_value"),
+    ).orderBy("event_id")
+
+
+# --- pl05: stratified exact-quota split -------------------------------------
+@query(
+    "pl05_stratified_split",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('pl05|' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk,
+               count(*) OVER (PARTITION BY lang, source) AS stratum_n
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+           CAST(rk AS BIGINT) AS rk, CAST(stratum_n AS BIGINT) AS stratum_n
+    FROM ranked
+    WHERE rk <= CAST(ceil(stratum_n * 0.2) AS BIGINT)
+    ORDER BY lang, source, rk
+    """,
+    tags=("sampling", "pipeline", "window"),
+)
+def pl05_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas: ceil(20%) of
+    every (lang, source) stratum, chosen by a salted-md5 rank so the
+    sample is deterministic, repartition-stable, and content-addressed
+    (re-running over re-shuffled data picks the same docs) — unlike
+    df.sampleBy, which is probabilistic per row and gives only expected
+    quotas.
+
+    Scale: one shuffle on the stratum key; each window partition is a
+    stratum, so skewed strata parallelize across... their own task — for
+    pathological single-stratum skew compose with the sk01 salting
+    pattern. No driver-side stratum enumeration (no collect of the key
+    space, which at 100 TB could itself be large)."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    rank_key = F.md5(F.concat(F.lit("pl05|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang", "source")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w.orderBy(rank_key, "doc_id")).alias("rk"),
+        F.count("*").over(w).alias("stratum_n"),
+    )
+    quota = F.ceil(F.col("stratum_n") * F.lit(0.2)).cast("long")
+    return (
+        ranked.filter(F.col("rk") <= quota)
+        .select("doc_id", "lang", "source", F.col("rk").cast("long"), F.col("stratum_n").cast("long"))
+        .orderBy("lang", "source", "rk")
     )
