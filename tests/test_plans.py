@@ -216,13 +216,67 @@ def test_lateral_topn_decorrelates(spark):
 
 
 def test_semantic_dedup_groups_by_cluster(spark):
-    """dd07: the within-cluster pairwise check must be ONE vectorized
-    Arrow-batched group kernel per cluster (FlatMapGroupsInPandas after a
-    single exchange on the cluster id); only the k=16 seed fanout may be
-    a broadcast nested loop. A cartesian pairing or a second corpus-wide
-    shuffle would not survive 100 TB."""
+    """dd07: seed assignment must be a narrow Arrow-batched map
+    (MapInPandas, centroids in the closure — no per-(vector, seed) row
+    explosion, no join at all), and the within-cluster pairwise check ONE
+    vectorized group kernel per cluster (FlatMapGroupsInPandas after a
+    single exchange on the cluster id). Any join or cartesian pairing
+    here would not survive 100 TB."""
     df = REGISTRY["dd07_semantic_dedup"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "Join" not in plan, plan  # assignment is join-free end to end
+
+
+def test_phash_neardup_is_band_bucketed(spark):
+    """mm05: candidate generation must be an equi-join on
+    (band_idx, band_value) — hash-partitionable, never a cross join —
+    and the verify joins on doc ids stay hash joins. The empty-band
+    mega-bucket is excluded before the join (a Filter on the exploded
+    side), which is what keeps the buckets bounded at scale."""
+    df = REGISTRY["mm05_phash_neardup"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan, plan
+
+
+def test_scd2_pit_join_is_equi_on_user(spark):
+    """q38: the point-in-time join must hash/merge on the user_id equi
+    key with the interval predicate as a post-join filter — never a
+    nested loop over versions. The dimension build must be windows, not
+    a self-join."""
+    df = REGISTRY["q38_scd2_pit_join"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_bucketed_range_join_is_equi_join(spark):
+    """q39: the interval lookup must execute as an equi-join on the
+    bucket id (hash-partitionable on both sides) with the exact range
+    predicate as a post-join condition — the whole point of the bucket
+    decomposition is avoiding the nested-loop range join that a plain
+    BETWEEN predicate would force when neither side broadcasts."""
+    df = REGISTRY["q39_bucketed_range_join"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan), plan
+
+
+def test_stratified_split_single_stratum_shuffle(spark):
+    """pl05: rank and stratum count must share ONE exchange on the
+    stratum key (two window functions over the same partitioning), with
+    no join and no second shuffle."""
+    df = REGISTRY["pl05_stratified_split"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, plan

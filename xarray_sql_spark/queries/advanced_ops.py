@@ -409,3 +409,70 @@ def pl05_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", F.col("rk").cast("long"), F.col("stratum_n").cast("long"))
         .orderBy("lang", "source", "rk")
     )
+
+
+# --- q39: bucketed range join (neither side broadcastable) ------------------
+@query(
+    "q39_bucketed_range_join",
+    oracle="""
+    WITH bands AS (
+        SELECT i AS band_id,
+               10 * i + (i * i % 7) AS lo,
+               10 * (i + 1) + ((i + 1) * (i + 1) % 7) AS hi
+        FROM range(100) t(i)
+    )
+    SELECT CAST(b.band_id AS BIGINT) AS band_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 0) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+    tags=("relational", "range-join", "bucketing"),
+)
+def q39_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-lookup join via BUCKETING: map facts and interval bands onto
+    fixed-width buckets (bands explode into every bucket they overlap),
+    equi-join on the bucket id, then filter to the exact interval — the
+    IP-geolocation / price-band lookup pattern.
+
+    Scale: q13/gq05 broadcast the interval side; this is the technique
+    for when NEITHER side fits in a broadcast (millions of irregular
+    bands). The equi-join on bucket id hash-partitions both sides, each
+    band duplicates only into ceil(width/bucket) buckets, and the exact
+    range predicate runs post-join on co-located rows — work is
+    O(facts + bands x overlap), never O(facts x bands), and AQE can
+    split a hot bucket. The oracle states the plain interval-join
+    semantics; the bucket decomposition is invisible in the result."""
+    bucket_w = 16
+    i = F.col("id")
+    bands = spark.range(100).select(
+        i.alias("band_id"),
+        (10 * i + (i * i % 7)).cast("double").alias("lo"),
+        (10 * (i + 1) + ((i + 1) * (i + 1) % 7)).cast("double").alias("hi"),
+    )
+    exploded = bands.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / bucket_w), F.floor(F.col("hi") / bucket_w)
+            )
+        ),
+    )
+    e = table(spark, sf_dir, "events", spread=True).withColumn(
+        "bucket", F.floor(F.col("value") / bucket_w)
+    )
+    joined = e.join(
+        exploded,
+        (e["bucket"] == exploded["bucket"])
+        & (e["value"] >= exploded["lo"])
+        & (e["value"] < exploded["hi"]),
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 0).alias("total_value"),
+        )
+        .orderBy("band_id")
+    )
