@@ -262,3 +262,79 @@ def test_zarr_blosc_selective_chunk_reads(tmp_path):
     arr = back.data_vars["temp"].data
     arr.read_block((slice(4, 8), slice(0, 5)))
     assert arr.last_opened == ["1.0"]
+
+
+def test_zarr_v2_filter_chain_delta_and_fixedscaleoffset(tmp_path):
+    """Read a v2 store whose arrays use numcodecs filters: a delta-packed
+    int64 time coordinate and a fixedscaleoffset int-packed float
+    variable (the ERA5-style layout). Chunks are encoded here exactly as
+    numcodecs does — delta: first element verbatim then diffs in astype;
+    fixedscaleoffset: round((x - offset) * scale) in astype — so the
+    reader's inverse chain is pinned against the public filter specs,
+    independent of any writer of ours."""
+    import json
+    import zlib
+
+    path = str(tmp_path / "filt.zarr")
+    os.makedirs(os.path.join(path, "time"))
+    os.makedirs(os.path.join(path, "temp"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    t = np.arange(1000, 1012, dtype="<i8")  # regular steps -> tiny deltas
+    offset, scale = 20.0, 100.0
+    temp = 20.0 + np.arange(12, dtype="<f8") / 7.0
+
+    def _arr(name, meta, chunks_bytes, dims):
+        meta = {
+            "zarr_format": 2, "compressor": {"id": "zlib", "level": 1},
+            "fill_value": 0, "order": "C", "filters": meta["filters"],
+            "shape": meta["shape"], "chunks": meta["chunks"], "dtype": meta["dtype"],
+        }
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": dims}, f)
+        for key, raw in chunks_bytes.items():
+            with open(os.path.join(path, name, key), "wb") as f:
+                f.write(zlib.compress(raw, 1))
+
+    # delta: enc[0] = x[0]; enc[i] = x[i] - x[i-1], stored as <i4
+    t_chunks = {}
+    for ci in range(2):
+        block = t[ci * 6 : (ci + 1) * 6]
+        enc = np.empty(6, dtype="<i4")
+        enc[0] = block[0]
+        enc[1:] = np.diff(block)
+        t_chunks[str(ci)] = enc.tobytes()
+    _arr(
+        "time",
+        {"shape": [12], "chunks": [6], "dtype": "<i8",
+         "filters": [{"id": "delta", "dtype": "<i8", "astype": "<i4"}]},
+        t_chunks, ["time"],
+    )
+
+    # fixedscaleoffset: enc = round((x - offset) * scale) as <i2
+    enc = np.round((temp - offset) * scale).astype("<i2")
+    _arr(
+        "temp",
+        {"shape": [12], "chunks": [12], "dtype": "<f8",
+         "filters": [{"id": "fixedscaleoffset", "offset": offset,
+                      "scale": scale, "dtype": "<f8", "astype": "<i2"}]},
+        {"0": enc.tobytes()}, ["time"],
+    )
+
+    back = open_zarr(path)
+    np.testing.assert_array_equal(np.asarray(back.coords["time"]), t)
+    # fso decode: enc/scale + offset — exact to 1/scale quantization
+    np.testing.assert_allclose(
+        back.data_vars["temp"].values(), temp, atol=0.5 / scale + 1e-12
+    )
+
+    # unknown filter ids refuse clearly rather than decode garbage
+    bad = json.load(open(os.path.join(path, "temp", ".zarray")))
+    bad["filters"] = [{"id": "bitround", "keepbits": 7}]
+    with open(os.path.join(path, "temp", ".zarray"), "w") as f:
+        json.dump(bad, f)
+    with pytest.raises(NotImplementedError, match="bitround"):
+        open_zarr(path).data_vars["temp"].values()

@@ -26,7 +26,8 @@ Supported, v2:
 - ``fill_value``: chunks absent from disk materialize as the fill
   (Zarr writes are sparse); JSON ``"NaN"``/``"Infinity"`` handled.
 - ``order``: "C" or "F".
-- filters: only ``null``/``[]`` (xarray's default); otherwise error.
+- filters: ``delta`` (packed coords) and ``fixedscaleoffset``
+  (ERA5-style int-packed variables) decode; other ids error clearly.
 
 Supported, v3 (the reference's benchmark stack pins ``zarr>=3``):
 - ``zarr.json`` node metadata (``node_type`` group/array), array dims via
@@ -205,8 +206,6 @@ class ZarrArray:
             raise ValueError(f"{path}: unsupported zarr_format {fmt!r}")
 
     def _init_v2(self, meta: dict) -> None:
-        if meta.get("filters"):
-            raise NotImplementedError(f"{self.path}: Zarr filters are not supported")
         self.shape = tuple(int(n) for n in meta["shape"])
         self.chunks = tuple(int(c) for c in meta["chunks"])
         self.dtype = _parse_dtype(meta["dtype"])
@@ -214,6 +213,20 @@ class ZarrArray:
         self.fill_value = _parse_fill(meta.get("fill_value"), self.dtype)
         self.compressor = meta.get("compressor")
         self._key_encoding = ("v2", meta.get("dimension_separator", "."))
+        # numcodecs filter chain: real stores pack coords with delta and
+        # variables with fixedscaleoffset (ERA5-style int packing). Chunk
+        # bytes hold the LAST filter's output dtype; decode inverts the
+        # chain right-to-left on the flat buffer before reshape.
+        self.filters: list[dict] = list(meta.get("filters") or [])
+        self._storage_dtype = self.dtype
+        for f in self.filters:
+            fid = f.get("id")
+            if fid not in ("delta", "fixedscaleoffset"):
+                raise NotImplementedError(
+                    f"{self.path}: Zarr filter {fid!r} is not supported "
+                    f"(delta and fixedscaleoffset are)"
+                )
+            self._storage_dtype = np.dtype(f.get("astype") or f.get("dtype"))
 
     def _parse_v3_codecs(self, codecs: list) -> tuple[str, dict | None]:
         """Apply a v3 codec chain to self.dtype; return (order, compressor).
@@ -306,6 +319,8 @@ class ZarrArray:
             self.chunks = outer
             self.order, self.compressor = self._parse_v3_codecs(codecs)
         self.fill_value = _parse_fill(meta.get("fill_value"), self.dtype)
+        self.filters = []  # v2-only concept; v3 expresses these as codecs
+        self._storage_dtype = self.dtype
         cke = meta.get("chunk_key_encoding", {"name": "default"})
         self._key_encoding = (
             cke.get("name", "default"),
@@ -315,10 +330,25 @@ class ZarrArray:
         )
 
     def _chunk_nbytes(self) -> int:
-        n = self.dtype.itemsize
+        n = self._storage_dtype.itemsize
         for c in self.chunks:
             n *= c
         return n
+
+    def _decode_chunk(self, raw: bytes) -> np.ndarray:
+        """Decompressed chunk bytes -> typed chunk array: view as the
+        storage dtype, invert the filter chain on the flat buffer (the
+        layout numcodecs filters operate on), then reshape."""
+        flat = np.frombuffer(raw, dtype=self._storage_dtype)
+        for f in reversed(self.filters):
+            if f["id"] == "delta":
+                # numcodecs Delta.decode: cumsum in the declared dtype
+                flat = np.cumsum(flat, dtype=np.dtype(f["dtype"]))
+            else:  # fixedscaleoffset: x = enc/scale + offset, cast to dtype
+                flat = (flat / f["scale"] + f["offset"]).astype(
+                    np.dtype(f["dtype"]), copy=False
+                )
+        return flat.reshape(self.chunks, order=self.order)
 
     def _chunk_file(self, idx: tuple[int, ...]) -> str:
         kind, sep = self._key_encoding
@@ -369,9 +399,7 @@ class ZarrArray:
         self.last_opened.append(os.path.relpath(fname, self.path))
         with open(fname, "rb") as f:
             raw = _decompress(f.read(), self.compressor, self._chunk_nbytes())
-        return np.frombuffer(raw, dtype=self.dtype).reshape(
-            self.chunks, order=self.order
-        )
+        return self._decode_chunk(raw)
 
     def _load_inner_chunk(self, idx: tuple[int, ...]) -> np.ndarray | None:
         """Sharded read: ``idx`` is an INNER-chunk index; locate its shard
@@ -396,9 +424,7 @@ class ZarrArray:
         with open(fname, "rb") as f:
             f.seek(offset)
             raw = _decompress(f.read(nbytes), self.compressor, self._chunk_nbytes())
-        return np.frombuffer(raw, dtype=self.dtype).reshape(
-            self.chunks, order=self.order
-        )
+        return self._decode_chunk(raw)
 
     def read_block(self, slices: tuple[slice, ...]) -> np.ndarray:
         self.last_opened = []
@@ -893,6 +919,12 @@ def append_zarr(slab, path: str, dim: str) -> str:
 
     def _write_append(name: str, dims: tuple[str, ...], data: np.ndarray) -> None:
         meta = _meta(name)
+        if meta.get("filters"):
+            # appended chunks would be written unfiltered under metadata
+            # declaring a filter chain -> silent corruption on read
+            raise NotImplementedError(
+                f"append to filtered array {name!r} is not supported"
+            )
         axis = dims.index(dim)
         chunk_shape = tuple(int(c) for c in meta["chunks"])
         dtype = _parse_dtype(meta["dtype"])
