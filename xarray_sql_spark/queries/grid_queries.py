@@ -796,3 +796,87 @@ def gq14_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT y, SUM(vmean) AS total, COUNT(*) AS n_cols "
         "FROM gq_grid14_back GROUP BY y"
     ).df
+
+
+@query(
+    "gq15_filtered_store",
+    oracle="""
+    WITH cells AS (
+        SELECT 1000 + 3 * i AS k, i * 0.25 AS v
+        FROM (SELECT unnest(range(48)) AS i)
+    )
+    SELECT CAST(k % 4 AS INT) AS bucket,
+           sum(v) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cells WHERE k >= 1012
+    GROUP BY k % 4
+    ORDER BY bucket
+    """,
+    tags=("grid", "datasource", "zarr", "filters"),
+    bench=False,
+)
+def gq15_filtered_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numcodecs filter decode under the hash gate: the store is written
+    here with a DELTA-packed int64 coordinate (constant step 3, diffs
+    stored as <i4) and a FIXEDSCALEOFFSET-packed float variable
+    (scale 4 = 2^2, so enc/scale is exact binary arithmetic), encoded
+    byte-for-byte the way numcodecs does. The query scans it through the
+    Python DataSource (4 chunks, the k >= 1012 predicate prunes the
+    first) and aggregates; the oracle regenerates the identical values
+    without ever touching the store — a hash match proves the filter
+    inversion is bit-exact end to end."""
+    import json
+    import os
+    import tempfile
+    import zlib
+
+    path = tempfile.mkdtemp(prefix="gq15_") + "/filt.zarr"
+    os.makedirs(os.path.join(path, "k"))
+    os.makedirs(os.path.join(path, "v"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    i = np.arange(48, dtype=np.int64)
+    k = 1000 + 3 * i
+    v = i * 0.25
+
+    def _arr(name, dtype, filters, chunk_payloads):
+        meta = {
+            "zarr_format": 2, "shape": [48], "chunks": [12], "dtype": dtype,
+            "compressor": {"id": "zlib", "level": 1}, "fill_value": 0,
+            "order": "C", "filters": filters,
+        }
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": ["k"]}, f)
+        for ci, payload in enumerate(chunk_payloads):
+            with open(os.path.join(path, name, str(ci)), "wb") as f:
+                f.write(zlib.compress(payload, 1))
+
+    k_chunks = []
+    for ci in range(4):
+        block = k[ci * 12 : (ci + 1) * 12]
+        enc = np.empty(12, dtype="<i4")
+        enc[0] = block[0]
+        enc[1:] = np.diff(block)
+        k_chunks.append(enc.tobytes())
+    _arr("k", "<i8", [{"id": "delta", "dtype": "<i8", "astype": "<i4"}], k_chunks)
+    v_chunks = [
+        np.round(v[ci * 12 : (ci + 1) * 12] * 4.0).astype("<i2").tobytes()
+        for ci in range(4)
+    ]
+    _arr(
+        "v", "<f8",
+        [{"id": "fixedscaleoffset", "offset": 0.0, "scale": 4.0,
+          "dtype": "<f8", "astype": "<i2"}],
+        v_chunks,
+    )
+
+    xs = XarraySession(spark)
+    xs.from_dataset(
+        "gq_grid15", Dataset.open_store(path), chunks={"k": 12}, store=path
+    )
+    return xs.sql(
+        "SELECT CAST(k % 4 AS INT) AS bucket, SUM(v) AS total, COUNT(*) AS n "
+        "FROM gq_grid15 WHERE k >= 1012 GROUP BY k % 4 ORDER BY bucket"
+    ).df
