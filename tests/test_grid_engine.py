@@ -385,6 +385,56 @@ def test_zarr_store_backed_table_selective(xs, read_log, tmp_path):
     assert len(logs) == 1  # only the last time chunk
 
 
+def test_filtered_store_prunes_partitions(xs, read_log, tmp_path):
+    """Partition pruning works over a DELTA-packed coordinate: bounds come
+    from the decoded (cumsum-inverted) coord values, so a predicate on the
+    logical values prunes chunks even though the stored bytes are diffs."""
+    import json
+    import zlib
+
+    path = str(tmp_path / "fp.zarr")
+    os.makedirs(os.path.join(path, "k"))
+    os.makedirs(os.path.join(path, "v"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    k = 1000 + 3 * np.arange(48, dtype=np.int64)  # 4 chunks of 12
+    v = np.arange(48, dtype=np.float64)
+
+    def _arr(name, dtype, filters, payloads):
+        meta = {
+            "zarr_format": 2, "shape": [48], "chunks": [12], "dtype": dtype,
+            "compressor": {"id": "zlib", "level": 1}, "fill_value": 0,
+            "order": "C", "filters": filters,
+        }
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": ["k"]}, f)
+        for ci, payload in enumerate(payloads):
+            with open(os.path.join(path, name, str(ci)), "wb") as f:
+                f.write(zlib.compress(payload, 1))
+
+    k_chunks = []
+    for ci in range(4):
+        block = k[ci * 12 : (ci + 1) * 12]
+        enc = np.empty(12, dtype="<i4")
+        enc[0] = block[0]
+        enc[1:] = np.diff(block)
+        k_chunks.append(enc.tobytes())
+    _arr("k", "<i8", [{"id": "delta", "dtype": "<i8", "astype": "<i4"}], k_chunks)
+    _arr("v", "<f8", None, [v[ci * 12 : (ci + 1) * 12].tobytes() for ci in range(4)])
+
+    xs.from_dataset(
+        "fp_t", Dataset.open_store(path), chunks={"k": 12}, store=path,
+        read_log_dir=read_log.dir,
+    )
+    read_log.drain()
+    # chunk 2 starts at k = 1000 + 3*24 = 1072: chunks 0-1 must prune
+    row = xs.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM fp_t WHERE k >= 1072").df.collect()[0]
+    assert row["n"] == 24 and row["s"] == float(v[24:].sum())
+    assert len(read_log.drain()) == 2  # only chunks 2 and 3 read
+
+
 # --- OR-of-equalities pruning (reference src/lib.rs:340-423 prunes OR trees;
 # Spark's Python-DS pushFilters is conjunct-only, so the session rewrites the
 # chain to IN before planning) ----------------------------------------------

@@ -107,6 +107,27 @@ def test_append_requires_chunk_alignment(tmp_path):
         append_zarr(_slab(6, 4), path, "time")
 
 
+def test_append_refuses_filtered_arrays(tmp_path):
+    """Appending to an array whose metadata declares a numcodecs filter
+    chain must refuse BEFORE writing anything: the appended chunks would
+    be unfiltered bytes under filter-declaring metadata — silent
+    corruption on read."""
+    import glob
+    import json
+
+    path = write_zarr(_slab(0, 8), str(tmp_path / "g.zarr"), chunks={"time": 4})
+    meta_path = os.path.join(path, "temp", ".zarray")
+    meta = json.load(open(meta_path))
+    meta["filters"] = [{"id": "delta", "dtype": "<f4", "astype": "<f4"}]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    before = sorted(glob.glob(os.path.join(path, "*", "*")))
+    with pytest.raises(NotImplementedError, match="filtered"):
+        append_zarr(_slab(8, 4), path, "time")
+    # nothing at all was written — not even the unfiltered coord's chunks
+    assert sorted(glob.glob(os.path.join(path, "*", "*"))) == before
+
+
 def test_stream_tails_appends_exactly_once(spark, tmp_path):
     path = write_zarr(_slab(0, 8), str(tmp_path / "g.zarr"), chunks={"time": 4})
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")

@@ -375,10 +375,15 @@ def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_BANDS = 8
 PHASH_BLOCK = 64  # fixed-width content blocks (chars), like pHash's fixed tiles
 
+# Empty (out-of-range) blocks get the sentinel '-' — NOT md5('') — so a
+# content band whose hex prefix happens to collide with the empty hash can
+# never compare equal to an empty band. This is what makes the Spark
+# side's non-empty-band candidate join EXACTLY as complete as the oracle's
+# full pairwise compare ('-' is not a hex string, so no collision exists).
 _PH_BANDS_SQL = ", ".join(
-    f"substr(md5(substring(text, {k} * PHB + 1, PHB)), 1, 4) AS b{k}".replace(
-        "PHB", str(PHASH_BLOCK)
-    )
+    f"CASE WHEN {k} * PHB < length(text) "
+    f"THEN substr(md5(substring(text, {k} * PHB + 1, PHB)), 1, 4) "
+    f"ELSE '-' END AS b{k}".replace("PHB", str(PHASH_BLOCK))
     for k in range(PHASH_BANDS)
 )
 _PH_HAM_SQL = " + ".join(
@@ -415,11 +420,12 @@ def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhibit (fixed blocks keep every band before the edit identical).
 
     Scale: pairwise work only happens inside (band_idx, band_value)
-    buckets — an equi-join, never a cross join. Empty trailing blocks are
-    excluded from candidate generation (every short doc shares them, so
-    they would form one mega-bucket ~ a cross join); recall stays exact
-    because hamming <= 1 over >= 2 informative bands forces at least one
-    shared non-empty band. Single-block docs (<= 64 bytes) carry too
+    buckets — an equi-join, never a cross join. Empty trailing blocks get
+    a non-hex sentinel value and are excluded from candidate generation
+    (every short doc shares them, so they would form one mega-bucket ~ a
+    cross join); recall stays exact because the sentinel can never equal
+    a content hash, so hamming <= 1 over >= 2 informative bands forces at
+    least one shared non-empty band. Single-block docs (<= 64 bytes) carry too
     little signal and are excluded by the greatest(n_a, n_b) guard.
     Payload bytes are hashed once per band in the scan projection and
     dropped before the join; only 16-byte fingerprints shuffle. The
@@ -433,7 +439,9 @@ def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = F.array(
         *[
             F.expr(
-                f"substr(md5(substring(s, {k * PHASH_BLOCK} + 1, {PHASH_BLOCK})), 1, 4)"
+                f"CASE WHEN {k * PHASH_BLOCK} < n THEN "
+                f"substr(md5(substring(s, {k * PHASH_BLOCK} + 1, {PHASH_BLOCK})), 1, 4) "
+                f"ELSE '-' END"
             )
             for k in range(PHASH_BANDS)
         ]

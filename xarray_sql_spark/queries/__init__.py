@@ -28,10 +28,12 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      q07-q35 block, dd01-03, ts01/02, ss01/03/04, gq08-10, cc02) —
 #      last proven in round 3 or earlier; rotate them back in.
 #   3. Remaining slots: re-prove the highest-risk round-4-green entries —
-#      the grid DataSource shapes (whose store layer grew new codecs this
-#      round), the timestamp-heavy q27/ev01, and the iterative ss05.
-# Everything else was hash-proven in round 4 on unchanged inputs and
-# rotates to the back.
+#      the grid DataSource shapes (whose store layer grew new codecs and
+#      filter chains this round, gq14 most of all) and the
+#      timestamp-heavy q27.
+# Rotated OUT to make room for the nine new queries (all round-4-proven
+# on unchanged inputs): q01, q36, ev01, ss05, gq11. Everything else also
+# round-4-proven and rotates to the back.
 _PRIORITY = (
     # 1. new this round
     "ev08_cohort_retention q37_lateral_topn dd07_semantic_dedup ss06_sq_topk "

@@ -147,6 +147,10 @@ def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = sorted(
         base.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id
     )
+    if not seed_rows:  # degenerate corpus: no seeds -> no clusters -> no pairs
+        return spark.createDataFrame(
+            [], "cluster long, vec_a long, vec_b long, cosine double"
+        )
     S = np.stack([np.asarray(r.v, dtype=np.float64) for r in seed_rows])  # (k, dim)
     seed_ids = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
 

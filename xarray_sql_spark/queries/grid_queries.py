@@ -808,7 +808,7 @@ def gq14_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(k % 4 AS INT) AS bucket,
            sum(v) AS total,
            CAST(count(*) AS BIGINT) AS n
-    FROM cells WHERE k >= 1012
+    FROM cells WHERE k >= 1036
     GROUP BY k % 4
     ORDER BY bucket
     """,
@@ -821,8 +821,10 @@ def gq15_filtered_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored as <i4) and a FIXEDSCALEOFFSET-packed float variable
     (scale 4 = 2^2, so enc/scale is exact binary arithmetic), encoded
     byte-for-byte the way numcodecs does. The query scans it through the
-    Python DataSource (4 chunks, the k >= 1012 predicate prunes the
-    first) and aggregates; the oracle regenerates the identical values
+    Python DataSource (4 chunks of 12; k >= 1036 is exactly chunk 1's
+    first coordinate, so chunk 0's bounds [1000, 1033] prune — pinned by
+    tests/test_grid_engine.py::test_filtered_store_prunes_partitions)
+    and aggregates; the oracle regenerates the identical values
     without ever touching the store — a hash match proves the filter
     inversion is bit-exact end to end."""
     import json
@@ -878,5 +880,5 @@ def gq15_filtered_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return xs.sql(
         "SELECT CAST(k % 4 AS INT) AS bucket, SUM(v) AS total, COUNT(*) AS n "
-        "FROM gq_grid15 WHERE k >= 1012 GROUP BY k % 4 ORDER BY bucket"
+        "FROM gq_grid15 WHERE k >= 1036 GROUP BY k % 4 ORDER BY bucket"
     ).df

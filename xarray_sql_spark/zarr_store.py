@@ -914,17 +914,19 @@ def append_zarr(slab, path: str, dim: str) -> str:
             f"append requires the existing {dim} length ({old_n}) to be a "
             f"multiple of its chunk size ({chunk_n})"
         )
+    # refuse filtered arrays BEFORE any chunk lands: appended chunks would
+    # be unfiltered bytes under filter-declaring metadata -> silent
+    # corruption on read
+    for name in [dim, *(n for n, var in slab.data_vars.items() if dim in var.dims)]:
+        if _meta(name).get("filters"):
+            raise NotImplementedError(
+                f"append to filtered array {name!r} is not supported"
+            )
 
     new_metas: dict[str, dict] = {}
 
     def _write_append(name: str, dims: tuple[str, ...], data: np.ndarray) -> None:
         meta = _meta(name)
-        if meta.get("filters"):
-            # appended chunks would be written unfiltered under metadata
-            # declaring a filter chain -> silent corruption on read
-            raise NotImplementedError(
-                f"append to filtered array {name!r} is not supported"
-            )
         axis = dims.index(dim)
         chunk_shape = tuple(int(c) for c in meta["chunks"])
         dtype = _parse_dtype(meta["dtype"])
