@@ -256,6 +256,10 @@ def test_scd2_pit_join_is_equi_on_user(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+    # the duplicate-collapse lag() and validity lead() windows ride ONE
+    # user_id exchange — a (user_id, ts)-keyed dedup window would add a
+    # second full shuffle of the version stream
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
 
 def test_bucketed_range_join_is_equi_join(spark):

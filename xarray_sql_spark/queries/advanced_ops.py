@@ -336,10 +336,17 @@ def q38_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical dimension."""
     e = table(spark, sf_dir, "events", spread=True)
     views = e.filter(F.col("event_type") == "view")
-    dup_rn = F.row_number().over(
-        W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    )
-    versions = views.withColumn("dup_rn", dup_rn).filter(F.col("dup_rn") == 1)
+    # One user_id exchange for the whole dimension build: sorting by
+    # (ts, event_id DESC) within the user makes "first row of each ts
+    # run" exactly the max-event_id duplicate survivor (same row the
+    # oracle's row_number over (user_id, ts) picks), and the lead()
+    # window over the filtered rows reuses the same partitioning —
+    # Catalyst plans a single shuffle instead of (user_id, ts) + user_id.
+    w_sort = W.partitionBy("user_id").orderBy("ts", F.desc("event_id"))
+    prev_ts = F.lag("ts").over(w_sort)
+    versions = views.withColumn(
+        "is_first", prev_ts.isNull() | (prev_ts != F.col("ts"))
+    ).filter(F.col("is_first"))
     dim = versions.select(
         F.col("user_id").alias("d_user"),
         F.col("ts").alias("valid_from"),
