@@ -172,3 +172,49 @@ def test_stream_start_latest_skips_history(spark, tmp_path):
     )
     _run(stream, out, ckpt)
     assert spark.read.parquet(out).count() == 4 * 5
+
+
+def test_stream_windowed_agg_carries_state_across_appends(spark, tmp_path):
+    """The composition the streaming source exists for: readStream over
+    the growing store -> event-time windowed aggregation, with the agg
+    state checkpointed so a restart after an append UPDATES the affected
+    windows instead of recounting history. Results equal the numpy truth
+    over the full store after each run."""
+    import pyspark.sql.functions as F
+
+    path = write_zarr(_slab(0, 8), str(tmp_path / "g.zarr"), chunks={"time": 4})
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run_agg():
+        stream = read_grid_stream(
+            spark, path, chunks={"time": 4}, payload_dir=str(tmp_path)
+        )
+        agg = stream.groupBy(F.window("time", "4 hours")).agg(
+            F.sum("temp").alias("s"), F.count("*").alias("n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("gsw")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        rows = spark.sql("SELECT window.start AS w, s, n FROM gsw").collect()
+        return {r.w.hour: (r.s, r.n) for r in rows}
+
+    def _expect(nt):
+        temp = _slab(0, nt).data_vars["temp"].values()
+        return {
+            4 * g: (float(temp[4 * g : 4 * (g + 1)].sum()), temp[4 * g : 4 * (g + 1)].size)
+            for g in range((nt + 3) // 4)
+        }
+
+    got = _run_agg()
+    assert got == _expect(8)  # two complete 4h windows
+
+    # the append lands a slab that CLOSES window [8,12) and OPENS [12,16)
+    append_zarr(_slab(8, 6), path, "time")
+    got = _run_agg()
+    assert got == _expect(14)  # prior windows intact, new ones correct
