@@ -114,3 +114,43 @@ def test_arrow_stream_feeds_duckdb_zero_copy():
     want = {float(l): float(np.nanmean(vals[:, i, :])) for i, l in enumerate(lats)}
     for lat, a in got:
         assert a == pytest.approx(want[lat], rel=1e-6)
+
+
+def test_metadata_dim_aggregates_no_reads(xs, tmp_path):
+    """A4 extension: a global MIN/MAX/COUNT-only aggregate over one
+    unfiltered scan's dim columns is answered from driver-known coords —
+    zero partition reads (DataFusion's statistics-aggregate shortcut).
+    Var aggregates, filtered scans, and expressions merely ALIASED to a
+    dim name (exprId check) all fall back to the engine."""
+    import os
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    xs.from_dataset("magg_air", air_small(), chunks={"time": 4}, read_log_dir=log_dir)
+
+    row = xs.sql(
+        "SELECT MIN(time) AS t0, MAX(time) AS t1, COUNT(*) AS n, "
+        "MIN(lat) AS la, MAX(lat) AS lb, COUNT(lat) AS nl FROM magg_air"
+    ).df.collect()[0]
+    assert row.n == 12 * 11 * 10 and row.nl == row.n
+    assert (row.la, row.lb) == (50.0, 75.0)  # true min/max, lat stored descending
+    assert os.listdir(log_dir) == []  # answered without touching a chunk
+
+    # var aggregate: must read
+    xs.sql("SELECT MIN(air) AS m FROM magg_air").df.collect()
+    assert len(os.listdir(log_dir)) > 0
+    for f in os.listdir(log_dir):
+        os.remove(os.path.join(log_dir, f))
+
+    # filter: must read (metadata can't see predicate survivors)
+    xs.sql("SELECT MAX(time) AS t FROM magg_air WHERE lat > 60").df.collect()
+    assert len(os.listdir(log_dir)) > 0
+
+    # an expression aliased to the dim's name must NOT be answered from
+    # coords: values differ by the interval
+    row = xs.sql(
+        "SELECT MIN(time) AS t0 FROM "
+        "(SELECT time + INTERVAL 1 HOUR AS time FROM magg_air)"
+    ).df.collect()[0]
+    base = xs.sql("SELECT MIN(time) AS t0 FROM magg_air").df.collect()[0]
+    assert (row.t0 - base.t0).total_seconds() == 3600

@@ -80,3 +80,85 @@ def referenced_scan_columns(df: DataFrame, payload_keys) -> dict[str, set[str]]:
             if a.exprId().id() in refs:
                 cols.add(a.name())
     return needed
+
+
+def metadata_aggregate_spec(df: DataFrame, payload_keys):
+    """If the optimized plan is a global (group-less, filter-less)
+    aggregate of only MIN/MAX/COUNT over a single grid scan's DIM
+    columns, return ``(payload, [(out_name, kind, dim)])`` where kind is
+    'min' | 'max' | 'count_star' | 'count' — else None.
+
+    This is the DataFusion-style statistics-aggregate shortcut (the
+    reference answers COUNT(*) from exact scan stats; dim coords are
+    driver-known, so their MIN/MAX are too). exprId-precise: MIN over an
+    attribute merely *named* like a dim (e.g. an aliased expression in a
+    subquery) does not match — the attribute must be the scan's own
+    output column.
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "Aggregate":
+            return None
+        if not plan.groupingExpressions().isEmpty():
+            return None
+        scan = None
+        for n in _walk(plan):
+            cls = n.getClass().getSimpleName()
+            if cls == "DataSourceV2ScanRelation":
+                if scan is not None:
+                    return None
+                scan = n
+            elif cls not in ("Aggregate", "Project"):
+                return None
+        if scan is None:
+            return None
+        payload = scan.relation().options().get("payload")
+        if payload not in payload_keys:
+            return None
+        scan_cols: dict[int, str] = {}
+        it = scan.output().iterator()
+        while it.hasNext():
+            a = it.next()
+            scan_cols[a.exprId().id()] = a.name()
+
+        def _scan_attr(expr):
+            """Scan-output column name for a (possibly cast-free)
+            AttributeReference, else None."""
+            if expr.getClass().getSimpleName() != "AttributeReference":
+                return None
+            return scan_cols.get(expr.exprId().id())
+
+        spec = []
+        aggs = plan.aggregateExpressions()
+        for i in range(aggs.size()):
+            ne = aggs.apply(i)
+            if ne.getClass().getSimpleName() != "Alias":
+                return None
+            child = ne.child()
+            if child.getClass().getSimpleName() != "AggregateExpression":
+                return None
+            if child.isDistinct() or child.filter().isDefined():
+                return None
+            fn = child.aggregateFunction()
+            fcls = fn.getClass().getSimpleName()
+            ch = fn.children()
+            if fcls == "Count":
+                if ch.size() == 1 and ch.apply(0).getClass().getSimpleName() == "Literal":
+                    spec.append((ne.name(), "count_star", None))
+                    continue
+                if ch.size() == 1:
+                    dim = _scan_attr(ch.apply(0))
+                    if dim is not None:
+                        spec.append((ne.name(), "count", dim))
+                        continue
+                return None
+            if fcls in ("Min", "Max"):
+                dim = _scan_attr(ch.apply(0))
+                if dim is None:
+                    return None
+                spec.append((ne.name(), fcls.lower(), dim))
+                continue
+            return None
+        return (payload, spec)
+    except Exception:
+        return None

@@ -221,6 +221,50 @@ class XarraySession:
             for view, full_df in swaps:
                 full_df.createOrReplaceTempView(view)
 
+    # -- statistics aggregates (A4 extension) ------------------------------
+    # DataFusion answers COUNT(*) (and could min/max) from exact scan
+    # statistics; a Python data source can't hand Catalyst statistics, so
+    # the session compensates: a global MIN/MAX/COUNT-only aggregate over
+    # one unfiltered grid scan's DIM columns is answered straight from the
+    # driver-known coordinate arrays — zero jobs, zero chunk reads.
+    def _with_metadata_aggregates(self, df: DataFrame) -> DataFrame | None:
+        from xarray_sql_spark.plans.introspect import metadata_aggregate_spec
+
+        spec = metadata_aggregate_spec(df, self._payload_views)
+        if spec is None:
+            return None
+        payload, items = spec
+        _view, kwargs, _full = self._payload_views[payload]
+        ds = kwargs["dataset"]
+        if ds is None:
+            ds = Dataset.open_store(kwargs["store"])  # metadata+coords only
+        var_names = kwargs.get("var_names") or list(ds.data_vars)
+        dims = tuple(ds.data_vars[var_names[0]].dims)
+        total = 1
+        for d in dims:
+            total *= len(ds.coords[d])
+        values: dict[str, object] = {}
+        for out_name, kind, col in items:
+            if kind == "count_star":
+                values[out_name] = total
+                continue
+            if col not in dims:
+                return None  # a data variable: needs real chunk reads
+            if kind == "count":
+                values[out_name] = total  # dim coords are never null
+                continue
+            coords = np.asarray(ds.coords[col])
+            if coords.size == 0 or (
+                coords.dtype.kind == "f" and np.isnan(coords).any()
+            ):
+                return None  # empty/NaN coord ordering: let the engine decide
+            values[out_name] = coords.min() if kind == "min" else coords.max()
+        import pandas as pd
+
+        pdf = pd.DataFrame({k: [v] for k, v in values.items()})
+        pdf = pdf[[f.name for f in df.schema.fields]]
+        return self.spark.createDataFrame(pdf, schema=df.schema)
+
     # -- query surface -----------------------------------------------------
     @staticmethod
     def _string_spans(query: str) -> list[tuple[int, int]]:
@@ -326,7 +370,8 @@ class XarraySession:
         self.spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
         try:
             df = self.spark.sql(q, args=args) if args else self.spark.sql(q)
-            df = self._with_projection_pushdown(df, q, args)
+            meta = self._with_metadata_aggregates(df)
+            df = meta if meta is not None else self._with_projection_pushdown(df, q, args)
         finally:
             self.spark.conf.set("spark.sql.timestampType", old)
         return XarrayDataFrame(
