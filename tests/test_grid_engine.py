@@ -21,6 +21,15 @@ def xs(spark):
     return XarraySession(spark)
 
 
+@pytest.fixture(autouse=True)
+def _reset_metadata_aggregates(xs):
+    # the session is module-scoped; tests that pin the SCAN path flip the
+    # statistics-aggregate shortcut off, so restore the default per test
+    xs.metadata_aggregates = True
+    yield
+    xs.metadata_aggregates = True
+
+
 @pytest.fixture()
 def read_log():
     d = tempfile.mkdtemp(prefix="readlog_")
@@ -81,6 +90,7 @@ def prune_fixture() -> Dataset:
 
 def test_time_pruning_golden(xs, read_log):
     xs.from_dataset("prune_t", prune_fixture(), chunks={"time": 25}, read_log_dir=read_log.dir)
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
     n = xs.sql(
         "SELECT COUNT(*) AS n FROM prune_t WHERE time >= TIMESTAMP '2020-03-16'"
     ).df.collect()[0]["n"]
@@ -92,6 +102,7 @@ def test_time_pruning_golden(xs, read_log):
 def test_lat_pruning_golden(xs, read_log):
     ds = prune_fixture()
     xs.from_dataset("prune_l", ds, chunks={"lat": 2}, read_log_dir=read_log.dir)
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
     n = xs.sql("SELECT COUNT(*) AS n FROM prune_l WHERE lat < 0").df.collect()[0]["n"]
     logs = read_log.drain()
     assert n == 100 * 2  # lats -90, -45
@@ -100,6 +111,7 @@ def test_lat_pruning_golden(xs, read_log):
 
 def test_unsatisfiable_filter_reads_nothing(xs, read_log):
     xs.from_dataset("prune_e", prune_fixture(), chunks={"time": 25}, read_log_dir=read_log.dir)
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
     n = xs.sql("SELECT COUNT(*) AS n FROM prune_e WHERE lat > 100").df.collect()[0]["n"]
     logs = read_log.drain()
     assert n == 0
@@ -108,6 +120,7 @@ def test_unsatisfiable_filter_reads_nothing(xs, read_log):
 
 def test_between_and_in_prune(xs, read_log):
     xs.from_dataset("prune_b", prune_fixture(), chunks={"time": 25}, read_log_dir=read_log.dir)
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
     n = xs.sql(
         "SELECT COUNT(*) AS n FROM prune_b "
         "WHERE time BETWEEN TIMESTAMP '2020-01-01' AND TIMESTAMP '2020-01-10'"
@@ -372,6 +385,7 @@ def test_zarr_store_backed_table_selective(xs, read_log, tmp_path):
         "z_air", Dataset.open_store(path), chunks={"time": 4}, store=path,
         read_log_dir=read_log.dir,
     )
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
     read_log.drain()
     row = xs.sql("SELECT AVG(air) AS a FROM z_air").df.collect()[0]
     expect = float(ds.data_vars["air"].values().mean())
@@ -440,6 +454,7 @@ def test_filtered_store_prunes_partitions(xs, read_log, tmp_path):
 # chain to IN before planning) ----------------------------------------------
 def test_or_equalities_prune_partitions(xs, read_log):
     xs.from_dataset("or_t", prune_fixture(), chunks={"time": 25}, read_log_dir=read_log.dir)
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
     read_log.drain()
     df = xs.sql(
         "SELECT COUNT(*) AS n FROM or_t "
@@ -558,6 +573,7 @@ def test_pruning_operator_matrix(xs, read_log):
     xs.from_dataset(
         "prune_m", prune_fixture(), chunks={"time": 25}, read_log_dir=read_log.dir
     )
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
 
     def run(where: str) -> tuple[int, int]:
         n = xs.sql(f"SELECT COUNT(*) AS n FROM prune_m WHERE {where}").df.collect()[0]["n"]
@@ -673,6 +689,7 @@ def test_zarr3_store_backed_table_selective(xs, read_log, tmp_path):
         "z3_air", Dataset.open_store(path), chunks={"time": 4}, store=path,
         read_log_dir=read_log.dir,
     )
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
     read_log.drain()
     row = xs.sql("SELECT AVG(air) AS a FROM z3_air").df.collect()[0]
     expect = float(ds.data_vars["air"].values().mean())
@@ -724,6 +741,7 @@ def test_zarr3_sharded_store_backed_table(xs, read_log, tmp_path):
         "z3s_air", Dataset.open_store(path), chunks={"time": 4}, store=path,
         read_log_dir=read_log.dir,
     )
+    xs.metadata_aggregates = False  # pin the SCAN path; the shortcut is tested in test_stats_arrow
     read_log.drain()
     row = xs.sql("SELECT AVG(air) AS a FROM z3s_air").df.collect()[0]
     expect = float(ds.data_vars["air"].values().mean())

@@ -154,3 +154,39 @@ def test_metadata_dim_aggregates_no_reads(xs, tmp_path):
     ).df.collect()[0]
     base = xs.sql("SELECT MIN(time) AS t0 FROM magg_air").df.collect()[0]
     assert (row.t0 - base.t0).total_seconds() == 3600
+
+
+def test_metadata_filtered_count_no_reads(xs, tmp_path):
+    """Filtered COUNT from coords: a conjunction of simple per-dim
+    predicates reduces to per-dim coordinate masks, count = product of
+    match counts — still zero partition reads. Var predicates and
+    non-count aggregates under a filter fall back to the engine."""
+    import os
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    xs.from_dataset("fcnt_air", air_small(), chunks={"time": 4}, read_log_dir=log_dir)
+
+    cases = [
+        ("SELECT COUNT(*) AS n FROM fcnt_air "
+         "WHERE time >= TIMESTAMP '2013-01-01 06:00:00'", 6 * 11 * 10),
+        ("SELECT COUNT(*) AS n FROM fcnt_air "
+         "WHERE time BETWEEN TIMESTAMP '2013-01-01 02:00:00' "
+         "AND TIMESTAMP '2013-01-01 05:00:00' AND lat > 60", 4 * 6 * 10),
+        # lats 75, 60 (= 75 - 2.5*6) and 50 all exist -> 3 matches
+        ("SELECT COUNT(lat) AS n FROM fcnt_air WHERE lat IN (75.0, 50.0, 60.0)", 12 * 3 * 10),
+        ("SELECT COUNT(*) AS n FROM fcnt_air WHERE lon < 0", 0),
+    ]
+    for q, expect in cases:
+        assert xs.sql(q).df.collect()[0]["n"] == expect, q
+        assert os.listdir(log_dir) == [], q
+
+    # var predicate: engine path
+    xs.sql("SELECT COUNT(*) AS n FROM fcnt_air WHERE air > 0").df.collect()
+    assert len(os.listdir(log_dir)) > 0
+    for f in os.listdir(log_dir):
+        os.remove(os.path.join(log_dir, f))
+
+    # MIN under a filter: count-only rule -> engine path
+    xs.sql("SELECT MIN(time) AS t FROM fcnt_air WHERE lat > 60").df.collect()
+    assert len(os.listdir(log_dir)) > 0

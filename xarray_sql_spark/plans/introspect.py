@@ -83,10 +83,14 @@ def referenced_scan_columns(df: DataFrame, payload_keys) -> dict[str, set[str]]:
 
 
 def metadata_aggregate_spec(df: DataFrame, payload_keys):
-    """If the optimized plan is a global (group-less, filter-less)
-    aggregate of only MIN/MAX/COUNT over a single grid scan's DIM
-    columns, return ``(payload, [(out_name, kind, dim)])`` where kind is
-    'min' | 'max' | 'count_star' | 'count' — else None.
+    """If the optimized plan is a global (group-less) aggregate of only
+    MIN/MAX/COUNT over a single grid scan's DIM columns, return
+    ``(payload, [(out_name, kind, dim)], preds)`` where kind is
+    'min' | 'max' | 'count_star' | 'count' and ``preds`` is the list of
+    per-dim filter conjuncts as (dim, op, [(value, typename)]) — empty
+    for an unfiltered scan; filters are only accepted for pure count
+    aggregates and only when every conjunct is a simple comparison /
+    IN / IsNotNull on one scan column. Else None.
 
     This is the DataFusion-style statistics-aggregate shortcut (the
     reference answers COUNT(*) from exact scan stats; dim coords are
@@ -102,12 +106,15 @@ def metadata_aggregate_spec(df: DataFrame, payload_keys):
         if not plan.groupingExpressions().isEmpty():
             return None
         scan = None
+        filters = []
         for n in _walk(plan):
             cls = n.getClass().getSimpleName()
             if cls == "DataSourceV2ScanRelation":
                 if scan is not None:
                     return None
                 scan = n
+            elif cls == "Filter":
+                filters.append(n)
             elif cls not in ("Aggregate", "Project"):
                 return None
         if scan is None:
@@ -159,6 +166,95 @@ def metadata_aggregate_spec(df: DataFrame, payload_keys):
                 spec.append((ne.name(), fcls.lower(), dim))
                 continue
             return None
-        return (payload, spec)
+        if filters:
+            # A filtered scan is countable from coords ONLY for pure
+            # count aggregates under a conjunction of simple per-dim
+            # predicates (count = product of per-dim coord match counts;
+            # min/max would need the filtered cross-product's extrema,
+            # which per-dim masks do express too — but keep the first
+            # version to counts, the dominant interactive shape).
+            if any(kind not in ("count_star", "count") for _n, kind, _d in spec):
+                return None
+            preds = []
+            for f in filters:
+                if not _conjuncts(f.condition(), _scan_attr, preds):
+                    return None
+            return (payload, spec, preds)
+        return (payload, spec, [])
     except Exception:
         return None
+
+
+_CMP_CLASSES = {
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "EqualTo": "=",
+}
+_FLIP = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "=": "="}
+
+
+def _literal_py(expr):
+    """(python value, spark type name) for a Literal, else None."""
+    if expr.getClass().getSimpleName() != "Literal":
+        return None
+    v = expr.value()
+    t = expr.dataType().typeName()
+    if v is None:
+        return None
+    if t in ("timestamp", "timestamp_ntz"):
+        return (int(v), t)  # microseconds since epoch
+    if t in ("integer", "long", "short", "byte"):
+        return (int(v), t)
+    if t in ("double", "float"):
+        return (float(v), t)
+    if t == "date":
+        return (int(v), t)  # days since epoch
+    if t == "string":
+        return (str(v), t)
+    return None
+
+
+def _conjuncts(cond, scan_attr, out) -> bool:
+    """Flatten an And-tree of simple per-dim predicates into
+    ``out`` as (dim, op, [values]) tuples. False if anything in the tree
+    is not expressible (caller must bail to the engine)."""
+    cls = cond.getClass().getSimpleName()
+    if cls == "And":
+        return _conjuncts(cond.left(), scan_attr, out) and _conjuncts(
+            cond.right(), scan_attr, out
+        )
+    if cls == "IsNotNull":
+        dim = scan_attr(cond.child())
+        if dim is None:
+            return False
+        out.append((dim, "notnull", []))
+        return True
+    if cls in _CMP_CLASSES:
+        left, right = cond.left(), cond.right()
+        dim, lit, op = scan_attr(left), _literal_py(right), _CMP_CLASSES[cls]
+        if dim is None:  # maybe literal <op> attr: flip
+            dim, lit, op = scan_attr(right), _literal_py(left), _FLIP[_CMP_CLASSES[cls]]
+        if dim is None or lit is None:
+            return False
+        out.append((dim, op, [lit]))
+        return True
+    if cls == "In":
+        dim = scan_attr(cond.value())
+        if dim is None:
+            return False
+        vals = []
+        lst = cond.list()
+        for i in range(lst.size()):
+            lit = _literal_py(lst.apply(i))
+            if lit is None:
+                return False
+            vals.append(lit)
+        out.append((dim, "in", vals))
+        return True
+    if cls == "InSet":
+        # optimizer turns large In-lists into InSet with raw values;
+        # their element conversion is type-dependent — bail for now
+        return False
+    return False

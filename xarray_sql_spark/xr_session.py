@@ -32,6 +32,54 @@ from xarray_sql_spark.pivot import DEFAULT_BATCH_SIZE
 from xarray_sql_spark.sources.grid_source import FORMAT_NAME, GridDataSource, make_payload
 
 
+_INT_SQL_TYPES = {"integer", "long", "short", "byte"}
+
+
+def _coord_predicate_mask(coords: np.ndarray, op: str, lits) -> np.ndarray | None:
+    """Evaluate one filter conjunct against a coordinate array with
+    EXACTLY Spark's comparison semantics, or None if we can't guarantee
+    that (type mismatch, NaN coords where Spark orders NaN greatest,
+    unsupported dtype)."""
+    kinds = {t for _v, t in lits}
+    vals = [v for v, _t in lits]
+    if coords.dtype.kind == "M":
+        if not kinds <= {"timestamp", "timestamp_ntz"}:
+            return None
+        # the pivoted table exposes microsecond timestamps, so compare in
+        # the same truncated domain the engine would
+        cv = coords.astype("datetime64[us]").astype(np.int64)
+    elif coords.dtype.kind in "iu":
+        if not kinds <= _INT_SQL_TYPES:
+            return None
+        cv = coords
+    elif coords.dtype.kind == "f":
+        if not kinds <= (_INT_SQL_TYPES | {"double", "float"}):
+            return None
+        if np.isnan(coords).any():
+            return None  # Spark orders NaN greatest; numpy compares False
+        cv = coords
+    elif coords.dtype.kind in "US":
+        if kinds != {"string"}:
+            return None
+        cv = coords.astype(str)
+        vals = [str(v) for v in vals]
+    else:
+        return None
+    if op == ">":
+        return cv > vals[0]
+    if op == ">=":
+        return cv >= vals[0]
+    if op == "<":
+        return cv < vals[0]
+    if op == "<=":
+        return cv <= vals[0]
+    if op == "=":
+        return cv == vals[0]
+    if op == "in":
+        return np.isin(cv, np.asarray(vals, dtype=cv.dtype))
+    return None
+
+
 def _group_vars_by_dims(ds: Dataset) -> dict[tuple[str, ...], list[str]]:
     groups: dict[tuple[str, ...], list[str]] = {}
     for name, var in ds.data_vars.items():
@@ -66,6 +114,9 @@ class XarraySession:
         self._payload_views: dict[str, tuple[str, dict, DataFrame]] = {}
         # (view, sorted cols) -> pruned DataFrame (payload pickles reused)
         self._pruned_cache: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
+        # Statistics-aggregate shortcut (A4): on by default; tests that pin
+        # the SCAN path (pruning goldens) turn it off to force real reads.
+        self.metadata_aggregates = True
 
     # -- registration ------------------------------------------------------
     def from_dataset(
@@ -233,16 +284,30 @@ class XarraySession:
         spec = metadata_aggregate_spec(df, self._payload_views)
         if spec is None:
             return None
-        payload, items = spec
+        payload, items, preds = spec
         _view, kwargs, _full = self._payload_views[payload]
         ds = kwargs["dataset"]
         if ds is None:
             ds = Dataset.open_store(kwargs["store"])  # metadata+coords only
         var_names = kwargs.get("var_names") or list(ds.data_vars)
         dims = tuple(ds.data_vars[var_names[0]].dims)
+        # Per-dim boolean masks from the filter conjuncts (empty filter ->
+        # full masks). Any conjunct we can't mirror exactly bails.
+        masks: dict[str, np.ndarray] = {}
+        for dim, op, lits in preds:
+            if dim not in dims:
+                return None  # predicate on a data variable
+            coords = np.asarray(ds.coords[dim])
+            mask = masks.setdefault(dim, np.ones(len(coords), dtype=bool))
+            if op == "notnull":
+                continue  # dim coords are never null
+            m = _coord_predicate_mask(coords, op, lits)
+            if m is None:
+                return None
+            np.logical_and(mask, m, out=mask)
         total = 1
         for d in dims:
-            total *= len(ds.coords[d])
+            total *= int(masks[d].sum()) if d in masks else len(ds.coords[d])
         values: dict[str, object] = {}
         for out_name, kind, col in items:
             if kind == "count_star":
@@ -370,7 +435,7 @@ class XarraySession:
         self.spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
         try:
             df = self.spark.sql(q, args=args) if args else self.spark.sql(q)
-            meta = self._with_metadata_aggregates(df)
+            meta = self._with_metadata_aggregates(df) if self.metadata_aggregates else None
             df = meta if meta is not None else self._with_projection_pushdown(df, q, args)
         finally:
             self.spark.conf.set("spark.sql.timestampType", old)
