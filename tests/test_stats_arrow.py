@@ -142,9 +142,9 @@ def test_metadata_dim_aggregates_no_reads(xs, tmp_path):
     for f in os.listdir(log_dir):
         os.remove(os.path.join(log_dir, f))
 
-    # filter: must read (metadata can't see predicate survivors)
-    xs.sql("SELECT MAX(time) AS t FROM magg_air WHERE lat > 60").df.collect()
-    assert len(os.listdir(log_dir)) > 0
+    # dim-filtered MIN/MAX: still metadata (masked coord extremes)
+    row = xs.sql("SELECT MAX(time) AS t FROM magg_air WHERE lat > 60").df.collect()[0]
+    assert str(row.t).startswith("2013-01-01 11") and os.listdir(log_dir) == []
 
     # an expression aliased to the dim's name must NOT be answered from
     # coords: values differ by the interval
@@ -181,12 +181,14 @@ def test_metadata_filtered_count_no_reads(xs, tmp_path):
         assert xs.sql(q).df.collect()[0]["n"] == expect, q
         assert os.listdir(log_dir) == [], q
 
+    # filtered MIN/MAX from masks, NULL-on-empty semantics included
+    row = xs.sql(
+        "SELECT MIN(time) AS t0, MAX(lat) AS l1, COUNT(*) AS n "
+        "FROM fcnt_air WHERE lon < 0"
+    ).df.collect()[0]
+    assert row.t0 is None and row.l1 is None and row.n == 0
+    assert os.listdir(log_dir) == []
+
     # var predicate: engine path
     xs.sql("SELECT COUNT(*) AS n FROM fcnt_air WHERE air > 0").df.collect()
-    assert len(os.listdir(log_dir)) > 0
-    for f in os.listdir(log_dir):
-        os.remove(os.path.join(log_dir, f))
-
-    # MIN under a filter: count-only rule -> engine path
-    xs.sql("SELECT MIN(time) AS t FROM fcnt_air WHERE lat > 60").df.collect()
     assert len(os.listdir(log_dir)) > 0

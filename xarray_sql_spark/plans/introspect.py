@@ -167,14 +167,10 @@ def metadata_aggregate_spec(df: DataFrame, payload_keys):
                 continue
             return None
         if filters:
-            # A filtered scan is countable from coords ONLY for pure
-            # count aggregates under a conjunction of simple per-dim
-            # predicates (count = product of per-dim coord match counts;
-            # min/max would need the filtered cross-product's extrema,
-            # which per-dim masks do express too — but keep the first
-            # version to counts, the dominant interactive shape).
-            if any(kind not in ("count_star", "count") for _n, kind, _d in spec):
-                return None
+            # Per-dim masks express the filtered cross-product exactly:
+            # count = product of per-dim match counts, and (when the
+            # product is non-zero) min/max(dim) = the masked coord
+            # extremes. Every conjunct must be a simple per-dim predicate.
             preds = []
             for f in filters:
                 if not _conjuncts(f.condition(), _scan_attr, preds):

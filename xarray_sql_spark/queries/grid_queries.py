@@ -882,3 +882,43 @@ def gq15_filtered_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(k % 4 AS INT) AS bucket, SUM(v) AS total, COUNT(*) AS n "
         "FROM gq_grid15 WHERE k >= 1036 GROUP BY k % 4 ORDER BY bucket"
     ).df
+
+
+@query(
+    "gq16_stats_aggregates",
+    oracle=f"""
+    WITH cells AS (
+        SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (t.i) HOUR AS ts,
+               y.i AS yi
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t0,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t1,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cells
+    WHERE ts >= TIMESTAMP '2024-01-04 12:00:00' AND yi BETWEEN 4 AND 7
+    """,
+    tags=("grid", "datasource", "stats", "metadata"),
+    bench=False,
+)
+def gq16_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics-aggregate shortcut under the hash gate: MIN/MAX/
+    COUNT over a dim-filtered grid scan is answered from the driver-held
+    coordinate arrays (xr_session._with_metadata_aggregates — zero jobs,
+    zero chunk reads; read-log proof in tests/test_stats_arrow.py), and
+    the value must still hash-match DuckDB computing the same aggregates
+    the hard way over the regenerated cells. Timestamp formatting happens
+    OUTSIDE xs.sql so the optimized plan root stays the bare Aggregate
+    the shortcut matches."""
+    xs = _register(spark, "gq_grid16")
+    inner = xs.sql(
+        "SELECT MIN(time) AS t0m, MAX(time) AS t1m, COUNT(*) AS n FROM gq_grid16 "
+        "WHERE time >= TIMESTAMP '2024-01-04 12:00:00' AND y BETWEEN 4 AND 7"
+    ).df
+    return inner.select(
+        F.date_format("t0m", "yyyy-MM-dd HH:mm:ss").alias("t0"),
+        F.date_format("t1m", "yyyy-MM-dd HH:mm:ss").alias("t1"),
+        F.col("n"),
+    )

@@ -318,11 +318,18 @@ class XarraySession:
             if kind == "count":
                 values[out_name] = total  # dim coords are never null
                 continue
+            if total == 0:
+                values[out_name] = None  # SQL MIN/MAX over zero rows
+                continue
             coords = np.asarray(ds.coords[col])
             if coords.size == 0 or (
                 coords.dtype.kind == "f" and np.isnan(coords).any()
             ):
                 return None  # empty/NaN coord ordering: let the engine decide
+            if col in masks:
+                # total > 0 implies every dim's mask is non-empty, so the
+                # filtered cross-product's extremes ARE the masked extremes
+                coords = coords[masks[col]]
             values[out_name] = coords.min() if kind == "min" else coords.max()
         import pandas as pd
 
