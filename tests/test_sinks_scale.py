@@ -107,9 +107,15 @@ def test_big_grid_pruned_query_reads_one_block_of_twenty(big_grid):
 def test_big_grid_projection_prunes_columns(big_grid):
     xs, log_dir, _v, _t = big_grid
     _drain(log_dir)
-    xs.sql(
-        "SELECT MAX(lat) AS top FROM big_grid WHERE time < TIMESTAMP '2020-01-02'"
-    ).df.collect()
+    # this query is now metadata-answerable (statistics shortcut); pin the
+    # SCAN path here because the point is dims-only column projection
+    xs.metadata_aggregates = False
+    try:
+        xs.sql(
+            "SELECT MAX(lat) AS top FROM big_grid WHERE time < TIMESTAMP '2020-01-02'"
+        ).df.collect()
+    finally:
+        xs.metadata_aggregates = True
     reads = _drain(log_dir)
     assert reads  # at least one partition read
     # the data var was never requested from storage — dims-only projection
