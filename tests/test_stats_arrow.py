@@ -192,3 +192,36 @@ def test_metadata_filtered_count_no_reads(xs, tmp_path):
     # var predicate: engine path
     xs.sql("SELECT COUNT(*) AS n FROM fcnt_air WHERE air > 0").df.collect()
     assert len(os.listdir(log_dir)) > 0
+
+
+def test_metadata_aggregates_bail_cases(xs, spark, tmp_path):
+    """The shortcut must NOT answer: a COUNT over a DISTINCT subquery
+    (nested Aggregate changes the row set), duplicate output aliases,
+    and tables with an implicit coordless dim (the engine synthesizes
+    its positional coords; the session-side Dataset has none) — each
+    previously produced a wrong answer or a crash instead of falling
+    back to the engine."""
+    import numpy as np
+
+    xs.from_dataset("bail_air", air_small(), chunks={"time": 4})
+
+    # nested aggregate: true answer is the distinct lat count, not cells
+    n = xs.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT DISTINCT lat FROM bail_air)"
+    ).df.collect()[0]["n"]
+    assert n == 11
+
+    # duplicate aliases: both columns must carry their own aggregate
+    row = xs.sql("SELECT MIN(time) AS a, MAX(time) AS a FROM bail_air").df.collect()[0]
+    assert row[0] != row[1]
+
+    # coordless dim: count works (engine or ds.sizes) instead of crashing
+    t = np.arange(4, dtype=np.int64)
+    ds = Dataset(
+        {"w": Variable(("t", "cell"), np.arange(12, dtype=np.float64).reshape(4, 3))},
+        {"t": t},  # no 'cell' coordinate
+    )
+    xs.from_dataset("bail_cell", ds, chunks={"t": 2})
+    assert xs.sql("SELECT COUNT(*) AS n FROM bail_cell").df.collect()[0]["n"] == 12
+    # min over the implicit dim: engine path synthesizes 0..n-1
+    assert xs.sql("SELECT MIN(cell) AS m FROM bail_cell").df.collect()[0]["m"] == 0

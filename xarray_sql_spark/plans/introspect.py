@@ -88,9 +88,10 @@ def metadata_aggregate_spec(df: DataFrame, payload_keys):
     ``(payload, [(out_name, kind, dim)], preds)`` where kind is
     'min' | 'max' | 'count_star' | 'count' and ``preds`` is the list of
     per-dim filter conjuncts as (dim, op, [(value, typename)]) — empty
-    for an unfiltered scan; filters are only accepted for pure count
-    aggregates and only when every conjunct is a simple comparison /
-    IN / IsNotNull on one scan column. Else None.
+    for an unfiltered scan; a filter is accepted (for counts AND
+    min/max, which the caller answers from per-dim coordinate masks)
+    only when every conjunct is a simple comparison / IN / IsNotNull on
+    one scan column. Else None.
 
     This is the DataFusion-style statistics-aggregate shortcut (the
     reference answers COUNT(*) from exact scan stats; dim coords are
@@ -107,6 +108,7 @@ def metadata_aggregate_spec(df: DataFrame, payload_keys):
             return None
         scan = None
         filters = []
+        n_aggs = 0
         for n in _walk(plan):
             cls = n.getClass().getSimpleName()
             if cls == "DataSourceV2ScanRelation":
@@ -115,7 +117,14 @@ def metadata_aggregate_spec(df: DataFrame, payload_keys):
                 scan = n
             elif cls == "Filter":
                 filters.append(n)
-            elif cls not in ("Aggregate", "Project"):
+            elif cls == "Aggregate":
+                # the ROOT aggregate only: a nested Aggregate (DISTINCT /
+                # GROUP BY subquery) changes the row set the outer
+                # aggregate sees, so the dim-product answer is wrong
+                n_aggs += 1
+                if n_aggs > 1:
+                    return None
+            elif cls != "Project":
                 return None
         if scan is None:
             return None

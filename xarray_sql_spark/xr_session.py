@@ -278,25 +278,43 @@ class XarraySession:
     # the session compensates: a global MIN/MAX/COUNT-only aggregate over
     # one unfiltered grid scan's DIM columns is answered straight from the
     # driver-known coordinate arrays — zero jobs, zero chunk reads.
+    def _open_table_meta(self, kwargs: dict):
+        """(dataset, dims) for a registered table's payload kwargs —
+        metadata + coordinate arrays only, never a data chunk. Shared by
+        scan_stats and the statistics-aggregate shortcut."""
+        ds = kwargs["dataset"]
+        if ds is None:
+            ds = Dataset.open_store(kwargs["store"])
+        var_names = kwargs.get("var_names") or list(ds.data_vars)
+        return ds, tuple(ds.data_vars[var_names[0]].dims)
+
     def _with_metadata_aggregates(self, df: DataFrame) -> DataFrame | None:
+        # Fail open like the projection-pushdown pass: any surprise here
+        # (a dim with no coordinate array, py4j/Arrow conversion issues)
+        # must mean "run the engine", never a query error.
+        try:
+            return self._metadata_aggregates_df(df)
+        except Exception:
+            return None
+
+    def _metadata_aggregates_df(self, df: DataFrame) -> DataFrame | None:
         from xarray_sql_spark.plans.introspect import metadata_aggregate_spec
 
         spec = metadata_aggregate_spec(df, self._payload_views)
         if spec is None:
             return None
+        out_names = [f.name for f in df.schema.fields]
+        if len(set(out_names)) != len(out_names):
+            return None  # duplicate output aliases: dict keying would collapse
         payload, items, preds = spec
         _view, kwargs, _full = self._payload_views[payload]
-        ds = kwargs["dataset"]
-        if ds is None:
-            ds = Dataset.open_store(kwargs["store"])  # metadata+coords only
-        var_names = kwargs.get("var_names") or list(ds.data_vars)
-        dims = tuple(ds.data_vars[var_names[0]].dims)
+        ds, dims = self._open_table_meta(kwargs)
         # Per-dim boolean masks from the filter conjuncts (empty filter ->
         # full masks). Any conjunct we can't mirror exactly bails.
         masks: dict[str, np.ndarray] = {}
         for dim, op, lits in preds:
-            if dim not in dims:
-                return None  # predicate on a data variable
+            if dim not in dims or dim not in ds.coords:
+                return None  # a data variable, or an implicit coordless dim
             coords = np.asarray(ds.coords[dim])
             mask = masks.setdefault(dim, np.ones(len(coords), dtype=bool))
             if op == "notnull":
@@ -307,7 +325,8 @@ class XarraySession:
             np.logical_and(mask, m, out=mask)
         total = 1
         for d in dims:
-            total *= int(masks[d].sum()) if d in masks else len(ds.coords[d])
+            # ds.sizes covers implicit (coordless) dims too
+            total *= int(masks[d].sum()) if d in masks else int(ds.sizes[d])
         values: dict[str, object] = {}
         for out_name, kind, col in items:
             if kind == "count_star":
@@ -321,6 +340,8 @@ class XarraySession:
             if total == 0:
                 values[out_name] = None  # SQL MIN/MAX over zero rows
                 continue
+            if col not in ds.coords:
+                return None  # implicit positional dim: engine synthesizes it
             coords = np.asarray(ds.coords[col])
             if coords.size == 0 or (
                 coords.dtype.kind == "f" and np.isnan(coords).any()
@@ -334,7 +355,7 @@ class XarraySession:
         import pandas as pd
 
         pdf = pd.DataFrame({k: [v] for k, v in values.items()})
-        pdf = pdf[[f.name for f in df.schema.fields]]
+        pdf = pdf[out_names]
         return self.spark.createDataFrame(pdf, schema=df.schema)
 
     # -- query surface -----------------------------------------------------
@@ -470,11 +491,9 @@ class XarraySession:
         for _, (v, kwargs, _df) in self._payload_views.items():
             if v != view:
                 continue
-            ds = kwargs["dataset"]
-            if ds is None:
-                ds = Dataset.open_store(kwargs["store"])  # metadata-only open
-            dims = tuple(ds.data_vars[kwargs["var_names"][0]].dims)
-            sizes = {d: len(ds.coords[d]) for d in dims}
+            ds, dims = self._open_table_meta(kwargs)
+            all_sizes = ds.sizes  # covers implicit (coordless) dims too
+            sizes = {d: all_sizes[d] for d in dims}
             chunks = {
                 d: c for d, c in (kwargs["chunks"] or {}).items() if d in sizes
             }
