@@ -275,6 +275,19 @@ def test_bucketed_range_join_is_equi_join(spark):
     assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan), plan
 
 
+def test_weighted_sample_prefix_sum_is_distributed(spark):
+    """pl06: the global running weight must be a distributed prefix sum —
+    the data-scale cumsum window partitions by bucket, and the ONLY
+    single-partition work is over the tiny bucket-subtotal rows. A global
+    unpartitioned window over the documents themselves would serialize
+    the whole corpus through one task at 100 TB."""
+    df = REGISTRY["pl06_weighted_sample"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(bucket" in plan, plan  # data cumsum: per-bucket
+    assert plan.count("Exchange SinglePartition") <= 1, plan  # bucket rows only
+
+
 def test_stratified_split_single_stratum_shuffle(spark):
     """pl05: rank and stratum count must share ONE exchange on the
     stratum key (two window functions over the same partitioning), with

@@ -487,3 +487,74 @@ def q39_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+# --- pl06: weighted systematic sampling via distributed prefix sum ----------
+@query(
+    "pl06_weighted_sample",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY doc_id) AS cum
+        FROM documents
+    ), p AS (
+        SELECT greatest(CAST(sum(n_chars) // 100 AS BIGINT), 1) AS step
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum AS BIGINT) AS cum
+    FROM c, p
+    WHERE (cum - 1) // step > (cum - n_chars - 1) // step
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "pipeline", "prefix-sum"),
+)
+def pl06_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling WITHOUT randomness: lay every doc's
+    n_chars weight on a line, drop a tick every ``total/100`` units, and
+    keep the docs whose weight interval contains a tick — probability
+    proportional to size, exactly reproducible (all integer arithmetic),
+    the standard way to materialize a token-weighted training mixture.
+
+    Scale: the global running weight is a DISTRIBUTED PREFIX SUM, not a
+    single-partition window over the data. Docs cumsum WITHIN doc_id
+    buckets (a partitioned window); bucket subtotals — thousands of
+    rows, not billions — take the one unpartitioned window; exclusive
+    bucket offsets broadcast-join back. The only data-scale shuffle is
+    the bucket-partitioned sort, and the tick test is a per-row integer
+    expression."""
+    d = table(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
+    d = d.withColumn("bucket", F.expr("doc_id DIV 64"))
+    within = F.sum("n_chars").over(
+        W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    d = d.withColumn("wcum", within)
+    per_bucket = d.groupBy("bucket").agg(F.sum("n_chars").alias("bw"))
+    off = F.sum("bw").over(
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    total = F.sum("bw").over(
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    offsets = (
+        per_bucket.select(
+            "bucket",
+            F.coalesce(off, F.lit(0)).alias("off"),
+            total.alias("_total"),
+        )
+        # integer DIV, not /100-then-cast: double division can misround
+        # near integer boundaries at large totals; the oracle uses //
+        .withColumn("step", F.greatest(F.expr("1L"), F.expr("_total DIV 100")))
+        .drop("_total")
+    )
+    joined = d.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum", F.col("off") + F.col("wcum")
+    )
+    return (
+        joined.filter(
+            F.expr("(cum - 1) DIV step > (cum - n_chars - 1) DIV step")
+        )
+        .select("doc_id", "n_chars", "cum")
+        .orderBy("doc_id")
+    )
