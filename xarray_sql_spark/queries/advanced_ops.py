@@ -558,3 +558,56 @@ def pl06_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "cum")
         .orderBy("doc_id")
     )
+
+
+# --- ts06: character-bigram entropy quality signal --------------------------
+@query(
+    "ts06_char_entropy",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, substring(text, i, 2) AS b
+        FROM documents, LATERAL (
+            SELECT unnest(range(1, length(text))) AS i
+        ) t
+        WHERE length(text) >= 2
+    ), counts AS (
+        SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "entropy", "pipeline"),
+)
+def ts06_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the
+    model-free repetitiveness signal (template/boilerplate/garbage text
+    scores low, natural prose high) that complements ts01's surface
+    ratios and ts05's exact-repetition rule. H = ln(T) - (1/T)*sum(c ln c)
+    over the bigram count distribution, so only counts are aggregated and
+    the log algebra runs once per (doc, bigram).
+
+    Scale: bigram synthesis is a JVM higher-order function in the scan
+    projection; the only shuffle keys are (doc_id, bigram) with map-side
+    partial counts, then doc_id — raw text never shuffles. ln() at 6-dp
+    rounding is cross-engine deterministic (established by ts04's
+    driver-green TF-IDF)."""
+    d = table(spark, sf_dir, "documents", spread=True).filter(F.length("text") >= 2)
+    bigrams = F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+    counts = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    c = F.col("c").cast("double")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.log(F.sum(c)) - F.sum(c * F.log(c)) / F.sum(c), 6
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
