@@ -225,3 +225,71 @@ def test_metadata_aggregates_bail_cases(xs, spark, tmp_path):
     assert xs.sql("SELECT COUNT(*) AS n FROM bail_cell").df.collect()[0]["n"] == 12
     # min over the implicit dim: engine path synthesizes 0..n-1
     assert xs.sql("SELECT MIN(cell) AS m FROM bail_cell").df.collect()[0]["m"] == 0
+
+
+def test_metadata_aggregates_differential_fuzz(xs, tmp_path):
+    """Differential fuzz: random per-dim predicate conjunctions, random
+    MIN/MAX/COUNT targets — the shortcut's answer must equal the engine's
+    on every one (seeded, reproducible). Also asserts the shortcut
+    actually engaged (zero reads) on a healthy fraction of cases, so the
+    equality check isn't vacuously comparing engine to engine."""
+    import os
+    import random
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    t = np.arange("2022-06-01T00", "2022-06-02T00", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    lat = np.linspace(30.0, -30.0, 7)  # descending, crosses zero
+    k = np.arange(5, dtype=np.int64) * 3  # 0,3,6,9,12
+    v = np.arange(t.size * lat.size * k.size, dtype=np.float64).reshape(
+        t.size, lat.size, k.size
+    )
+    ds = Dataset({"v": Variable(("time", "lat", "k"), v)}, {"time": t, "lat": lat, "k": k})
+    xs.from_dataset("fuzz_t", ds, chunks={"time": 6}, read_log_dir=log_dir)
+
+    rng = random.Random(20260814)
+    t_lits = [
+        "TIMESTAMP '2022-06-01 00:00:00'", "TIMESTAMP '2022-06-01 07:30:00'",
+        "TIMESTAMP '2022-06-01 13:00:00'", "TIMESTAMP '2022-06-01 23:00:00'",
+        "TIMESTAMP '2022-06-02 04:00:00'",
+    ]
+    lat_lits = ["-30.0", "-10.0", "0.0", "12.34", "30.0"]
+    k_lits = ["0", "4", "6", "11", "12"]
+    pools = {"time": t_lits, "lat": lat_lits, "k": k_lits}
+    ops = [">", ">=", "<", "<=", "="]
+
+    def conjunct():
+        dim = rng.choice(list(pools))
+        kind = rng.random()
+        if kind < 0.6:
+            return f"{dim} {rng.choice(ops)} {rng.choice(pools[dim])}"
+        if kind < 0.8 and dim != "time":
+            vals = ", ".join(rng.sample(pools[dim], 2))
+            return f"{dim} IN ({vals})"
+        lo, hi = sorted(rng.sample(range(len(pools[dim])), 2))
+        return f"{dim} BETWEEN {pools[dim][lo]} AND {pools[dim][hi]}"
+
+    shortcut_hits = 0
+    for case in range(25):
+        where = " AND ".join(conjunct() for _ in range(rng.randint(1, 3)))
+        d1, d2 = rng.sample(["time", "lat", "k"], 2)
+        q = (
+            f"SELECT MIN({d1}) AS a, MAX({d2}) AS b, COUNT(*) AS n "
+            f"FROM fuzz_t WHERE {where}"
+        )
+        fast = xs.sql(q).df.collect()[0]
+        if os.listdir(log_dir) == []:
+            shortcut_hits += 1
+        for f in os.listdir(log_dir):
+            os.remove(os.path.join(log_dir, f))
+        xs.metadata_aggregates = False
+        try:
+            slow = xs.sql(q).df.collect()[0]
+        finally:
+            xs.metadata_aggregates = True
+        for f in os.listdir(log_dir):
+            os.remove(os.path.join(log_dir, f))
+        assert tuple(fast) == tuple(slow), (q, fast, slow)
+    assert shortcut_hits >= 15, shortcut_hits
