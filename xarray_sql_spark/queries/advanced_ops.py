@@ -505,7 +505,7 @@ def q39_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_chars AS BIGINT) AS n_chars,
            CAST(cum AS BIGINT) AS cum
     FROM c, p
-    WHERE (cum - 1) // step > (cum - n_chars - 1) // step
+    WHERE cum // step > (cum - n_chars) // step
     ORDER BY doc_id
     """,
     tags=("sampling", "pipeline", "prefix-sum"),
@@ -516,16 +516,25 @@ def pl06_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the docs whose weight interval contains a tick — probability
     proportional to size, exactly reproducible (all integer arithmetic),
     the standard way to materialize a token-weighted training mixture.
+    Ticks sit at m*step for m >= 1 and a doc owns the weight interval
+    (cum - w, cum], so the crossing test ``cum DIV step >
+    (cum - w) DIV step`` uses only non-negative operands — truncating
+    and flooring division agree, and the corpus head is selectable like
+    everything else.
 
     Scale: the global running weight is a DISTRIBUTED PREFIX SUM, not a
     single-partition window over the data. Docs cumsum WITHIN doc_id
-    buckets (a partitioned window); bucket subtotals — thousands of
-    rows, not billions — take the one unpartitioned window; exclusive
-    bucket offsets broadcast-join back. The only data-scale shuffle is
-    the bucket-partitioned sort, and the tick test is a per-row integer
-    expression."""
+    buckets (a partitioned window); the bucket width adapts to the
+    corpus (max_id/4096) so the bucket-subtotal table — the ONLY
+    unpartitioned window input — is at most ~4096 rows at any corpus
+    size; exclusive bucket offsets broadcast-join back. The only
+    data-scale shuffle is the bucket-partitioned sort, and the tick
+    test is a per-row integer expression. (The max(doc_id) probe is a
+    bounded metadata-scale driver action, like dd07's seed fetch.)"""
     d = table(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
-    d = d.withColumn("bucket", F.expr("doc_id DIV 64"))
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    width = max(max_id // 4096, 1)
+    d = d.withColumn("bucket", F.expr(f"doc_id DIV {width}"))
     within = F.sum("n_chars").over(
         W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     )
@@ -552,9 +561,7 @@ def pl06_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum", F.col("off") + F.col("wcum")
     )
     return (
-        joined.filter(
-            F.expr("(cum - 1) DIV step > (cum - n_chars - 1) DIV step")
-        )
+        joined.filter(F.expr("cum DIV step > (cum - n_chars) DIV step"))
         .select("doc_id", "n_chars", "cum")
         .orderBy("doc_id")
     )
