@@ -293,3 +293,42 @@ def test_metadata_aggregates_differential_fuzz(xs, tmp_path):
             os.remove(os.path.join(log_dir, f))
         assert tuple(fast) == tuple(slow), (q, fast, slow)
     assert shortcut_hits >= 15, shortcut_hits
+
+
+def test_store_meta_cache_invalidates_on_append(xs, tmp_path, monkeypatch):
+    """Store-backed stats queries cache the coords-only Dataset against a
+    metadata-file fingerprint: the second query opens nothing, and an
+    append (which rewrites array metadata) invalidates the entry so the
+    count reflects the new shape."""
+    from xarray_sql_spark import dataset as dataset_mod
+    from xarray_sql_spark.zarr_store import append_zarr, write_zarr
+
+    t = np.arange("2024-02-01T00", "2024-02-01T08", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    ds = Dataset(
+        {"v": Variable(("time",), np.arange(8, dtype=np.float64))}, {"time": t}
+    )
+    path = write_zarr(ds, str(tmp_path / "meta.zarr"), chunks={"time": 4})
+    xs.from_dataset("mc_t", Dataset.open_store(path), chunks={"time": 4}, store=path)
+
+    opens = []
+    real = dataset_mod.Dataset.open_store
+
+    def counting(store, *a, **k):
+        opens.append(store)
+        return real(store, *a, **k)
+
+    monkeypatch.setattr(dataset_mod.Dataset, "open_store", staticmethod(counting))
+    assert xs.sql("SELECT COUNT(*) AS n FROM mc_t").df.collect()[0]["n"] == 8
+    first = len(opens)
+    assert first >= 1
+    assert xs.sql("SELECT MAX(time) AS t FROM mc_t").df.collect()[0].t is not None
+    assert len(opens) == first  # cache hit: no re-open
+
+    slab = Dataset(
+        {"v": Variable(("time",), np.arange(4, dtype=np.float64))}, {"time": t[:4] + 8}
+    )
+    append_zarr(slab, path, "time")
+    assert xs.sql("SELECT COUNT(*) AS n FROM mc_t").df.collect()[0]["n"] == 12
+    assert len(opens) > first  # fingerprint changed: fresh open

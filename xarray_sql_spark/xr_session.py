@@ -117,6 +117,8 @@ class XarraySession:
         # Statistics-aggregate shortcut (A4): on by default; tests that pin
         # the SCAN path (pruning goldens) turn it off to force real reads.
         self.metadata_aggregates = True
+        # store path -> (metadata fingerprint, coords-only Dataset)
+        self._meta_ds_cache: dict[str, tuple] = {}
 
     # -- registration ------------------------------------------------------
     def from_dataset(
@@ -278,13 +280,48 @@ class XarraySession:
     # the session compensates: a global MIN/MAX/COUNT-only aggregate over
     # one unfiltered grid scan's DIM columns is answered straight from the
     # driver-known coordinate arrays — zero jobs, zero chunk reads.
+    @staticmethod
+    def _store_meta_fingerprint(store: str) -> tuple:
+        """(name, mtime_ns, size) of every metadata JSON in the store —
+        a few stats, no reads. Zarr appends commit by REWRITING array
+        metadata (shape last), so any append changes this fingerprint."""
+        out = []
+        for rel in (".zmetadata", ".zgroup", "zarr.json", "meta.json"):
+            p = os.path.join(store, rel)
+            if os.path.isfile(p):
+                s = os.stat(p)
+                out.append((rel, s.st_mtime_ns, s.st_size))
+        try:
+            entries = sorted(os.scandir(store), key=lambda e: e.name)
+        except OSError:
+            return tuple(out)
+        for e in entries:
+            if not e.is_dir():
+                continue
+            for rel in (".zarray", "zarr.json"):
+                p = os.path.join(e.path, rel)
+                if os.path.isfile(p):
+                    s = os.stat(p)
+                    out.append((f"{e.name}/{rel}", s.st_mtime_ns, s.st_size))
+        return tuple(out)
+
     def _open_table_meta(self, kwargs: dict):
         """(dataset, dims) for a registered table's payload kwargs —
         metadata + coordinate arrays only, never a data chunk. Shared by
-        scan_stats and the statistics-aggregate shortcut."""
+        scan_stats and the statistics-aggregate shortcut. Store-backed
+        opens are cached against a metadata-file fingerprint so repeated
+        interactive stats queries don't re-decompress coordinate chunks;
+        an append rewrites array metadata and invalidates the entry."""
         ds = kwargs["dataset"]
         if ds is None:
-            ds = Dataset.open_store(kwargs["store"])
+            store = kwargs["store"]
+            fp = self._store_meta_fingerprint(store)
+            cached = self._meta_ds_cache.get(store)
+            if cached is not None and cached[0] == fp:
+                ds = cached[1]
+            else:
+                ds = Dataset.open_store(store)
+                self._meta_ds_cache[store] = (fp, ds)  # one entry per store
         var_names = kwargs.get("var_names") or list(ds.data_vars)
         return ds, tuple(ds.data_vars[var_names[0]].dims)
 
