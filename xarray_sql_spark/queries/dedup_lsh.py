@@ -592,3 +592,114 @@ def minhash_bands_expr():
         for j in range(N_BANDS)
     )
     return F.expr(f"transform(array({h_sql}), hh -> array({bands}))[0]")
+
+
+# --- dd08: incremental dedup against an existing band index -----------------
+def _dd08_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min(({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE31}) AS s{i}"
+        for i in range(N_PERMS)
+    )
+    band_rows = ", ".join(
+        "(" + str(j) + ", md5(concat_ws('-', "
+        + ", ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")))"
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {_duck_h31('tok')} AS h FROM tok),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band.band_idx, band.band_hash
+        FROM sig, LATERAL (
+            SELECT * FROM (VALUES {band_rows}) AS v(band_idx, band_hash)
+        ) AS band
+    ),
+    index_keys AS (
+        SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 5 <> 0
+    ),
+    batch AS (SELECT * FROM bands WHERE doc_id % 5 = 0)
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           CAST(count(i.band_hash) AS INT) AS n_hit_bands,
+           count(i.band_hash) = 0 AS accepted
+    FROM batch b
+    LEFT JOIN index_keys i
+      ON b.band_idx = i.band_idx AND b.band_hash = i.band_hash
+    GROUP BY b.doc_id
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "dd08_incremental_dedup",
+    oracle=_dd08_oracle(),
+    tags=("dedup", "incremental", "lsh", "pipeline"),
+)
+def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup gating — the PRODUCTION dedup shape: a new
+    batch (doc_id % 5 == 0 stands in for today's crawl) is admitted or
+    rejected against the band index of the EXISTING corpus, not against
+    itself. A batch doc is rejected when any of its MinHash-LSH bands
+    already exists in the index; dd04's banding (same constants) makes
+    the two operators a matched pair, and streaming/dedup.py is this
+    gate's stateful streaming twin.
+
+    Scale: the index is (band_idx, band_hash) keys — ~1e-4 of corpus
+    bytes — and admission is ONE equi-join of the batch's 4 bands per
+    doc against it (count-matches left join here so the verdict is
+    explainable; a pure LEFT ANTI gives the accepted set directly). No
+    batch-vs-batch or batch-vs-corpus pairwise work; raw text never
+    shuffles; at 100 TB the index lives as a bucketed table keyed by
+    band_hash so the join co-locates without a shuffle of the index."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = tok.select("doc_id", F.expr(_spark_h31("tok")).alias("h"))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE31).alias(
+                f"s{i}"
+            )
+            for i in range(N_PERMS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
+    index_keys = (
+        bands.filter(F.col("doc_id") % 5 != 0)
+        .select("band_idx", "band_hash")
+        .dropDuplicates()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = bands.filter(F.col("doc_id") % 5 == 0)
+    joined = batch.join(index_keys, ["band_idx", "band_hash"], "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count("hit").cast("int").alias("n_hit_bands"))
+        .withColumn("accepted", F.col("n_hit_bands") == 0)
+        .orderBy("doc_id")
+    )
