@@ -327,8 +327,11 @@ def test_store_meta_cache_invalidates_on_append(xs, tmp_path, monkeypatch):
     assert len(opens) == first  # cache hit: no re-open
 
     slab = Dataset(
-        {"v": Variable(("time",), np.arange(4, dtype=np.float64))}, {"time": t[:4] + 8}
+        {"v": Variable(("time",), np.arange(4, dtype=np.float64))},
+        {"time": t[:4] + np.timedelta64(8, "h")},
     )
     append_zarr(slab, path, "time")
-    assert xs.sql("SELECT COUNT(*) AS n FROM mc_t").df.collect()[0]["n"] == 12
+    row = xs.sql("SELECT COUNT(*) AS n, MAX(time) AS t FROM mc_t").df.collect()[0]
+    assert row["n"] == 12
+    assert str(row["t"]).startswith("2024-02-01 11")  # truly extended series
     assert len(opens) > first  # fingerprint changed: fresh open

@@ -16,6 +16,27 @@ from xarray_sql_spark.queries.registry import query
 from xarray_sql_spark.session import table
 
 
+def _parquet_footer_max(sf_dir: str, name: str, col: str) -> int:
+    """Max of an int column from parquet row-group statistics — a footer
+    read, never a Spark job. Used only for plan-shaping heuristics
+    (partition/bucket widths), so the 0 fallback is always safe."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        vals = [
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+            if md.row_group(g).column(idx).statistics is not None
+        ]
+        return int(max(vals)) if vals else 0
+    except Exception:
+        return 0
+
+
 # --- ev08: weekly cohort retention matrix -----------------------------------
 @query(
     "ev08_cohort_retention",
@@ -529,11 +550,14 @@ def pl06_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window input — is at most ~4096 rows at any corpus
     size; exclusive bucket offsets broadcast-join back. The only
     data-scale shuffle is the bucket-partitioned sort, and the tick
-    test is a per-row integer expression. (The max(doc_id) probe is a
-    bounded metadata-scale driver action, like dd07's seed fetch.)"""
+    test is a per-row integer expression. (The max-doc_id probe reads
+    parquet footer statistics — no job; width is a plan-shape heuristic,
+    so any probe answer is semantically safe.)"""
     d = table(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
-    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0
-    width = max(max_id // 4096, 1)
+    # Bucket width only shapes the plan (any width is CORRECT — it decides
+    # how many subtotal rows the tiny window sees), so a metadata-cheap
+    # probe suffices: parquet footer max(doc_id), no Spark job at all.
+    width = max(_parquet_footer_max(sf_dir, "documents", "doc_id") // 4096, 1)
     d = d.withColumn("bucket", F.expr(f"doc_id DIV {width}"))
     within = F.sum("n_chars").over(
         W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)

@@ -61,7 +61,11 @@ PERM_B = [_md5int(f"minhash-b-{i}") % MERSENNE31 for i in range(N_PERMS)]
 EST_JACCARD_MIN = 0.9
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_cte() -> str:
+    """Shared oracle CTE prefix: documents -> distinct-token hashes ->
+    16-component MinHash signatures -> 4 banded hashes. Used by dd04's
+    pair generation AND dd08's incremental gate so the band definition
+    exists in exactly one place per engine."""
     mins = ",\n               ".join(
         f"min(({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE31}) AS s{i}"
         for i in range(N_PERMS)
@@ -71,9 +75,6 @@ def _minhash_oracle() -> str:
         + ", ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
         + ")))"
         for j in range(N_BANDS)
-    )
-    eq_terms = " + ".join(
-        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
     )
     return f"""
     WITH tok AS (
@@ -91,7 +92,50 @@ def _minhash_oracle() -> str:
         FROM sig, LATERAL (
             SELECT * FROM (VALUES {band_rows}) AS v(band_idx, band_hash)
         ) AS band
-    ),
+    )"""
+
+
+def _minhash_bands_df(spark: SparkSession, sf_dir: str):
+    """Shared Spark builder: (signatures df, exploded bands df) with the
+    same constants the oracle CTE embeds."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = tok.select("doc_id", F.expr(_spark_h31("tok")).alias("h"))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE31).alias(
+                f"s{i}"
+            )
+            for i in range(N_PERMS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
+    return sig, bands
+
+
+def _minhash_oracle() -> str:
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
+    )
+    return f"""{_minhash_bands_cte()},
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS n_bands
@@ -131,36 +175,7 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bytes at 100 TB, so the final est-jaccard join is cheap and the
     raw text never shuffles.
     """
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    h = tok.select("doc_id", F.expr(_spark_h31("tok")).alias("h"))
-    sig = h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE31).alias(
-                f"s{i}"
-            )
-            for i in range(N_PERMS)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                    )
-                ).alias("band_hash"),
-            )
-            for j in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
-    )
+    sig, bands = _minhash_bands_df(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -596,33 +611,7 @@ def minhash_bands_expr():
 
 # --- dd08: incremental dedup against an existing band index -----------------
 def _dd08_oracle() -> str:
-    mins = ",\n               ".join(
-        f"min(({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE31}) AS s{i}"
-        for i in range(N_PERMS)
-    )
-    band_rows = ", ".join(
-        "(" + str(j) + ", md5(concat_ws('-', "
-        + ", ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ")))"
-        for j in range(N_BANDS)
-    )
-    return f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        FROM documents
-    ),
-    h AS (SELECT doc_id, {_duck_h31('tok')} AS h FROM tok),
-    sig AS (
-        SELECT doc_id,
-               {mins}
-        FROM h GROUP BY doc_id
-    ),
-    bands AS (
-        SELECT doc_id, band.band_idx, band.band_hash
-        FROM sig, LATERAL (
-            SELECT * FROM (VALUES {band_rows}) AS v(band_idx, band_hash)
-        ) AS band
-    ),
+    return f"""{_minhash_bands_cte()},
     index_keys AS (
         SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 5 <> 0
     ),
@@ -659,36 +648,7 @@ def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-vs-batch or batch-vs-corpus pairwise work; raw text never
     shuffles; at 100 TB the index lives as a bucketed table keyed by
     band_hash so the join co-locates without a shuffle of the index."""
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    h = tok.select("doc_id", F.expr(_spark_h31("tok")).alias("h"))
-    sig = h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE31).alias(
-                f"s{i}"
-            )
-            for i in range(N_PERMS)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                    )
-                ).alias("band_hash"),
-            )
-            for j in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
-    )
+    sig, bands = _minhash_bands_df(spark, sf_dir)
     index_keys = (
         bands.filter(F.col("doc_id") % 5 != 0)
         .select("band_idx", "band_hash")

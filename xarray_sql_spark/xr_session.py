@@ -284,7 +284,11 @@ class XarraySession:
     def _store_meta_fingerprint(store: str) -> tuple:
         """(name, mtime_ns, size) of every metadata JSON in the store —
         a few stats, no reads. Zarr appends commit by REWRITING array
-        metadata (shape last), so any append changes this fingerprint."""
+        metadata (shape last), so any append changes this fingerprint.
+        Contract: mutations that leave every metadata file untouched
+        (an in-place rewrite of a committed chunk file) are outside
+        Zarr's append-commit model and are not detected — the same
+        assumption the streaming source's offset tracking makes."""
         out = []
         for rel in (".zmetadata", ".zgroup", "zarr.json", "meta.json"):
             p = os.path.join(store, rel)
@@ -298,7 +302,7 @@ class XarraySession:
         for e in entries:
             if not e.is_dir():
                 continue
-            for rel in (".zarray", "zarr.json"):
+            for rel in (".zarray", ".zattrs", "zarr.json"):
                 p = os.path.join(e.path, rel)
                 if os.path.isfile(p):
                     s = os.stat(p)
