@@ -22,8 +22,8 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (dict order). Round-5 window priority:
-#   1. The thirteen queries NEW this round (ev08/q37/dd07/ss06 + the
-#      late additions q38/pl05/mm05/q39/gq15/gq16/pl06/ts06/dd08) —
+#   1. The fourteen queries NEW this round (ev08/q37/dd07/ss06 + the
+#      late additions q38/pl05/mm05/q39/gq15/gq16/pl06/ts06/dd08/q40) —
 #      never driver-checked.
 #   2. Everything OUTSIDE round 4's 50-entry window (the relational
 #      q07-q35 block, dd01-03, ts01/02, ss01/03/04, gq08-10, cc02) —
@@ -31,9 +31,10 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #   3. Remaining slots: re-prove the highest-risk round-4-green entries —
 #      the grid DataSource shapes (whose store layer grew new codecs and
 #      filter chains this round, gq14 most of all).
-# Rotated OUT to make room for the thirteen new queries (all round-4-proven
-# on unchanged inputs): q01, q36, ev01, ss05, gq11, gq04, q27, gq03,
-# gq02.
+# Rotated OUT to make room for the fourteen new queries (all
+# round-4-proven on unchanged inputs): q01, q36, ev01, ss05, gq11, gq04,
+# q27, gq03, gq02, gq01 (gq15/gq16 exercise the DataSource+store path
+# under the gate this round, so gq14 alone re-proves the store layer).
 # Everything else also round-4-proven and rotates to the back.
 _PRIORITY = (
     # 1. new this round
@@ -41,6 +42,7 @@ _PRIORITY = (
     "q38_scd2_pit_join pl05_stratified_split mm05_phash_neardup "
     "q39_bucketed_range_join gq15_filtered_store gq16_stats_aggregates "
     "pl06_weighted_sample ts06_char_entropy dd08_incremental_dedup "
+    "q40_mode_percentile_disc "
     # 2. outside round 4's window
     "q07_cross_join q08_agg_filter q11_window_topk q13_range_join "
     "q14_math_rmse q15_case_having_union q16_distinct_sort q17_subqueries "
@@ -54,7 +56,7 @@ _PRIORITY = (
     "cc02_twohop_components "
     # 3. re-prove: grid shapes over the store layer that gained codecs
     #    and filter chains this round (gq14 most of all)
-    "gq01_grid_climatology gq14_zarr_roundtrip"
+    "gq14_zarr_roundtrip"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]

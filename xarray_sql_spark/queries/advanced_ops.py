@@ -642,3 +642,80 @@ def ts06_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q40: deterministic ordered-set aggregates (mode, percentile_disc) ------
+@query(
+    "q40_mode_percentile_disc",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag AS f, l_quantity AS q, count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), t AS (
+        SELECT f, q, c,
+               sum(c) OVER (PARTITION BY f ORDER BY q) AS cc,
+               sum(c) OVER (PARTITION BY f) AS n
+        FROM c
+    ), med AS (
+        SELECT f, min(q) AS median_disc
+        FROM t WHERE cc >= (n + 1) // 2 GROUP BY f
+    ), md AS (
+        SELECT f, q AS mode_q, c AS mode_n
+        FROM (
+            SELECT f, q, c,
+                   row_number() OVER (PARTITION BY f ORDER BY c DESC, q) AS rn
+            FROM c
+        ) WHERE rn = 1
+    )
+    SELECT md.f AS l_returnflag,
+           round(md.mode_q, 2) AS mode_qty,
+           CAST(md.mode_n AS BIGINT) AS mode_count,
+           round(med.median_disc, 2) AS median_disc
+    FROM md JOIN med ON md.f = med.f
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "aggregates", "mode", "percentile"),
+)
+def q40_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates with DETERMINISTIC tie-breaks: per return
+    flag, the modal quantity (ties -> smallest value, unlike engines'
+    arbitrary mode()) and the discrete median (percentile_disc 0.5 = the
+    actual data value at position ceil(n/2), not an interpolation).
+
+    Scale: both statistics come off the (flag, quantity) COUNT table —
+    distinct values, not rows — so after the first partial-aggregated
+    groupBy the windows run over a few hundred rows per flag; no
+    value-buffering aggregate, no sort of the raw fact table (the q23
+    histogram trick applied to ordered-set aggregates)."""
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    c = li.groupBy(
+        F.col("l_returnflag").alias("f"), F.col("l_quantity").alias("q")
+    ).agg(F.count("*").alias("c"))
+    wf = W.partitionBy("f")
+    t = c.select(
+        "f", "q", "c",
+        F.sum("c").over(wf.orderBy("q")).alias("cc"),
+        F.sum("c").over(wf.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
+    )
+    med = (
+        t.filter(F.col("cc") >= (F.col("n") + 1) / 2)
+        .groupBy("f")
+        .agg(F.min("q").alias("median_disc"))
+    )
+    md = (
+        c.withColumn(
+            "rn", F.row_number().over(wf.orderBy(F.desc("c"), F.asc("q")))
+        )
+        .filter(F.col("rn") == 1)
+        .select("f", F.col("q").alias("mode_q"), F.col("c").alias("mode_n"))
+    )
+    return (
+        md.join(med, "f")
+        .select(
+            F.col("f").alias("l_returnflag"),
+            F.round("mode_q", 2).alias("mode_qty"),
+            F.col("mode_n").cast("long").alias("mode_count"),
+            F.round("median_disc", 2).alias("median_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
