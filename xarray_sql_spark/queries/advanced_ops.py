@@ -719,3 +719,103 @@ def q40_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- ss07: exact k-NN majority-label classification -------------------------
+@query(
+    "ss07_knn_classify",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, label AS qlabel
+        FROM d WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, q.qlabel, c.vec_id AS nid, c.label AS nlabel,
+               list_cosine_similarity(q.qv, c.v) AS cos
+        FROM q JOIN d c ON c.vec_id <> q.query_id
+    ), top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nid
+            ) AS rk FROM scored
+        ) WHERE rk <= 10
+    ), votes AS (
+        SELECT query_id, qlabel, nlabel, count(*) AS n
+        FROM top GROUP BY query_id, qlabel, nlabel
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(qlabel AS INT) AS query_label,
+           CAST(nlabel AS INT) AS pred_label,
+           CAST(n AS BIGINT) AS votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n DESC, nlabel
+        ) AS vr FROM votes
+    ) WHERE vr = 1
+    ORDER BY query_id
+    """,
+    tags=("similarity", "classification", "pipeline"),
+)
+def ss07_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN classification: each query vector takes the majority
+    label of its 10 nearest corpus neighbors by cosine (vote ties break
+    to the smallest label, rank ties to the smallest neighbor id) — the
+    standard embedding-quality probe run over eval sets during training.
+    First consumer of the embeddings table's label column.
+
+    Scale: identical shape to ss01's exact baseline — query side
+    broadcasts, the corpus side stays partitioned for the dot products,
+    and only (query x k) rows shuffle into the vote count; swap the
+    scoring CTE for ss03/ss04's bucketed candidates to classify
+    sublinearly at corpus scale."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    vec = F.col("embedding").cast("array<double>")
+    withn = e.select(
+        "vec_id",
+        "label",
+        vec.alias("v"),
+        F.sqrt(
+            F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        ).alias("norm"),
+    )
+    q = withn.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    c = withn.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = c.join(F.broadcast(q), F.col("nid") != F.col("query_id")).select(
+        "query_id", "query_label", "nid", "nlabel",
+        (dot / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nid")))
+    votes = (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .groupBy("query_id", "query_label", "nlabel")
+        .agg(F.count("*").alias("n"))
+    )
+    vr = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nlabel"))
+    )
+    return (
+        votes.withColumn("vr", vr)
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("query_label").cast("int"),
+            F.col("nlabel").cast("int").alias("pred_label"),
+            F.col("n").alias("votes"),
+        )
+        .orderBy("query_id")
+    )
