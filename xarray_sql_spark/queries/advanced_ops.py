@@ -691,34 +691,28 @@ def q40_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = li.groupBy(
         F.col("l_returnflag").alias("f"), F.col("l_quantity").alias("q")
     ).agg(F.count("*").alias("c"))
+    # All three statistics come off ONE pass: three window columns share
+    # the single exchange on f (two branches would re-scan and
+    # re-aggregate the fact table), then one tiny groupBy picks the
+    # median-straddling and mode rows with conditional aggregates.
     wf = W.partitionBy("f")
     t = c.select(
         "f", "q", "c",
         F.sum("c").over(wf.orderBy("q")).alias("cc"),
         F.sum("c").over(wf.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
+        F.row_number().over(wf.orderBy(F.desc("c"), F.asc("q"))).alias("rn"),
     )
-    med = (
-        t.filter(F.col("cc") >= (F.col("n") + 1) / 2)
-        .groupBy("f")
-        .agg(F.min("q").alias("median_disc"))
+    agg = t.groupBy("f").agg(
+        F.min(F.when(F.col("cc") >= (F.col("n") + 1) / 2, F.col("q"))).alias("median_disc"),
+        F.min(F.when(F.col("rn") == 1, F.col("q"))).alias("mode_q"),
+        F.min(F.when(F.col("rn") == 1, F.col("c"))).alias("mode_n"),
     )
-    md = (
-        c.withColumn(
-            "rn", F.row_number().over(wf.orderBy(F.desc("c"), F.asc("q")))
-        )
-        .filter(F.col("rn") == 1)
-        .select("f", F.col("q").alias("mode_q"), F.col("c").alias("mode_n"))
-    )
-    return (
-        md.join(med, "f")
-        .select(
-            F.col("f").alias("l_returnflag"),
-            F.round("mode_q", 2).alias("mode_qty"),
-            F.col("mode_n").cast("long").alias("mode_count"),
-            F.round("median_disc", 2).alias("median_disc"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return agg.select(
+        F.col("f").alias("l_returnflag"),
+        F.round("mode_q", 2).alias("mode_qty"),
+        F.col("mode_n").cast("long").alias("mode_count"),
+        F.round("median_disc", 2).alias("median_disc"),
+    ).orderBy("l_returnflag")
 
 
 # --- ss07: exact k-NN majority-label classification -------------------------
