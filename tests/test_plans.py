@@ -297,3 +297,35 @@ def test_stratified_split_single_stratum_shuffle(spark):
     assert "Join" not in plan, plan
     hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
     assert len(hash_exchanges) == 1, plan
+
+
+def test_incremental_dedup_is_index_equi_join(spark):
+    """dd08: batch admission must be an equi-join on (band_idx,
+    band_hash) against the index keys — hash-partitionable on both
+    sides, no cartesian/nested-loop anywhere (the raw text never even
+    reaches the join: only band keys do)."""
+    df = REGISTRY["dd08_incremental_dedup"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan), plan
+
+
+def test_mode_percentile_single_count_table_pass(spark):
+    """q40: all three statistics must come off ONE derivation of the
+    (flag, quantity) count table — one scan of the fact table, no join
+    between median and mode branches."""
+    df = REGISTRY["q40_mode_percentile_disc"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Scan ") == 1 or plan.count("FileScan") == 1, plan
+
+
+def test_entropy_counts_shuffle_not_text(spark):
+    """ts06: the only aggregation keys are (doc_id, bigram) with
+    map-side partial counts — the partial_count must appear below the
+    exchange, and no pairwise joins exist."""
+    df = REGISTRY["ts06_char_entropy"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
