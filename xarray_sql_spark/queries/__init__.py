@@ -31,7 +31,7 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #   3. Remaining slots: re-prove the highest-risk round-4-green entries —
 #      the grid DataSource shapes (whose store layer grew new codecs and
 #      filter chains this round, gq14 most of all).
-# Rotated OUT to make room for the fourteen new queries (all
+# Rotated OUT to make room for the fifteen new queries (all
 # round-4-proven on unchanged inputs): q01, q36, ev01, ss05, gq11, gq04,
 # q27, gq03, gq02, gq01; q07 (trivial cross join, proven r1-r3) yields
 # its slot from the re-prove block (gq15/gq16 exercise the DataSource+store path

@@ -703,7 +703,9 @@ def q40_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wf.orderBy(F.desc("c"), F.asc("q"))).alias("rn"),
     )
     agg = t.groupBy("f").agg(
-        F.min(F.when(F.col("cc") >= (F.col("n") + 1) / 2, F.col("q"))).alias("median_disc"),
+        # integer DIV like the oracle's // — float /2 would demand cc >= n/2+0.5
+        # on even groups and return the upper median instead of disc(0.5)
+        F.min(F.when(F.expr("cc >= (n + 1) DIV 2"), F.col("q"))).alias("median_disc"),
         F.min(F.when(F.col("rn") == 1, F.col("q"))).alias("mode_q"),
         F.min(F.when(F.col("rn") == 1, F.col("c"))).alias("mode_n"),
     )
