@@ -218,3 +218,26 @@ def test_stream_windowed_agg_carries_state_across_appends(spark, tmp_path):
     append_zarr(_slab(8, 6), path, "time")
     got = _run_agg()
     assert got == _expect(14)  # prior windows intact, new ones correct
+
+
+def test_stream_surfaces_partition_read_errors(spark, tmp_path):
+    """A corrupt chunk file must FAIL the micro-batch with the reader's
+    error surfaced through the streaming query — never silently yield
+    fill values for data that exists but cannot be decoded. (Streaming
+    twin of the batch error-propagation golden in test_grid_engine.)"""
+    path = write_zarr(
+        _slab(0, 8), str(tmp_path / "g.zarr"), chunks={"time": 4},
+        compressor={"id": "zlib", "level": 1},
+    )
+    with open(os.path.join(path, "temp", "1.0"), "wb") as f:
+        f.write(b"\x00garbage\x00")
+    stream = read_grid_stream(spark, path, chunks={"time": 4}, payload_dir=str(tmp_path))
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(240)
+    assert "error" in str(ei.value).lower() or "Error" in type(ei.value).__name__
