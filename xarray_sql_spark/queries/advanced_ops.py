@@ -815,3 +815,65 @@ def ss07_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- ev09: time-weighted average over irregular samples ---------------------
+@query(
+    "ev09_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER w AS t2,
+               lead(value) OVER w AS v2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+        SELECT user_id, t2 - t AS w, (value + v2) / 2 * (t2 - t) AS contrib
+        FROM s WHERE t2 IS NOT NULL
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(w) AS BIGINT) AS total_us,
+           round(sum(contrib) / sum(w), 6) AS twa
+    FROM seg GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "timeseries", "window", "pipeline"),
+)
+def ev09_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULARLY sampled event values — the
+    TSDB aggregate (TimescaleDB's time_weight) a plain AVG gets wrong
+    whenever sampling density correlates with the value: each adjacent
+    pair contributes its trapezoid (mean of endpoints x microseconds
+    between them), normalized by total covered time.
+
+    Scale: one user_id-partitioned window (two lead() columns share one
+    sort), then a partial-aggregated groupBy on the same key —
+    Catalyst reuses the exchange, so the whole aggregate is one shuffle.
+    Interval weights stay exact int64 microseconds; only the trapezoid
+    products are floats, and the final ratio rounds at 6 dp, far above
+    summation-order noise."""
+    e = table(spark, sf_dir, "events", spread=True)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    s = e.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t2"),
+        F.lead("value").over(w).alias("v2"),
+    ).filter(F.col("t2").isNotNull())
+    seg = s.select(
+        "user_id",
+        (F.col("t2") - F.col("t")).alias("dw"),
+        ((F.col("value") + F.col("v2")) / 2 * (F.col("t2") - F.col("t"))).alias("contrib"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dw").alias("total_us"),
+            F.round(F.sum("contrib") / F.sum("dw"), 6).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
