@@ -335,3 +335,24 @@ def test_store_meta_cache_invalidates_on_append(xs, tmp_path, monkeypatch):
     assert row["n"] == 12
     assert str(row["t"]).startswith("2024-02-01 11")  # truly extended series
     assert len(opens) > first  # fingerprint changed: fresh open
+
+
+def test_metadata_aggregates_with_parameterized_query(xs, tmp_path):
+    """Named parameters analyze into literals before the plan walk, so a
+    parameterized dim filter still takes the metadata path — and agrees
+    with the engine."""
+    import os
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    xs.from_dataset("parm_air", air_small(), chunks={"time": 4}, read_log_dir=log_dir)
+    q = "SELECT COUNT(*) AS n, MAX(lat) AS top FROM parm_air WHERE lat <= :cut"
+    row = xs.sql(q, args={"cut": 60.0}).df.collect()[0]
+    assert row["n"] == 12 * 5 * 10 and row["top"] == 60.0  # lats 60..50
+    assert os.listdir(log_dir) == []
+    xs.metadata_aggregates = False
+    try:
+        slow = xs.sql(q, args={"cut": 60.0}).df.collect()[0]
+    finally:
+        xs.metadata_aggregates = True
+    assert tuple(row) == tuple(slow)
