@@ -240,4 +240,6 @@ def test_stream_surfaces_partition_read_errors(spark, tmp_path):
     )
     with pytest.raises(Exception) as ei:
         q.awaitTermination(240)
-    assert "error" in str(ei.value).lower() or "Error" in type(ei.value).__name__
+    # the DECODE failure must be what surfaced (any generic failure
+    # mentioning 'error' would green-light a broken read path)
+    assert "decompress" in str(ei.value).lower() or "zlib" in str(ei.value).lower()

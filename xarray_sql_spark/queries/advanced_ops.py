@@ -826,7 +826,9 @@ def ss07_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(epoch_us(ts)) OVER w AS t2,
                lead(value) OVER w AS v2
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        -- order in the MICROSECOND domain: Spark's ts is us-truncated, so
+        -- sub-us ties must fall to event_id identically on both sides
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), seg AS (
         SELECT user_id, t2 - t AS w, (value + v2) / 2 * (t2 - t) AS contrib
         FROM s WHERE t2 IS NOT NULL
