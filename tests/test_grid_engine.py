@@ -507,8 +507,12 @@ def test_partition_read_error_propagates(xs, tmp_path):
     chunk = os.path.join(path, "air", "1.0.0")
     with open(chunk, "wb") as f:
         f.write(b"not-zlib-data")
-    with pytest.raises(Exception):
+    with pytest.raises(Exception) as ei:
         xs.sql("SELECT SUM(air) AS s FROM err_z").df.collect()
+    # the DECODE failure specifically — a generic failure would pass even
+    # if valid chunks stopped decoding
+    msg = str(ei.value).lower()
+    assert "decompress" in msg or "zlib" in msg, msg[:500]
 
 
 def test_fresh_stream_per_query_counts(xs, read_log):
