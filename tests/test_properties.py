@@ -84,7 +84,18 @@ def _grids(draw):
     seed = draw(st.integers(0, 2**31 - 1))
     fmt = draw(st.sampled_from([2, 3]))
     shard = draw(st.booleans()) if fmt == 3 else False
-    comp = draw(st.sampled_from([None, {"id": "zlib", "level": 1}]))
+    comps = [
+        None,
+        {"id": "zlib", "level": 1},
+        # blosc-lz4 chunks >= 128 elements/typesize take the c-blosc
+        # SPLIT path (byte-plane streams), so the fuzz covers it
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+        {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 0},
+        {"id": "zstd", "level": 3},
+    ]
+    if fmt == 2:
+        comps.append({"id": "lz4"})  # numcodecs framing; no v3 spelling
+    comp = draw(st.sampled_from(comps))
     return shape, dtype, chunks, seed, fmt, shard, comp
 
 @settings(max_examples=40, deadline=None)
