@@ -107,6 +107,73 @@ def test_append_requires_chunk_alignment(tmp_path):
         append_zarr(_slab(6, 4), path, "time")
 
 
+def test_append_requires_alignment_per_array(tmp_path):
+    """The coord's chunking alone must not green-light an append: a store
+    whose coord is one full-length chunk (what the distributed sink
+    writes) passes the coord guard for ANY length, while a data var
+    chunked smaller can still be misaligned — appending would overwrite
+    its committed trailing chunk with zero-padded data at the wrong
+    offset. The guard must check each appended array's own chunks."""
+    import glob
+    import json
+
+    path = str(tmp_path / "sink.zarr")
+    t0 = np.datetime64("2024-01-01", "h") + np.arange(6)
+    lat = np.linspace(-30.0, 30.0, 3)
+    temp0 = np.arange(18, dtype="<f8").reshape(6, 3)
+    os.makedirs(path)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _arr(name, arr, dims, chunks):
+        adir = os.path.join(path, name)
+        os.makedirs(adir)
+        with open(os.path.join(adir, ".zarray"), "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 2,
+                    "shape": list(arr.shape),
+                    "chunks": list(chunks),
+                    "dtype": arr.dtype.str,
+                    "compressor": None,
+                    "fill_value": 0,
+                    "order": "C",
+                    "filters": None,
+                },
+                f,
+            )
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
+        import itertools as it
+
+        grid = [range((n + c - 1) // c) for n, c in zip(arr.shape, chunks)]
+        for idx in it.product(*grid):
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, n))
+                for i, c, n in zip(idx, chunks, arr.shape)
+            )
+            block = np.zeros(chunks, dtype=arr.dtype)
+            block[tuple(slice(0, s.stop - s.start) for s in sel)] = arr[sel]
+            with open(os.path.join(adir, ".".join(map(str, idx))), "wb") as f:
+                f.write(block.tobytes())
+
+    # coord = ONE full-length chunk (6 % 6 == 0 for any committed length);
+    # var chunked 4 along time: 6 % 4 != 0 -> append must refuse
+    _arr("time", t0.astype("<M8[h]"), ("time",), (6,))
+    _arr("lat", lat.astype("<f8"), ("lat",), (3,))
+    _arr("temp", temp0, ("time", "lat"), (4, 3))
+
+    slab = Dataset(
+        {"temp": (("time", "lat"), np.arange(18, 30, dtype=np.float64).reshape(4, 3))},
+        {"time": t0[:4] + 6, "lat": lat},
+    )
+    before = sorted(glob.glob(os.path.join(path, "*", "*")))
+    with pytest.raises(NotImplementedError, match="temp"):
+        append_zarr(slab, path, "time")
+    # nothing was written, not even the (aligned) coord's chunks
+    assert sorted(glob.glob(os.path.join(path, "*", "*"))) == before
+
+
 def test_append_refuses_filtered_arrays(tmp_path):
     """Appending to an array whose metadata declares a numcodecs filter
     chain must refuse BEFORE writing anything: the appended chunks would

@@ -226,6 +226,24 @@ def test_metadata_aggregates_bail_cases(xs, spark, tmp_path):
     # min over the implicit dim: engine path synthesizes 0..n-1
     assert xs.sql("SELECT MIN(cell) AS m FROM bail_cell").df.collect()[0]["m"] == 0
 
+    # COUNT(NULL) is 0, not the cell count — a null literal must not be
+    # classified as COUNT(*)
+    assert xs.sql("SELECT COUNT(NULL) AS n FROM bail_air").df.collect()[0]["n"] == 0
+
+    # IN value outside the coord dtype's range: the literal->int32 cast
+    # would overflow-wrap (silently, on older numpy) to 1 and double the
+    # count; the round-trip guard must fall back to the engine instead
+    t32 = np.arange(4, dtype=np.int32)
+    ds32 = Dataset(
+        {"w": Variable(("t", "cell"), np.arange(12, dtype=np.float64).reshape(4, 3))},
+        {"t": t32, "cell": np.arange(3, dtype=np.int64)},
+    )
+    xs.from_dataset("bail_i32", ds32, chunks={"t": 2})
+    n = xs.sql(
+        "SELECT COUNT(*) AS n FROM bail_i32 WHERE t IN (1, 4294967297)"
+    ).df.collect()[0]["n"]
+    assert n == 3  # only t = 1 matches (2**32 + 1 is out of int32 range)
+
 
 def test_metadata_aggregates_differential_fuzz(xs, tmp_path):
     """Differential fuzz: random per-dim predicate conjunctions, random

@@ -160,6 +160,11 @@ def metadata_aggregate_spec(df: DataFrame, payload_keys):
             ch = fn.children()
             if fcls == "Count":
                 if ch.size() == 1 and ch.apply(0).getClass().getSimpleName() == "Literal":
+                    # COUNT(<non-null literal>) is COUNT(*); COUNT(NULL) is
+                    # 0 and must NOT be answered with the cell count — fall
+                    # back to the engine for it.
+                    if ch.apply(0).value() is None:
+                        return None
                     spec.append((ne.name(), "count_star", None))
                     continue
                 if ch.size() == 1:

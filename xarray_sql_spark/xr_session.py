@@ -76,7 +76,18 @@ def _coord_predicate_mask(coords: np.ndarray, op: str, lits) -> np.ndarray | Non
     if op == "=":
         return cv == vals[0]
     if op == "in":
-        return np.isin(cv, np.asarray(vals, dtype=cv.dtype))
+        # Validate the literal->coord-dtype cast explicitly: an out-of-range
+        # IN value (e.g. a long literal against int32 coords) overflow-wraps
+        # SILENTLY on older numpy instead of raising, which would produce a
+        # wrong mask. Round-trip the cast through Python scalars and fall
+        # back to the engine on any mismatch.
+        try:
+            cast = np.asarray(vals).astype(cv.dtype)
+            if cast.tolist() != np.asarray(vals).tolist():
+                return None
+        except Exception:
+            return None
+        return np.isin(cv, cast)
     return None
 
 

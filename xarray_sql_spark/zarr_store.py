@@ -908,17 +908,27 @@ def append_zarr(slab, path: str, dim: str) -> str:
 
     coord_meta = _meta(dim)
     old_n = int(coord_meta["shape"][0])
-    chunk_n = int(coord_meta["chunks"][0])
-    if old_n % chunk_n:
-        raise NotImplementedError(
-            f"append requires the existing {dim} length ({old_n}) to be a "
-            f"multiple of its chunk size ({chunk_n})"
-        )
-    # refuse filtered arrays BEFORE any chunk lands: appended chunks would
-    # be unfiltered bytes under filter-declaring metadata -> silent
-    # corruption on read
-    for name in [dim, *(n for n, var in slab.data_vars.items() if dim in var.dims)]:
-        if _meta(name).get("filters"):
+    # Validate EVERY array being appended BEFORE any chunk file lands.
+    # Alignment must hold per array: _write_append addresses new chunks at
+    # base_idx = old_n // that array's own chunk size along the append
+    # axis, so a var whose chunk does not divide old_n (possible even when
+    # the coord's does — e.g. a coord stored as one full-length chunk)
+    # would silently overwrite the committed trailing chunk with
+    # zero-padded data at the wrong offset.
+    appended = [(dim, (dim,))] + [
+        (n, var.dims) for n, var in slab.data_vars.items() if dim in var.dims
+    ]
+    for name, dims_ in appended:
+        meta = _meta(name)
+        chunk_n = int(meta["chunks"][dims_.index(dim)])
+        if old_n % chunk_n:
+            raise NotImplementedError(
+                f"append requires the existing {dim} length ({old_n}) to be "
+                f"a multiple of {name!r}'s chunk size along {dim} ({chunk_n})"
+            )
+        # refuse filtered arrays too: appended chunks would be unfiltered
+        # bytes under filter-declaring metadata -> silent corruption on read
+        if meta.get("filters"):
             raise NotImplementedError(
                 f"append to filtered array {name!r} is not supported"
             )
