@@ -91,6 +91,9 @@ def _grids(draw):
         # SPLIT path (byte-plane streams), so the fuzz covers it
         {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
         {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 0},
+        {"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1},
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2},  # bitshuffle
+        {"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 2},
         {"id": "zstd", "level": 3},
     ]
     if fmt == 2:

@@ -13,6 +13,8 @@ import pytest
 from xarray_sql_spark.zarr_codecs import (
     blosc_compress,
     blosc_decompress,
+    blosclz_compress,
+    blosclz_decompress,
     lz4_numcodecs_compress,
     lz4_numcodecs_decompress,
     zstd_compress,
@@ -159,14 +161,236 @@ def test_blosc_split_flag_and_roundtrip_matrix():
 def test_blosc_unsupported_paths_raise_clearly():
     data = np.zeros(64, dtype="<f4").tobytes()
     chunk = bytearray(blosc_compress(data, typesize=4, cname="lz4", shuffle=1))
-    chunk[2] = (chunk[2] & 0x1F) | (0 << 5)  # rewrite codec id -> blosclz
-    with pytest.raises(NotImplementedError, match="blosclz"):
-        blosc_decompress(bytes(chunk))
-    chunk[2] = (chunk[2] & 0xE0) | 0x4  # bit-shuffle flag
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+    chunk[2] = (chunk[2] & 0x1F) | (5 << 5)  # rewrite codec id -> unknown
+    with pytest.raises(NotImplementedError, match="id5"):
         blosc_decompress(bytes(chunk))
     with pytest.raises(ValueError, match="truncated"):
         blosc_decompress(blosc_compress(data, typesize=4)[:-3])
+
+
+# --- blosclz stream format (FastLZ level 2) ---------------------------------
+
+
+def test_blosclz_decode_handcrafted_stream():
+    """Hand-assembled token streams straight from the public FastLZ
+    level-2 / blosclz format — independent of our encoder. Covers:
+    literal runs, a short match, an overlapping (RLE-like) match, a long
+    match with length-extension bytes (incl. the 255-continuation rule),
+    and a far (16-bit distance) match."""
+    # literals "abc"; match L=6 D=3 -> "abcabc"; then literal "Z"
+    s = bytes([2]) + b"abc" + bytes([(4 << 5) | 0, 2]) + bytes([0]) + b"Z"
+    assert blosclz_decompress(s, 10) == b"abcabcabcZ"
+
+    # overlapping match: literal "x" then L=5 D=1 -> "xxxxxx"
+    s = bytes([0]) + b"x" + bytes([(3 << 5) | 0, 0])
+    assert blosclz_decompress(s, 6) == b"xxxxxx"
+
+    # long match with extension: literal "q", L=300 D=1.
+    # lenc = 298 -> ctrl 7<<5, extension 298-7 = 291 = 255 + 36
+    s = bytes([0]) + b"q" + bytes([(7 << 5) | 0, 255, 36, 0])
+    assert blosclz_decompress(s, 301) == b"q" * 301
+
+    # extension boundary: rem == 255 must emit (255, 0), decoder keeps
+    # reading while the extension byte is 255. lenc = 7 + 255 -> L = 264
+    s = bytes([0]) + b"r" + bytes([(7 << 5) | 0, 255, 0, 0])
+    assert blosclz_decompress(s, 265) == b"r" * 265
+
+    # far match: build 8300 bytes of 'A' via literal + RLE matches, then
+    # an L=8 match at distance 8292 (>= 8192 -> 16-bit form,
+    # ofs16 = 8292 - 8192 = 100)
+    head = bytes([0]) + b"A"
+    # one long overlapping match D=1 of length 8299: lenc = 8297
+    # extension = 8297 - 7 = 8290 = 255*32 + 130
+    head += bytes([(7 << 5) | 0]) + bytes([255] * 32) + bytes([130, 0])
+    far = bytes([((8 - 2) << 5) | 31, 255, 100 >> 8, 100 & 255])
+    assert blosclz_decompress(head + far, 8308) == b"A" * 8308
+
+    # near-match distance boundary: D = 8191 encodes as hi=31, lo=254 —
+    # NOT the far escape (which needs lo == 255)
+    body = bytes([31]) + b"B" * 32  # 32 literals
+    for _ in range(255):
+        body += bytes([(7 << 5) | 0, 25, 0])  # L=34 D=1 RLE  (lenc=32)
+    # now > 8192 bytes of B; match L=3 D=8191: lenc=1, hi=31, lo=254
+    body += bytes([(1 << 5) | 31, 254])
+    out = blosclz_decompress(body, 32 + 255 * 34 + 3)
+    assert out == b"B" * (32 + 255 * 34 + 3)
+
+
+def test_blosclz_differential_vs_naive_decoder():
+    """Our encoder's output must decode correctly under an independently
+    written, dumb-as-possible reference decoder (separate code path from
+    the library's) — and our decoder must agree with it byte-for-byte."""
+
+    def naive_decode(data: bytes) -> bytes:
+        out = bytearray()
+        ip = 0
+        ctrl = data[ip] & 31
+        ip += 1
+        while True:
+            if ctrl >= 32:
+                ln = (ctrl >> 5) - 1
+                ofs = (ctrl & 31) << 8
+                if ln == 6:
+                    while True:
+                        c = data[ip]
+                        ip += 1
+                        ln += c
+                        if c != 255:
+                            break
+                code = data[ip]
+                ip += 1
+                ln += 3
+                if code == 255 and ofs == (31 << 8):
+                    dist = (data[ip] << 8) + data[ip + 1] + 8192
+                    ip += 2
+                else:
+                    dist = ofs + code + 1
+                for _ in range(ln):  # byte-at-a-time: overlap-correct
+                    out.append(out[len(out) - dist])
+            else:
+                out += data[ip : ip + ctrl + 1]
+                ip += ctrl + 1
+            if ip >= len(data):
+                break
+            ctrl = data[ip]
+            ip += 1
+        return bytes(out)
+
+    from xarray_sql_spark.zarr_codecs import blosclz_compress
+
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 64,
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),  # highly repetitive
+        np.arange(4000, dtype="<i4").tobytes(),
+        bytes(rng.integers(0, 256, 2000, dtype=np.uint8)),  # incompressible
+        (b"pattern-123!" * 800)[:9000],  # long-range matches (> 8191 back)
+    ]
+    for raw in cases:
+        enc = blosclz_compress(raw)
+        if raw:
+            assert naive_decode(enc) == raw
+            assert blosclz_decompress(enc, len(raw)) == raw
+        else:
+            assert blosclz_decompress(enc, 0) == b""
+
+
+def test_blosc_chunk_handcrafted_blosclz():
+    """Full blosc chunk with inner codec id 0 (blosclz), hand-built:
+    DONT_SPLIT, no shuffle, one block whose stream is hand-assembled
+    blosclz tokens."""
+    raw = b"abcabcabcZ"
+    stream = bytes([2]) + b"abc" + bytes([(4 << 5) | 0, 2]) + bytes([0]) + b"Z"
+    assert len(stream) < len(raw)
+    body = np.array([16 + 4], dtype="<u4").tobytes()
+    body += len(stream).to_bytes(4, "little") + stream
+    flags = (0 << 5) | 0x10  # blosclz, DONT_SPLIT
+    header = (
+        bytes([2, 1, flags, 1])
+        + len(raw).to_bytes(4, "little")
+        + len(raw).to_bytes(4, "little")
+        + (16 + len(body)).to_bytes(4, "little")
+    )
+    assert blosc_decompress(header + body) == raw
+
+
+# --- bitshuffle -------------------------------------------------------------
+
+
+def _naive_bitshuffle(block: bytes, typesize: int) -> bytes:
+    """Independent per-bit reference: for each byte-of-element ii and bit
+    jj (LSB first), emit one bit per element, packed 8 elements/byte,
+    element order LSB-first; tail (partial element or non-multiple-of-8
+    element count) verbatim — the c-blosc wrapper's documented rule."""
+    nelem = (len(block) // typesize) & ~7
+    main = nelem * typesize
+    out = bytearray()
+    for ii in range(typesize):
+        for jj in range(8):
+            for g in range(nelem // 8):
+                b = 0
+                for e in range(8):
+                    bit = (block[(g * 8 + e) * typesize + ii] >> jj) & 1
+                    b |= bit << e
+                out.append(b)
+    return bytes(out) + block[main:]
+
+
+def test_bitshuffle_handcrafted_vectors():
+    from xarray_sql_spark.zarr_codecs import bitshuffle, bitunshuffle
+
+    # typesize 1, 8 bytes: element 0 = 0xFF -> every bit-plane's packed
+    # byte has only bit 0 set
+    assert bitshuffle(bytes([0xFF, 0, 0, 0, 0, 0, 0, 0]), 1) == bytes([1] * 8)
+    # element i contributes bit i of the plane byte: bytes with bit jj set
+    # land in plane jj
+    src = bytes([1 << (i % 8) for i in range(8)])  # elem i has bit i set
+    # plane jj's byte: only element jj has bit jj -> byte = 1 << jj
+    assert bitshuffle(src, 1) == bytes([1 << j for j in range(8)])
+    # typesize 2, 8 elements: byte 0 of elem e = e's low bits, byte 1 = 0xFF
+    elems = b"".join(bytes([e, 0xFF]) for e in range(8))
+    got = bitshuffle(elems, 2)
+    # planes for byte 0, bit jj: elements with bit jj set in e
+    want = bytearray()
+    for jj in range(8):
+        b = 0
+        for e in range(8):
+            b |= ((e >> jj) & 1) << e
+        want.append(b)
+    want += bytes([0xFF] * 8)  # byte 1 planes: every element has every bit
+    assert got == bytes(want)
+    # leftovers copied verbatim: 17 elements of 2 bytes + 1 ragged byte
+    rng = np.random.default_rng(3)
+    block = bytes(rng.integers(0, 256, 35, dtype=np.uint8))
+    got = bitshuffle(block, 2)
+    assert got[32:] == block[32:]  # 16 elems shuffled, 3 tail bytes verbatim
+    assert bitunshuffle(got, 2) == block
+
+
+def test_bitshuffle_differential_and_roundtrip():
+    from xarray_sql_spark.zarr_codecs import bitshuffle, bitunshuffle
+
+    rng = np.random.default_rng(5)
+    for typesize in (1, 2, 3, 4, 8):
+        for n in (0, 1, 7, 8 * typesize, 8 * typesize + 3, 256, 1000):
+            block = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            got = bitshuffle(block, typesize)
+            assert got == _naive_bitshuffle(block, typesize), (typesize, n)
+            assert bitunshuffle(got, typesize) == block, (typesize, n)
+
+
+def test_blosc_chunk_handcrafted_bitshuffle():
+    """Full blosc chunk with the bit-shuffle flag (0x4), hand-built with
+    the naive reference transform and a raw-stored stream (csize ==
+    stream size), independent of our encoder."""
+    raw = np.arange(32, dtype="<u2").tobytes()  # 64 bytes, typesize 2
+    shuffled = _naive_bitshuffle(raw, 2)
+    body = np.array([16 + 4], dtype="<u4").tobytes()
+    body += len(shuffled).to_bytes(4, "little") + shuffled  # stored raw
+    flags = (1 << 5) | 0x4 | 0x10  # lz4 id, BIT_SHUFFLE, DONT_SPLIT
+    header = (
+        bytes([2, 1, flags, 2])
+        + len(raw).to_bytes(4, "little")
+        + len(raw).to_bytes(4, "little")
+        + (16 + len(body)).to_bytes(4, "little")
+    )
+    assert blosc_decompress(header + body) == raw
+
+
+@pytest.mark.parametrize("cname", ["blosclz", "lz4"])
+@pytest.mark.parametrize("shuffle", [0, 1, 2])
+def test_blosc_blosclz_bitshuffle_roundtrip_matrix(cname, shuffle):
+    rng = np.random.default_rng(9)
+    for data in (
+        np.arange(1000, dtype="<f8").tobytes(),
+        np.tile(rng.integers(0, 50, 256).astype("<i4"), 64).tobytes(),
+        np.arange(611, dtype="<i4").tobytes()[:-3],  # ragged tail
+    ):
+        chunk = blosc_compress(data, typesize=4, cname=cname, shuffle=shuffle,
+                               blocksize=2048)
+        assert blosc_decompress(chunk) == data
 
 
 def test_zstd_and_lz4_numcodecs_framings():
@@ -235,6 +459,59 @@ def test_zarr_v3_store_roundtrip_new_codecs(tmp_path, compressor):
     back = open_zarr(path)
     np.testing.assert_allclose(back.data_vars["temp"].values(), ds.data_vars["temp"].values())
     np.testing.assert_array_equal(back.data_vars["counts"].values(), ds.data_vars["counts"].values())
+
+
+def test_zarr_v3_general_transpose_codec(tmp_path):
+    """A v3 array written by another tool with a general ``transpose``
+    codec order (here [1, 2, 0]): the stored chunk bytes are the C-order
+    bytes of ``np.transpose(x, order)``; decode must invert with the
+    argsort permutation. Hand-built, independent of our writer; includes
+    an edge chunk to prove the permuted padding round-trips."""
+    import json
+
+    from xarray_sql_spark.zarr_store import ZarrArray
+
+    rng = np.random.default_rng(21)
+    shape, chunks, order = (5, 4, 3), (3, 4, 3), [1, 2, 0]
+    x = rng.integers(-100, 100, size=shape).astype("<i4")
+    adir = str(tmp_path / "arr")
+    os.makedirs(adir)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": "int32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": order}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+        ],
+        "dimension_names": ["a", "b", "c"],
+    }
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    for ci in range(2):  # chunk grid: 2 x 1 x 1 (second is an edge chunk)
+        block = np.zeros(chunks, dtype="<i4")
+        sel = x[ci * 3 : ci * 3 + 3]
+        block[: sel.shape[0]] = sel
+        enc = np.transpose(block, order)  # encoded representation
+        os.makedirs(os.path.join(adir, "c", str(ci), "0"), exist_ok=True)
+        with open(os.path.join(adir, "c", str(ci), "0", "0"), "wb") as f:
+            f.write(np.ascontiguousarray(enc).tobytes())
+    arr = ZarrArray(adir)
+    np.testing.assert_array_equal(arr.values(), x)
+    # selective read still slices correctly through the permutation
+    np.testing.assert_array_equal(
+        arr.read_block((slice(2, 5), slice(1, 3), slice(0, 2))), x[2:5, 1:3, 0:2]
+    )
+    # a non-permutation order must refuse clearly
+    meta["codecs"][0]["configuration"]["order"] = [0, 0, 1]
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="permutation"):
+        ZarrArray(adir)
 
 
 def test_zarr_v3_sharded_blosc_inner_codec(tmp_path):

@@ -922,3 +922,61 @@ def gq16_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t1m", "yyyy-MM-dd HH:mm:ss").alias("t1"),
         F.col("n"),
     )
+
+
+@query(
+    "gq17_blosclz_bitshuffle_store",
+    oracle="""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, t.i * 0.5 + y.i * 0.25 AS v
+        FROM (SELECT unnest(range(32)) AS i) t,
+             (SELECT unnest(range(40)) AS i) y
+    )
+    SELECT CAST(ti % 4 AS INT) AS tb,
+           sum(v) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cells WHERE ti >= 8
+    GROUP BY ti % 4
+    ORDER BY tb
+    """,
+    tags=("grid", "datasource", "zarr", "codecs"),
+    bench=False,
+)
+def gq17_blosclz_bitshuffle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blosclz + bitshuffle decode under the hash gate: the store is
+    written with c-blosc's DEFAULT inner codec (blosclz, the one cname the
+    reference reads via numcodecs that needed a from-scratch pure-Python
+    decoder — reference xarray_sql/reader.py:192-337) and bit-shuffle
+    (header flag 0x4, the bitshuffle bit-plane transpose). Chunks are
+    8x40 = 2560 bytes, so blosclz blocks take c-blosc's SPLIT path
+    (byte-plane streams) on top of the bit transpose — the exact layout a
+    real ``numcodecs.Blosc(cname='blosclz', shuffle=Blosc.BITSHUFFLE)``
+    store has. Values are exact binary fractions; the oracle regenerates
+    them without touching the store, so a hash match proves the whole
+    decode chain (blosclz streams -> bit-unshuffle -> typed cells) is
+    bit-exact. t >= 8 prunes chunk 0 via coordinate bounds, same as gq15.
+    Spec-vector goldens for both codecs live in tests/test_zarr_codecs.py."""
+    import tempfile
+
+    from xarray_sql_spark.zarr_store import write_zarr
+
+    t = np.arange(32, dtype=np.int64)
+    y = np.arange(40, dtype=np.int64)
+    v = t[:, None] * 0.5 + y[None, :] * 0.25
+    ds = Dataset({"v": Variable(("t", "y"), v)}, {"t": t, "y": y})
+    path = tempfile.mkdtemp(prefix="gq17_") + "/blz.zarr"
+    write_zarr(
+        ds,
+        path,
+        chunks={"t": 8},
+        compressor={"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 2},
+    )
+
+    xs = XarraySession(spark)
+    xs.from_dataset(
+        "gq_grid17", Dataset.open_store(path), chunks={"t": 8}, store=path
+    )
+    return xs.sql(
+        "SELECT CAST(t % 4 AS INT) AS tb, SUM(v) AS total, COUNT(*) AS n "
+        "FROM gq_grid17 WHERE t >= 8 GROUP BY t % 4 ORDER BY tb"
+    ).df
