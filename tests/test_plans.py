@@ -231,6 +231,62 @@ def test_semantic_dedup_groups_by_cluster(spark):
     assert "Join" not in plan, plan  # assignment is join-free end to end
 
 
+def test_knn_ivf_candidates_are_equi_join(spark):
+    """ss08: the full cross score is forbidden — candidates must come
+    from a hash equi-join on the cell id. The only nested-loop join
+    allowed is the 8-row centroid broadcast (no query_id in its
+    condition); the query side must never BNLJ-pair with the corpus the
+    way ss07's exact baseline intentionally does."""
+    plan = _plan(spark, "ss08_knn_classify_ivf")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan), plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "query_id" not in line, line  # only the centroid cross
+
+
+def test_semantic_dedup_k_scales_with_corpus(spark):
+    """dd07's scale claim as code: k = max(16, n // 256) keeps the TARGET
+    cluster size constant, so the per-task gram matrix stays bounded as
+    the corpus grows. Checks the k rule's growth and, on a synthetic
+    corpus 4x the floor size, that the realized max cluster stays within
+    a small multiple of the target (seeded — deterministic)."""
+    import numpy as np
+
+    from xarray_sql_spark.queries.advanced_ops import (
+        semantic_cluster_assign,
+        semantic_dedup_k,
+    )
+
+    # the rule itself: floor of 16, then linear growth
+    assert semantic_dedup_k(500) == 16
+    assert semantic_dedup_k(4096) == 16
+    assert semantic_dedup_k(8192) == 32
+    assert semantic_dedup_k(16384) == 64
+
+    n, dim = 16384, 8
+    k = semantic_dedup_k(n)
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(n, dim))
+    pdf = {"vec_id": list(range(n)), "v": [row.tolist() for row in X]}
+    import pandas as pd
+
+    base = spark.createDataFrame(pd.DataFrame(pdf), "vec_id long, v array<double>")
+    seed_rows = sorted(
+        base.filter(f"vec_id < {k}").collect(), key=lambda r: r.vec_id
+    )
+    sizes = (
+        semantic_cluster_assign(base, seed_rows)
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == k  # every seed attracts members on gaussian data
+    max_size = max(r["count"] for r in sizes)
+    # bounded: within a small multiple of the constant target (n/k = 256)
+    assert max_size <= 4 * (n // k), max_size
+
+
 def test_phash_neardup_is_band_bucketed(spark):
     """mm05: candidate generation must be an equi-join on
     (band_idx, band_value) — hash-partitionable, never a cross join —

@@ -21,43 +21,41 @@ from xarray_sql_spark.operators import skew  # noqa: F401,E402
 from xarray_sql_spark.operators import components  # noqa: F401,E402
 
 # The driver's correctness gate records only the FIRST 50 registry entries
-# (dict order). Round-5 window priority:
-#   1. The sixteen queries NEW this round (ev08/q37/dd07/ss06 + the
-#      late additions q38/pl05/mm05/q39/gq15/gq16/pl06/ts06/dd08/q40/
-#      ss07/ev09) — never driver-checked.
-#   2. Everything OUTSIDE round 4's 50-entry window (the relational
-#      q07-q35 block, dd01-03, ts01/02, ss01/03/04, gq08-10, cc02) —
-#      last proven in round 3 or earlier; rotate them back in.
-#   3. Remaining slots: re-prove the highest-risk round-4-green entries —
-#      the grid DataSource shapes (whose store layer grew new codecs and
-#      filter chains this round, gq14 most of all).
-# Rotated OUT to make room for the sixteen new queries (all
-# round-4-proven on unchanged inputs): q01, q36, ev01, ss05, gq11, gq04,
-# q27, gq03, gq02, gq01; q07 and q08 (trivial relational shapes, proven
-# r1-r3) yield their slots from the re-prove block (gq15/gq16 exercise the DataSource+store path
-# under the gate this round, so gq14 alone re-proves the store layer).
-# Everything else also round-4-proven and rotates to the back.
+# (dict order). Round-6 window priority:
+#   1. NEW or CHANGED this round: gq17 (blosclz+bitshuffle store), ss08
+#      (sublinear k-NN), dd07 (k now corpus-proportional — re-prove),
+#      mm01-mm04 (real PNG/GIF/BMP/WAV header decode changes their
+#      values — re-prove).
+#   2. The 51 entries rotated OUT of round 5's window (all green in
+#      r3/r4, but the session/scan layer changed materially since: stats
+#      shortcut, projection pushdown rework, codec wiring) — grid/store
+#      DataSource shapes first (they sit on the changed layers), then
+#      events/pipeline/relational.
+# Deferred to round 7 (proven r1-r4, zero dependence on the changed
+# layers, trivial relational shapes): q06, q07, q08, q25.
 _PRIORITY = (
-    # 1. new this round
-    "ev08_cohort_retention q37_lateral_topn dd07_semantic_dedup ss06_sq_topk "
-    "q38_scd2_pit_join pl05_stratified_split mm05_phash_neardup "
-    "q39_bucketed_range_join gq15_filtered_store gq16_stats_aggregates "
-    "pl06_weighted_sample ts06_char_entropy dd08_incremental_dedup "
-    "q40_mode_percentile_disc ss07_knn_classify ev09_time_weighted_avg "
-    # 2. outside round 4's window
-    "q11_window_topk q13_range_join "
-    "q14_math_rmse q15_case_having_union q16_distinct_sort q17_subqueries "
-    "q18_rollup q19_count_star q20_weighted_regrid q21_udf_reproject "
-    "q23_percentiles q24_pivot q26_anti_join q28_grouping_sets "
-    "q29_window_suite q30_string_funcs q31_null_ops q32_json_extract "
-    "q33_array_funcs q34_correlated_subquery q35_unpivot "
-    "dd01_exact_dedup dd02_fingerprint_dedup dd03_ngram_jaccard "
-    "ts01_text_quality ts02_langid ss01_ann_topk ss04_ivf_ann ss03_lsh_ann "
-    "gq08_grid_regrid_weights gq09_grid_forecast_skill gq10_grid_reproject_udf "
-    "cc02_twohop_components "
-    # 3. re-prove: grid shapes over the store layer that gained codecs
-    #    and filter chains this round (gq14 most of all)
-    "gq14_zarr_roundtrip"
+    # 1. new / changed this round
+    "gq17_blosclz_bitshuffle_store ss08_knn_classify_ivf "
+    "dd07_semantic_dedup "
+    "mm01_decode_meta mm02_frame_sample mm03_feature_extract mm04_resize "
+    # 2a. grid DataSource shapes over the changed session/store layers
+    "gq01_grid_climatology gq02_grid_pruned_slice gq03_cftime_360day "
+    "gq04_nan_null_semantics gq05_grid_zonal_bands gq06_grid_anomaly_selfjoin "
+    "gq07_zorder_layout gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp "
+    # 2b. everything else outside round 5's window
+    "q01_pricing_summary q02_filter_scan q03_top_revenue q04_exists_semijoin "
+    "q05_region_volume q09_climatology_hour q10_anomaly_cte "
+    "q12_interval_join q22_parameterized q27_asof_join "
+    "q36_interval_range_frame "
+    "ev01_sessionization ev02_session_windows ev03_hourly_windows "
+    "ev04_moving_avg ev05_purchase_click_join ev06_conversion_funnel "
+    "ev07_resample_ffill "
+    "dd04_minhash_lsh dd05_simhash dd06_rolling_fingerprint "
+    "ss02_embedding_neardup ss05_kmeans_train "
+    "ts03_regex_tokens ts04_tfidf_terms ts05_repetition "
+    "pl01_training_mix pl02_hash_split pl03_decontaminate pl04_training_set "
+    "sk01_salted_agg sk02_salted_join "
+    "cc01_neardup_purge"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]

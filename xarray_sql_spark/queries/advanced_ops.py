@@ -112,13 +112,50 @@ def q37_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- dd07: semantic (embedding-cluster) dedup -------------------------------
+
+
+def semantic_dedup_k(n: int, target_cluster: int = 256) -> int:
+    """Corpus-proportional seed count: k = max(16, n // target) keeps the
+    TARGET cluster size constant as the corpus grows, bounding the
+    within-cluster O(size^2) work per task at any scale."""
+    return max(16, n // target_cluster)
+
+
+def semantic_cluster_assign(base: DataFrame, seed_rows) -> DataFrame:
+    """Nearest-seed assignment: one Arrow-batched numpy kernel per batch,
+    seeds in the closure (broadcast-dim pattern), no join, no window.
+    Sequential-over-dims accumulation reproduces DuckDB's list_distance
+    doubles exactly, so argmin ties resolve identically cross-engine."""
+    import numpy as np
+
+    S = np.stack([np.asarray(r.v, dtype=np.float64) for r in seed_rows])
+    seed_ids = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
+
+    def _assign(batches):
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy())  # (n, dim)
+            dist = np.empty((len(S), X.shape[0]))
+            for si, s in enumerate(S):
+                acc = np.zeros(X.shape[0])
+                for j in range(X.shape[1]):
+                    d = X[:, j] - s[j]
+                    acc = acc + d * d
+                dist[si] = np.sqrt(acc)
+            pdf["cluster"] = seed_ids[np.argmin(dist, axis=0)]
+            yield pdf
+
+    return base.mapInPandas(_assign, "vec_id long, v array<double>, cluster long")
+
+
 @query(
     "dd07_semantic_dedup",
     oracle="""
     WITH d AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), kk AS (
+        SELECT greatest(16, count(*) // 256) AS k FROM d
     ), seeds AS (
-        SELECT vec_id AS seed_id, v AS sv FROM d WHERE vec_id < 16
+        SELECT vec_id AS seed_id, v AS sv FROM d, kk WHERE d.vec_id < kk.k
     ), assigned AS (
         SELECT d.vec_id, d.v, s.seed_id,
                row_number() OVER (
@@ -141,21 +178,26 @@ def q37_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup-style): assign every embedding to its
-    nearest of k=16 fixed seed centroids (deterministic: the first 16
-    vectors), then run the pairwise cosine check WITHIN clusters only —
-    vectorized per cluster.
+    nearest of k seed centroids (deterministic: the first k vec_ids,
+    k = max(16, n // 256) so the TARGET cluster size stays constant as
+    the corpus grows), then run the pairwise cosine check WITHIN
+    clusters only — vectorized per cluster.
 
-    Scale: the k centroids ship in the UDF closure (the broadcast-dim
-    pattern), assignment is a narrow Arrow-batched map over the corpus
-    (no per-(vector, seed) row explosion, no window), and candidate
+    Scale: k is corpus-proportional, so per-task memory for the
+    within-cluster gram matrix stays O(target_cluster_size x dim)
+    regardless of corpus size (pinned by
+    tests/test_plans.py::test_semantic_dedup_k_scales_with_corpus).
+    The k centroids ship in the UDF closure (the broadcast-dim pattern);
+    assignment is a narrow Arrow-batched map over the corpus (no
+    per-(vector, seed) row explosion, no window), and candidate
     generation is grouped on the cluster id — the same sublinear shape
-    as the LSH dedups. The
+    as the LSH dedups. The closure broadcast holds while k*dim*8 bytes
+    fit an executor (~100k seeds at dim 768); past that, assignment
+    swaps to ss04's IVF cell-join shape with the same seed rule. The
     within-cluster check is an Arrow-batched ``applyInPandas`` doing ONE
     numpy gram-matrix per cluster instead of |pairs| x dim interpreted
-    lambda evaluations; per-task memory is O(cluster_size x dim), which
-    stays bounded because k scales with the corpus (constant target
-    cluster size). np.einsum with optimize=False sums sequentially like
-    the oracle's list_cosine_similarity, keeping the 6-dp rounding
+    lambda evaluations. np.einsum with optimize=False sums sequentially
+    like the oracle's list_cosine_similarity, keeping the 6-dp rounding
     deterministic cross-engine."""
     import numpy as np
     import pandas as pd
@@ -163,39 +205,19 @@ def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings", spread=True)
     vec = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", vec.alias("v"))
+    # constant target cluster size: k grows with the corpus. The count is
+    # a metadata-cheap parquet job, not a data read.
+    k = semantic_dedup_k(base.count())
     # k seed centroids: a bounded driver-side collect (the dimension side
     # of a broadcast, not a data-scale action), shipped in the UDF closure.
     seed_rows = sorted(
-        base.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id
+        base.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
     )
     if not seed_rows:  # degenerate corpus: no seeds -> no clusters -> no pairs
         return spark.createDataFrame(
             [], "cluster long, vec_a long, vec_b long, cosine double"
         )
-    S = np.stack([np.asarray(r.v, dtype=np.float64) for r in seed_rows])  # (k, dim)
-    seed_ids = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
-
-    def _assign(batches):
-        # Vectorized over rows, SEQUENTIAL over dims: acc += (x_j - s_j)^2
-        # left-to-right reproduces exactly the doubles the oracle's
-        # list_distance builds (and sqrt is correctly rounded on both
-        # sides), so argmin — first index wins ties, seeds sorted by
-        # seed_id — picks the identical cluster cross-engine.
-        for pdf in batches:
-            X = np.stack(pdf["v"].to_numpy())  # (n, dim)
-            dist = np.empty((len(S), X.shape[0]))
-            for si, s in enumerate(S):
-                acc = np.zeros(X.shape[0])
-                for j in range(X.shape[1]):
-                    d = X[:, j] - s[j]
-                    acc = acc + d * d
-                dist[si] = np.sqrt(acc)
-            pdf["cluster"] = seed_ids[np.argmin(dist, axis=0)]
-            yield pdf
-
-    clustered = base.mapInPandas(
-        _assign, "vec_id long, v array<double>, cluster long"
-    )
+    clustered = semantic_cluster_assign(base, seed_rows)
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -762,9 +784,10 @@ def ss07_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical shape to ss01's exact baseline — query side
     broadcasts, the corpus side stays partitioned for the dot products,
-    and only (query x k) rows shuffle into the vote count; swap the
-    scoring CTE for ss03/ss04's bucketed candidates to classify
-    sublinearly at corpus scale."""
+    and only (query x k) rows shuffle into the vote count. This exact
+    version is the oracle-grade baseline; the sublinear production
+    variant is ``ss08_knn_classify_ivf`` (same vote tail over ss04's
+    IVF-bucketed candidates)."""
     e = table(spark, sf_dir, "embeddings", spread=True)
     vec = F.col("embedding").cast("array<double>")
     withn = e.select(
@@ -793,6 +816,154 @@ def ss07_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.join(F.broadcast(q), F.col("nid") != F.col("query_id")).select(
         "query_id", "query_label", "nid", "nlabel",
         (dot / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nid")))
+    votes = (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .groupBy("query_id", "query_label", "nlabel")
+        .agg(F.count("*").alias("n"))
+    )
+    vr = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nlabel"))
+    )
+    return (
+        votes.withColumn("vr", vr)
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("query_label").cast("int"),
+            F.col("nlabel").cast("int").alias("pred_label"),
+            F.col("n").alias("votes"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --- ss08: sublinear k-NN classification (IVF candidates) -------------------
+@query(
+    "ss08_knn_classify_ivf",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 8
+    ), assign AS (
+        SELECT vec_id, label, v, cell FROM (
+            SELECT d.vec_id, d.label, d.v, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY list_cosine_similarity(d.v, cent.cv) DESC,
+                                cent.cell
+                   ) AS rnk
+            FROM d CROSS JOIN cent
+        ) WHERE rnk = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, label AS qlabel, v AS qv, cell FROM (
+            SELECT d.vec_id, d.label, d.v, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY list_cosine_similarity(d.v, cent.cv) DESC,
+                                cent.cell
+                   ) AS rnk
+            FROM d CROSS JOIN cent
+            WHERE d.vec_id < 5
+        ) WHERE rnk <= 2
+    ), scored AS (
+        SELECT p.query_id, p.qlabel, a.vec_id AS nid, a.label AS nlabel,
+               list_cosine_similarity(p.qv, a.v) AS cos
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ), top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nid
+            ) AS rk FROM scored
+        ) WHERE rk <= 10
+    ), votes AS (
+        SELECT query_id, qlabel, nlabel, count(*) AS n
+        FROM top GROUP BY query_id, qlabel, nlabel
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(qlabel AS INT) AS query_label,
+           CAST(nlabel AS INT) AS pred_label,
+           CAST(n AS BIGINT) AS votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n DESC, nlabel
+        ) AS vr FROM votes
+    ) WHERE vr = 1
+    ORDER BY query_id
+    """,
+    tags=("similarity", "classification", "pipeline"),
+)
+def ss08_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBLINEAR k-NN classification: ss07's majority-vote tail fed by
+    ss04's IVF candidate generation instead of the full-corpus scoring —
+    the production shape ss07's docstring promised. The coarse quantizer
+    (deterministic: centroids = the first 8 vectors) assigns every corpus
+    vector to a cell with one broadcast pass; each query probes its 2
+    nearest cells, and only those cells' members are scored and voted on.
+
+    Scale: the corpus never pairs with the query side — candidates come
+    from an EQUI-join on the cell id (hash-partitionable; the only
+    nested-loop join in the plan is the 8-row centroid broadcast), so
+    scoring cost is corpus/cells x nprobe per query instead of the full
+    corpus, and only (query x candidates-in-probed-cells) rows reach the
+    top-k window. Recall is approximate by construction; the oracle
+    replicates the identical algorithm, so the gate checks structure.
+    Plan pinned by tests/test_plans.py::test_knn_ivf_candidates_are_equi_join."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda ac, x: ac + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    ).select("vec_id", "label", "emb", norm("emb").alias("nrm"))
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ranked = v.join(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cell",
+        "emb",
+        "nrm",
+        (dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    wcell = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    both = ranked.withColumn("rnk", F.row_number().over(wcell))
+    assign = both.filter(F.col("rnk") == 1).select(
+        "vec_id",
+        F.col("label").alias("nlabel"),
+        "cell",
+        F.col("emb").alias("nemb"),
+        F.col("nrm").alias("nnrm"),
+    )
+    probes = both.filter((F.col("vec_id") < 5) & (F.col("rnk") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        "cell",
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("nid"),
+            "nlabel",
+            (dot("qemb", "nemb") / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
+        )
     )
     rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nid")))
     votes = (
