@@ -78,6 +78,84 @@ def test_features_shape(media):
     assert all(-1.0 <= v <= 1.0 for v in row["features"])
 
 
+def test_container_parsers_against_handcrafted_headers():
+    """Golden header bytes assembled inline from the public file-format
+    specs (independent of the library's header builders): PNG with a real
+    IHDR CRC, GIF87a, BMP with top-down (negative) height, canonical WAV.
+    A corrupted PNG CRC must raise, not return wrong dims."""
+    import struct
+    import zlib
+
+    # PNG 640x480: signature, IHDR length, type, data, crc
+    ihdr = struct.pack(">II", 640, 480) + bytes([8, 2, 0, 0, 0])
+    png = (
+        bytes([0x89]) + b"PNG\r\n" + bytes([0x1A]) + b"\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + b"BODY"
+    )
+    info = mm.parse_container(png)
+    assert (info["format"], info["width"], info["height"]) == ("png", 640, 480)
+    assert png[info["header_len"]:] == b"BODY"
+
+    corrupt = bytearray(png)
+    corrupt[20] ^= 0xFF  # flip a dim byte; stored CRC now mismatches
+    with pytest.raises(ValueError, match="CRC"):
+        mm.parse_container(bytes(corrupt))
+
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + bytes([0x91, 0, 0]) + b"X"
+    info = mm.parse_container(gif)
+    assert (info["format"], info["width"], info["height"]) == ("gif", 320, 200)
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + 3, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 800, -600, 1, 24, 0, 3, 0, 0, 0, 0)
+        + b"xyz"
+    )
+    info = mm.parse_container(bmp)
+    assert (info["format"], info["width"], info["height"]) == ("bmp", 800, 600)
+    assert bmp[info["header_len"]:] == b"xyz"
+
+    body = b"\x01\x02" * 11025
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 22050, 44100, 2, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    info = mm.parse_container(wav)
+    assert (info["format"], info["sample_rate"], info["byte_rate"]) == ("wav", 22050, 44100)
+    assert info["data_len"] == len(body)  # exactly 0.5 s of mono 16-bit
+
+    assert mm.parse_container(b"not a media file") is None
+
+
+def test_encoded_media_real_header_decode(spark):
+    """decode_media over the encoded fixture must recover the PLANTED
+    dims/rates by parsing bytes: width/height/sample_rate equal the
+    doc_id arithmetic the writer used, digest is the body's md5, and
+    n_bytes includes the header length for the planted format."""
+    enc = mm.encoded_media_table(spark, SF_SMALL)
+    decoded = {r["doc_id"]: r for r in mm.decode_media(enc).collect()}
+    src = {r["doc_id"]: r for r in enc.collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    assert len(decoded) == len(texts) > 0
+    for doc_id, r in decoded.items():
+        body = texts[doc_id].encode("utf-8")
+        assert r["digest"] == hashlib.md5(body).hexdigest() or r["media_type"] == "video"
+        if r["media_type"] == "image":
+            assert r["width"] == 160 + (doc_id * 37) % 1760
+            assert r["height"] == 90 + (doc_id * 53) % 990
+            assert r["digest"] == hashlib.md5(body).hexdigest()
+        elif r["media_type"] == "audio":
+            sr = 8000 + (doc_id * 13) % 40000
+            assert r["sample_rate"] == sr
+            assert r["duration_s"] == (len(body) * 1_000_000 // (2 * sr)) / 1e6
+        assert r["n_bytes"] == len(bytes(src[doc_id]["content"]))
+
+
 def test_resize_fits_max_side_and_preserves_aspect(spark):
     from xarray_sql_spark.operators.multimodal import media_table, resize_images
 

@@ -6,13 +6,18 @@ batched ``mapInPandas`` operators so the Python worker sees whole record
 batches (the shape a real decoder wants) and the JVM never copies payloads
 row-by-row.
 
-DECODE IS STUBBED: this container ships no image/audio libraries, so
-``_decode_payload`` first tries real decoders (PIL / soundfile) behind an
-import guard and otherwise derives a *deterministic fake* — every metadata
-field is arithmetic on ``md5(payload)``. That keeps the Spark-side plumbing
-(binary columns, Arrow batch transfer, schema contracts, partition-parallel
-decode) real and testable, and makes the whole pipeline expressible in ANSI
-SQL for the DuckDB oracle (md5 of the UTF-8 payload equals md5 of the text).
+CONTAINER HEADER DECODE IS REAL; pixel/sample decode is stubbed. PNG (IHDR,
+with CRC verification), GIF, BMP and canonical WAV headers are parsed with
+plain struct arithmetic — no native library needed — so width / height /
+sample_rate / duration come from actual planted header BYTES
+(``encoded_media_table`` writes real containers around the document bodies).
+Pixel data and codecs this container can't decode (JPEG entropy streams,
+video) keep the *deterministic fake*: metadata fields as arithmetic on
+``md5(payload)`` behind an import guard for real decoders (PIL). Either way
+the Spark-side plumbing (binary columns, Arrow batch transfer, schema
+contracts, partition-parallel decode) is real, and every field stays
+expressible in ANSI SQL for the DuckDB oracle (header fields are planted
+from doc_id arithmetic; digests are md5 of the body text).
 
 Scale notes: decode is embarrassingly parallel — no shuffle at all; the
 payload column stays columnar Arrow end-to-end and is projected away before
@@ -81,6 +86,162 @@ def _try_real_decoders() -> bool:
         return False
 
 
+# --- real container headers (public file-format specs, struct-parsed) -------
+# Planted dims/rates are doc_id arithmetic so the DuckDB oracle can
+# regenerate them WITHOUT parsing bytes; the Spark decode kernel gets them
+# ONLY by parsing the header bytes — a hash match proves the parse.
+
+PNG_HEADER_LEN = 33  # signature(8) + len(4) + 'IHDR'(4) + IHDR(13) + crc(4)
+GIF_HEADER_LEN = 13  # 'GIF89a' + logical screen descriptor
+BMP_HEADER_LEN = 54  # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
+WAV_HEADER_LEN = 44  # RIFF/WAVE + fmt(16) + data chunk header
+
+
+def png_header(width: int, height: int) -> bytes:
+    """PNG signature + IHDR chunk (PNG spec §5.2, §11.2.2): big-endian
+    dims, bit depth 8, truecolor, with the REAL CRC-32 over type+data."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", crc)
+    )
+
+
+def gif_header(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor: little-endian u16 dims."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])
+
+
+def bmp_header(width: int, height: int, body_len: int) -> bytes:
+    """BMP BITMAPFILEHEADER + BITMAPINFOHEADER: little-endian i32 dims,
+    24-bit uncompressed, pixel data offset 54."""
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", BMP_HEADER_LEN + body_len, 0, 0, BMP_HEADER_LEN)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, body_len, 2835, 2835, 0, 0
+        )
+    )
+
+
+def wav_header(sample_rate: int, body_len: int) -> bytes:
+    """Canonical RIFF/WAVE header: PCM, mono, 16-bit; byte_rate and data
+    size are consistent, so duration is derivable from the header alone."""
+    import struct
+
+    block_align = 2  # mono x 16-bit
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + body_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * block_align, block_align, 16)
+        + b"data"
+        + struct.pack("<I", body_len)
+    )
+
+
+def parse_container(payload: bytes) -> dict[str, Any] | None:
+    """Sniff + struct-parse a media container header. Returns format,
+    header_len and the typed fields the header carries, or None for
+    unrecognized payloads (callers fall back to the md5 stub). A corrupt
+    PNG IHDR CRC raises rather than yielding silently-wrong dims."""
+    import struct
+    import zlib
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        (length,) = struct.unpack(">I", payload[8:12])
+        width, height = struct.unpack(">II", payload[16:24])
+        (stored,) = struct.unpack(">I", payload[16 + length : 20 + length])
+        if zlib.crc32(payload[12 : 16 + length]) & 0xFFFFFFFF != stored:
+            raise ValueError("PNG IHDR CRC mismatch — corrupt header")
+        return {
+            "format": "png",
+            "header_len": 16 + length + 4,
+            "width": width,
+            "height": height,
+        }
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        width, height = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "header_len": GIF_HEADER_LEN, "width": width, "height": height}
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        (offset,) = struct.unpack("<I", payload[10:14])
+        width, height = struct.unpack("<ii", payload[18:26])
+        # negative height = top-down row order (still |height| rows)
+        return {"format": "bmp", "header_len": offset, "width": width, "height": abs(height)}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and payload[12:16] == b"fmt ":
+        sample_rate, byte_rate = struct.unpack("<II", payload[24:32])
+        data_len = (
+            struct.unpack("<I", payload[40:44])[0]
+            if payload[36:40] == b"data"
+            else max(len(payload) - WAV_HEADER_LEN, 0)
+        )
+        return {
+            "format": "wav",
+            "header_len": WAV_HEADER_LEN,
+            "sample_rate": sample_rate,
+            "byte_rate": byte_rate,
+            "data_len": data_len,
+        }
+    return None
+
+
+IMAGE_FORMATS = ("png", "gif", "bmp")
+
+
+def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table with REAL container headers planted around the
+    document bodies: images rotate PNG/GIF/BMP by ``(doc_id div 3) % 3``
+    with dims from doc_id arithmetic, audio gets a canonical WAV header,
+    video stays a raw payload (no trivially parseable container — it keeps
+    the md5 stub path). Construction is an Arrow-batched mapInPandas — the
+    same no-shuffle shape as the decode itself."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                doc_id = int(doc_id)
+                body = str(text).encode("utf-8")
+                mt = MEDIA_TYPES[doc_id % 3]
+                if mt == "image":
+                    w = 160 + (doc_id * 37) % 1760
+                    h = 90 + (doc_id * 53) % 990
+                    fmt = IMAGE_FORMATS[(doc_id // 3) % 3]
+                    head = (
+                        png_header(w, h)
+                        if fmt == "png"
+                        else gif_header(w, h)
+                        if fmt == "gif"
+                        else bmp_header(w, h, len(body))
+                    )
+                elif mt == "audio":
+                    sr = 8000 + (doc_id * 13) % 40000
+                    head = wav_header(sr, len(body))
+                else:
+                    head = b""
+                rows.append((doc_id, head + body, mt, source))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type", "origin"]
+            )
+
+    return d.mapInPandas(
+        _encode, "doc_id long, content binary, media_type string, origin string"
+    )
+
+
 def _fake_meta(payload: bytes, media_type: str) -> dict[str, Any]:
     """Deterministic decode stub: all fields are md5(payload) arithmetic.
 
@@ -115,17 +276,41 @@ def _fake_meta(payload: bytes, media_type: str) -> dict[str, Any]:
     return meta
 
 
+def _decode_one(payload: bytes, media_type: str) -> dict[str, Any]:
+    """Decode one payload: REAL header parse for recognized containers
+    (PNG/GIF/BMP/WAV — dims and rates come from the bytes, the digest is
+    the body's content digest after container stripping), md5-stub fake
+    for everything else (video; raw payloads)."""
+    info = parse_container(payload)
+    if info is None:
+        return _fake_meta(payload, media_type)
+    body = payload[info["header_len"] :]
+    meta: dict[str, Any] = {
+        "n_bytes": len(payload),
+        "digest": hashlib.md5(body).hexdigest(),
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "n_frames": None,
+        "duration_s": None,
+    }
+    if info["format"] in IMAGE_FORMATS:
+        meta["width"] = info["width"]
+        meta["height"] = info["height"]
+    else:  # wav: duration from the header's own data size / byte rate,
+        # in exact integer microseconds (cross-engine deterministic)
+        meta["sample_rate"] = info["sample_rate"]
+        meta["duration_s"] = (info["data_len"] * 1_000_000 // info["byte_rate"]) / 1e6
+    return meta
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one pandas DataFrame per Arrow batch in, one out.
-    Real decoders would slot in here; the per-batch loop is the contract."""
-    if _try_real_decoders():  # pragma: no cover
-        raise NotImplementedError(
-            "real media decoding is intentionally stubbed in this build; "
-            "wire PIL/ffmpeg decode into _fake_meta's slot"
-        )
+    A real pixel/sample decoder (PIL/ffmpeg) slots into _decode_one; the
+    per-batch loop is the contract."""
     for pdf in batches:
         metas = [
-            _fake_meta(bytes(c), t) for c, t in zip(pdf["content"], pdf["media_type"])
+            _decode_one(bytes(c), t) for c, t in zip(pdf["content"], pdf["media_type"])
         ]
         out = pd.DataFrame(metas)
         out.insert(0, "media_type", pdf["media_type"].values)
@@ -196,9 +381,17 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             if media_type != "image":
                 continue
-            digest = hashlib.md5(bytes(content)).hexdigest()
-            width = 160 + int(digest[0:4], 16) % 1760
-            height = 90 + int(digest[4:8], 16) % 990
+            payload = bytes(content)
+            info = parse_container(payload)
+            if info is not None and info["format"] in IMAGE_FORMATS:
+                # real dims from the container header; content digest of
+                # the body stream
+                width, height = info["width"], info["height"]
+                digest = hashlib.md5(payload[info["header_len"] :]).hexdigest()
+            else:  # raw payload: md5-stub dims (no container to parse)
+                digest = hashlib.md5(payload).hexdigest()
+                width = 160 + int(digest[0:4], 16) % 1760
+                height = 90 + int(digest[4:8], 16) % 990
             m = max(width, height)
             out_w = width * MAX_SIDE // m
             out_h = height * MAX_SIDE // m
@@ -240,24 +433,35 @@ def _hex_bigint(expr: str, start: int, length: int) -> str:
     "mm01_decode_meta",
     oracle=f"""
     WITH m AS (
-        SELECT doc_id, md5(text) AS digest, strlen(text) AS n_bytes,
-               {_MT_SQL} AS media_type
+        SELECT doc_id, md5(text) AS digest, strlen(text) AS body_n,
+               {_MT_SQL} AS media_type,
+               CAST((doc_id // 3) % 3 AS INT) AS ifmt,
+               8000 + (doc_id * 13) % 40000 AS sr
         FROM documents
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type,
-           CAST(n_bytes AS BIGINT) AS n_bytes, digest,
-           CAST(CASE WHEN media_type IN ('image', 'video')
-                THEN 160 + {_hex_bigint('digest', 1, 4)} % 1760 END AS INT) AS width,
-           CAST(CASE WHEN media_type IN ('image', 'video')
-                THEN 90 + {_hex_bigint('digest', 5, 4)} % 990 END AS INT) AS height,
-           CAST(CASE WHEN media_type = 'audio'
-                THEN 8000 + {_hex_bigint('digest', 9, 4)} % 40000 END AS INT)
-               AS sample_rate,
+           CAST(body_n + CASE WHEN media_type = 'image'
+                              THEN CASE ifmt WHEN 0 THEN {PNG_HEADER_LEN}
+                                             WHEN 1 THEN {GIF_HEADER_LEN}
+                                             ELSE {BMP_HEADER_LEN} END
+                              WHEN media_type = 'audio' THEN {WAV_HEADER_LEN}
+                              ELSE 0 END AS BIGINT) AS n_bytes,
+           digest,
+           CAST(CASE WHEN media_type = 'image' THEN 160 + (doc_id * 37) % 1760
+                     WHEN media_type = 'video'
+                     THEN 160 + {_hex_bigint('digest', 1, 4)} % 1760 END AS INT)
+               AS width,
+           CAST(CASE WHEN media_type = 'image' THEN 90 + (doc_id * 53) % 990
+                     WHEN media_type = 'video'
+                     THEN 90 + {_hex_bigint('digest', 5, 4)} % 990 END AS INT)
+               AS height,
+           CAST(CASE WHEN media_type = 'audio' THEN sr END AS INT) AS sample_rate,
            CAST(CASE WHEN media_type = 'video'
                 THEN 1 + {_hex_bigint('digest', 13, 4)} % 240 END AS INT) AS n_frames,
            CASE WHEN media_type = 'video'
                 THEN round((1 + {_hex_bigint('digest', 13, 4)} % 240) / 24.0, 6)
-                WHEN media_type = 'audio' THEN round(n_bytes / 1000.0, 6)
+                WHEN media_type = 'audio'
+                THEN CAST((body_n * 1000000) // (2 * sr) AS DOUBLE) / 1e6
            END AS duration_s
     FROM m
     """,
@@ -265,9 +469,14 @@ def _hex_bigint(expr: str, start: int, length: int) -> str:
 )
 def mm01_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode multimodal payloads to typed metadata via Arrow-batched
-    mapInPandas (stubbed decoder — see module docstring). No shuffle; the
-    binary column never leaves the scan partition."""
-    return decode_media(media_table(spark, sf_dir))
+    mapInPandas. Image/audio metadata is a REAL header parse: the fixture
+    plants actual PNG/GIF/BMP/WAV containers (dims from doc_id arithmetic)
+    and the kernel recovers width/height/sample_rate/duration by
+    struct-parsing the bytes — the oracle regenerates the planted values
+    without parsing, so a hash match proves the parse. Video keeps the
+    md5 decode stub (no parseable container). No shuffle; the binary
+    column never leaves the scan partition."""
+    return decode_media(encoded_media_table(spark, sf_dir))
 
 
 @query(
@@ -345,8 +554,8 @@ def mm03_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dims AS (
         SELECT doc_id, digest,
-               CAST(160 + {_hex_bigint('digest', 1, 4)} % 1760 AS INT) AS width,
-               CAST(90 + {_hex_bigint('digest', 5, 4)} % 990 AS INT) AS height
+               CAST(160 + (doc_id * 37) % 1760 AS INT) AS width,
+               CAST(90 + (doc_id * 53) % 990 AS INT) AS height
         FROM m
     ),
     sized AS (
@@ -363,12 +572,15 @@ def mm03_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "image", "pipeline"),
 )
 def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-fit resize of every image payload to 224² (stubbed decode —
-    dims from md5 arithmetic, resized payload as a derived digest). The
+    """Aspect-fit resize of every image payload to 224²: source dims come
+    from a REAL parse of the planted PNG/GIF/BMP headers (the oracle
+    regenerates the planted values arithmetically — a hash match proves
+    the parse); the resized payload itself is represented by a derived
+    digest (a PIL ``thumbnail`` call slots into the same kernel). The
     integer floor arithmetic is replicated exactly by the oracle; at 100 TB
     this is the no-shuffle per-partition preprocessing stage feeding vision
     training."""
-    return resize_images(media_table(spark, sf_dir))
+    return resize_images(encoded_media_table(spark, sf_dir))
 
 
 # --- mm05: perceptual-hash near-duplicate images ----------------------------
