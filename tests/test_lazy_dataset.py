@@ -117,6 +117,49 @@ def test_auto_chunks(xs):
     assert lazy.lazy_chunks["time"] % 4 == 0 or lazy.lazy_chunks["time"] == 12
 
 
+def test_auto_chunks_snap_to_source_partitions(xs, monkeypatch):
+    """Reference-parity auto chunking (ds.py:566-625): result chunk
+    boundaries must coincide with source partition boundaries — the chunk
+    is a whole multiple of the source chunk length on the absorbing dim,
+    every other chunked dim keeps its source chunk length — and the
+    multiple is the byte budget divided by one source block's bytes."""
+    import xarray_sql_spark.to_dataset as tds
+
+    time = np.arange("2020-01-01", "2020-01-25", dtype="datetime64[D]").astype(
+        "datetime64[ns]"
+    )
+    lat = np.linspace(-30, 30, 6)
+    rng = np.random.default_rng(3)
+    ds = Dataset(
+        {"temp": (("time", "lat"), rng.normal(10, 3, (24, 6)))},
+        {"time": time, "lat": lat},
+    )
+    # source grid: time in 8 partitions of 3, lat in 2 partitions of 3
+    xs.from_dataset("lz_auto", ds, chunks={"time": 3, "lat": 3})
+    # one source block = 8 B x 3 x 3 = 72 B; budget 300 B -> merge 4
+    monkeypatch.setattr(tds, "_AUTO_CHUNK_TARGET_BYTES", 300)
+    lazy = xs.sql("SELECT * FROM lz_auto").to_dataset(
+        dims=("time", "lat"), template="lz_auto", chunks="auto"
+    )
+    # time (8 partitions) is finer than lat (2): it absorbs the merge;
+    # 3 * 4 = 12 is a whole multiple of the source chunk, lat keeps 3
+    assert lazy.lazy_chunks == {"time": 12, "lat": 3}
+    # values identical to the eager path through the snapped chunks
+    eager = xs.sql("SELECT * FROM lz_auto").to_dataset(
+        dims=("time", "lat"), template="lz_auto"
+    )
+    np.testing.assert_allclose(
+        lazy.data_vars["temp"].values(), eager.data_vars["temp"].values()
+    )
+
+    # budget below one block: merge floors to 1 -> exactly the source grid
+    monkeypatch.setattr(tds, "_AUTO_CHUNK_TARGET_BYTES", 10)
+    lazy1 = xs.sql("SELECT * FROM lz_auto").to_dataset(
+        dims=("time", "lat"), template="lz_auto", chunks="auto"
+    )
+    assert lazy1.lazy_chunks == {"time": 3, "lat": 3}
+
+
 def test_lazy_typed_fill_preserves_int_dtype(xs):
     """A typed fill_value sentinel keeps int columns int on the lazy path,
     matching the eager path (reference ds.py:43-50; round-2 VERDICT item 4:

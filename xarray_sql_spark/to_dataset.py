@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame
 
 from xarray_sql_spark.dataset import Dataset, Variable
 
+# chunks="auto" byte target (the dask chunk manager's default the
+# reference inherits via dask.config "array.chunk-size"; ds.py:566-575)
+_AUTO_CHUNK_TARGET_BYTES = 128 << 20
+
 _DTYPE_BOUND_ENCODING = ("dtype", "_FillValue", "missing_value")
 
 
@@ -239,27 +243,38 @@ class XarrayDataFrame:
                 }
                 return multi or None
             if chunks == "auto":
-                # Byte-budget chunks snapped to whole source partitions
-                # (reference ds.py:566-625): grow each chunked dim in
-                # multiples of the source chunk until ~64 MiB per block.
+                # Byte-budget chunks snapped to WHOLE source partitions
+                # (reference ds.py:566-625): one source-partition block is
+                # itemsize x prod(per-dim source chunk length); merge
+                # enough whole blocks to approach the ~128 MiB target,
+                # absorbing ALL coarsening into the most finely
+                # partitioned dim while every other dim keeps its source
+                # chunk length — so no result chunk ever splits a source
+                # partition (adjacent chunks would re-read it).
                 if src is None:
                     return None
-                budget = 64 << 20
+                budget = _AUTO_CHUNK_TARGET_BYTES
                 sizes = src.sizes
+                # the source partition grid: dims absent from the chunk
+                # spec are one whole-length chunk
+                part = {d: min(src_chunks.get(d, n), n) for d, n in sizes.items()}
+                chunked = [d for d in sizes if part[d] < sizes[d]]
+                if not chunked:
+                    return None
                 itemsize = max(
                     (v.dtype.itemsize for v in src.data_vars.values()), default=8
                 )
-                cell_bytes = itemsize
-                out = {}
-                for d, c in (src_chunks or {}).items():
-                    if d not in sizes or c >= sizes[d]:
-                        continue
-                    per_block = cell_bytes * c * int(
-                        np.prod([n for dd, n in sizes.items() if dd != d])
-                    )
-                    mult = max(1, budget // max(per_block, 1))
-                    out[d] = min(int(c * mult), sizes[d])
-                return out or None
+                block_bytes = itemsize
+                for c in part.values():
+                    block_bytes *= int(c)
+                merge = max(1, budget // max(block_bytes, 1))
+                # most finely partitioned dim absorbs the merge (first
+                # wins on ties, like the reference's max())
+                primary = max(chunked, key=lambda d: -(-sizes[d] // part[d]))
+                return {
+                    d: min(part[d] * (merge if d == primary else 1), sizes[d])
+                    for d in chunked
+                }
             raise ValueError(f"unknown chunks spec {chunks!r}")
         return dict(chunks) or None
 
