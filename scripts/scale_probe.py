@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""sf0.1 -> sf1 scale probe for the heaviest operators.
+
+Sub-second sf0.1 timings can hide super-linear behavior; this probe
+materializes a 10x replica of the driver's sf0.1 parquet (ids shifted per
+replica so key cardinalities scale with the data; document text perturbed
+so dedup buckets don't degenerate into 10x exact-duplicate pile-ups) and
+runs the heaviest queries at both scales with the same noop-sink timing
+bench.py uses. Output: one JSON line with per-query medians at both
+scales, the time ratio (10.0 = perfectly linear on a fully-parallel box;
+< 10 is expected while the 32 cores are under-subscribed at sf0.1), and
+the densest stage's task count as the parallelism signal.
+
+Usage: python scripts/scale_probe.py  [SPARK_GRAFT_PROBE_REPS=3]
+The replica is cached at /tmp/xss_sf1_synth; delete it to rebuild.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
+                 "dd08_incremental_dedup", "ss04_ivf_ann", "q23_percentiles"]
+SRC_SF = "/root/testdata/sf0.1"
+DST = "/tmp/xss_sf1_synth"
+COPIES = 10
+# every table the probe queries touch
+TABLES = ("lineitem", "embeddings", "documents")
+ID_COLS = {"lineitem": "l_orderkey", "embeddings": "vec_id", "documents": "doc_id"}
+
+
+def build_replica() -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        t = pq.read_table(os.path.join(SRC_SF, f"{name}.parquet"))
+        id_col = ID_COLS[name]
+        span = pc.max(t[id_col]).as_py() + 1
+        parts = []
+        for i in range(COPIES):
+            ti = t
+            if i:
+                idx = ti.column_names.index(id_col)
+                shifted = pc.add(ti[id_col], i * span)
+                ti = ti.set_column(idx, ti.schema.field(id_col), shifted)
+                if name == "documents":
+                    # perturb content so near-dup structure scales instead
+                    # of becoming 10 exact copies of every doc
+                    tix = ti.column_names.index("text")
+                    txt = pc.binary_join_element_wise(ti["text"], f" r{i}", "")
+                    ti = ti.set_column(tix, ti.schema.field("text"), txt)
+            parts.append(ti)
+        pq.write_table(pa.concat_tables(parts), dst, row_group_size=1 << 16)
+
+
+def main() -> None:
+    build_replica()
+
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.session import get_spark
+
+    spark = get_spark("xarray-sql-spark-scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "3"))
+    st = spark.sparkContext.statusTracker()
+
+    def densest(group: str) -> int:
+        best = 0
+        for jid in st.getJobIdsForGroup(group):
+            job = st.getJobInfo(jid)
+            for sid in job.stageIds if job else []:
+                stage = st.getStageInfo(sid)
+                if stage is not None:
+                    best = max(best, stage.numTasks)
+        return best
+
+    results: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        spec = REGISTRY[name]
+        row: dict[str, float | int] = {}
+        for label, sf_dir in (("sf0.1", SRC_SF), ("sf1", DST)):
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.sparkContext._jvm.System.gc()
+            group = f"probe:{name}:{label}"
+            spark.sparkContext.setJobGroup(group, group)
+            samples = []
+            try:
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+            finally:
+                spark.sparkContext.setJobGroup("", "")
+            row[label] = round(statistics.median(samples), 3)
+            row[f"{label}_tasks"] = densest(group)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        results[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+    print(json.dumps({"metric": "scale_probe_sf01_vs_sf1", "copies": COPIES,
+                      "reps": reps, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
