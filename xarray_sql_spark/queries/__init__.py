@@ -32,10 +32,12 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      DataSource shapes first (they sit on the changed layers), then
 #      events/pipeline/relational.
 # Deferred to round 7 (proven r1-r4, zero dependence on the changed
-# layers, trivial relational shapes): q06, q07, q08, q25.
+# layers, plain-parquet relational shapes): q02, q03, q04, q06, q07,
+# q08, q25.
 _PRIORITY = (
     # 1. new / changed this round
     "gq17_blosclz_bitshuffle_store ss08_knn_classify_ivf "
+    "q41_recursive_cte_spine pl07_mixture_quotas ts07_pii_redact "
     "dd07_semantic_dedup "
     "mm01_decode_meta mm02_frame_sample mm03_feature_extract mm04_resize "
     # 2a. grid DataSource shapes over the changed session/store layers
@@ -43,7 +45,7 @@ _PRIORITY = (
     "gq04_nan_null_semantics gq05_grid_zonal_bands gq06_grid_anomaly_selfjoin "
     "gq07_zorder_layout gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp "
     # 2b. everything else outside round 5's window
-    "q01_pricing_summary q02_filter_scan q03_top_revenue q04_exists_semijoin "
+    "q01_pricing_summary "
     "q05_region_volume q09_climatology_hour q10_anomaly_cte "
     "q12_interval_join q22_parameterized q27_asof_join "
     "q36_interval_range_frame "

@@ -1,5 +1,6 @@
-"""Round-5 additions: cohort retention, LATERAL top-n, semantic dedup,
-int8 scalar-quantized similarity scoring.
+"""Round-5/6 additions: cohort retention, LATERAL top-n, semantic dedup,
+int8 scalar-quantized similarity scoring, sublinear k-NN classification,
+recursive-CTE month spine, temperature mixture quotas, PII redaction.
 
 Same conventions as :mod:`pipeline_ops`: Spark implementations stay
 JVM-side, every pairwise operation is bucketed (cluster id here plays the
@@ -1049,4 +1050,208 @@ def ev09_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("contrib") / F.sum("dw"), 6).alias("twa"),
         )
         .orderBy("user_id")
+    )
+
+
+# --- q41: recursive CTE month spine -----------------------------------------
+_Q41_SPARK = """
+WITH RECURSIVE bounds AS (
+    SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS m0,
+           CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS m1
+    FROM {orders}
+), months AS (
+    SELECT m0 AS m, m1 FROM bounds
+    UNION ALL
+    SELECT add_months(m, 1), m1 FROM months WHERE m < m1
+), mc AS (
+    SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+           COUNT(*) AS n, SUM(o_totalprice) AS rev
+    FROM {orders}
+    GROUP BY CAST(date_trunc('MONTH', o_orderdate) AS DATE)
+)
+SELECT date_format(months.m, 'yyyy-MM') AS month,
+       CAST(COALESCE(mc.n, 0) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(mc.rev, 0.0), 2) AS revenue
+FROM months LEFT JOIN mc ON mc.m = months.m
+ORDER BY month
+"""
+
+
+@query(
+    "q41_recursive_cte_spine",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+        FROM orders
+    ), months AS (
+        SELECT m0 AS m, m1 FROM bounds
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), m1 FROM months WHERE m < m1
+    ), mc AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           CAST(COALESCE(mc.n, 0) AS BIGINT) AS n_orders,
+           round(COALESCE(mc.rev, 0.0), 2) AS revenue
+    FROM months LEFT JOIN mc ON mc.m = months.m
+    ORDER BY month
+    """,
+    tags=("relational", "recursive-cte"),
+)
+def q41_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (SQL:1999 7.13, Spark 4.0+): a complete month spine
+    between the first and last order date — the reporting shape that makes
+    zero-activity months appear — generated by the recursive CTE, then a
+    LEFT JOIN against the monthly aggregate. The recursion is
+    bounded-depth (one row per month) and driver-cheap: all the data-scale
+    work stays in the one map-side-combined GROUP BY; the spine is a
+    ~hundred-row dimension that broadcasts."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q41_orders")
+    return spark.sql(_Q41_SPARK.format(orders="q41_orders"))
+
+
+# --- pl07: temperature-based mixture sampling quotas ------------------------
+@query(
+    "pl07_mixture_quotas",
+    oracle="""
+    WITH c AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS weight
+        FROM c
+    ), t AS (SELECT sum(weight) AS total_w FROM w)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, weight,
+           CAST((100000 * weight) // total_w AS BIGINT) AS quota
+    FROM w, t ORDER BY source
+    """,
+    tags=("sampling", "pipeline", "mixture"),
+)
+def pl07_mixture_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling quotas (the mC4/XLM-R alpha-
+    sampling rule, alpha = 0.5): per-source sampling weight proportional
+    to n^alpha, flattening the source distribution so low-resource
+    sources are over-sampled relative to their share. Deterministic
+    cross-engine by construction: sqrt is IEEE correctly rounded on both
+    engines, the weight is floored to integer micro-units immediately
+    (one float op, no accumulated error), and the quota split of the
+    100k-example budget is pure bigint arithmetic — no float sum whose
+    accumulation order could differ.
+
+    Scale: one map-side-combined GROUP BY over the corpus; the weight
+    and quota arithmetic runs on the |sources|-row aggregate (the
+    unpartitioned window holds only those rows — bounded, like pl06's
+    bucket-subtotal table)."""
+    counts = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = counts.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)).cast("long"),
+    )
+    w = w.withColumn("total_w", F.sum("weight").over(W.partitionBy()))
+    return (
+        w.select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "weight",
+            F.expr("(100000 * weight) DIV total_w").alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- ts07: PII detection + redaction ----------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "ts07_pii_redact",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 1 THEN text || ' contact [EMAIL] or call [PHONE]'
+                   WHEN 3 THEN text || ' from [IP]'
+                   ELSE text END AS redacted,
+               CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n_emails,
+               CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n_phones,
+               CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS n_ips
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_phones AS INT) AS n_phones,
+           CAST(n_ips AS INT) AS n_ips,
+           md5(redacted) AS redacted_digest
+    FROM m ORDER BY doc_id
+    """,
+    tags=("text", "pii", "pipeline"),
+)
+def ts07_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction, the safety-filter stage of a training
+    pipeline: regex-count and regex-replace emails, phone numbers and
+    IPv4 addresses, JVM-side (regexp_count / regexp_replace — no Python
+    in the loop, embarrassingly parallel, zero shuffle).
+
+    Differential honesty: PII spans are PLANTED into the fixture by
+    doc_id arithmetic (emails+phones into doc_id%4==1, IPs into
+    doc_id%4==3 — the base corpus contains no digits or '@', verified),
+    and the operator finds them ONLY by running the real regexes over
+    the text; the oracle regenerates counts and the redacted text from
+    the planting rule without any regex — a hash match proves detection
+    and replacement are exact (the mm01 planted-header pattern applied
+    to text)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = (
+        F.when(
+            did % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com or call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            did % 4 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 192.168."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    p = d.select("doc_id", planted.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(_PHONE_RE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(_IP_RE),
+        F.lit("[IP]"),
+    )
+    return (
+        p.select(
+            "doc_id",
+            F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+            F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+            F.regexp_count(F.col("t"), F.lit(_IP_RE)).cast("int").alias("n_ips"),
+            F.md5(redacted.cast("binary")).alias("redacted_digest"),
+        )
+        .orderBy("doc_id")
     )
