@@ -231,6 +231,31 @@ def test_semantic_dedup_groups_by_cluster(spark):
     assert "Join" not in plan, plan  # assignment is join-free end to end
 
 
+def test_mixture_quotas_single_partition_is_bounded(spark):
+    """pl07: the corpus-scale work is one partial/final hash aggregate on
+    source; the unpartitioned window may move only the |sources|-row
+    aggregate to one partition (pl06's bounded-subtotal rule). The window
+    must sit ABOVE the aggregate in the plan — never over raw rows."""
+    df = REGISTRY["pl07_mixture_quotas"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan, plan
+    # the single-partition exchange feeds the window, and its subtree
+    # contains the aggregate (bounded rows), not the parquet scan directly
+    seg = plan[plan.index("Window") :] if "Window" in plan else plan
+    assert "HashAggregate" in seg, plan
+
+
+def test_pii_redact_stays_jvm_side(spark):
+    """ts07: regex counting/replacement must be whole-stage JVM work — a
+    row-at-a-time Python UDF here would be the classic 10-100x slow
+    path. No Python eval, no shuffle at all before the final sort."""
+    df = REGISTRY["ts07_pii_redact"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # only the output sort
+
+
 def test_knn_ivf_candidates_are_equi_join(spark):
     """ss08: the full cross score is forbidden — candidates must come
     from a hash equi-join on the cell id. The only nested-loop join
