@@ -38,6 +38,19 @@ def _parquet_footer_max(sf_dir: str, name: str, col: str) -> int:
         return 0
 
 
+def _parquet_footer_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count from the parquet footer — a metadata read, no Spark
+    job. None if the footer can't be read (caller falls back to count())."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    except Exception:
+        return None
+
+
 # --- ev08: weekly cohort retention matrix -----------------------------------
 @query(
     "ev08_cohort_retention",
@@ -206,9 +219,12 @@ def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings", spread=True)
     vec = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", vec.alias("v"))
-    # constant target cluster size: k grows with the corpus. The count is
-    # a metadata-cheap parquet job, not a data read.
-    k = semantic_dedup_k(base.count())
+    # constant target cluster size: k grows with the corpus. The row count
+    # comes from the parquet footer when available (zero Spark jobs; the
+    # unfiltered table count equals metadata num_rows), else one
+    # metadata-cheap count job.
+    n = _parquet_footer_rows(sf_dir, "embeddings")
+    k = semantic_dedup_k(n if n is not None else base.count())
     # k seed centroids: a bounded driver-side collect (the dimension side
     # of a broadcast, not a data-scale action), shipped in the UDF closure.
     seed_rows = sorted(
