@@ -541,6 +541,107 @@ def test_zarr_blosc_selective_chunk_reads(tmp_path):
     assert arr.last_opened == ["1.0"]
 
 
+def _cf_store(path: str, *, calendar: str = "proleptic_gregorian") -> str:
+    """Hand-build an xarray-written-style v2 store: int32 CF time coord
+    ("hours since ..."), int16 variable packed with scale_factor /
+    add_offset and a _FillValue sentinel — the ERA5 layout."""
+    import json
+
+    os.makedirs(os.path.join(path, "time"))
+    os.makedirs(os.path.join(path, "t2m"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _arr(name, a, dims, attrs, chunks=None):
+        import itertools
+
+        chunks = list(chunks or a.shape)
+        meta = {
+            "zarr_format": 2, "shape": list(a.shape), "chunks": chunks,
+            "dtype": a.dtype.str, "compressor": None, "fill_value": 0,
+            "order": "C", "filters": None,
+        }
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims), **attrs}, f)
+        grid = [range((n + c - 1) // c) for n, c in zip(a.shape, chunks)]
+        for idx in itertools.product(*grid):
+            block = np.zeros(chunks, dtype=a.dtype)
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, n))
+                for i, c, n in zip(idx, chunks, a.shape)
+            )
+            block[tuple(slice(0, s.stop - s.start) for s in sel)] = a[sel]
+            with open(os.path.join(path, name, ".".join(map(str, idx))), "wb") as f:
+                f.write(block.tobytes())
+
+    t = np.arange(8, dtype="<i4")
+    _arr("time", t, ("time",),
+         {"units": "hours since 2001-02-03 04:00:00", "calendar": calendar})
+    # raw = round((x - offset) / scale); x = raw*scale + offset; raw 9999 = fill
+    raw = np.array([0, 100, -50, 9999, 200, 300, -100, 50], dtype="<i2")
+    _arr("t2m", raw, ("time",),
+         {"scale_factor": 0.01, "add_offset": 273.15, "_FillValue": 9999},
+         chunks=[4])
+    return path
+
+
+def test_zarr_cf_decode_time_and_mask_and_scale(tmp_path):
+    """xarray decode_cf parity on open: Gregorian-like CF time coords
+    become datetime64[us]; packed vars decode lazily (raw*scale+offset,
+    fill -> NaN) with per-block selectivity preserved."""
+    path = _cf_store(str(tmp_path / "cf.zarr"))
+    ds = open_zarr(path)
+    assert ds.coords["time"].dtype.kind == "M"
+    assert str(ds.coords["time"][0]) == "2001-02-03T04:00:00.000000"
+    assert "units" not in ds.coord_attrs.get("time", {})
+    v = ds.data_vars["t2m"]
+    assert v.dtype == np.float64
+    got = v.values()
+    want = np.array([0, 100, -50, np.nan, 200, 300, -100, 50]) * 0.01 + 273.15
+    want[3] = np.nan
+    np.testing.assert_allclose(got, want)
+    assert "scale_factor" not in v.attrs
+    # lazy + selective: a one-chunk read opens only that chunk
+    v.data.read_block((slice(0, 4),))
+    assert v.data.last_opened == ["0"]
+
+    # decode_cf=False leaves everything raw (the escape hatch)
+    raw = open_zarr(path, decode_cf=False)
+    assert raw.coords["time"].dtype.kind in "iu"
+    assert raw.data_vars["t2m"].dtype == np.int16
+
+
+def test_zarr_cf_non_gregorian_calendar_stays_int(tmp_path):
+    """Tier-2 calendars (360_day/julian — no timestamp mapping exists)
+    must NOT decode: ints + attrs survive for the session's cftime()
+    UDF handling, same split as XarraySession._apply_cf_time / gq03."""
+    path = _cf_store(str(tmp_path / "nl.zarr"), calendar="360_day")
+    ds = open_zarr(path)
+    assert ds.coords["time"].dtype.kind in "iu"
+    assert ds.coord_attrs["time"]["units"].startswith("hours since")
+
+
+def test_zarr_cf_store_backed_sql_end_to_end(spark, tmp_path):
+    """The executor re-opens store-backed tables itself, so CF decode
+    must happen at open — SQL over a store-backed registration returns
+    real timestamps and unpacked floats (this exact path returned raw
+    ints before round 6)."""
+    from xarray_sql_spark.dataset import Dataset
+    from xarray_sql_spark.xr_session import XarraySession
+
+    path = _cf_store(str(tmp_path / "sql.zarr"))
+    xs = XarraySession(spark)
+    xs.from_dataset("cfsql", Dataset.open_store(path), chunks={"time": 4}, store=path)
+    rows = xs.sql(
+        "SELECT time, t2m FROM cfsql WHERE t2m IS NOT NULL ORDER BY time LIMIT 2"
+    ).df.collect()
+    assert str(rows[0].time) == "2001-02-03 04:00:00"
+    assert abs(rows[0].t2m - 273.15) < 1e-9
+    assert abs(rows[1].t2m - 274.15) < 1e-9
+
+
 def test_zarr_v2_filter_chain_delta_and_fixedscaleoffset(tmp_path):
     """Read a v2 store whose arrays use numcodecs filters: a delta-packed
     int64 time coordinate and a fixedscaleoffset int-packed float

@@ -558,7 +558,68 @@ def _load_group_metadata(path: str) -> tuple[dict, dict[str, tuple[dict, dict]]]
     return attrs, arrays
 
 
-def open_zarr(path: str):
+class CFScaledArray:
+    """CF attribute packing decode (xarray ``mask_and_scale`` parity):
+    ``x = raw * scale_factor + add_offset`` with ``_FillValue`` /
+    ``missing_value`` sentinels masked to NaN — the ERA5-style layout
+    where the store holds int16 and the attrs carry the packing. Wraps a
+    :class:`ZarrArray` lazily: the transform runs per block read, so
+    selective reads stay selective and no decoded copy is materialized."""
+
+    def __init__(self, inner, scale, offset, fills, out_dtype=np.float64):
+        self.inner = inner
+        self.scale = scale
+        self.offset = offset
+        self.fills = tuple(fills)
+        self.dtype = np.dtype(out_dtype)
+        self.shape = inner.shape
+        self.chunks = inner.chunks
+
+    @property
+    def last_opened(self):  # read-log passthrough for pruning goldens
+        return self.inner.last_opened
+
+    def read_block(self, slices):
+        raw = self.inner.read_block(slices)
+        mask = None
+        for fv in self.fills:
+            m = raw == fv
+            mask = m if mask is None else (mask | m)
+        out = raw.astype(self.dtype) * self.dtype.type(self.scale) + self.dtype.type(
+            self.offset
+        )
+        if mask is not None and mask.any():
+            out[mask] = np.nan
+        return out
+
+    def values(self):
+        return self.read_block(tuple(slice(0, n) for n in self.shape))
+
+
+def _cf_decode_var(arr: ZarrArray, zattrs: dict):
+    """xarray ``decode_cf`` parity for attribute-packed variables: when
+    scale_factor/add_offset are present, wrap the array in the lazy
+    decode and drop the consumed attrs. Returns (array, attrs)."""
+    if "scale_factor" not in zattrs and "add_offset" not in zattrs:
+        return arr, zattrs
+    scale = float(zattrs.get("scale_factor", 1.0))
+    offset = float(zattrs.get("add_offset", 0.0))
+    fills = []
+    for key in ("_FillValue", "missing_value"):
+        if zattrs.get(key) is not None:
+            try:
+                fills.append(arr.dtype.type(zattrs[key]))
+            except (TypeError, ValueError):
+                pass
+    kept = {
+        k: v
+        for k, v in zattrs.items()
+        if k not in ("scale_factor", "add_offset", "_FillValue", "missing_value")
+    }
+    return CFScaledArray(arr, scale, offset, fills), kept
+
+
+def open_zarr(path: str, decode_cf: bool = True):
     """Open a Zarr v2 or v3 directory group as a lazy :class:`Dataset`.
 
     Coordinates (1-D arrays whose ``_ARRAY_DIMENSIONS`` / v3
@@ -567,7 +628,13 @@ def open_zarr(path: str):
     Data variables stay chunk-lazy; executors read only the chunk files
     their block overlaps (reference selective read:
     xarray_sql/reader.py:270-303).
-    """
+
+    ``decode_cf`` (default on, xarray parity — the reference reads stores
+    through ``xarray.open_zarr`` which decodes CF by default):
+    Gregorian-like integer time coordinates ("hours since ...") decode to
+    datetime64[us]; non-Gregorian calendars keep ints + attrs for the
+    ``cftime()`` UDF tier; scale_factor/add_offset-packed variables
+    decode lazily per block (:class:`CFScaledArray`)."""
     from xarray_sql_spark.dataset import Dataset, Variable
 
     if os.path.isfile(os.path.join(path, "zarr.json")):
@@ -594,7 +661,36 @@ def open_zarr(path: str):
             if zattrs:
                 coord_attrs[name] = zattrs
         else:
+            if decode_cf:
+                arr, zattrs = _cf_decode_var(arr, zattrs)
             data_vars[name] = Variable(dims, arr, zattrs)
+
+    if decode_cf:
+        # CF time decode at open (the store-backed scan re-opens on the
+        # EXECUTOR, so registration-time decoding alone would leave raw
+        # ints in the pivoted rows — this is the one place both paths
+        # share). Same tier rule as XarraySession._apply_cf_time.
+        from xarray_sql_spark.functions.cftime import (
+            decode_to_timestamps,
+            is_gregorian_like,
+        )
+
+        for name in list(coords):
+            cattrs = coord_attrs.get(name) or {}
+            units = str(cattrs.get("units", ""))
+            if "since" not in units or coords[name].dtype.kind not in "iu":
+                continue
+            cal = str(cattrs.get("calendar", "standard"))
+            try:
+                if not is_gregorian_like(cal):
+                    continue  # tier 2: ints + attrs for the cftime() UDF
+                coords[name] = decode_to_timestamps(coords[name], units, cal)
+            except ValueError:
+                continue  # unparseable units: leave raw (fail open)
+            coord_attrs[name] = {
+                k: v for k, v in cattrs.items() if k not in ("units", "calendar")
+            }
+
     ds = Dataset(data_vars, coords, attrs, extra_coords)
     ds.coord_attrs = coord_attrs
     return ds
