@@ -642,6 +642,104 @@ def test_zarr_cf_store_backed_sql_end_to_end(spark, tmp_path):
     assert abs(rows[1].t2m - 274.15) < 1e-9
 
 
+def test_zarr_vlen_utf8_handbuilt_store(tmp_path):
+    """Hand-encode the numcodecs VLenUTF8 layout (u32 count, then u32
+    length + utf8 per item) straight from the vlen.pyx spec — zlib and
+    zstd compressed chunks, multibyte codepoints, an edge chunk, and a
+    missing chunk materializing the fill."""
+    import json
+    import zlib as _zlib
+
+    from xarray_sql_spark.zarr_codecs import zstd_compress
+
+    path = str(tmp_path / "vl.zarr")
+    os.makedirs(os.path.join(path, "station"))
+    os.makedirs(os.path.join(path, "name"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def vlen(items):
+        out = len(items).to_bytes(4, "little")
+        for s in items:
+            b = s.encode("utf-8")
+            out += len(b).to_bytes(4, "little") + b
+        return out
+
+    def arr(name, shape, chunk, comp, chunk_payloads, dims):
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(
+                {"zarr_format": 2, "shape": shape, "chunks": chunk,
+                 "dtype": "|O", "compressor": comp, "fill_value": 0,
+                 "order": "C", "filters": [{"id": "vlen-utf8"}]},
+                f,
+            )
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": dims}, f)
+        for key, payload in chunk_payloads.items():
+            with open(os.path.join(path, name, key), "wb") as f:
+                f.write(payload)
+
+    stations = ["ber-tx", "okélé", "n﨑-01", "s4", "Ωmega"]
+    arr(
+        "station", [5], [3], {"id": "zlib", "level": 1},
+        {"0": _zlib.compress(vlen(stations[:3]), 1),
+         "1": _zlib.compress(vlen(stations[3:] + [""]), 1)},  # padded edge
+        ["station"],
+    )
+    # names: zstd-compressed (frame content size path), chunk 1 ABSENT
+    arr(
+        "name", [4], [2], {"id": "zstd", "level": 1},
+        {"0": zstd_compress(vlen(["alpha", "béta"]))},
+        ["station2"],
+    )
+
+    from xarray_sql_spark.zarr_store import ZarrArray
+
+    st = ZarrArray(os.path.join(path, "station"))
+    np.testing.assert_array_equal(st.values().astype(str), np.array(stations))
+    nm = ZarrArray(os.path.join(path, "name"))
+    got = nm.values()
+    assert list(got[:2]) == ["alpha", "béta"]
+    assert list(got[2:]) == ["", ""]  # absent chunk -> fill
+
+    ds = open_zarr(path)
+    assert ds.coords["station"].dtype.kind == "U"  # coord cast for bounds
+
+
+def test_zarr_vlen_roundtrip_and_sql(spark, tmp_path):
+    """Writer emits the vlen-utf8 layout for string arrays; a store-backed
+    grid table with a STRING coordinate queries end-to-end with string
+    predicates."""
+    from xarray_sql_spark.dataset import Dataset
+    from xarray_sql_spark.xr_session import XarraySession
+
+    stations = np.array(["aaa", "bbb", "ccc", "ddd", "eee", "fff"])
+    temp = np.arange(6, dtype=np.float64) * 1.5
+    labels = np.array([f"L{i}" for i in range(6)])
+    ds = Dataset(
+        {"temp": (("station",), temp), "label": (("station",), labels)},
+        {"station": stations},
+    )
+    path = write_zarr(
+        ds, str(tmp_path / "s.zarr"), chunks={"station": 4},
+        compressor={"id": "blosc", "cname": "lz4", "shuffle": 0},
+    )
+    back = open_zarr(path)
+    np.testing.assert_array_equal(back.coords["station"].astype(str), stations)
+    np.testing.assert_array_equal(
+        back.data_vars["label"].values().astype(str), labels
+    )
+
+    xs = XarraySession(spark)
+    xs.from_dataset("vlsql", Dataset.open_store(path), chunks={"station": 4}, store=path)
+    rows = xs.sql(
+        "SELECT station, temp, label FROM vlsql WHERE station >= 'ddd' "
+        "ORDER BY station"
+    ).df.collect()
+    assert [r.station for r in rows] == ["ddd", "eee", "fff"]
+    assert [r.label for r in rows] == ["L3", "L4", "L5"]
+
+
 def test_zarr_v2_filter_chain_delta_and_fixedscaleoffset(tmp_path):
     """Read a v2 store whose arrays use numcodecs filters: a delta-packed
     int64 time coordinate and a fixedscaleoffset int-packed float

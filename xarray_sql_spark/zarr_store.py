@@ -73,11 +73,13 @@ def _read_json(path: str) -> dict:
 
 def _parse_dtype(spec: Any) -> np.dtype:
     if isinstance(spec, str):
-        return np.dtype(spec)
+        return np.dtype(spec)  # incl. "|O" for vlen (object) arrays
     raise NotImplementedError(f"structured Zarr dtypes are not supported: {spec!r}")
 
 
 def _parse_fill(fill: Any, dtype: np.dtype):
+    if dtype.kind == "O":  # vlen strings: numcodecs writes fill 0 or null
+        return fill if isinstance(fill, str) else ""
     if fill is None:
         return np.datetime64("NaT") if dtype.kind == "M" else dtype.type(0)
     if isinstance(fill, str) and dtype.kind == "f":
@@ -87,10 +89,29 @@ def _parse_fill(fill: Any, dtype: np.dtype):
     return dtype.type(fill)
 
 
-def _decompress(raw: bytes, compressor: dict | None, nbytes: int) -> bytes:
+def _zstd_frame_content_size(frame: bytes) -> int | None:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1) —
+    present whenever the writer knew the full size up front, which every
+    whole-buffer Zarr chunk write does. Needed for vlen chunks whose
+    decoded size isn't derivable from the chunk shape."""
+    if len(frame) < 6 or frame[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = frame[4]
+    fcs_flag = fhd >> 6
+    single = (fhd >> 5) & 1
+    pos = 5 + (0 if single else 1) + (0, 1, 2, 4)[fhd & 3]
+    if fcs_flag == 0:
+        return frame[pos] if single else None
+    n = (2, 4, 8)[fcs_flag - 1]
+    v = int.from_bytes(frame[pos : pos + n], "little")
+    return v + 256 if fcs_flag == 1 else v
+
+
+def _decompress(raw: bytes, compressor: dict | None, nbytes: int | None) -> bytes:
     """One chunk's bytes -> raw buffer. ``nbytes`` is the chunk's known
-    decoded size (always derivable from chunk shape × itemsize), which the
-    size-requiring pyarrow codecs (zstd/lz4/snappy) need."""
+    decoded size (derivable from chunk shape × itemsize for fixed-size
+    dtypes; None for vlen chunks), which the size-requiring pyarrow
+    codecs (zstd/lz4/snappy) need."""
     if compressor is None:
         return raw
     cid = compressor.get("id")
@@ -103,6 +124,12 @@ def _decompress(raw: bytes, compressor: dict | None, nbytes: int) -> bytes:
     if cid == "blosc":
         return zarr_codecs.blosc_decompress(raw, expected_nbytes=nbytes)
     if cid == "zstd":
+        if nbytes is None:
+            nbytes = _zstd_frame_content_size(raw)
+            if nbytes is None:
+                raise NotImplementedError(
+                    "zstd-compressed vlen chunk without a frame content size"
+                )
         return zarr_codecs.zstd_decompress(raw, nbytes)
     if cid == "lz4":
         return zarr_codecs.lz4_numcodecs_decompress(raw)
@@ -135,6 +162,18 @@ def _compress(raw: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
     if cid == "lz4":
         return zarr_codecs.lz4_numcodecs_compress(raw)
     raise NotImplementedError(f"unsupported write compressor {cid!r}")
+
+
+def _vlen_encode(arr: np.ndarray) -> bytes:
+    """numcodecs VLenUTF8 encode: u32-LE item count, then per item a
+    u32-LE byte length + utf8 payload (C-order flatten)."""
+    flat = arr.reshape(-1)
+    out = bytearray(len(flat).to_bytes(4, "little"))
+    for s in flat:
+        b = ("" if s is None else str(s)).encode("utf-8")
+        out += len(b).to_bytes(4, "little")
+        out += b
+    return bytes(out)
 
 
 def _crc32c(data: bytes) -> int:
@@ -200,6 +239,7 @@ class ZarrArray:
         self.last_opened: list[str] = []
         self._shard: dict | None = None  # set by _init_v3 for sharded arrays
         self._transpose_order: list[int] | None = None  # v3 general transpose
+        self._vlen: str | None = None  # v2 vlen-utf8 object codec
         fmt = meta.get("zarr_format")
         if fmt == 2:
             self._init_v2(meta)
@@ -219,15 +259,26 @@ class ZarrArray:
         # numcodecs filter chain: real stores pack coords with delta and
         # variables with fixedscaleoffset (ERA5-style int packing). Chunk
         # bytes hold the LAST filter's output dtype; decode inverts the
-        # chain right-to-left on the flat buffer before reshape.
+        # chain right-to-left on the flat buffer before reshape. Object
+        # (string) arrays use the vlen-utf8 object codec as the sole
+        # filter (numcodecs' layout for xarray string coords/vars).
         self.filters: list[dict] = list(meta.get("filters") or [])
+        self._vlen: str | None = None
         self._storage_dtype = self.dtype
         for f in self.filters:
             fid = f.get("id")
+            if fid == "vlen-utf8":
+                if len(self.filters) != 1:
+                    raise NotImplementedError(
+                        f"{self.path}: vlen-utf8 composed with other "
+                        f"filters is not supported"
+                    )
+                self._vlen = "utf8"
+                continue
             if fid not in ("delta", "fixedscaleoffset"):
                 raise NotImplementedError(
                     f"{self.path}: Zarr filter {fid!r} is not supported "
-                    f"(delta and fixedscaleoffset are)"
+                    f"(delta, fixedscaleoffset and vlen-utf8 are)"
                 )
             self._storage_dtype = np.dtype(f.get("astype") or f.get("dtype"))
 
@@ -338,7 +389,9 @@ class ZarrArray:
             ),
         )
 
-    def _chunk_nbytes(self) -> int:
+    def _chunk_nbytes(self) -> int | None:
+        if self.dtype.kind == "O":
+            return None  # vlen chunks: size not derivable from the shape
         n = self._storage_dtype.itemsize
         for c in self.chunks:
             n *= c
@@ -348,6 +401,21 @@ class ZarrArray:
         """Decompressed chunk bytes -> typed chunk array: view as the
         storage dtype, invert the filter chain on the flat buffer (the
         layout numcodecs filters operate on), then reshape."""
+        if self._vlen is not None:
+            # numcodecs VLenUTF8 buffer: u32-LE item count, then per item
+            # u32-LE byte length + utf8 payload (vlen.pyx layout)
+            n = int.from_bytes(raw[:4], "little")
+            want = 1
+            for c in self.chunks:
+                want *= c
+            out = np.full(want, self.fill_value, dtype=object)
+            pos = 4
+            for i in range(min(n, want)):
+                ln = int.from_bytes(raw[pos : pos + 4], "little")
+                pos += 4
+                out[i] = raw[pos : pos + ln].decode("utf-8")
+                pos += ln
+            return out.reshape(self.chunks, order=self.order)
         flat = np.frombuffer(raw, dtype=self._storage_dtype)
         for f in reversed(self.filters):
             if f["id"] == "delta":
@@ -657,7 +725,10 @@ def open_zarr(path: str, decode_cf: bool = True):
         zattrs = dict(zattrs)
         dims = tuple(zattrs.pop(_ARRAY_DIMENSIONS, ()) or (f"dim_{i}" for i in range(len(arr.shape))))
         if dims == (name,) and len(arr.shape) == 1:
-            coords[name] = arr.values()
+            vals = arr.values()
+            if vals.dtype == object:  # vlen strings -> fixed U for bounds
+                vals = vals.astype(str)
+            coords[name] = vals
             if zattrs:
                 coord_attrs[name] = zattrs
         else:
@@ -956,7 +1027,14 @@ def write_zarr(
         chunk_shape = tuple(
             min((chunks or {}).get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
         )
-        meta = v2_array_meta(data.shape, chunk_shape, data.dtype, compressor)
+        # string arrays persist as the numcodecs vlen-utf8 object layout
+        # (what xarray's to_zarr writes for string coords/vars)
+        vlen = data.dtype.kind in ("U", "O")
+        meta = v2_array_meta(
+            data.shape, chunk_shape, np.dtype(object) if vlen else data.dtype, compressor
+        )
+        if vlen:
+            meta["filters"] = [{"id": "vlen-utf8"}]
         with open(os.path.join(adir, ".zarray"), "w") as f:
             json.dump(meta, f)
         zattrs = json.loads(
@@ -974,16 +1052,25 @@ def write_zarr(
             )
             block = data[sel]
             if block.shape != chunk_shape:  # pad edge chunk to full size
-                padded = np.zeros(chunk_shape, dtype=data.dtype)
+                padded = (
+                    np.full(chunk_shape, "", dtype=object)
+                    if vlen
+                    else np.zeros(chunk_shape, dtype=data.dtype)
+                )
                 padded[tuple(slice(0, s) for s in block.shape)] = block
                 block = padded
             key = ".".join(str(i) for i in idx) if idx else "0"
+            payload = (
+                _vlen_encode(block)
+                if vlen
+                else np.ascontiguousarray(block).tobytes()
+            )
             with open(os.path.join(adir, key), "wb") as f:
                 f.write(
                     _compress(
-                        np.ascontiguousarray(block).tobytes(),
+                        payload,
                         compressor,
-                        data.dtype.itemsize,
+                        1 if vlen else data.dtype.itemsize,
                     )
                 )
 
