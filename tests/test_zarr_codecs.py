@@ -706,6 +706,47 @@ def test_zarr_vlen_utf8_handbuilt_store(tmp_path):
     assert ds.coords["station"].dtype.kind == "U"  # coord cast for bounds
 
 
+def test_zarr_v3_string_data_type(tmp_path):
+    """zarr-python 3 string arrays: data_type "string" with a
+    [vlen-utf8, zstd] codec chain — hand-built, decoded via the zstd
+    frame content size (chunk shape can't size a vlen buffer)."""
+    import json
+
+    from xarray_sql_spark.zarr_codecs import zstd_compress
+    from xarray_sql_spark.zarr_store import ZarrArray
+
+    adir = str(tmp_path / "s3")
+    os.makedirs(adir)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [4],
+        "data_type": "string",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": "",
+        "codecs": [{"name": "vlen-utf8"}, {"name": "zstd", "configuration": {"level": 1}}],
+        "dimension_names": ["s"],
+    }
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+    def vlen(items):
+        out = len(items).to_bytes(4, "little")
+        for s in items:
+            b = s.encode("utf-8")
+            out += len(b).to_bytes(4, "little") + b
+        return out
+
+    os.makedirs(os.path.join(adir, "c"))
+    with open(os.path.join(adir, "c", "0"), "wb") as f:
+        f.write(zstd_compress(vlen(["päx", "q"])))
+    with open(os.path.join(adir, "c", "1"), "wb") as f:
+        f.write(zstd_compress(vlen(["rr", "ßß"])))
+    arr = ZarrArray(adir)
+    assert list(arr.values()) == ["päx", "q", "rr", "ßß"]
+
+
 def test_zarr_vlen_roundtrip_and_sql(spark, tmp_path):
     """Writer emits the vlen-utf8 layout for string arrays; a store-backed
     grid table with a STRING coordinate queries end-to-end with string
