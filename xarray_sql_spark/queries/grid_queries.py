@@ -925,6 +925,102 @@ def gq16_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gq18_cf_decoded_store",
+    oracle="""
+    WITH t AS (SELECT unnest(range(48)) AS ti),
+    s AS (SELECT unnest(range(6)) AS si),
+    cells AS (
+        SELECT TIMESTAMP '2000-01-01' + INTERVAL (t.ti) HOUR AS tm,
+               's' || lpad(CAST(s.si AS VARCHAR), 2, '0') AS station,
+               CASE WHEN (t.ti + s.si) % 7 = 0 THEN NULL
+                    ELSE ((t.ti * 6 + s.si) * 3) % 200 END AS raw
+        FROM t, s
+    )
+    SELECT station,
+           avg(raw * 0.25 + 100.0) AS avg_t2m,
+           CAST(count(raw) AS BIGINT) AS n
+    FROM cells WHERE tm >= TIMESTAMP '2000-01-01 12:00:00'
+    GROUP BY station ORDER BY station
+    """,
+    tags=("grid", "datasource", "zarr", "cf"),
+    bench=False,
+)
+def gq18_cf_decoded_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 CF-convention layer under the hash gate: the store is
+    hand-built the way xarray writes it — an int32 time coordinate with
+    CF ``units``/``calendar`` attrs, a vlen-utf8 STRING station
+    coordinate, and an int16 variable packed with
+    ``scale_factor``/``add_offset`` plus a ``_FillValue`` sentinel
+    (ERA5's layout). open_zarr must decode all three (timestamps,
+    strings, lazily-unpacked floats with fills -> NaN -> SQL NULL) for
+    the query to hash-match an oracle that regenerates the values
+    arithmetically. scale_factor 0.25 and offset 100.0 keep every
+    decoded value an exact binary fraction, so AVG's sum is exact in
+    any accumulation order and the final division is a single IEEE op —
+    bit-identical cross-engine with no rounding. The time predicate
+    prunes the first chunk via the DECODED timestamp bounds."""
+    import json
+    import os
+    import tempfile
+    import zlib
+
+    path = tempfile.mkdtemp(prefix="gq18_") + "/cf.zarr"
+    for name in ("time", "station", "t2m"):
+        os.makedirs(os.path.join(path, name))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _meta(name, shape, chunk, dtype, filters=None, attrs=None):
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(
+                {"zarr_format": 2, "shape": shape, "chunks": chunk,
+                 "dtype": dtype, "compressor": {"id": "zlib", "level": 1},
+                 "fill_value": 0, "order": "C", "filters": filters},
+                f,
+            )
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump(attrs or {}, f)
+
+    ti = np.arange(48, dtype=np.int64)
+    si = np.arange(6, dtype=np.int64)
+    _meta("time", [48], [12], "<i4",
+          attrs={"_ARRAY_DIMENSIONS": ["time"],
+                 "units": "hours since 2000-01-01", "calendar": "proleptic_gregorian"})
+    for ci in range(4):
+        with open(os.path.join(path, "time", str(ci)), "wb") as f:
+            f.write(zlib.compress(ti[ci * 12 : (ci + 1) * 12].astype("<i4").tobytes(), 1))
+
+    stations = [f"s{i:02d}" for i in range(6)]
+    _meta("station", [6], [6], "|O", filters=[{"id": "vlen-utf8"}],
+          attrs={"_ARRAY_DIMENSIONS": ["station"]})
+    body = len(stations).to_bytes(4, "little")
+    for s in stations:
+        b = s.encode()
+        body += len(b).to_bytes(4, "little") + b
+    with open(os.path.join(path, "station", "0"), "wb") as f:
+        f.write(zlib.compress(body, 1))
+
+    raw = ((ti[:, None] * 6 + si[None, :]) * 3) % 200
+    raw = np.where((ti[:, None] + si[None, :]) % 7 == 0, -32768, raw).astype("<i2")
+    _meta("t2m", [48, 6], [12, 6], "<i2",
+          attrs={"_ARRAY_DIMENSIONS": ["time", "station"],
+                 "scale_factor": 0.25, "add_offset": 100.0, "_FillValue": -32768})
+    for ci in range(4):
+        with open(os.path.join(path, "t2m", f"{ci}.0"), "wb") as f:
+            f.write(zlib.compress(raw[ci * 12 : (ci + 1) * 12].tobytes(), 1))
+
+    xs = XarraySession(spark)
+    xs.from_dataset(
+        "gq_grid18", Dataset.open_store(path), chunks={"time": 12}, store=path
+    )
+    return xs.sql(
+        "SELECT station, AVG(t2m) AS avg_t2m, COUNT(t2m) AS n FROM gq_grid18 "
+        "WHERE time >= TIMESTAMP '2000-01-01 12:00:00' "
+        "GROUP BY station ORDER BY station"
+    ).df
+
+
+@query(
     "gq17_blosclz_bitshuffle_store",
     oracle="""
     WITH cells AS (
