@@ -26,13 +26,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
-                 "dd08_incremental_dedup", "ss04_ivf_ann", "q23_percentiles"]
+                 "dd08_incremental_dedup", "ss04_ivf_ann", "q23_percentiles",
+                 "ss08_knn_classify_ivf", "dd07_semantic_dedup",
+                 "q41_recursive_cte_spine"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10
 # every table the probe queries touch
-TABLES = ("lineitem", "embeddings", "documents")
-ID_COLS = {"lineitem": "l_orderkey", "embeddings": "vec_id", "documents": "doc_id"}
+TABLES = ("lineitem", "embeddings", "documents", "orders")
+ID_COLS = {"lineitem": "l_orderkey", "embeddings": "vec_id",
+           "documents": "doc_id", "orders": "o_orderkey"}
 
 
 def build_replica() -> None:
