@@ -1135,6 +1135,73 @@ def q41_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q41_SPARK.format(orders="q41_orders"))
 
 
+# --- q42: map type + higher-order map functions -----------------------------
+@query(
+    "q42_map_funcs",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
+        FROM lineitem WHERE l_orderkey < 200
+        GROUP BY l_orderkey, l_linenumber
+    ), odd AS (
+        SELECT l_orderkey,
+               CAST(count(*) FILTER (WHERE l_linenumber % 2 = 1) AS INT)
+                   AS msize
+        FROM lines GROUP BY l_orderkey
+    )
+    SELECT CAST(li.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(li.l_linenumber AS INT) AS k,
+           li.qty * 2.0 + li.l_linenumber AS v,
+           o.msize
+    FROM lines li JOIN odd o ON o.l_orderkey = li.l_orderkey
+    WHERE li.l_linenumber % 2 = 1
+    ORDER BY l_orderkey, k
+    """,
+    tags=("relational", "map", "higher-order"),
+)
+def q42_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP type + higher-order map functions (map_from_entries /
+    map_filter / transform_values / size / explode-of-map), verified
+    against a map-free relational oracle — engines disagree on map
+    STRING formats, so the map is exploded back to flat rows before the
+    hash. Per order: line->total-quantity map (pre-aggregated: this
+    fixture repeats line numbers, and quantities are integral so the
+    sum is exact in any order), keep odd line numbers, transform
+    v -> qty*2 + k. Two partial/final shuffles on the same order key;
+    the map ops are all JVM expression work on the grouped rows."""
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_orderkey") < 200
+    )
+    lines = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("k"),
+                        F.col("qty").alias("v"),
+                    )
+                )
+            )
+        ).alias("m")
+    )
+    modd = F.map_filter(F.col("m"), lambda k, v: k % 2 == 1)
+    derived = per_order.select(
+        "l_orderkey",
+        F.transform_values(modd, lambda k, v: v * 2.0 + k).alias("m2"),
+        F.size(modd).cast("int").alias("msize"),
+    )
+    return (
+        derived.select(
+            "l_orderkey", F.explode("m2").alias("k", "v"), "msize"
+        )
+        .select("l_orderkey", F.col("k").cast("int").alias("k"), "v", "msize")
+        .orderBy("l_orderkey", "k")
+    )
+
+
 # --- pl07: temperature-based mixture sampling quotas ------------------------
 @query(
     "pl07_mixture_quotas",
