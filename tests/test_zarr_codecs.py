@@ -781,6 +781,47 @@ def test_zarr_vlen_roundtrip_and_sql(spark, tmp_path):
     assert [r.label for r in rows] == ["L3", "L4", "L5"]
 
 
+def test_string_coord_partitions_prune(spark, tmp_path):
+    """String-dim pruning (beyond the reference, which never prunes
+    string dims): an equality predicate on a string coordinate must read
+    exactly the one partition whose [min, max] bound covers it. Code-
+    point ordering is shared by Spark UTF8_BINARY, Python str and numpy
+    U, so the bounds are sound — incl. non-ASCII."""
+    import json
+
+    from xarray_sql_spark.dataset import Dataset
+    from xarray_sql_spark.xr_session import XarraySession
+
+    stations = np.array([f"st{i:02d}" for i in range(8)])
+    ds = Dataset({"temp": (("station",), np.arange(8.0))}, {"station": stations})
+    path = write_zarr(ds, str(tmp_path / "p.zarr"), chunks={"station": 2})
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    xs = XarraySession(spark)
+    xs.metadata_aggregates = False
+    xs.from_dataset(
+        "strpr", Dataset.open_store(path), chunks={"station": 2},
+        store=path, read_log_dir=log,
+    )
+    rows = xs.sql("SELECT station, temp FROM strpr WHERE station = 'st05'").df.collect()
+    assert [(r.station, r.temp) for r in rows] == [("st05", 5.0)]
+    reads = [json.load(open(os.path.join(log, f))) for f in os.listdir(log)]
+    assert [r["block"]["station"] for r in reads] == [[4, 6]]  # 1 of 4
+
+    # range predicate: two of four partitions
+    for f in os.listdir(log):
+        os.remove(os.path.join(log, f))
+    n = xs.sql(
+        "SELECT COUNT(*) AS n FROM strpr WHERE station >= 'st04'"
+    ).df.collect()[0].n
+    assert n == 4
+    reads = sorted(
+        json.load(open(os.path.join(log, f)))["block"]["station"]
+        for f in os.listdir(log)
+    )
+    assert reads == [[4, 6], [6, 8]]
+
+
 def test_zarr_v2_filter_chain_delta_and_fixedscaleoffset(tmp_path):
     """Read a v2 store whose arrays use numcodecs filters: a delta-packed
     int64 time coordinate and a fixedscaleoffset int-packed float

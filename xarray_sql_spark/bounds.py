@@ -2,9 +2,11 @@
 
 Each block carries per-dim (min, max) computed from the 1-D coordinate
 arrays alone — no data-variable reads (reference df.py:414-508,
-``partition_metadata``). String/object dims are skipped conservatively
-(never prunable, reference df.py:447-450); non-monotonic axes use true
-min/max (df.py:455-460). Bounds for unchunked dims are computed once and
+``partition_metadata``). STRING dims prune too — beyond the reference,
+which skips them (df.py:447-450): Spark's default UTF8_BINARY collation,
+Python str and numpy U all compare by code point, so block min/max
+bounds are sound for string predicates. Object dims are skipped
+conservatively; non-monotonic axes use true min/max (df.py:455-460). Bounds for unchunked dims are computed once and
 shared across every partition ("static ranges", reference reader.py:306-335)
 — at ERA5 scale (hundreds of thousands of partitions) this keeps
 registration O(#chunked-dim blocks).
@@ -40,12 +42,16 @@ def dim_bounds(coords: Mapping[str, np.ndarray], block: Mapping[str, slice]) -> 
     out: dict[str, tuple] = {}
     for d, sl in block.items():
         c = coords.get(d)
-        if c is None or c.dtype.kind in ("U", "S", "O"):
-            continue  # not prunable
+        if c is None or c.dtype.kind in ("S", "O"):
+            continue  # byte/object dims: not prunable (U strings are)
         seg = c[sl]
         if len(seg) == 0:
             continue
-        out[d] = (_canon(seg.min()), _canon(seg.max()))
+        if seg.dtype.kind == "U":  # no min/max ufunc for unicode arrays
+            vals = seg.tolist()
+            out[d] = (min(vals), max(vals))
+        else:
+            out[d] = (_canon(seg.min()), _canon(seg.max()))
     return out
 
 
