@@ -114,9 +114,7 @@ def test_zarr_roundtrip_property(case):
 
     shape, dtype, chunks, seed, fmt, shard, comp = case
     rng = np.random.default_rng(seed)
-    if dtype == "str":  # vlen-utf8 path (v2 writer layout)
-        if fmt == 3 or shard:
-            return  # writer emits vlen as v2 filters only
+    if dtype == "str":  # vlen-utf8 path (v2 filter / v3 string data type)
         words = np.array(["", "a", "päx", "long-value-1234", "ß", "xyz"])
         data = words[rng.integers(0, len(words), size=shape)]
     else:

@@ -784,6 +784,8 @@ def _v3_data_type(dtype: np.dtype):
             "name": "numpy.datetime64",
             "configuration": {"unit": unit, "scale_factor": 1},
         }
+    if dtype.kind in ("U", "O"):
+        return "string"  # variable-length, via the vlen-utf8 codec
     return dtype.name  # float64 / int64 / bool / ...
 
 
@@ -867,7 +869,13 @@ def v3_array_meta(
         # datetime fill is the NaT sentinel so sparse chunks read back
         # exactly like the v2 dialect's null fill (both -> NaT)
         "fill_value": (
-            "NaN" if dtype.kind == "f" else -(2**63) if dtype.kind == "M" else 0
+            "NaN"
+            if dtype.kind == "f"
+            else -(2**63)
+            if dtype.kind == "M"
+            else ""
+            if dtype.kind in ("U", "O")
+            else 0
         ),
         "codecs": codecs,
         "dimension_names": list(dims),
@@ -901,7 +909,13 @@ def _write_zarr_v3(
             min((chunks or {}).get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
         )
         sharded = bool(shards) and bool(data.shape) and any(d in shards for d in dims)
-        inner_codecs = v3_codec_chain(compressor, data.dtype.itemsize)
+        vlen = data.dtype.kind in ("U", "O")
+        inner_codecs = (
+            # v3 string arrays: vlen-utf8 replaces the mandatory bytes codec
+            [{"name": "vlen-utf8"}] + v3_codec_chain(compressor, 1)[1:]
+            if vlen
+            else v3_codec_chain(compressor, data.dtype.itemsize)
+        )
         if sharded:
             shard_shape = tuple(
                 min(shards.get(d, n), n) if n else 1 for d, n in zip(dims, data.shape)
@@ -935,17 +949,24 @@ def _write_zarr_v3(
         with open(os.path.join(adir, "zarr.json"), "w") as f:
             json.dump(meta, f)
         consolidated[name] = meta
-        little = data.astype(data.dtype.newbyteorder("<"), copy=False)
+        little = data if vlen else data.astype(data.dtype.newbyteorder("<"), copy=False)
 
         def encoded_block(sel: tuple, shape: tuple) -> bytes:
             block = little[sel]
             if block.shape != shape:  # pad edge chunk to full size
-                padded = np.zeros(shape, dtype=little.dtype)
+                padded = (
+                    np.full(shape, "", dtype=object)
+                    if vlen
+                    else np.zeros(shape, dtype=little.dtype)
+                )
                 padded[tuple(slice(0, s) for s in block.shape)] = block
                 block = padded
-            return _compress(
-                np.ascontiguousarray(block).tobytes(), compressor, little.dtype.itemsize
+            payload = (
+                _vlen_encode(block)
+                if vlen
+                else np.ascontiguousarray(block).tobytes()
             )
+            return _compress(payload, compressor, 1 if vlen else little.dtype.itemsize)
 
         grid = [range((n + c - 1) // c) for n, c in zip(data.shape, key_shape)]
         for idx in itertools.product(*grid) if data.shape else [()]:
