@@ -231,6 +231,16 @@ def test_semantic_dedup_groups_by_cluster(spark):
     assert "Join" not in plan, plan  # assignment is join-free end to end
 
 
+def test_rare_trigram_counts_broadcast(spark):
+    """ts08: the trigram count table (bounded by alphabet^3 at any corpus
+    size) must broadcast back to the doc-trigram stream — the corpus-
+    scale side never shuffles on the trigram key for the join."""
+    df = REGISTRY["ts08_rare_trigram_score"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
 def test_mixture_quotas_single_partition_is_bounded(spark):
     """pl07: the corpus-scale work is one partial/final hash aggregate on
     source; the unpartitioned window may move only the |sources|-row

@@ -1135,6 +1135,73 @@ def q41_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q41_SPARK.format(orders="q41_orders"))
 
 
+# --- ts08: rare-trigram quality score ---------------------------------------
+@query(
+    "ts08_rare_trigram_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 3
+    ), tri AS (
+        SELECT doc_id, substring(t, CAST(s.i AS INT), 3) AS g
+        FROM t, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) s
+    ), counts AS (
+        SELECT g, count(*) AS cnt FROM tri GROUP BY g
+    )
+    SELECT CAST(tri.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(count(*) FILTER (WHERE c.cnt < 5) AS BIGINT) AS n_rare,
+           CAST(count(*) FILTER (WHERE c.cnt < 5) AS DOUBLE) / count(*)
+               AS rare_ratio
+    FROM tri JOIN counts c ON c.g = tri.g
+    GROUP BY tri.doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def ts08_rare_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring without a model: the fraction of a
+    document's character trigrams that are RARE in the corpus (count < 5)
+    — the cheap statistical stand-in for LM-based quality filters, high
+    ratio = gibberish/noise. Integer counts and one final division keep
+    it bit-deterministic cross-engine.
+
+    Scale: the trigram count table is BOUNDED by the alphabet cubed
+    (<= ~1e6 distinct keys for printable text at ANY corpus size), so the
+    per-trigram aggregate map-side-combines into a tiny table that
+    BROADCASTS back to the exploded doc-trigram stream — the per-doc
+    rescan never shuffles on the trigram key. The only corpus-scale
+    exchange is the final per-doc aggregate."""
+    d = (
+        table(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", F.lower("text").alias("t"))
+        .filter(F.length("t") >= 3)
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 2),
+                lambda i: F.substring(F.col("t"), i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    counts = tri.groupBy("g").agg(F.count("*").alias("cnt"))
+    return (
+        tri.join(F.broadcast(counts), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum(F.when(F.col("cnt") < 5, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tri")).alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- q42: map type + higher-order map functions -----------------------------
 @query(
     "q42_map_funcs",
