@@ -188,6 +188,39 @@ def test_distributed_zarr_sink_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(back.coords["t"], t)
 
 
+@pytest.mark.parametrize("fmt,shards", [(2, None), (3, None), (3, {"station": 4})])
+def test_distributed_zarr_sink_string_columns(spark, tmp_path, fmt, shards):
+    """String DIM and string VALUE columns write through the vlen-utf8
+    layout (v2 filter / v3 string data type, sharded included) and read
+    back value-identical; string NULLs degrade to the '' fill."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    rows = [
+        (f"st{i:02d}", float(i), f"label-{i}" if i != 3 else None)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "station string, temp double, label string")
+    path = str(tmp_path / f"str{fmt}{bool(shards)}.zarr")
+    from xarray_sql_spark.operators.zarr_sink import write_zarr_distributed
+
+    stats = write_zarr_distributed(
+        df, path, dims=["station"], chunks={"station": 2},
+        zarr_format=fmt, shards=shards,
+    )
+    assert sum(stats.values()) == 8
+    back = open_zarr(path)
+    np.testing.assert_array_equal(
+        back.coords["station"].astype(str),
+        np.array([f"st{i:02d}" for i in range(8)]),
+    )
+    np.testing.assert_allclose(
+        back.data_vars["temp"].values(), np.arange(8.0)
+    )
+    labels = back.data_vars["label"].values().astype(str)
+    want = [f"label-{i}" if i != 3 else "" for i in range(8)]
+    np.testing.assert_array_equal(labels, np.array(want))
+
+
 def test_distributed_zarr_sink_sparse_cells_fill(spark, tmp_path):
     """Rows absent from the result leave fill_value cells; whole chunks with
     no rows are never written (sparse-chunk contract)."""

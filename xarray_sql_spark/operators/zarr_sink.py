@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from xarray_sql_spark.zarr_store import (
     _ARRAY_DIMENSIONS,
     _compress,
+    _vlen_encode,
     v2_array_meta,
     v3_array_meta,
     v3_codec_chain,
@@ -52,6 +53,7 @@ _SPARK_TO_NP = {
     "boolean": "|b1",
     "timestamp": "<M8[us]",
     "timestamp_ntz": "<M8[us]",
+    "string": "|O",  # vlen-utf8 layout (numcodecs object codec)
 }
 
 
@@ -197,6 +199,7 @@ def _write_persisted(
             fill = (
                 np.nan if dt.kind == "f"
                 else np.datetime64("NaT") if dt.kind == "M"
+                else "" if dt.kind == "O"
                 else 0
             )
             block = np.full(cs, fill, dtype=dt)
@@ -209,15 +212,23 @@ def _write_persisted(
                     f"non-nullable dtype {dt} but contains NULLs; fill or "
                     f"cast it to a float/timestamp type before writing"
                 )
-            block[locs] = pdf[v].to_numpy().astype(dt)
+            vals = pdf[v].to_numpy()
+            if dt.kind == "O":  # string NULLs degrade to the "" fill
+                vals = np.array(
+                    ["" if x is None else str(x) for x in vals], dtype=object
+                )
+            block[locs] = vals.astype(dt)
             fname = os.path.join(root, v, key)
             if v3:
                 os.makedirs(os.path.dirname(fname), exist_ok=True)
             if not do_shard:
+                raw = (
+                    _vlen_encode(block)
+                    if dt.kind == "O"
+                    else np.ascontiguousarray(block).tobytes()
+                )
                 with open(fname, "wb") as f:
-                    f.write(
-                        _compress(np.ascontiguousarray(block).tobytes(), comp, dt.itemsize)
-                    )
+                    f.write(_compress(raw, comp, 1 if dt.kind == "O" else dt.itemsize))
                 continue
             # one sharding_indexed file: inner chunk payloads in C order +
             # (offset, nbytes) uint64-LE index + crc32c (zarr_store dialect)
@@ -232,9 +243,12 @@ def _write_persisted(
                 sel = tuple(
                     slice(i * c, (i + 1) * c) for i, c in zip(iidx, inner_cs)
                 )
-                enc = _compress(
-                    np.ascontiguousarray(block[sel]).tobytes(), comp, dt.itemsize
+                inner_raw = (
+                    _vlen_encode(block[sel])
+                    if dt.kind == "O"
+                    else np.ascontiguousarray(block[sel]).tobytes()
                 )
+                enc = _compress(inner_raw, comp, 1 if dt.kind == "O" else dt.itemsize)
                 index[pos] = (len(payload), len(enc))
                 payload.extend(enc)
             idx_bytes = index.tobytes()
@@ -258,13 +272,19 @@ def _write_persisted(
         def _meta3(name: str, ndims: tuple[str, ...], shape: tuple[int, ...],
                    cshape: tuple[int, ...], dtype: np.dtype,
                    inner: tuple[int, ...] | None = None) -> None:
+            inner_chain = (
+                # v3 string arrays: vlen-utf8 replaces the bytes codec
+                [{"name": "vlen-utf8"}] + v3_codec_chain(comp, 1)[1:]
+                if dtype.kind == "O"
+                else v3_codec_chain(comp, dtype.itemsize)
+            )
             if inner is not None:
                 codecs = [
                     {
                         "name": "sharding_indexed",
                         "configuration": {
                             "chunk_shape": list(inner),
-                            "codecs": v3_codec_chain(comp, dtype.itemsize),
+                            "codecs": inner_chain,
                             "index_codecs": [
                                 {"name": "bytes", "configuration": {"endian": "little"}},
                                 {"name": "crc32c"},
@@ -274,7 +294,7 @@ def _write_persisted(
                     }
                 ]
             else:
-                codecs = v3_codec_chain(comp, dtype.itemsize)
+                codecs = inner_chain
             meta = v3_array_meta(shape, cshape, dtype, codecs, ndims)
             with open(os.path.join(path, name, "zarr.json"), "w") as f:
                 json.dump(meta, f)
@@ -288,16 +308,17 @@ def _write_persisted(
         for d in dims:
             os.makedirs(os.path.join(path, d), exist_ok=True)
             arr = coords[d]
-            # write as little-endian to match the declared bytes codec
-            arr_le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
-            _meta3(d, (d,), (len(arr),), (len(arr),), arr_le.dtype)
+            if arr.dtype.kind == "O":
+                _meta3(d, (d,), (len(arr),), (len(arr),), arr.dtype)
+                raw, ts = _vlen_encode(arr), 1
+            else:
+                # write as little-endian to match the declared bytes codec
+                arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+                _meta3(d, (d,), (len(arr),), (len(arr),), arr.dtype)
+                raw, ts = np.ascontiguousarray(arr).tobytes(), arr.dtype.itemsize
             os.makedirs(os.path.join(path, d, "c"), exist_ok=True)
             with open(os.path.join(path, d, "c", "0"), "wb") as f:
-                f.write(
-                    _compress(
-                        np.ascontiguousarray(arr_le).tobytes(), comp, arr_le.dtype.itemsize
-                    )
-                )
+                f.write(_compress(raw, comp, ts))
         root_doc = {
             "zarr_format": 3,
             "node_type": "group",
@@ -319,6 +340,8 @@ def _write_persisted(
     def _meta(name: str, ndims: tuple[str, ...], shape: tuple[int, ...],
               cshape: tuple[int, ...], dtype: np.dtype) -> None:
         meta = v2_array_meta(shape, cshape, dtype, compressor)
+        if dtype.kind == "O":
+            meta["filters"] = [{"id": "vlen-utf8"}]
         zattrs = {_ARRAY_DIMENSIONS: list(ndims)}
         with open(os.path.join(path, name, ".zarray"), "w") as f:
             json.dump(meta, f)
@@ -333,10 +356,16 @@ def _write_persisted(
         os.makedirs(os.path.join(path, d), exist_ok=True)
         arr = coords[d]
         _meta(d, (d,), (len(arr),), (len(arr),), arr.dtype)
+        raw = (
+            _vlen_encode(arr)
+            if arr.dtype.kind == "O"
+            else np.ascontiguousarray(arr).tobytes()
+        )
         with open(os.path.join(path, d, "0"), "wb") as f:
             f.write(
                 _compress(
-                    np.ascontiguousarray(arr).tobytes(), compressor, arr.dtype.itemsize
+                    raw, compressor,
+                    1 if arr.dtype.kind == "O" else arr.dtype.itemsize,
                 )
             )
     with open(os.path.join(path, ".zmetadata"), "w") as f:
