@@ -195,6 +195,61 @@ def test_append_refuses_filtered_arrays(tmp_path):
     assert sorted(glob.glob(os.path.join(path, "*", "*"))) == before
 
 
+def test_stream_over_cf_encoded_store(spark, tmp_path):
+    """The streaming source re-opens the store each micro-batch, so the
+    CF decode (round 6) must hold there too: a store whose time coord is
+    int32 'hours since' yields TIMESTAMP rows in the stream, and an
+    appended slab keeps decoding after the high-water mark moves."""
+    import json
+
+    path = str(tmp_path / "cfs.zarr")
+    os.makedirs(os.path.join(path, "time"))
+    os.makedirs(os.path.join(path, "temp"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _arr(name, a, dims, attrs, chunk):
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump({"zarr_format": 2, "shape": list(a.shape),
+                       "chunks": [chunk], "dtype": a.dtype.str,
+                       "compressor": None, "fill_value": 0, "order": "C",
+                       "filters": None}, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims), **attrs}, f)
+        for ci in range(-(-len(a) // chunk)):
+            block = np.zeros(chunk, dtype=a.dtype)
+            seg = a[ci * chunk : (ci + 1) * chunk]
+            block[: len(seg)] = seg
+            with open(os.path.join(path, name, str(ci)), "wb") as f:
+                f.write(block.tobytes())
+
+    t = np.arange(8, dtype="<i4")
+    _arr("time", t, ("time",),
+         {"units": "hours since 2020-06-01", "calendar": "standard"}, 4)
+    _arr("temp", np.arange(8, dtype="<f8"), ("time",), {}, 4)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_grid_stream(spark, path, chunks={"time": 4}, payload_dir=str(tmp_path))
+    _run(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes)["time"].startswith("timestamp")
+    rows = sorted((str(r.time), r.temp) for r in got.collect())
+    assert rows[0] == ("2020-06-01 00:00:00", 0.0)
+    assert len(rows) == 8
+
+    # append in the RAW encoded domain; the stream must pick up the new
+    # chunk and decode its coords identically
+    slab = Dataset(
+        {"temp": (("time",), np.arange(8, 12, dtype=np.float64))},
+        {"time": np.arange(8, 12, dtype=np.int32)},
+    )
+    append_zarr(slab, path, "time")
+    _run(read_grid_stream(spark, path, chunks={"time": 4}, payload_dir=str(tmp_path)), out, ckpt)
+    rows = sorted((str(r.time), r.temp) for r in spark.read.parquet(out).collect())
+    assert len(rows) == 12
+    assert rows[-1] == ("2020-06-01 11:00:00", 11.0)
+
+
 def test_stream_tails_appends_exactly_once(spark, tmp_path):
     path = write_zarr(_slab(0, 8), str(tmp_path / "g.zarr"), chunks={"time": 4})
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
