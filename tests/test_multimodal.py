@@ -156,6 +156,33 @@ def test_encoded_media_real_header_decode(spark):
         assert r["n_bytes"] == len(bytes(src[doc_id]["content"]))
 
 
+def test_decode_sniff_gated_by_media_type():
+    """Magic prefixes are weak: a video/raw payload whose text starts
+    with 'BM' (or any container magic) must NOT be parsed as a container
+    — the sniff is gated on the declared media_type, and a type/format
+    disagreement also falls back to the stub."""
+    text = b"BMW dealers list " + b"x" * 40  # >= 26 bytes, 'BM' prefix
+    meta = mm._decode_one(text, "video")
+    assert meta["digest"] == hashlib.md5(text).hexdigest()  # md5 stub path
+    assert meta["n_frames"] is not None
+    # an image-typed row carrying a WAV container is a disagreement too
+    wav = mm.wav_header(22050, 4) + b"abcd"
+    meta = mm._decode_one(wav, "image")
+    assert meta["digest"] == hashlib.md5(wav).hexdigest()  # stub, not parse
+
+
+def test_wav_zero_byte_rate_no_crash():
+    """A corrupt WAV header with byte_rate 0 leaves duration unknown
+    instead of dividing by zero inside the Spark task."""
+    import struct
+
+    wav = bytearray(mm.wav_header(22050, 4) + b"abcd")
+    wav[28:32] = struct.pack("<I", 0)  # byte_rate = 0
+    meta = mm._decode_one(bytes(wav), "audio")
+    assert meta["sample_rate"] == 22050
+    assert meta["duration_s"] is None
+
+
 def test_resize_fits_max_side_and_preserves_aspect(spark):
     from xarray_sql_spark.operators.multimodal import media_table, resize_images
 

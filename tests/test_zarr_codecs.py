@@ -613,6 +613,61 @@ def test_zarr_cf_decode_time_and_mask_and_scale(tmp_path):
     assert raw.data_vars["t2m"].dtype == np.int16
 
 
+def test_append_refuses_cf_decoded_slab(tmp_path):
+    """Appending a CF-DECODED slab to a CF-encoded store must refuse:
+    the slab's datetime64 time / unpacked float var would be astype-cast
+    into garbage under the store's int + units metadata. (Raw-domain
+    appends — matching dtype kinds — stay allowed.)"""
+    from xarray_sql_spark.zarr_store import append_zarr
+
+    path = _cf_store(str(tmp_path / "ap.zarr"))
+    decoded = open_zarr(path)  # time: datetime64[us]; t2m: float64
+    assert decoded.coords["time"].dtype.kind == "M"
+    from xarray_sql_spark.dataset import Dataset
+
+    slab = Dataset(
+        {"t2m": (("time",), np.array([273.15, 274.15]))},
+        {"time": decoded.coords["time"][:2] + np.timedelta64(8, "h")},
+    )
+    with pytest.raises(NotImplementedError, match="raw encoded domain"):
+        append_zarr(slab, path, "time")
+
+
+def test_zarr_cf_fill_only_masking(tmp_path):
+    """A bare _FillValue on a numeric variable (no packing attrs) still
+    masks to NaN — ints promote to float64, floats keep their dtype —
+    matching xarray's mask_and_scale."""
+    import json
+
+    path = str(tmp_path / "fo.zarr")
+    os.makedirs(os.path.join(path, "counts"))
+    os.makedirs(os.path.join(path, "temp"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _arr(name, a, attrs):
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump({"zarr_format": 2, "shape": list(a.shape),
+                       "chunks": list(a.shape), "dtype": a.dtype.str,
+                       "compressor": None, "fill_value": 0, "order": "C",
+                       "filters": None}, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": ["x"], **attrs}, f)
+        with open(os.path.join(path, name, "0"), "wb") as f:
+            f.write(a.tobytes())
+
+    _arr("counts", np.array([3, -9999, 7], dtype="<i4"), {"_FillValue": -9999})
+    _arr("temp", np.array([1.5, -9.96921e36, 2.5], dtype="<f4"),
+         {"_FillValue": -9.96921e36})
+    ds = open_zarr(path)
+    c = ds.data_vars["counts"].values()
+    assert c.dtype == np.float64
+    np.testing.assert_array_equal(c, [3.0, np.nan, 7.0])
+    t = ds.data_vars["temp"].values()
+    assert t.dtype == np.float32
+    assert np.isnan(t[1]) and t[0] == np.float32(1.5)
+
+
 def test_zarr_cf_non_gregorian_calendar_stays_int(tmp_path):
     """Tier-2 calendars (360_day/julian — no timestamp mapping exists)
     must NOT decode: ints + attrs survive for the session's cftime()

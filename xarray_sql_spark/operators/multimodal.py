@@ -13,7 +13,7 @@ sample_rate / duration come from actual planted header BYTES
 (``encoded_media_table`` writes real containers around the document bodies).
 Pixel data and codecs this container can't decode (JPEG entropy streams,
 video) keep the *deterministic fake*: metadata fields as arithmetic on
-``md5(payload)`` behind an import guard for real decoders (PIL). Either way
+``md5(payload)`` (a PIL/ffmpeg call slots into the same kernel). Either way
 the Spark-side plumbing (binary columns, Arrow batch transfer, schema
 contracts, partition-parallel decode) is real, and every field stays
 expressible in ANSI SQL for the DuckDB oracle (header fields are planted
@@ -75,15 +75,6 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         mt.alias("media_type"),
         F.col("source").alias("origin"),
     )
-
-
-def _try_real_decoders() -> bool:
-    try:  # pragma: no cover - decoders absent in this container
-        import PIL.Image  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
 
 
 # --- real container headers (public file-format specs, struct-parsed) -------
@@ -280,8 +271,15 @@ def _decode_one(payload: bytes, media_type: str) -> dict[str, Any]:
     """Decode one payload: REAL header parse for recognized containers
     (PNG/GIF/BMP/WAV — dims and rates come from the bytes, the digest is
     the body's content digest after container stripping), md5-stub fake
-    for everything else (video; raw payloads)."""
-    info = parse_container(payload)
+    for everything else (video; raw payloads). The sniff is gated on the
+    row's declared media_type: magic prefixes are weak (any text
+    starting with 'BM' resembles a BMP), so a video/raw payload must
+    never be misparsed as a container."""
+    info = parse_container(payload) if media_type in ("image", "audio") else None
+    if info is not None and (
+        (media_type == "image") != (info["format"] in IMAGE_FORMATS)
+    ):
+        info = None  # declared type and sniffed container disagree
     if info is None:
         return _fake_meta(payload, media_type)
     body = payload[info["header_len"] :]
@@ -298,9 +296,13 @@ def _decode_one(payload: bytes, media_type: str) -> dict[str, Any]:
         meta["width"] = info["width"]
         meta["height"] = info["height"]
     else:  # wav: duration from the header's own data size / byte rate,
-        # in exact integer microseconds (cross-engine deterministic)
+        # in exact integer microseconds (cross-engine deterministic);
+        # a corrupt byte_rate of 0 leaves duration unknown, not a crash
         meta["sample_rate"] = info["sample_rate"]
-        meta["duration_s"] = (info["data_len"] * 1_000_000 // info["byte_rate"]) / 1e6
+        if info["byte_rate"] > 0:
+            meta["duration_s"] = (
+                info["data_len"] * 1_000_000 // info["byte_rate"]
+            ) / 1e6
     return meta
 
 

@@ -33,12 +33,16 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      events/pipeline/relational.
 # Deferred to round 7 (proven r1-r4, zero dependence on the changed
 # layers, plain-parquet relational shapes): q02, q03, q04, q06, q07,
-# q08, q25, and q05 (gq18 — the round-6 CF-decode layer, new code —
-# takes its slot).
+# q08, q25, q05, q09 and q10 — displaced one-for-one by NEW round-6
+# code that has never had a driver row (gq18 CF decode, ts08, q42):
+# never-checked new operators outrank re-proofs of r4-green parquet
+# shapes (all eight deferred entries were also re-proven green against
+# their oracles locally this round, full 108-query sweep).
 _PRIORITY = (
     # 1. new / changed this round
     "gq17_blosclz_bitshuffle_store gq18_cf_decoded_store ss08_knn_classify_ivf "
     "q41_recursive_cte_spine pl07_mixture_quotas ts07_pii_redact "
+    "ts08_rare_trigram_score q42_map_funcs "
     "dd07_semantic_dedup "
     "mm01_decode_meta mm02_frame_sample mm03_feature_extract mm04_resize "
     # 2a. grid DataSource shapes over the changed session/store layers
@@ -47,8 +51,7 @@ _PRIORITY = (
     "gq07_zorder_layout gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp "
     # 2b. everything else outside round 5's window
     "q01_pricing_summary "
-    "q09_climatology_hour q10_anomaly_cte "
-    "q12_interval_join q22_parameterized q27_asof_join "
+        "q12_interval_join q22_parameterized q27_asof_join "
     "q36_interval_range_frame "
     "ev01_sessionization ev02_session_windows ev03_hourly_windows "
     "ev04_moving_avg ev05_purchase_click_join ev06_conversion_funnel "

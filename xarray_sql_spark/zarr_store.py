@@ -675,26 +675,35 @@ class CFScaledArray:
 
 
 def _cf_decode_var(arr: ZarrArray, zattrs: dict):
-    """xarray ``decode_cf`` parity for attribute-packed variables: when
-    scale_factor/add_offset are present, wrap the array in the lazy
-    decode and drop the consumed attrs. Returns (array, attrs)."""
-    if "scale_factor" not in zattrs and "add_offset" not in zattrs:
+    """xarray ``decode_cf`` (mask_and_scale) parity: packed variables
+    (scale_factor/add_offset) decode lazily, and a bare
+    ``_FillValue``/``missing_value`` on a NUMERIC variable still masks to
+    NaN — xarray promotes such ints to float64 — even with no packing.
+    Consumed attrs are dropped. Returns (array, attrs)."""
+    packed = "scale_factor" in zattrs or "add_offset" in zattrs
+    fills = []
+    if arr.dtype.kind in "iuf":
+        for key in ("_FillValue", "missing_value"):
+            if zattrs.get(key) is not None:
+                try:
+                    fills.append(arr.dtype.type(zattrs[key]))
+                except (TypeError, ValueError):
+                    pass
+    if not packed and not fills:
         return arr, zattrs
     scale = float(zattrs.get("scale_factor", 1.0))
     offset = float(zattrs.get("add_offset", 0.0))
-    fills = []
-    for key in ("_FillValue", "missing_value"):
-        if zattrs.get(key) is not None:
-            try:
-                fills.append(arr.dtype.type(zattrs[key]))
-            except (TypeError, ValueError):
-                pass
+    # packed or masked ints promote to float64 (xarray's rule); an
+    # unpacked float keeps its own precision, it only gains the mask
+    out_dtype = (
+        arr.dtype if (not packed and arr.dtype.kind == "f") else np.float64
+    )
     kept = {
         k: v
         for k, v in zattrs.items()
         if k not in ("scale_factor", "add_offset", "_FillValue", "missing_value")
     }
-    return CFScaledArray(arr, scale, offset, fills), kept
+    return CFScaledArray(arr, scale, offset, fills, out_dtype), kept
 
 
 def open_zarr(path: str, decode_cf: bool = True):
@@ -1142,10 +1151,12 @@ def append_zarr(slab, path: str, dim: str) -> str:
     # the coord's does — e.g. a coord stored as one full-length chunk)
     # would silently overwrite the committed trailing chunk with
     # zero-padded data at the wrong offset.
-    appended = [(dim, (dim,))] + [
-        (n, var.dims) for n, var in slab.data_vars.items() if dim in var.dims
+    appended = [(dim, (dim,), np.asarray(slab.coords[dim]).dtype)] + [
+        (n, var.dims, var.dtype)
+        for n, var in slab.data_vars.items()
+        if dim in var.dims
     ]
-    for name, dims_ in appended:
+    for name, dims_, slab_dtype in appended:
         meta = _meta(name)
         chunk_n = int(meta["chunks"][dims_.index(dim)])
         if old_n % chunk_n:
@@ -1158,6 +1169,21 @@ def append_zarr(slab, path: str, dim: str) -> str:
         if meta.get("filters"):
             raise NotImplementedError(
                 f"append to filtered array {name!r} is not supported"
+            )
+        # appends happen in the store's RAW encoded domain. A slab from a
+        # CF-decoded open (datetime64 time over an int 'hours since'
+        # coord; unpacked floats over a scale/offset-packed int16 var)
+        # would be astype-cast into garbage under CF-declaring metadata —
+        # refuse any cross-kind cast instead of wrapping silently.
+        stored = _parse_dtype(meta["dtype"])
+        if stored.kind != "O" and not np.can_cast(
+            slab_dtype, stored, casting="same_kind"
+        ):
+            raise NotImplementedError(
+                f"append to {name!r}: slab dtype {slab_dtype} does not "
+                f"same-kind-cast to the stored dtype {stored}; append in "
+                f"the store's raw encoded domain (for CF-encoded stores, "
+                f"re-open with decode_cf=False)"
             )
 
     new_metas: dict[str, dict] = {}
