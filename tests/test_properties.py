@@ -138,3 +138,72 @@ def test_zarr_roundtrip_property(case):
     else:
         assert got.dtype == np.dtype(dtype)
         np.testing.assert_array_equal(got, data)
+
+
+# --- property: pruning soundness (block_may_match never drops a match) ------
+@st.composite
+def _prune_cases(draw):
+    kind = draw(st.sampled_from(["int", "float", "str"]))
+    n = draw(st.integers(1, 40))
+    if kind == "int":
+        vals = draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n))
+        arr = np.array(vals, dtype=np.int64)
+        lit = st.integers(-60, 60)
+    elif kind == "float":
+        vals = draw(st.lists(
+            st.floats(-50, 50, allow_nan=False), min_size=n, max_size=n))
+        arr = np.array(vals, dtype=np.float64)
+        lit = st.floats(-60, 60, allow_nan=False)
+    else:
+        words = st.text(alphabet="abcßπ0", min_size=0, max_size=4)
+        vals = draw(st.lists(words, min_size=n, max_size=n))
+        arr = np.array(vals, dtype=str) if vals else np.array([], dtype="U1")
+        lit = words
+    lo = draw(st.integers(0, n - 1))
+    hi = draw(st.integers(lo + 1, n))
+    op = draw(st.sampled_from(["=", ">", ">=", "<", "<=", "in"]))
+    value = draw(st.lists(lit, min_size=1, max_size=4)) if op == "in" else draw(lit)
+    return arr, (lo, hi), op, value
+
+
+@settings(max_examples=300, deadline=None)
+@given(_prune_cases())
+def test_block_pruning_is_sound(case):
+    """The pruning contract (reference 'Inexact' filters): dropping a
+    block is only legal when NO row in it can match — for every dtype
+    the bounds support, including the round-6 string bounds. The dual
+    (keeping a non-matching block) is always allowed, so only the
+    drop direction is asserted."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+        LessThanOrEqual,
+    )
+
+    from xarray_sql_spark.bounds import block_may_match, dim_bounds
+
+    arr, (lo, hi), op, value = case
+    bounds = dim_bounds({"d": arr}, {"d": slice(lo, hi)})
+    mk = {
+        "=": lambda: EqualTo(("d",), value),
+        ">": lambda: GreaterThan(("d",), value),
+        ">=": lambda: GreaterThanOrEqual(("d",), value),
+        "<": lambda: LessThan(("d",), value),
+        "<=": lambda: LessThanOrEqual(("d",), value),
+        "in": lambda: In(("d",), tuple(value)),
+    }
+    f = mk[op]()
+    seg = arr[lo:hi].tolist()
+    if op == "=":
+        truly = any(x == value for x in seg)
+    elif op == ">":
+        truly = any(x > value for x in seg)
+    elif op == ">=":
+        truly = any(x >= value for x in seg)
+    elif op == "<":
+        truly = any(x < value for x in seg)
+    elif op == "<=":
+        truly = any(x <= value for x in seg)
+    else:
+        truly = any(x in value for x in seg)
+    if truly:
+        assert block_may_match(bounds, [f]), (bounds, op, value, seg)
