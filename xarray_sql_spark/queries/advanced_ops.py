@@ -1135,6 +1135,63 @@ def q41_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q41_SPARK.format(orders="q41_orders"))
 
 
+# --- pl08: concat-and-chunk sequence packing --------------------------------
+@query(
+    "pl08_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               length(regexp_split_to_array(trim(text), ' +')) AS n_tok
+        FROM documents WHERE length(trim(text)) > 0
+    ), packed AS (
+        SELECT source, doc_id, n_tok,
+               (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                - n_tok) // 2048 AS bin
+        FROM toks
+    )
+    SELECT source, CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM packed GROUP BY source, bin ORDER BY source, bin
+    """,
+    tags=("sampling", "packing", "pipeline"),
+)
+def pl08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard way training
+    examples are assembled from documents (concatenate in a deterministic
+    order, cut every 2048 tokens): each doc's bin is its START offset in
+    the per-source token stream divided by the context length, via a
+    running prefix sum. Whitespace token counts stand in for the BPE
+    count (ts03's regex tokenizer slots in identically).
+
+    Scale: packing is PER SOURCE (the per-shard packing real pipelines
+    do), so the prefix-sum window partitions on source — one hash
+    exchange, no global serial window (contrast pl06, which demonstrates
+    the fully-global distributed prefix sum when a single stream is
+    required). Integer arithmetic end to end."""
+    d = table(spark, sf_dir, "documents", spread=True).filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tok"),
+    )
+    packed = toks.withColumn(
+        "bin", F.expr("(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) DIV 2048")
+    )
+    return (
+        packed.groupBy("source", F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
 # --- ts08: rare-trigram quality score ---------------------------------------
 @query(
     "ts08_rare_trigram_score",
