@@ -231,6 +231,18 @@ def test_semantic_dedup_groups_by_cluster(spark):
     assert "Join" not in plan, plan  # assignment is join-free end to end
 
 
+def test_sequence_packing_single_hash_exchange(spark):
+    """pl08: the per-source prefix-sum window and the (source, bin)
+    aggregate share ONE hash exchange on source (hashpartitioning on
+    source co-locates every (source, bin) group); no global serial
+    window — the SinglePartition shape a global cumsum would force."""
+    df = REGISTRY["pl08_sequence_packing"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    hashes = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hashes) == 1 and "source" in hashes[0], plan
+
+
 def test_rare_trigram_counts_broadcast(spark):
     """ts08: the trigram count table (bounded by alphabet^3 at any corpus
     size) must broadcast back to the doc-trigram stream — the corpus-
