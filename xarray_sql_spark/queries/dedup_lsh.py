@@ -201,6 +201,119 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dd09: sketch accuracy (MinHash estimate vs exact Jaccard) ---------------
+_DD09_MAX_DOC = 60  # bounded eval subset: accuracy, not corpus-scale dedup
+
+
+def _dd09_oracle() -> str:
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
+    )
+    return f"""{_minhash_bands_cte()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.doc_id < {_DD09_MAX_DOC} AND b.doc_id < {_DD09_MAX_DOC}
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS ninter
+        FROM pairs p
+        JOIN tok ta ON ta.doc_id = p.doc_a
+        JOIN tok tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+        GROUP BY 1, 2
+    )
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+           CAST(p.doc_b AS BIGINT) AS doc_b,
+           round(({eq_terms}) / {N_PERMS}.0, 6) AS est_jaccard,
+           round(i.ninter / (za.n + zb.n - i.ninter), 6) AS exact_jaccard,
+           round(abs(({eq_terms}) / {N_PERMS}.0
+                     - i.ninter / (za.n + zb.n - i.ninter)), 6) AS abs_err
+    FROM pairs p
+    JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "dd09_sketch_accuracy",
+    oracle=_dd09_oracle(),
+    tags=("dedup", "lsh", "evaluation", "pipeline"),
+    bench=False,  # bounded eval subset, not a throughput shape
+)
+def dd09_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: for every LSH candidate pair in a
+    bounded doc subset, the MinHash Jaccard ESTIMATE (signature
+    agreement / 16) next to the EXACT distinct-token Jaccard and the
+    absolute error — the measurement a pipeline owner runs before
+    trusting a sketch config (n_perms/bands) at corpus scale. Pure
+    integer set arithmetic plus single divisions, so both engines agree
+    bit-for-bit.
+
+    Scale: this is the bounded diagnostic (like dd03) — the exact
+    intersection join is per CANDIDATE pair, so cost is |candidates| x
+    avg set size, run on a sample, never the corpus. The sketch being
+    evaluated (dd04/dd08) stays the production shape."""
+    sig, bands = _minhash_bands_df(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _DD09_MAX_DOC)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sub = bands.filter(F.col("doc_id") < _DD09_MAX_DOC)
+    a, b = sub.alias("a"), sub.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        pairs.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ninter"))
+    )
+    sa, sb_ = sig.alias("sa"), sig.alias("sb")
+    est = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    ) / float(N_PERMS)
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    exact = F.col("ninter") / (F.col("za.n") + F.col("zb.n") - F.col("ninter"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"])
+        .join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb_, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8-bit bytes; hamming <= 3 guarantees >= 1 shared byte
