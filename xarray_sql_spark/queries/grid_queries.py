@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from xarray_sql_spark.dataset import Dataset, Variable
@@ -922,6 +922,87 @@ def gq16_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t1m", "yyyy-MM-dd HH:mm:ss").alias("t1"),
         F.col("n"),
     )
+
+
+@query(
+    "gq19_grid_rolling_mean",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+        WHERE y.i < 4 AND x.i < 4
+    )
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           avg(v) OVER (PARTITION BY yi, xi ORDER BY ti
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3
+    FROM cells ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "window", "rolling"),
+    bench=False,
+)
+def gq19_grid_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``rolling(time=3).mean()`` parity through SQL: a centered-
+    trailing 3-step moving average per (y, x) cell via a ROWS window over
+    the pivoted grid — partial windows at the series head included, like
+    xarray's min_periods=1. The 16-cell slice keeps the hash output
+    bounded; exact binary-fraction values make every window sum exact,
+    so the single avg division is bit-identical cross-engine.
+
+    Scale: ONE exchange on the (y, x) partition key; each cell's time
+    series sorts independently — the parallel-by-cell shape rolling
+    reductions keep at any grid size."""
+    xs = _register(spark, "gq_grid19")
+    # hour index 0..N_T-1 from calendar fields (gq01's proven hour()
+    # path; the fixture spans Jan 1-10 so dayofyear is unambiguous)
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid19 WHERE y < 4 AND x < 4"
+    ).df
+    w = W.partitionBy("y", "x").orderBy("ti").rowsBetween(-2, 0)
+    return (
+        df.withColumn("roll3", F.avg("v").over(w))
+        .select(F.col("ti").cast("long").alias("ti"), "y", "x", "roll3")
+        .orderBy("ti", "y", "x")
+    )
+
+
+@query(
+    "gq20_grid_resample_daily",
+    oracle=f"""
+    WITH cells AS (
+        SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (t.i) HOUR AS ts,
+               y.i AS yi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )
+    SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           CAST(yi AS BIGINT) AS y,
+           avg(v) AS daily_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cells GROUP BY 1, 2 ORDER BY day, y
+    """,
+    tags=("grid", "datasource", "resample"),
+    bench=False,
+)
+def gq20_grid_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``resample(time='1D').mean()`` parity through SQL: daily
+    means per latitude band via date_trunc GROUP BY over the pivoted
+    grid — the time-bucketed downsampling every reanalysis pipeline
+    runs. Exact binary-fraction values: each day's sum over 24 x 16
+    cells is exact, one division per group. Map-side partial aggregation
+    bounds the shuffle at (days x bands) rows regardless of grid size."""
+    xs = _register(spark, "gq_grid20")
+    return xs.sql(
+        "SELECT date_format(date_trunc('DAY', time), 'yyyy-MM-dd') AS day, y, "
+        "AVG(v) AS daily_mean, COUNT(*) AS n "
+        "FROM gq_grid20 GROUP BY 1, 2 ORDER BY day, y"
+    ).df
 
 
 @query(
