@@ -1135,6 +1135,88 @@ def q41_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q41_SPARK.format(orders="q41_orders"))
 
 
+# --- ev10: first-touch attribution ------------------------------------------
+@query(
+    "ev10_first_touch_attribution",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    cand AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               epoch_us(c.ts) AS click_us, c.event_id AS click_id
+        FROM e p JOIN e c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    )
+    SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(purchase_us AS BIGINT) AS purchase_us,
+           CAST(click_us AS BIGINT) AS first_click_us,
+           CAST(click_id AS BIGINT) AS first_click_id
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY purchase_id ORDER BY click_us, click_id
+        ) AS rk FROM cand
+    ) WHERE rk = 1
+    ORDER BY purchase_id
+    """,
+    tags=("events", "attribution", "window"),
+)
+def ev10_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST click
+    in its preceding hour (ev05 finds all candidate clicks; this picks
+    the marketing-attribution winner with deterministic microsecond +
+    event_id tie-breaks — the µs domain because Spark's timestamps are
+    µs-truncated while the parquet is ns).
+
+    Scale: the candidate range join hashes on user_id (AQE turns the
+    interval predicate into a post-join filter); the per-purchase argmin
+    window partitions on purchase_id — both corpus-scale exchanges are
+    on high-cardinality keys, no serial stage."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    cand = p.join(
+        c,
+        (F.col("cuid") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("pts").alias("purchase_us"),
+        F.unix_micros("cts").alias("click_us"),
+        "click_id",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("purchase_id").orderBy("click_us", "click_id")
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_us",
+            F.col("click_us").alias("first_click_us"),
+            F.col("click_id").alias("first_click_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 # --- pl08: concat-and-chunk sequence packing --------------------------------
 @query(
     "pl08_sequence_packing",

@@ -1006,6 +1006,43 @@ def gq20_grid_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gq21_grid_coarsen",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+        WHERE t.i < 24
+    )
+    SELECT CAST(epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                 + ti * INTERVAL 1 HOUR) AS BIGINT) AS t_us,
+           CAST(yi // 2 AS BIGINT) AS yb, CAST(xi // 2 AS BIGINT) AS xb,
+           avg(v) AS coarse, CAST(count(*) AS BIGINT) AS n
+    FROM cells GROUP BY ti, yi // 2, xi // 2
+    ORDER BY t_us, yb, xb
+    """,
+    tags=("grid", "datasource", "coarsen"),
+    bench=False,
+)
+def gq21_grid_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``coarsen(y=2, x=2).mean()`` parity through SQL: 2x2
+    spatial block means via integer-division group keys — the spatial
+    downsampling step of every regridding pipeline. The time predicate
+    prunes 9 of 10 chunk partitions first (gq02's path); each 2x2 block
+    sums four exact quarters, so the /4 average is exact. Map-side
+    partial aggregation bounds the shuffle at the coarse grid size."""
+    xs = _register(spark, "gq_grid21")
+    return xs.sql(
+        "SELECT unix_micros(CAST(time AS TIMESTAMP_LTZ)) AS t_us, "
+        "y DIV 2 AS yb, x DIV 2 AS xb, AVG(v) AS coarse, COUNT(*) AS n "
+        "FROM gq_grid21 WHERE time < TIMESTAMP '2024-01-02 00:00:00' "
+        "GROUP BY time, y DIV 2, x DIV 2 ORDER BY t_us, yb, xb"
+    ).df
+
+
+@query(
     "gq18_cf_decoded_store",
     oracle="""
     WITH t AS (SELECT unnest(range(48)) AS ti),
