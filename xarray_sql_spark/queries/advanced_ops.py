@@ -1135,6 +1135,53 @@ def q41_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q41_SPARK.format(orders="q41_orders"))
 
 
+# --- q43: bag-semantics set operations ---------------------------------------
+@query(
+    "q43_set_ops_all",
+    oracle="""
+    WITH a AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+               FROM lineitem WHERE l_orderkey % 2 = 0 AND l_orderkey < 2000),
+    b AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem WHERE l_orderkey % 3 = 0 AND l_orderkey < 2000),
+    i AS (SELECT f, q FROM a INTERSECT ALL SELECT f, q FROM b),
+    e AS (SELECT f, q FROM a EXCEPT ALL SELECT f, q FROM b)
+    SELECT 'intersect_all' AS op, f, CAST(q AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS n
+    FROM i GROUP BY f, q
+    UNION ALL
+    SELECT 'except_all', f, q, CAST(count(*) AS BIGINT) FROM e GROUP BY f, q
+    ORDER BY op, f, q
+    """,
+    tags=("relational", "set-ops"),
+)
+def q43_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    duplicate multiplicities (min / difference of per-row counts), the
+    surface q25's DISTINCT set ops don't touch. Grouped counts make the
+    multiplicities themselves part of the hash. One shuffle per set op
+    (Spark plans both as aggregates over a union-with-counts)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    a = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_returnflag").alias("f"), F.col("l_quantity").cast("long").alias("q")
+    )
+    b = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        F.col("l_returnflag").alias("f"), F.col("l_quantity").cast("long").alias("q")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("f", "q")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "f", "q", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("f", "q")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "f", "q", "n")
+    )
+    return i.unionAll(e).orderBy("op", "f", "q")
+
+
 # --- ev10: first-touch attribution ------------------------------------------
 @query(
     "ev10_first_touch_attribution",

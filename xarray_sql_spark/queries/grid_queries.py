@@ -1043,6 +1043,42 @@ def gq21_grid_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gq22_grid_weighted_mean",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )
+    SELECT CAST(ti % 24 AS INT) AS h,
+           sum((yi + 1) * v) / sum(yi + 1) AS wmean,
+           CAST(sum(yi + 1) AS BIGINT) AS wsum
+    FROM cells GROUP BY ti % 24 ORDER BY h
+    """,
+    tags=("grid", "datasource", "weighted"),
+    bench=False,
+)
+def gq22_grid_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``weighted(w).mean()`` parity through SQL: an area-weighted
+    hourly mean, sum(w*v)/sum(w) per group — the latitude-weighted
+    reduction every global-mean climate diagnostic uses (real pipelines
+    weight by cos(lat); here the weights are the integer y+1 so the
+    numerator stays a sum of exact binary fractions and the one final
+    division is bit-identical cross-engine — cos() is NOT correctly-
+    rounded-guaranteed across engines, so a transcendental weight would
+    put libm-vs-JVM ulps inside the hash). Same one-exchange partial/
+    final aggregate shape as gq01."""
+    xs = _register(spark, "gq_grid22")
+    return xs.sql(
+        "SELECT hour(time) AS h, "
+        "SUM((y + 1) * v) / SUM(y + 1) AS wmean, SUM(y + 1) AS wsum "
+        "FROM gq_grid22 GROUP BY hour(time) ORDER BY h"
+    ).df.select(F.col("h").cast("int").alias("h"), "wmean", "wsum")
+
+
+@query(
     "gq18_cf_decoded_store",
     oracle="""
     WITH t AS (SELECT unnest(range(48)) AS ti),
