@@ -1135,6 +1135,45 @@ def q41_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q41_SPARK.format(orders="q41_orders"))
 
 
+# --- q44: GROUP BY CUBE ------------------------------------------------------
+@query(
+    "q44_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, flag, status
+    """,
+    tags=("relational", "cube", "grouping"),
+)
+def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 2^k grouping combinations in one pass
+    (complements q18's ROLLUP and q28's GROUPING SETS): per-(flag,
+    status), per-flag, per-status and grand-total counts with the
+    GROUPING() bitmask disambiguating real NULLs from subtotal rows.
+    One shuffle; Spark expands the cube map-side so partial aggregation
+    still bounds the exchange at (groups x 4) rows."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q44_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS flag,
+               COALESCE(l_linestatus, '<all>') AS status,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+                   AS gid,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS qty
+        FROM q44_lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, flag, status
+        """
+    )
+
+
 # --- q43: bag-semantics set operations ---------------------------------------
 @query(
     "q43_set_ops_all",
