@@ -59,6 +59,78 @@ def test_components_on_long_chain(spark):
     assert set(got.values()) == {0}
 
 
+def _mega_star_edges(n=5000):
+    # one viral cluster: hub 0 with n spokes, a chain grafted onto spoke 1
+    # (forces multi-round convergence THROUGH the hot cluster), plus a
+    # separate small component that must not be absorbed
+    return (
+        [(0, i) for i in range(1, n)]
+        + [(1, n + i) for i in range(1, 2)]
+        + [(n + 1, n + 2), (n + 2, n + 3)]
+        + [(70000, 70001)]
+    )
+
+
+def test_components_mega_cluster_hot_path_correct(spark):
+    edges = _mega_star_edges()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # hot_threshold 500 << hub degree 5000: hub and the viral component
+    # label both route through the broadcast hot path
+    got = {
+        r["id"]: r["comp"]
+        for r in cc.connected_components(df, hot_threshold=500).collect()
+    }
+    assert got == _min_labels(edges)
+
+
+def test_components_hot_and_cold_paths_agree(spark):
+    edges = _mega_star_edges(1200)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hot = {
+        r["id"]: r["comp"]
+        for r in cc.connected_components(df, hot_threshold=100).collect()
+    }
+    cold = {
+        r["id"]: r["comp"]
+        for r in cc.connected_components(df, hot_threshold=1 << 40).collect()
+    }
+    assert hot == cold == _min_labels(edges)
+
+
+def test_hot_key_routing_bounds_cold_side(spark):
+    # The scale property under test: after hot keys are routed to the
+    # broadcast path, NO remaining join key exceeds the threshold — i.e.
+    # the shuffle join's densest reducer is bounded by hot_threshold, so
+    # the densest stage stays multi-task at any cluster size.
+    edges = _mega_star_edges()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sym = df.selectExpr("src", "dst").union(df.selectExpr("dst AS src", "src AS dst"))
+    hot = cc._hot_keys(sym.groupBy("dst").count(), "dst", 500)
+    assert 0 in hot  # the hub was detected
+    cold_max = (
+        sym.filter(~F.col("dst").isin(hot))
+        .groupBy("dst")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert cold_max < 500
+
+
+def test_hot_lookup_plan_broadcasts(spark):
+    # hot keys must resolve via BroadcastHashJoin (rows stay put), never a
+    # shuffle keyed on the hot value
+    edges = [(0, i) for i in range(1, 2000)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sym = df.selectExpr("src", "dst").union(df.selectExpr("dst AS src", "src AS dst"))
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    out = cc._lookup_min(sym, "dst", labels, "src", [0])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_purge_assignment_matches_union_find(spark):
     pairs = dd04_minhash_lsh(spark, SF_MED).select("doc_a", "doc_b").collect()
     edges = [(r["doc_a"], r["doc_b"]) for r in pairs]
