@@ -67,6 +67,35 @@ def _np_dtype(spark_type: str, col: str) -> np.dtype:
         ) from None
 
 
+# Axis guard: axes are driver-resident by contract (same as the
+# reference's coords), but "bounded by axis length" must stay bounded —
+# 2^24 values × 8 B ≈ 134 MB is already generous for a coordinate axis;
+# past that the caller should chunk the dim itself.
+MAX_AXIS_LEN = 1 << 24
+
+
+def _collect_axes(
+    df: DataFrame, dims: Sequence[str], dim_dtypes: Mapping[str, np.dtype]
+) -> dict[str, np.ndarray]:
+    """One distinct+sort per dim, fetched as Arrow batches (no py4j row
+    objects) with a hard length guard — the LIMIT bounds driver memory
+    BEFORE materialization, so an accidentally-huge axis fails fast
+    instead of OOMing the driver."""
+    coords: dict[str, np.ndarray] = {}
+    for d in dims:
+        tbl = df.select(d).distinct().orderBy(d).limit(MAX_AXIS_LEN + 1).toArrow()
+        if tbl.num_rows > MAX_AXIS_LEN:
+            raise ValueError(
+                f"write_zarr_distributed: dim {d!r} has more than "
+                f"{MAX_AXIS_LEN} distinct values — not a coordinate axis; "
+                f"chunk the dim or aggregate before writing"
+            )
+        coords[d] = (
+            tbl.column(0).to_pandas().to_numpy().astype(dim_dtypes[d])
+        )
+    return coords
+
+
 def write_zarr_distributed(
     df: DataFrame,
     path: str,
@@ -75,6 +104,7 @@ def write_zarr_distributed(
     compressor: dict | None = {"id": "zlib", "level": 1},
     zarr_format: int = 2,
     shards: Mapping[str, int] | None = None,
+    coords: Mapping[str, np.ndarray] | None = None,
 ) -> dict[str, int]:
     """Write ``df`` (dim columns + value columns) as a chunked Zarr v2 (or
     v3) group with executor-parallel chunk writes. Returns
@@ -89,6 +119,12 @@ def write_zarr_distributed(
     sharding_indexed file — inner chunk payloads + crc32c-checked binary
     index — giving the few-big-files layout object stores want while the
     reader keeps sub-shard range reads.
+
+    ``coords`` (optional) supplies the per-dim axis arrays directly —
+    callers that already KNOW the axes (a pure scan of a registered grid:
+    ``to_zarr_distributed`` passes the source's coords) skip the per-dim
+    distinct jobs entirely; values must be sorted ascending and cover
+    every row's dim value (cells outside stay at fill).
     """
     if shards and zarr_format != 3:
         raise ValueError("shards requires zarr_format=3")
@@ -100,6 +136,18 @@ def write_zarr_distributed(
     dtypes = {v: _np_dtype(spark_types[v], v) for v in var_cols}
     dim_dtypes = {d: _np_dtype(spark_types[d], d) for d in dims}
 
+    if coords is not None:
+        missing = [d for d in dims if d not in coords]
+        if missing:
+            raise ValueError(f"coords missing dims {missing}")
+        axes = {d: np.asarray(coords[d]).astype(dim_dtypes[d]) for d in dims}
+        # axes known → the plan runs exactly once (the chunk write); no
+        # persist needed
+        return _write_persisted(
+            df, path, dims, chunks, compressor, zarr_format, var_cols, dtypes,
+            dim_dtypes, shards, axes,
+        )
+
     # The plan is consumed N_dims+1 times (one distinct per dim + the chunk
     # write); persist so an expensive upstream query computes once, not
     # once per consumer. Released in the finally below.
@@ -107,7 +155,7 @@ def write_zarr_distributed(
     try:
         return _write_persisted(
             df, path, dims, chunks, compressor, zarr_format, var_cols, dtypes,
-            dim_dtypes, shards,
+            dim_dtypes, shards, None,
         )
     finally:
         df.unpersist()
@@ -124,13 +172,11 @@ def _write_persisted(
     dtypes: dict,
     dim_dtypes: dict,
     shards: Mapping[str, int] | None = None,
+    axes: dict | None = None,
 ) -> dict[str, int]:
-    # 1) axes (small): one distinct+sort per dim
-    coords = {
-        d: np.array([r[0] for r in df.select(d).distinct().orderBy(d).collect()])
-        .astype(dim_dtypes[d])
-        for d in dims
-    }
+    # 1) axes (small): caller-supplied, else one Arrow-fetched
+    #    distinct+sort per dim (bounded by MAX_AXIS_LEN)
+    coords = axes if axes is not None else _collect_axes(df, dims, dim_dtypes)
     sizes = {d: len(coords[d]) for d in dims}
     if any(sizes[d] == 0 for d in dims):
         raise ValueError("empty result: nothing to write")

@@ -209,11 +209,26 @@ class XarrayDataFrame:
         rows shuffle once on their chunk (or shard) key and every file is
         written from the executor holding it; the driver handles only axes
         + metadata (see :mod:`xarray_sql_spark.operators.zarr_sink`).
-        Returns {chunk_key: rows_written}."""
+
+        When the plan is provably a pure scan of a registered grid (A12
+        detection), the axes come straight from the source's coord
+        metadata — ZERO extra jobs, no per-dim distinct — so a 100×-longer
+        time axis costs the driver nothing; otherwise the sink fetches
+        axes itself (Arrow batches, length-guarded). Returns
+        {chunk_key: rows_written}."""
         from xarray_sql_spark.operators.zarr_sink import write_zarr_distributed
 
+        coords = None
+        name, src = self._source_dataset()
+        if (
+            src is not None
+            and self._is_pure_scan()
+            and all(d in src.coords for d in dims)
+        ):
+            coords = {d: np.asarray(src.coords[d]) for d in dims}
         return write_zarr_distributed(
-            self._df, path, dims, chunks, compressor, zarr_format, shards
+            self._df, path, dims, chunks, compressor, zarr_format, shards,
+            coords=coords,
         )
 
     # -- lazy path (A11/A12/A14) ---------------------------------------
