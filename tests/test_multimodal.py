@@ -193,3 +193,55 @@ def test_resize_fits_max_side_and_preserves_aspect(spark):
     for r in out.itertuples():
         assert r.out_w == r.width * 224 // max(r.width, r.height)
         assert r.out_h == r.height * 224 // max(r.width, r.height)
+
+
+def test_jpeg_sof_marker_scan():
+    """JPEG dims come from a marker SCAN (ITU T.81), not a fixed offset:
+    a COM segment before a progressive SOF2 must not break the parse, and
+    header_len must land exactly at the end of the SOF segment."""
+    import struct
+
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 7) + b"comment"
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 1080, 1920, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    jpg = b"\xff\xd8" + com + sof2 + b"BODY"
+    info = mm.parse_container(jpg)
+    assert (info["format"], info["width"], info["height"]) == ("jpeg", 1920, 1080)
+    assert jpg[info["header_len"]:] == b"BODY"
+
+    # the library's own planted header parses to the planted dims
+    planted = mm.jpeg_header(640, 360) + b"tail"
+    info = mm.parse_container(planted)
+    assert (info["width"], info["height"]) == (640, 360)
+    assert len(mm.jpeg_header(640, 360)) == mm.JPEG_HEADER_LEN
+    assert planted[info["header_len"]:] == b"tail"
+
+    # SOS before any SOF is malformed -> None, not a crash
+    sos = b"\xff\xda" + struct.pack(">H", 2)
+    assert mm.parse_container(b"\xff\xd8" + sos) is None
+
+
+def test_truncated_magic_prefixes_return_none():
+    """A payload matching a container magic but too short for the header
+    must fall back to the md5 stub (return None), never crash the whole
+    mapInPandas task (round-6 ADVICE)."""
+    truncs = [
+        b"\x89PNG\r\n\x1a\n",                      # PNG sig only
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR\x01",  # partial IHDR
+        b"GIF89a\x40\x01",                          # partial screen desc
+        b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00",    # fmt chunk cut short
+        b"\xff\xd8\xff\xe0\x00",                    # JPEG APP0 cut at len
+        b"\xff\xd8\xff",                            # bare SOI + half marker
+        b"BM\x00",                                  # BMP under 26 bytes
+    ]
+    for t in truncs:
+        assert mm.parse_container(t) is None, t
+
+
+def test_planted_gif_has_no_phantom_color_table():
+    """Packed byte must not declare a global color table the fixture never
+    writes (a real decoder would eat 768 body bytes as the table)."""
+    g = mm.gif_header(100, 50)
+    assert len(g) == mm.GIF_HEADER_LEN
+    assert g[10] & 0x80 == 0  # GCT flag clear

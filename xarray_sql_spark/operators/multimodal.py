@@ -86,6 +86,7 @@ PNG_HEADER_LEN = 33  # signature(8) + len(4) + 'IHDR'(4) + IHDR(13) + crc(4)
 GIF_HEADER_LEN = 13  # 'GIF89a' + logical screen descriptor
 BMP_HEADER_LEN = 54  # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
 WAV_HEADER_LEN = 44  # RIFF/WAVE + fmt(16) + data chunk header
+JPEG_HEADER_LEN = 39  # SOI(2) + APP0/JFIF(18) + SOF0 w/ 3 components(19)
 
 
 def png_header(width: int, height: int) -> bytes:
@@ -106,10 +107,31 @@ def png_header(width: int, height: int) -> bytes:
 
 
 def gif_header(width: int, height: int) -> bytes:
-    """GIF89a header + logical screen descriptor: little-endian u16 dims."""
+    """GIF89a header + logical screen descriptor: little-endian u16 dims.
+    Packed byte 0x00 = no global color table, so the container stays
+    structurally valid — 0xF7 would declare a 768-byte GCT that is never
+    written and make a real decoder consume document body as the table
+    (round-6 ADVICE)."""
     import struct
 
-    return b"GIF89a" + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])
+    return b"GIF89a" + struct.pack("<HH", width, height) + bytes([0x00, 0, 0])
+
+
+def jpeg_header(width: int, height: int) -> bytes:
+    """JPEG SOI + APP0(JFIF 1.1) + SOF0 (baseline, 3 components, 8-bit):
+    the marker stream a real camera/web JPEG opens with; dims are the
+    big-endian height/width in the SOF0 payload (ITU T.81 §B.2.2)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 1, 0]
+    ) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    return b"\xff\xd8" + app0 + sof0
 
 
 def bmp_header(width: int, height: int, body_len: int) -> bytes:
@@ -143,16 +165,27 @@ def wav_header(sample_rate: int, body_len: int) -> bytes:
     )
 
 
+# SOF markers carrying frame dims: C0-CF minus C4 (DHT), C8 (JPG ext),
+# CC (DAC) — baseline, progressive, and the arithmetic/differential
+# variants all share the same payload prefix (ITU T.81 Table B.1)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
 def parse_container(payload: bytes) -> dict[str, Any] | None:
     """Sniff + struct-parse a media container header. Returns format,
     header_len and the typed fields the header carries, or None for
-    unrecognized payloads (callers fall back to the md5 stub). A corrupt
-    PNG IHDR CRC raises rather than yielding silently-wrong dims."""
+    unrecognized payloads — including payloads that match a magic prefix
+    but are too short to hold the header (truncation must fall back to
+    the md5 stub, not crash the mapInPandas task; round-6 ADVICE). The
+    one deliberate raise: a full-length PNG IHDR whose CRC mismatches is
+    corrupt, and silently-wrong dims are worse than a loud task error."""
     import struct
     import zlib
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
         (length,) = struct.unpack(">I", payload[8:12])
+        if length < 8 or len(payload) < 20 + length:
+            return None  # truncated IHDR: not a parseable container
         width, height = struct.unpack(">II", payload[16:24])
         (stored,) = struct.unpack(">I", payload[16 + length : 20 + length])
         if zlib.crc32(payload[12 : 16 + length]) & 0xFFFFFFFF != stored:
@@ -164,6 +197,8 @@ def parse_container(payload: bytes) -> dict[str, Any] | None:
             "height": height,
         }
     if payload[:6] in (b"GIF89a", b"GIF87a"):
+        if len(payload) < GIF_HEADER_LEN:
+            return None
         width, height = struct.unpack("<HH", payload[6:10])
         return {"format": "gif", "header_len": GIF_HEADER_LEN, "width": width, "height": height}
     if payload[:2] == b"BM" and len(payload) >= 26:
@@ -172,10 +207,12 @@ def parse_container(payload: bytes) -> dict[str, Any] | None:
         # negative height = top-down row order (still |height| rows)
         return {"format": "bmp", "header_len": offset, "width": width, "height": abs(height)}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and payload[12:16] == b"fmt ":
+        if len(payload) < 32:
+            return None
         sample_rate, byte_rate = struct.unpack("<II", payload[24:32])
         data_len = (
             struct.unpack("<I", payload[40:44])[0]
-            if payload[36:40] == b"data"
+            if payload[36:40] == b"data" and len(payload) >= 44
             else max(len(payload) - WAV_HEADER_LEN, 0)
         )
         return {
@@ -185,15 +222,46 @@ def parse_container(payload: bytes) -> dict[str, Any] | None:
             "byte_rate": byte_rate,
             "data_len": data_len,
         }
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI: scan the marker stream
+        pos = 2
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None  # not a marker where one must be
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                pos += 2  # standalone marker, no length field
+                continue
+            if pos + 4 > len(payload):
+                return None
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if seglen < 2 or pos + 2 + seglen > len(payload):
+                return None  # truncated segment
+            if marker in _JPEG_SOF:
+                if seglen < 7:
+                    return None
+                height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return {
+                    "format": "jpeg",
+                    "header_len": pos + 2 + seglen,
+                    "width": width,
+                    "height": height,
+                }
+            if marker == 0xDA:  # SOS before any SOF: malformed
+                return None
+            pos += 2 + seglen
+        return None
     return None
 
 
-IMAGE_FORMATS = ("png", "gif", "bmp")
+IMAGE_FORMATS = ("png", "gif", "bmp", "jpeg")
 
 
 def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal table with REAL container headers planted around the
-    document bodies: images rotate PNG/GIF/BMP by ``(doc_id div 3) % 3``
+    document bodies: images rotate PNG/GIF/BMP/JPEG by ``(doc_id div 3) % 4``
     with dims from doc_id arithmetic, audio gets a canonical WAV header,
     video stays a raw payload (no trivially parseable container — it keeps
     the md5 stub path). Construction is an Arrow-batched mapInPandas — the
@@ -210,13 +278,15 @@ def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if mt == "image":
                     w = 160 + (doc_id * 37) % 1760
                     h = 90 + (doc_id * 53) % 990
-                    fmt = IMAGE_FORMATS[(doc_id // 3) % 3]
+                    fmt = IMAGE_FORMATS[(doc_id // 3) % 4]
                     head = (
                         png_header(w, h)
                         if fmt == "png"
                         else gif_header(w, h)
                         if fmt == "gif"
                         else bmp_header(w, h, len(body))
+                        if fmt == "bmp"
+                        else jpeg_header(w, h)
                     )
                 elif mt == "audio":
                     sr = 8000 + (doc_id * 13) % 40000
@@ -437,7 +507,7 @@ def _hex_bigint(expr: str, start: int, length: int) -> str:
     WITH m AS (
         SELECT doc_id, md5(text) AS digest, strlen(text) AS body_n,
                {_MT_SQL} AS media_type,
-               CAST((doc_id // 3) % 3 AS INT) AS ifmt,
+               CAST((doc_id // 3) % 4 AS INT) AS ifmt,
                8000 + (doc_id * 13) % 40000 AS sr
         FROM documents
     )
@@ -445,7 +515,8 @@ def _hex_bigint(expr: str, start: int, length: int) -> str:
            CAST(body_n + CASE WHEN media_type = 'image'
                               THEN CASE ifmt WHEN 0 THEN {PNG_HEADER_LEN}
                                              WHEN 1 THEN {GIF_HEADER_LEN}
-                                             ELSE {BMP_HEADER_LEN} END
+                                             WHEN 2 THEN {BMP_HEADER_LEN}
+                                             ELSE {JPEG_HEADER_LEN} END
                               WHEN media_type = 'audio' THEN {WAV_HEADER_LEN}
                               ELSE 0 END AS BIGINT) AS n_bytes,
            digest,
