@@ -762,9 +762,17 @@ def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; at 100 TB the index lives as a bucketed table keyed by
     band_hash so the join co-locates without a shuffle of the index."""
     sig, bands = _minhash_bands_df(spark, sf_dir)
+    # Explicit width on the index-dedup exchange: AQE coalesces it to 1-2
+    # tasks at small SF (harmless here, serial at 100 TB — the sf1 scale
+    # probe showed the densest stage stuck at 2 tasks). A user repartition
+    # with a fixed count is exempt from AQE coalescing, and its
+    # hashpartitioning on the dedup keys satisfies the aggregate's
+    # clustering requirement, so no second exchange appears.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     index_keys = (
         bands.filter(F.col("doc_id") % 5 != 0)
         .select("band_idx", "band_hash")
+        .repartition(n_part, "band_idx", "band_hash")
         .dropDuplicates()
         .withColumn("hit", F.lit(1))
     )
