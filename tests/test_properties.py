@@ -207,3 +207,20 @@ def test_block_pruning_is_sound(case):
         truly = any(x in value for x in seg)
     if truly:
         assert block_may_match(bounds, [f]), (bounds, op, value, seg)
+
+
+def test_string_pruning_disabled_under_nonbinary_collation():
+    """With prune_strings=False (registration saw a non-binary session
+    default collation), string bounds must never drop a block — code-point
+    min/max is unsound under e.g. UTF8_LCASE — while numeric pruning
+    keeps working."""
+    from pyspark.sql.datasource import EqualTo
+
+    from xarray_sql_spark.bounds import block_may_match
+
+    bounds = {"station": ("alpha", "delta"), "t": (0, 9)}
+    ex_string = [EqualTo(("station",), "zulu")]  # outside code-point range
+    assert not block_may_match(bounds, ex_string)  # binary default: prunes
+    assert block_may_match(bounds, ex_string, prune_strings=False)
+    ex_num = [EqualTo(("t",), 50)]
+    assert not block_may_match(bounds, ex_num, prune_strings=False)

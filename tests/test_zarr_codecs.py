@@ -951,3 +951,67 @@ def test_zarr_v2_filter_chain_delta_and_fixedscaleoffset(tmp_path):
         json.dump(bad, f)
     with pytest.raises(NotImplementedError, match="bitround"):
         open_zarr(path).data_vars["temp"].values()
+
+
+def test_zarr_cf_unsigned_decode(tmp_path):
+    """CF ``_Unsigned`` (NetCDF-3-converted stores hold unsigned data in
+    signed ints): raw values >= 2^(bits-1) must reinterpret BEFORE
+    scale/offset, fills compare in the reinterpreted domain (a fill of -1
+    means 255/65535), and a bare ``_Unsigned`` with no packing just flips
+    the dtype — xarray UnsignedIntegerCoder parity (round-6 ADVICE)."""
+    import json
+
+    path = str(tmp_path / "us.zarr")
+    for name in ("packed", "bare", "inverse"):
+        os.makedirs(os.path.join(path, name))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _arr(name, a, attrs):
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump({"zarr_format": 2, "shape": list(a.shape),
+                       "chunks": list(a.shape), "dtype": a.dtype.str,
+                       "compressor": None, "fill_value": 0, "order": "C",
+                       "filters": None}, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": [f"x_{name}"], **attrs}, f)
+        with open(os.path.join(path, name, "0"), "wb") as f:
+            f.write(a.tobytes())
+
+    # int8 raw, unsigned semantics, packed: -128 is really 128, -1 is the
+    # 255 fill
+    _arr("packed", np.array([-128, -1, 10, 127], dtype="|i1"),
+         {"_Unsigned": "true", "scale_factor": 0.5, "_FillValue": -1})
+    # bare reinterpret: dtype flips to uint16, no float promotion
+    _arr("bare", np.array([-1, 5], dtype="<i2"), {"_Unsigned": "true"})
+    # the mirror: uint8 raw declared signed, fill 255 means -1
+    _arr("inverse", np.array([255, 1], dtype="|u1"),
+         {"_Unsigned": "false", "_FillValue": 255})
+
+    ds = open_zarr(path)
+    np.testing.assert_allclose(
+        ds.data_vars["packed"].values(),
+        np.array([64.0, np.nan, 5.0, 63.5]),
+    )
+    bare = ds.data_vars["bare"]
+    assert bare.dtype == np.uint16
+    np.testing.assert_array_equal(bare.values(), np.array([65535, 5], dtype="u2"))
+    inv = ds.data_vars["inverse"].values()
+    assert np.isnan(inv[0]) and inv[1] == 1.0
+    for name in ("packed", "bare", "inverse"):
+        assert "_Unsigned" not in ds.data_vars[name].attrs
+
+
+def test_blosclz_truncated_match_token_raises_valueerror():
+    """A match token whose extension/distance bytes are cut off must raise
+    the documented ValueError, not leak a bare IndexError (round-6
+    ADVICE)."""
+    from xarray_sql_spark.zarr_codecs import blosclz_compress, blosclz_decompress
+
+    full = blosclz_compress(b"abcdabcdabcdabcdabcdabcdabcdabcd" * 8)
+    # progressively truncate; every prefix must fail with ValueError
+    for cut in range(1, len(full)):
+        try:
+            blosclz_decompress(full[:cut], 256)
+        except ValueError:
+            pass  # the only acceptable error type

@@ -77,15 +77,26 @@ def _comparable(lo, hi, value):
     return v
 
 
-def block_may_match(bounds: Mapping[str, tuple], filters: list[Filter]) -> bool:
+def block_may_match(
+    bounds: Mapping[str, tuple], filters: list[Filter], prune_strings: bool = True
+) -> bool:
     """AND of filters: False only when some filter provably excludes the
-    block. Unknown filter types / columns / value types keep the block."""
+    block. Unknown filter types / columns / value types keep the block.
+
+    ``prune_strings=False`` disables string-dim pruning: code-point
+    min/max bounds are sound only under a binary collation (Spark's
+    default UTF8_BINARY); a session whose default collation is
+    collation-aware (e.g. UTF8_LCASE) compares differently, so the
+    registration layer passes False and string predicates fall back to
+    conservative keeps (row-level filters still apply them exactly)."""
     for f in filters:
         attr = getattr(f, "attribute", None)
         col = attr[0] if attr else None
         if col not in bounds:
             continue
         lo, hi = bounds[col]
+        if not prune_strings and isinstance(lo, str):
+            continue
         if isinstance(f, EqualTo):
             v = _comparable(lo, hi, f.value)
             if v is not None and (v < lo or v > hi):

@@ -147,6 +147,9 @@ class GridReader(DataSourceReader):
         # schema; intersecting with var_names yields the columns to
         # materialize (A3).
         self.read_columns = [f.name for f in schema.fields]
+        # String-dim pruning is sound only under binary collation; the
+        # registration layer captures the session default (bounds.py doc)
+        self.prune_strings: bool = bool(payload.get("binary_collation", True))
         self._filters: list[Filter] = []
         # Driver-side, coordinate-only work: block grid + bounds (A6/A7).
         ds = self._open()
@@ -181,7 +184,7 @@ class GridReader(DataSourceReader):
     def partitions(self) -> list[GridPartition]:
         parts = []
         for i, (block, bounds) in enumerate(zip(self._blocks, self._bounds)):
-            if block_may_match(bounds, self._filters):
+            if block_may_match(bounds, self._filters, self.prune_strings):
                 parts.append(
                     GridPartition(i, {d: (s.start, s.stop) for d, s in block.items()})
                 )

@@ -243,6 +243,17 @@ class XarraySession:
 
     def _scan_df(self, make_payload_kwargs: dict) -> tuple[DataFrame, str]:
         payload = make_payload(**make_payload_kwargs)
+        # Capture whether the session's default collation is binary at
+        # registration time: the DataSource plans in a separate Python
+        # worker with no session handle, and string-dim pruning bounds are
+        # only sound under binary collation (bounds.py).
+        try:
+            coll = self.spark.conf.get(
+                "spark.sql.session.collation.default", "UTF8_BINARY"
+            )
+        except Exception:
+            coll = "UTF8_BINARY"
+        payload["binary_collation"] = (coll or "UTF8_BINARY").upper() == "UTF8_BINARY"
         path = os.path.join(self._tmpdir, f"payload_{uuid.uuid4().hex}.pkl")
         with open(path, "wb") as f:
             pickle.dump(payload, f)

@@ -115,15 +115,21 @@ def blosclz_decompress(data: bytes, nbytes: int) -> bytes:
             ofs = (ctrl & 31) << 8
             if length == 6:  # 7-1: long match, extension byte(s)
                 while True:
+                    if ip >= n:
+                        raise ValueError("blosclz: truncated match token")
                     code = data[ip]
                     ip += 1
                     length += code
                     if code != 255:
                         break
+            if ip >= n:
+                raise ValueError("blosclz: truncated match token")
             code = data[ip]
             ip += 1
             length += 3
             if code == 255 and ofs == (31 << 8):  # far match
+                if ip + 2 > n:
+                    raise ValueError("blosclz: truncated match token")
                 dist = (data[ip] << 8) + data[ip + 1] + _BLZ_MAX_DIST + 1
                 ip += 2
             else:

@@ -644,12 +644,16 @@ class CFScaledArray:
     :class:`ZarrArray` lazily: the transform runs per block read, so
     selective reads stay selective and no decoded copy is materialized."""
 
-    def __init__(self, inner, scale, offset, fills, out_dtype=np.float64):
+    def __init__(self, inner, scale, offset, fills, out_dtype=np.float64,
+                 view_dtype=None):
         self.inner = inner
         self.scale = scale
         self.offset = offset
         self.fills = tuple(fills)
         self.dtype = np.dtype(out_dtype)
+        # CF _Unsigned: reinterpret the raw ints in the opposite-signedness
+        # dtype BEFORE masking/scaling (xarray UnsignedIntegerCoder order)
+        self.view_dtype = np.dtype(view_dtype) if view_dtype is not None else None
         self.shape = inner.shape
         self.chunks = inner.chunks
 
@@ -659,6 +663,10 @@ class CFScaledArray:
 
     def read_block(self, slices):
         raw = self.inner.read_block(slices)
+        if self.view_dtype is not None:
+            # same-width C cast == bit reinterpret (wraps negatives), and
+            # normalizes byte order on the way
+            raw = raw.astype(self.view_dtype)
         mask = None
         for fv in self.fills:
             m = raw == fv
@@ -681,29 +689,48 @@ def _cf_decode_var(arr: ZarrArray, zattrs: dict):
     NaN — xarray promotes such ints to float64 — even with no packing.
     Consumed attrs are dropped. Returns (array, attrs)."""
     packed = "scale_factor" in zattrs or "add_offset" in zattrs
+    # CF _Unsigned (xarray UnsignedIntegerCoder, applied BEFORE mask/scale):
+    # NetCDF-3 has no unsigned ints, so converters store them signed with
+    # _Unsigned="true" — raw values >= 2^(bits-1) must reinterpret, or the
+    # unpacked floats are silently wrong. "false" on a uint var is the
+    # mirror case.
+    uns = zattrs.get("_Unsigned")
+    uns = uns.lower() if isinstance(uns, str) else uns
+    view_dtype = None
+    if uns in ("true", True) and arr.dtype.kind == "i":
+        view_dtype = np.dtype(f"u{arr.dtype.itemsize}")
+    elif uns in ("false", False) and arr.dtype.kind == "u":
+        view_dtype = np.dtype(f"i{arr.dtype.itemsize}")
+    eff_dtype = view_dtype or arr.dtype
     fills = []
     if arr.dtype.kind in "iuf":
         for key in ("_FillValue", "missing_value"):
             if zattrs.get(key) is not None:
                 try:
-                    fills.append(arr.dtype.type(zattrs[key]))
-                except (TypeError, ValueError):
+                    # same-width wrap cast: a fill stored as -1 on an
+                    # _Unsigned var means 255/65535/... (and vice versa)
+                    fills.append(np.array(zattrs[key]).astype(eff_dtype)[()])
+                except (TypeError, ValueError, OverflowError):
                     pass
-    if not packed and not fills:
+    if not packed and not fills and view_dtype is None:
         return arr, zattrs
     scale = float(zattrs.get("scale_factor", 1.0))
     offset = float(zattrs.get("add_offset", 0.0))
     # packed or masked ints promote to float64 (xarray's rule); an
-    # unpacked float keeps its own precision, it only gains the mask
+    # unpacked float keeps its own precision, it only gains the mask; a
+    # bare _Unsigned reinterpret keeps the integer dtype (just unsigned)
     out_dtype = (
-        arr.dtype if (not packed and arr.dtype.kind == "f") else np.float64
+        arr.dtype if (not packed and arr.dtype.kind == "f")
+        else eff_dtype if (not packed and not fills)
+        else np.float64
     )
     kept = {
         k: v
         for k, v in zattrs.items()
-        if k not in ("scale_factor", "add_offset", "_FillValue", "missing_value")
+        if k not in ("scale_factor", "add_offset", "_FillValue",
+                     "missing_value", "_Unsigned")
     }
-    return CFScaledArray(arr, scale, offset, fills, out_dtype), kept
+    return CFScaledArray(arr, scale, offset, fills, out_dtype, view_dtype), kept
 
 
 def open_zarr(path: str, decode_cf: bool = True):
