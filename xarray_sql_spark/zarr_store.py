@@ -137,9 +137,17 @@ def _decompress(raw: bytes, compressor: dict | None, nbytes: int | None) -> byte
         return zarr_codecs.zstd_decompress(raw, nbytes)
     if cid == "lz4":
         return zarr_codecs.lz4_numcodecs_decompress(raw)
+    if cid == "bz2":  # numcodecs BZ2: bare bz2 stream
+        import bz2
+
+        return bz2.decompress(raw)
+    if cid == "lzma":  # numcodecs LZMA: xz container (lzma auto-detects)
+        import lzma
+
+        return lzma.decompress(raw)
     raise NotImplementedError(
         f"Zarr compressor {cid!r} is not supported; supported ids are "
-        f"null/zlib/gzip/blosc/zstd/lz4"
+        f"null/zlib/gzip/blosc/zstd/lz4/bz2/lzma"
     )
 
 
@@ -165,6 +173,15 @@ def _compress(raw: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
         return zarr_codecs.zstd_compress(raw)
     if cid == "lz4":
         return zarr_codecs.lz4_numcodecs_compress(raw)
+    if cid == "bz2":
+        import bz2
+
+        return bz2.compress(raw, compresslevel=compressor.get("level", 9))
+    if cid == "lzma":
+        import lzma
+
+        preset = compressor.get("preset")
+        return lzma.compress(raw, preset=preset)
     raise NotImplementedError(f"unsupported write compressor {cid!r}")
 
 
@@ -246,6 +263,8 @@ class ZarrArray:
         self._shard: dict | None = None  # set by _init_v3 for sharded arrays
         self._transpose_order: list[int] | None = None  # v3 general transpose
         self._vlen: str | None = None  # v2 vlen-utf8 object codec
+        self._shuffle_elem: int | None = None  # v2 numcodecs Shuffle filter
+        self._packbits: bool = False  # v2 numcodecs PackBits (bool) filter
         fmt = meta.get("zarr_format")
         if fmt == 2:
             self._init_v2(meta)
@@ -281,10 +300,35 @@ class ZarrArray:
                     )
                 self._vlen = "utf8"
                 continue
+            if fid == "shuffle":
+                # numcodecs Shuffle: whole-buffer byte transpose; operates
+                # on the serialized bytes, so it only composes as the LAST
+                # filter (adjacent to the compressor) — numcodecs' own
+                # usage
+                if f is not self.filters[-1]:
+                    raise NotImplementedError(
+                        f"{self.path}: shuffle filter must be last in the "
+                        f"chain"
+                    )
+                self._shuffle_elem = int(f.get("elementsize", 4))
+                continue
+            if fid == "packbits":
+                # numcodecs PackBits: bool -> bit-packed bytes with a
+                # 1-byte pad count; meaningful only as the sole filter on
+                # a bool array
+                if len(self.filters) != 1 or self.dtype.kind != "b":
+                    raise NotImplementedError(
+                        f"{self.path}: packbits is only supported as the "
+                        f"sole filter on a bool array"
+                    )
+                self._packbits = True
+                self._storage_dtype = np.dtype("|u1")
+                continue
             if fid not in ("delta", "fixedscaleoffset"):
                 raise NotImplementedError(
                     f"{self.path}: Zarr filter {fid!r} is not supported "
-                    f"(delta, fixedscaleoffset and vlen-utf8 are)"
+                    f"(delta, fixedscaleoffset, shuffle, packbits and "
+                    f"vlen-utf8 are)"
                 )
             self._storage_dtype = np.dtype(f.get("astype") or f.get("dtype"))
 
@@ -402,10 +446,12 @@ class ZarrArray:
     def _chunk_nbytes(self) -> int | None:
         if self.dtype.kind == "O":
             return None  # vlen chunks: size not derivable from the shape
-        n = self._storage_dtype.itemsize
+        n = 1
         for c in self.chunks:
             n *= c
-        return n
+        if self._packbits:
+            return 1 + (n + 7) // 8  # pad-count byte + packed bits
+        return n * self._storage_dtype.itemsize
 
     def _decode_chunk(self, raw: bytes) -> np.ndarray:
         """Decompressed chunk bytes -> typed chunk array: view as the
@@ -426,8 +472,22 @@ class ZarrArray:
                 out[i] = raw[pos : pos + ln].decode("utf-8")
                 pos += ln
             return out.reshape(self.chunks, order=self.order)
+        if self._shuffle_elem is not None:
+            # numcodecs Shuffle inverse: whole-buffer stride-elementsize
+            # byte transpose (tail bytes beyond a whole element unshuffled)
+            from xarray_sql_spark.zarr_codecs import _unshuffle
+
+            raw = _unshuffle(raw, self._shuffle_elem)
+        if self._packbits:
+            enc = np.frombuffer(raw, dtype="|u1")
+            dec = np.unpackbits(enc[1:])
+            if enc[0]:
+                dec = dec[: -int(enc[0])]
+            return dec.view(bool).reshape(self.chunks, order=self.order)
         flat = np.frombuffer(raw, dtype=self._storage_dtype)
         for f in reversed(self.filters):
+            if f["id"] in ("shuffle", "packbits"):
+                continue  # handled on the byte buffer above
             if f["id"] == "delta":
                 # numcodecs Delta.decode: cumsum in the declared dtype
                 flat = np.cumsum(flat, dtype=np.dtype(f["dtype"]))
