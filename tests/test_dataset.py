@@ -152,3 +152,58 @@ def test_isel_unknown_dim_raises():
     )
     with _pytest.raises(ValueError, match="unknown dimension"):
         ds.isel({"z": 0})
+
+
+def test_from_xarray_duck_typed():
+    """from_xarray maps the xarray.Dataset shape (duck-typed stand-in:
+    the container has no xarray wheel) — dim coords + attrs, non-dim
+    coords, var attrs/encoding, global attrs — and the result registers
+    and queries like a native Dataset."""
+    import types
+
+    import numpy as np
+
+    from xarray_sql_spark.dataset import Dataset
+
+    def _da(dims, values, attrs=None, encoding=None):
+        return types.SimpleNamespace(
+            dims=tuple(dims), values=np.asarray(values),
+            attrs=attrs or {}, encoding=encoding or {},
+        )
+
+    t = np.arange(4, dtype=np.int64)
+    y = np.arange(3, dtype=np.int64)
+    fake = types.SimpleNamespace(
+        data_vars={"v": _da(("t", "y"), np.arange(12.0).reshape(4, 3),
+                            attrs={"units": "K"}, encoding={"dtype": "f8"})},
+        coords={
+            "t": _da(("t",), t, attrs={"axis": "T"}),
+            "y": _da(("y",), y),
+            "lat2d": _da(("t", "y"), np.ones((4, 3))),
+        },
+        attrs={"title": "demo"},
+    )
+    ds = Dataset.from_xarray(fake)
+    assert set(ds.data_vars) == {"v"}
+    assert ds.data_vars["v"].attrs == {"units": "K"}
+    assert ds.data_vars["v"].encoding == {"dtype": "f8"}
+    np.testing.assert_array_equal(ds.coords["t"], t)
+    assert ds.coord_attrs["t"] == {"axis": "T"}
+    assert "lat2d" in ds.extra_coords and ds.extra_coords["lat2d"].dims == ("t", "y")
+    assert ds.attrs == {"title": "demo"}
+    assert ds.sizes == {"t": 4, "y": 3}
+
+
+def test_from_xarray_real_wheel_if_present():
+    """Runs only when a real xarray is installed (not in this container):
+    the adapter must accept the genuine article unchanged."""
+    xr = pytest.importorskip("xarray")
+    import numpy as np
+
+    from xarray_sql_spark.dataset import Dataset
+
+    xds = xr.Dataset(
+        {"v": (("t",), np.arange(5.0))}, coords={"t": np.arange(5)}
+    )
+    ds = Dataset.from_xarray(xds)
+    np.testing.assert_array_equal(ds.data_vars["v"].values(), np.arange(5.0))

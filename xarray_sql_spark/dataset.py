@@ -250,6 +250,50 @@ class Dataset:
         return path
 
     @classmethod
+    def from_xarray(cls, xds) -> "Dataset":
+        """Adapt a real ``xarray.Dataset`` into this model — the reference's
+        entire API surface takes xarray objects (reference sql.py:25-149),
+        so a user holding one can register it directly the day the
+        environment ships the xarray wheel (it doesn't today; the guarded
+        test skips). Mapping: data variables keep dims/attrs/encoding,
+        dimension coordinates become the prunable ``coords`` (their attrs
+        land in ``coord_attrs`` — CF units/calendar ride along),
+        non-dimension coordinates become ``extra_coords``. Chunked (dask)
+        variables are materialized — pass the source's ``xds.chunks`` as
+        the registration ``chunks=`` to keep the partition grid instead.
+
+        Works with any object structurally shaped like xarray's Dataset
+        (duck-typed), so the adapter is testable without the dependency.
+        """
+        data_vars = {}
+        for name, v in xds.data_vars.items():
+            data_vars[str(name)] = Variable(
+                tuple(str(d) for d in v.dims),
+                np.asarray(v.values),
+                dict(getattr(v, "attrs", {}) or {}),
+                dict(getattr(v, "encoding", {}) or {}),
+            )
+        coords: dict[str, np.ndarray] = {}
+        coord_attrs: dict[str, dict] = {}
+        extra: dict[str, Variable] = {}
+        for name, c in xds.coords.items():
+            cname = str(name)
+            if tuple(c.dims) == (name,):  # dimension coordinate
+                coords[cname] = np.asarray(c.values)
+                attrs = dict(getattr(c, "attrs", {}) or {})
+                if attrs:
+                    coord_attrs[cname] = attrs
+            else:
+                extra[cname] = Variable(
+                    tuple(str(d) for d in c.dims),
+                    np.asarray(c.values),
+                    dict(getattr(c, "attrs", {}) or {}),
+                )
+        out = cls(data_vars, coords, dict(getattr(xds, "attrs", {}) or {}), extra)
+        out.coord_attrs = coord_attrs
+        return out
+
+    @classmethod
     def open_store(cls, path: str) -> "Dataset":
         """Open lazily: coordinates load eagerly (small, needed for bounds);
         data variables become lazy block-readable handles. Dispatches on the
