@@ -21,47 +21,44 @@ from xarray_sql_spark.operators import skew  # noqa: F401,E402
 from xarray_sql_spark.operators import components  # noqa: F401,E402
 
 # The driver's correctness gate records only the FIRST 50 registry entries
-# (dict order). Round-6 window priority:
-#   1. NEW or CHANGED this round: gq17 (blosclz+bitshuffle store), ss08
-#      (sublinear k-NN), dd07 (k now corpus-proportional — re-prove),
-#      mm01-mm04 (real PNG/GIF/BMP/WAV header decode changes their
-#      values — re-prove).
-#   2. The 51 entries rotated OUT of round 5's window (all green in
-#      r3/r4, but the session/scan layer changed materially since: stats
-#      shortcut, projection pushdown rework, codec wiring) — grid/store
-#      DataSource shapes first (they sit on the changed layers), then
-#      events/pipeline/relational.
-# Deferred to round 7 (proven r1-r4, zero dependence on the changed
-# layers, plain-parquet relational shapes): q02, q03, q04, q06, q07,
-# q08, q25, q05, q09 and q10 — displaced one-for-one by NEW round-6
-# code that has never had a driver row (gq18 CF decode, ts08, q42):
-# never-checked new operators outrank re-proofs of r4-green parquet
-# shapes (all eight deferred entries were also re-proven green against
-# their oracles locally this round, full 108-query sweep).
+# (dict order). Round-7 window priority (round-6 VERDICT item 1):
+#   1. The 9 registry entries that have NEVER had a driver CORRECTNESS
+#      row (local-oracle green since they landed, but the driver gate is
+#      the hard signal).
+#   2. NEW or CHANGED this round, re-prove: cc01 (recursive-CTE oracle —
+#      first ever value-level driver check of the fixpoint — plus the
+#      skew-hardened propagation path), cc02 (same file), mm01/mm04
+#      (JPEG is now the 4th planted container — values changed),
+#      dd08 (explicit-width index dedup), gq14 (sink axes now come from
+#      source metadata on pure scans), gq17 (blosclz truncation guards),
+#      gq18 (CF decode gained _Unsigned), gq02/gq15 (pruning gained the
+#      collation gate).
+#   3. Oldest-proof entries: q07/q08 (last green r3), then the r4 batch
+#      (q02-q06, q09, q10, q25), then the oldest r5 relational block
+#      (q11-q35 numerics). Everything displaced was green in r5/r6 on
+#      unchanged code paths and is re-proven locally by the 118-query
+#      pytest sweep.
 _PRIORITY = (
-    # 1. new / changed this round
-    "gq17_blosclz_bitshuffle_store gq18_cf_decoded_store ss08_knn_classify_ivf "
-    "q41_recursive_cte_spine pl07_mixture_quotas ts07_pii_redact "
-    "ts08_rare_trigram_score q42_map_funcs "
-    "dd07_semantic_dedup "
-    "mm01_decode_meta mm02_frame_sample mm03_feature_extract mm04_resize "
-    # 2a. grid DataSource shapes over the changed session/store layers
-    "gq01_grid_climatology gq02_grid_pruned_slice gq03_cftime_360day "
-    "gq04_nan_null_semantics gq05_grid_zonal_bands gq06_grid_anomaly_selfjoin "
-    "gq07_zorder_layout gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp "
-    # 2b. everything else outside round 5's window
-    "q01_pricing_summary "
-        "q12_interval_join q22_parameterized q27_asof_join "
-    "q36_interval_range_frame "
-    "ev01_sessionization ev02_session_windows ev03_hourly_windows "
-    "ev04_moving_avg ev05_purchase_click_join ev06_conversion_funnel "
-    "ev07_resample_ffill "
-    "dd04_minhash_lsh dd05_simhash dd06_rolling_fingerprint "
-    "ss02_embedding_neardup ss05_kmeans_train "
-    "ts03_regex_tokens ts04_tfidf_terms ts05_repetition "
-    "pl01_training_mix pl02_hash_split pl03_decontaminate pl04_training_set "
-    "sk01_salted_agg sk02_salted_join "
-    "cc01_neardup_purge"
+    # 1. never driver-checked
+    "dd09_sketch_accuracy gq19_grid_rolling_mean gq20_grid_resample_daily "
+    "gq21_grid_coarsen gq22_grid_weighted_mean q43_set_ops_all q44_cube "
+    "ev10_first_touch_attribution pl08_sequence_packing "
+    # 2. new / changed this round
+    "cc01_neardup_purge cc02_twohop_components "
+    "mm01_decode_meta mm04_resize dd08_incremental_dedup "
+    "gq14_zarr_roundtrip gq17_blosclz_bitshuffle_store gq18_cf_decoded_store "
+    "gq02_grid_pruned_slice gq15_filtered_store "
+    # 3a. oldest proofs (r3/r4)
+    "q07_cross_join q08_agg_filter "
+    "q02_filter_scan q03_top_revenue q04_exists_semijoin q05_region_volume "
+    "q06_forecast_revenue q09_climatology_hour q10_anomaly_cte q25_set_ops "
+    # 3b. oldest r5 relational block
+    "q11_window_topk q13_range_join q14_math_rmse q15_case_having_union "
+    "q16_distinct_sort q17_subqueries q18_rollup q19_count_star "
+    "q20_weighted_regrid q21_udf_reproject q23_percentiles q24_pivot "
+    "q26_anti_join q28_grouping_sets q29_window_suite q30_string_funcs "
+    "q31_null_ops q32_json_extract q33_array_funcs q34_correlated_subquery "
+    "q35_unpivot"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]
