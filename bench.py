@@ -133,10 +133,12 @@ def main() -> None:
                 file=sys.stderr,
             )
     total = round(sum(timings.values()), 4)
-    # The driver archives only the TAIL of this JSON line, so key order is
-    # load-bearing: put the queries a judge needs LAST (they survive
-    # truncation) — the six BASELINE.md-matched shapes plus the 10 slowest
-    # queries, slowest at the very end; everything else first, fastest-first.
+    # The driver archives only the TAIL of this JSON line (BENCH_r06 lost
+    # the first 16 queries and failed to parse), so key order decides what
+    # the per-round record keeps. Values are identical either way; the
+    # ordering just makes truncation deterministic: headline entries — the
+    # six BASELINE.md-matched shapes plus the 10 slowest queries — go
+    # last, slowest at the very end; everything else first, fastest-first.
     baseline_shapes = {
         "q09_climatology_hour", "q10_anomaly_cte", "q13_range_join",
         "q14_math_rmse", "q20_weighted_regrid", "q21_udf_reproject",

@@ -432,3 +432,38 @@ def test_entropy_counts_shuffle_not_text(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_pure_scan_identity_guard(spark, tmp_path):
+    """Purity alone must not select the coordinate fast path: a pure scan
+    of an UNRELATED V2 relation (here: a second xgrid payload the session
+    never registered) must fail the payload-identity check and fall back
+    to collected axes, while the genuine registered scan passes."""
+    import pickle
+
+    import numpy as np
+
+    from xarray_sql_spark.dataset import Dataset, Variable
+    from xarray_sql_spark.sources.grid_source import FORMAT_NAME, make_payload
+    from xarray_sql_spark.to_dataset import XarrayDataFrame
+    from xarray_sql_spark.xr_session import XarraySession
+
+    t = np.arange(6, dtype=np.int64)
+    ds_a = Dataset({"v": Variable(("t",), t * 1.0)}, {"t": t})
+    xs = XarraySession(spark)
+    xs.from_dataset("ga", ds_a)
+    genuine = xs.sql("SELECT t, v FROM ga")
+    assert genuine._pure_scan_of("ga")
+
+    # an unrelated grid payload, never registered with xs
+    other = Dataset({"w": Variable(("t",), t * 2.0)}, {"t": t})
+    path = str(tmp_path / "other_payload.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(make_payload(dataset=other), f)
+    df2 = spark.read.format(FORMAT_NAME).option("payload", path).load()
+    imposter = XarrayDataFrame(
+        df2, genuine._registered, {}, genuine._payload_names
+    )
+    # df2 IS a pure scan — but not of dataset "ga"
+    assert imposter._is_pure_scan()
+    assert not imposter._pure_scan_of("ga")

@@ -279,8 +279,20 @@ class Dataset:
         for name, c in xds.coords.items():
             cname = str(name)
             if tuple(c.dims) == (name,):  # dimension coordinate
-                coords[cname] = np.asarray(c.values)
+                vals = np.asarray(c.values)
+                coords[cname] = vals
                 attrs = dict(getattr(c, "attrs", {}) or {})
+                # A decoded xarray dataset keeps CF units/calendar in
+                # .encoding (attrs are emptied by decode_cf). Recover them
+                # ONLY while the values are still in the encoded (numeric)
+                # domain — once decoded to datetime64 the units no longer
+                # describe the in-memory values and copying them would
+                # make registration double-decode.
+                enc = dict(getattr(c, "encoding", {}) or {})
+                if vals.dtype.kind in "iuf":
+                    for k in ("units", "calendar"):
+                        if k in enc and k not in attrs:
+                            attrs[k] = enc[k]
                 if attrs:
                     coord_attrs[cname] = attrs
             else:

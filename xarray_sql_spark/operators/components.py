@@ -136,6 +136,12 @@ def connected_components(
                 ).alias("comp"),
             )
         )
+        # Cut lineage BEFORE the hot-comp detection collect: the detection
+        # is a separate action, and without this checkpoint it re-executes
+        # the whole neighbor-min join+aggregate subtree that the
+        # compression join then executes again (shuffle reuse does not
+        # span actions) — roughly doubling per-round cost.
+        new_labels = new_labels.localCheckpoint(eager=True)
         # path compression: comp <- comp's own label (collapses chains
         # fast). Hot comp values = already-large clusters; re-detected per
         # round because clusters grow as the fixpoint proceeds.

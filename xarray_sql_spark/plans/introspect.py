@@ -49,6 +49,31 @@ def is_pure_scan(df: DataFrame) -> bool:
         return False
 
 
+def pure_scan_payload(df: DataFrame) -> str | None:
+    """The ``payload`` option of the single scan of a pure-scan plan, or
+    None. Callers use it to verify the plan scans the SAME registered
+    grid they resolved coordinates from — purity alone is not identity
+    (a session can hold one registered grid plus unrelated V2 tables,
+    and a pure scan of one of those must not borrow the grid's axes)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        payloads: list = []
+        for n in _walk(plan):
+            cls = n.getClass().getSimpleName()
+            if cls == "DataSourceV2ScanRelation":
+                try:
+                    payloads.append(n.relation().options().get("payload"))
+                except Exception:
+                    payloads.append(None)
+            elif cls not in PURE_SCAN_NODES:
+                return None
+        if len(payloads) == 1 and payloads[0]:
+            return payloads[0]
+        return None
+    except Exception:
+        return None
+
+
 def referenced_scan_columns(df: DataFrame, payload_keys) -> dict[str, set[str]]:
     """Map payload key -> columns of that grid scan actually referenced by
     the optimized plan (exprId-precise, so duplicate column names across

@@ -48,10 +48,14 @@ class XarrayDataFrame:
         df: DataFrame,
         registered: Mapping[str, Dataset] | None = None,
         registered_chunks: Mapping[str, dict] | None = None,
+        payload_names: Mapping[str, str] | None = None,
     ):
         self._df = df
         self._registered = dict(registered or {})
         self._registered_chunks = dict(registered_chunks or {})
+        # payload path -> dataset name: identity check for the pure-scan
+        # coordinate fast path (purity alone is not identity)
+        self._payload_names = dict(payload_names or {})
 
     def __getattr__(self, item):
         return getattr(self._df, item)
@@ -222,7 +226,7 @@ class XarrayDataFrame:
         name, src = self._source_dataset()
         if (
             src is not None
-            and self._is_pure_scan()
+            and self._pure_scan_of(name)
             and all(d in src.coords for d in dims)
         ):
             coords = {d: np.asarray(src.coords[d]) for d in dims}
@@ -301,6 +305,19 @@ class XarrayDataFrame:
 
         return is_pure_scan(self._df)
 
+    def _pure_scan_of(self, name: str | None) -> bool:
+        """True iff the plan is a pure scan AND the scanned relation is a
+        registered scan (full or pruned) of dataset ``name`` — the guard
+        that keeps a pure scan of some unrelated V2 table from borrowing
+        a registered grid's axes. Falls back to False (collected axes,
+        always correct) whenever identity can't be proven."""
+        if name is None:
+            return False
+        from xarray_sql_spark.plans.introspect import pure_scan_payload
+
+        p = pure_scan_payload(self._df)
+        return p is not None and self._payload_names.get(p) == name
+
     def _build_lazy(self, dims, template, chunk_map: dict, fill_value=None) -> Dataset:
         tmpl = self._resolve_template(template)
         columns = self._df.columns
@@ -311,7 +328,7 @@ class XarrayDataFrame:
         # (A12), else per-dim SELECT DISTINCT ... ORDER BY (reference
         # ds.py:531-543).
         coords: dict[str, np.ndarray] = {}
-        use_src = src is not None and self._is_pure_scan() and all(
+        use_src = src is not None and self._pure_scan_of(name) and all(
             d in src.coords for d in dims
         )
         inner = self._df.persist()

@@ -125,6 +125,11 @@ class XarraySession:
         self._payload_views: dict[str, tuple[str, dict, DataFrame]] = {}
         # (view, sorted cols) -> pruned DataFrame (payload pickles reused)
         self._pruned_cache: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
+        # payload path -> DATASET name (full + pruned scans): the identity
+        # check behind the pure-scan coordinate fast path (A12) — purity
+        # alone must not let a scan of an unrelated table borrow a
+        # registered grid's axes
+        self._payload_dataset: dict[str, str] = {}
         # Statistics-aggregate shortcut (A4): on by default; tests that pin
         # the SCAN path (pruning goldens) turn it off to force real reads.
         self.metadata_aggregates = True
@@ -146,21 +151,30 @@ class XarraySession:
         groups = _group_vars_by_dims(ds)
         table_names = dict(table_names or {})
         views: list[str] = []
+        # Re-registration invalidates payload->dataset identity (stale
+        # pruned payloads would otherwise validate against the NEW dataset)
+        self._payload_dataset = {
+            p: n for p, n in self._payload_dataset.items() if n != name
+        }
 
         scalar_vars = [v for dims, vs in groups.items() if dims == () for v in vs]
         nd_groups = {dims: vs for dims, vs in groups.items() if dims != ()}
 
         if len(nd_groups) == 1 and not scalar_vars:
             dims, var_names = next(iter(nd_groups.items()))
-            self._register_table(name, ds, var_names, chunks, batch_size, store, read_log_dir)
+            path = self._register_table(
+                name, ds, var_names, chunks, batch_size, store, read_log_dir
+            )
+            self._payload_dataset[path] = name
             views.append(name)
         else:
             for dims, var_names in nd_groups.items():
                 tbl = table_names.get(tuple(dims), "_".join(dims))
                 view = f"{name}__{tbl}"
-                self._register_table(
+                path = self._register_table(
                     view, ds, var_names, chunks, batch_size, store, read_log_dir
                 )
+                self._payload_dataset[path] = name
                 views.append(view)
             if scalar_vars:
                 view = f"{name}__scalar"
@@ -219,7 +233,7 @@ class XarraySession:
         batch_size: int,
         store: str | None,
         read_log_dir: str | None,
-    ) -> None:
+    ) -> str:
         kwargs = dict(
             dataset=None if store else ds,
             store=store,
@@ -240,6 +254,7 @@ class XarraySession:
         df, path = self._scan_df(kwargs)
         df.createOrReplaceTempView(view)
         self._payload_views[path] = (view, kwargs, df)
+        return path
 
     def _scan_df(self, make_payload_kwargs: dict) -> tuple[DataFrame, str]:
         payload = make_payload(**make_payload_kwargs)
@@ -284,8 +299,12 @@ class XarraySession:
             key = (view, tuple(sorted(cols)))
             pruned = self._pruned_cache.get(key)
             if pruned is None:
-                pruned, _ = self._scan_df({**kwargs, "columns": sorted(cols)})
+                pruned, ppath = self._scan_df({**kwargs, "columns": sorted(cols)})
                 self._pruned_cache[key] = pruned
+                # a pruned scan is still a scan of the same dataset — keep
+                # the A12 identity map covering it
+                if payload in self._payload_dataset:
+                    self._payload_dataset[ppath] = self._payload_dataset[payload]
             swaps.append((view, full_df))
             pruned.createOrReplaceTempView(view)
         if not swaps:
@@ -531,7 +550,10 @@ class XarraySession:
         finally:
             self.spark.conf.set("spark.sql.timestampType", old)
         return XarrayDataFrame(
-            df, dict(self._registered_datasets), dict(self._registered_chunks)
+            df,
+            dict(self._registered_datasets),
+            dict(self._registered_chunks),
+            dict(self._payload_dataset),
         )
 
     def table(self, name: str) -> DataFrame:

@@ -773,6 +773,10 @@ def _cf_decode_var(arr: ZarrArray, zattrs: dict):
                 except (TypeError, ValueError, OverflowError):
                     pass
     if not packed and not fills and view_dtype is None:
+        if "_Unsigned" in zattrs:  # consumed even when a no-op (a
+            # redundant _Unsigned on an already-unsigned dtype), like
+            # xarray's coder — the CF attr must not leak into var attrs
+            return arr, {k: v for k, v in zattrs.items() if k != "_Unsigned"}
         return arr, zattrs
     scale = float(zattrs.get("scale_factor", 1.0))
     offset = float(zattrs.get("add_offset", 0.0))
