@@ -1087,12 +1087,15 @@ def gq22_grid_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT TIMESTAMP '2000-01-01' + INTERVAL (t.ti) HOUR AS tm,
                's' || lpad(CAST(s.si AS VARCHAR), 2, '0') AS station,
                CASE WHEN (t.ti + s.si) % 7 = 0 THEN NULL
-                    ELSE ((t.ti * 6 + s.si) * 3) % 200 END AS raw
+                    ELSE ((t.ti * 6 + s.si) * 3) % 200 END AS raw,
+               CASE WHEN (t.ti + s.si) % 11 = 0 THEN NULL
+                    ELSE ((t.ti * 6 + s.si) % 250) * 0.5 END AS rh
         FROM t, s
     )
     SELECT station,
            avg(raw * 0.25 + 100.0) AS avg_t2m,
-           CAST(count(raw) AS BIGINT) AS n
+           CAST(count(raw) AS BIGINT) AS n,
+           avg(rh) AS avg_rh
     FROM cells WHERE tm >= TIMESTAMP '2000-01-01 12:00:00'
     GROUP BY station ORDER BY station
     """,
@@ -1105,8 +1108,11 @@ def gq18_cf_decoded_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     CF ``units``/``calendar`` attrs, a vlen-utf8 STRING station
     coordinate, and an int16 variable packed with
     ``scale_factor``/``add_offset`` plus a ``_FillValue`` sentinel
-    (ERA5's layout). open_zarr must decode all three (timestamps,
-    strings, lazily-unpacked floats with fills -> NaN -> SQL NULL) for
+    (ERA5's layout), plus a CF ``_Unsigned`` int8 variable whose logical
+    values exceed 127 (round-7: the NetCDF-3-conversion layout — signed
+    storage, unsigned semantics, -1 fill meaning 255). open_zarr must
+    decode all four (timestamps, strings, lazily-unpacked floats with
+    fills -> NaN -> SQL NULL, sign-reinterpreted unsigned packing) for
     the query to hash-match an oracle that regenerates the values
     arithmetically. scale_factor 0.25 and offset 100.0 keep every
     decoded value an exact binary fraction, so AVG's sum is exact in
@@ -1163,12 +1169,30 @@ def gq18_cf_decoded_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(path, "t2m", f"{ci}.0"), "wb") as f:
             f.write(zlib.compress(raw[ci * 12 : (ci + 1) * 12].tobytes(), 1))
 
+    # CF _Unsigned variable (NetCDF-3 conversion layout): logical uint8
+    # values 0..249 stored in a SIGNED int8 array with _Unsigned="true";
+    # the -1 fill means 255 in the unsigned domain. Values >= 128 decode
+    # wrong unless the reader reinterprets before scaling — that is what
+    # the hash proves.
+    os.makedirs(os.path.join(path, "rh"))
+    rh_u = ((ti[:, None] * 6 + si[None, :]) % 250).astype(np.uint8)
+    rh_u = np.where((ti[:, None] + si[None, :]) % 11 == 0, np.uint8(255), rh_u)
+    rh_raw = rh_u.view(np.int8)  # store signed, as a converter would
+    _meta("rh", [48, 6], [12, 6], "|i1",
+          attrs={"_ARRAY_DIMENSIONS": ["time", "station"],
+                 "_Unsigned": "true", "scale_factor": 0.5,
+                 "add_offset": 0.0, "_FillValue": -1})
+    for ci in range(4):
+        with open(os.path.join(path, "rh", f"{ci}.0"), "wb") as f:
+            f.write(zlib.compress(rh_raw[ci * 12 : (ci + 1) * 12].tobytes(), 1))
+
     xs = XarraySession(spark)
     xs.from_dataset(
         "gq_grid18", Dataset.open_store(path), chunks={"time": 12}, store=path
     )
     return xs.sql(
-        "SELECT station, AVG(t2m) AS avg_t2m, COUNT(t2m) AS n FROM gq_grid18 "
+        "SELECT station, AVG(t2m) AS avg_t2m, COUNT(t2m) AS n, "
+        "AVG(rh) AS avg_rh FROM gq_grid18 "
         "WHERE time >= TIMESTAMP '2000-01-01 12:00:00' "
         "GROUP BY station ORDER BY station"
     ).df
@@ -1229,4 +1253,99 @@ def gq17_blosclz_bitshuffle_store(spark: SparkSession, sf_dir: str) -> DataFrame
     return xs.sql(
         "SELECT CAST(t % 4 AS INT) AS tb, SUM(v) AS total, COUNT(*) AS n "
         "FROM gq_grid17 WHERE t >= 8 GROUP BY t % 4 ORDER BY tb"
+    ).df
+
+
+@query(
+    "gq23_longtail_codec_store",
+    oracle="""
+    WITH x AS (SELECT unnest(range(24)) AS i)
+    SELECT CAST(sum(i * 3) AS BIGINT) AS total_a,
+           sum(i * 0.5) AS total_b,
+           CAST(sum(i * 7) AS BIGINT) AS total_c,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag
+    FROM x WHERE i >= 8
+    """,
+    tags=("grid", "datasource", "zarr", "codecs"),
+    bench=False,
+)
+def gq23_longtail_codec_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 numcodecs long tail under the hash gate: one store,
+    four variables, four encodings a foreign tool could have written —
+    ``a`` bz2-compressed, ``b`` lzma(xz)-compressed, ``c`` behind the
+    numcodecs Shuffle byte-transpose filter (then zlib), and ``flag`` a
+    PackBits bool array (pad-count byte + big-endian bit packing). The
+    chunk bytes are assembled with stdlib/numpy only (independent of the
+    engine's encoders); the oracle regenerates the cell values
+    arithmetically, so a hash match proves every decode path. x >= 8
+    prunes chunk 0 via coordinate bounds like gq15/gq17."""
+    import bz2
+    import json
+    import lzma
+    import os
+    import tempfile
+    import zlib
+
+    path = tempfile.mkdtemp(prefix="gq23_") + "/lt.zarr"
+    for name in ("x", "a", "b", "c", "flag"):
+        os.makedirs(os.path.join(path, name))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _meta(name, shape, chunk, dtype, compressor, filters=None):
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump(
+                {"zarr_format": 2, "shape": shape, "chunks": chunk,
+                 "dtype": dtype, "compressor": compressor,
+                 "fill_value": 0, "order": "C", "filters": filters},
+                f,
+            )
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": ["x"]}, f)
+
+    xi = np.arange(24, dtype=np.int64)
+    _meta("x", [24], [24], "<i8", None)
+    with open(os.path.join(path, "x", "0"), "wb") as f:
+        f.write(xi.astype("<i8").tobytes())
+
+    def _chunks(vals, n=8):
+        for ci in range(3):
+            yield ci, vals[ci * n : (ci + 1) * n]
+
+    a = (xi * 3).astype("<i4")
+    _meta("a", [24], [8], "<i4", {"id": "bz2", "level": 5})
+    for ci, block in _chunks(a):
+        with open(os.path.join(path, "a", str(ci)), "wb") as f:
+            f.write(bz2.compress(block.tobytes()))
+
+    b = (xi * 0.5).astype("<f8")
+    _meta("b", [24], [8], "<f8", {"id": "lzma"})
+    for ci, block in _chunks(b):
+        with open(os.path.join(path, "b", str(ci)), "wb") as f:
+            f.write(lzma.compress(block.tobytes()))
+
+    c = (xi * 7).astype("<i4")
+    _meta("c", [24], [8], "<i4", {"id": "zlib", "level": 1},
+          filters=[{"id": "shuffle", "elementsize": 4}])
+    for ci, block in _chunks(c):
+        raw = block.tobytes()
+        planes = bytes(raw[e * 4 + j] for j in range(4) for e in range(8))
+        with open(os.path.join(path, "c", str(ci)), "wb") as f:
+            f.write(zlib.compress(planes, 1))
+
+    flag = (xi % 3 == 0)
+    _meta("flag", [24], [8], "|b1", None, filters=[{"id": "packbits"}])
+    for ci, block in _chunks(flag):
+        with open(os.path.join(path, "flag", str(ci)), "wb") as f:
+            f.write(bytes([0]) + np.packbits(block).tobytes())
+
+    xs = XarraySession(spark)
+    xs.from_dataset(
+        "gq_grid23", Dataset.open_store(path), chunks={"x": 8}, store=path
+    )
+    return xs.sql(
+        "SELECT CAST(SUM(a) AS BIGINT) AS total_a, SUM(b) AS total_b, "
+        "CAST(SUM(c) AS BIGINT) AS total_c, "
+        "CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag "
+        "FROM gq_grid23 WHERE x >= 8"
     ).df
