@@ -148,3 +148,60 @@ def test_purge_assignment_matches_union_find(spark):
     dups = {r["doc_id"] for r in out if r["is_duplicate"]}
     keepers = set(got.values())
     assert dups.isdisjoint(keepers)
+
+
+def test_mega_cluster_reducer_rows_bounded_empirically(spark):
+    """Empirical per-partition proof of the skew fix: on a 20k-spoke star,
+    the plain lookup join lands every hub row in ONE post-shuffle
+    partition (the hot reducer), while the hot/cold split keeps every
+    partition's row count bounded — measured with spark_partition_id on
+    the actual joined rows, not inferred from the plan."""
+    n = 20000
+    # Real distributed input (a LocalTableScan would execute single-task
+    # and make both measurements vacuous) and no AQE partition coalescing
+    # (at test-scale byte counts AQE folds everything to one partition,
+    # masking exactly the concentration under test).
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, n)], "src long, dst long"
+        ).repartition(32)
+        sym = df.selectExpr("src", "dst").union(
+            df.selectExpr("dst AS src", "src AS dst")
+        )
+        labels = sym.select(F.col("src").alias("id")).distinct().select(
+            "id", F.col("id").alias("comp")
+        )
+
+        def max_partition_rows(joined):
+            sizes = joined.groupBy(F.spark_partition_id().alias("p")).count().collect()
+            return max(r["count"] for r in sizes)
+
+        # plain shuffle join: the hub key concentrates on one reducer
+        plain = sym.join(labels.hint("merge"), sym.dst == labels.id).select(
+            "src", "comp"
+        )
+        assert max_partition_rows(plain) >= n - 1
+
+        # hot/cold split (threshold 1000 << hub degree): bounded everywhere
+        hot = cc._hot_keys(sym.groupBy("dst").count(), "dst", 1000)
+        hot_labels = labels.filter(F.col("id").isin(hot)).select(
+            F.col("id").alias("__hk"), F.col("comp")
+        )
+        split = (
+            sym.filter(F.col("dst").isin(hot))
+            .join(F.broadcast(hot_labels), F.col("dst") == F.col("__hk"))
+            .select("src", "comp")
+            .union(
+                sym.filter(~F.col("dst").isin(hot))
+                .join(labels.hint("merge"), sym.dst == labels.id)
+                .select("src", "comp")
+            )
+        )
+        # hot rows keep their (uniform) scan partitioning; cold keys are
+        # below threshold by construction — so no partition concentrates
+        assert max_partition_rows(split) < n // 4
+    finally:
+        spark.conf.set(coalesce_key, old)
