@@ -1,0 +1,54 @@
+"""Sweeping physical-plan lint over every BENCHED registry query.
+
+Encodes the per-round manual plan audit as a permanent gate: a benched
+query's executed plan must contain
+
+- no ``CartesianProduct`` (an unkeyed all-pairs join never survives 100 TB);
+- no ``BatchEvalPython`` (row-at-a-time Python UDF on a hot path — Arrow
+  paths show up as ArrowEvalPython / mapInPandas instead);
+- ``BroadcastNestedLoopJoin`` only where the query intentionally uses a
+  tiny-broadcast unkeyed shape (allowlisted below with the reason).
+
+bench=False queries are exempt by scope: they are correctness fixtures
+(store builders, quadratic diagnostics) whose docstrings already label
+the non-scale paths, and some (cc01) execute work at build time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_MED
+from xarray_sql_spark.queries import REGISTRY
+
+# query -> reason a BroadcastNestedLoopJoin is the intended shape
+BNLJ_ALLOWED = {
+    "q07_cross_join": "the operator under test IS a cross join (tiny dim)",
+    "ss01_ann_topk": "exact baseline: 5-row query set broadcast against corpus",
+    "ss07_knn_classify": "exact baseline: 5-row query set broadcast",
+    "ss08_knn_classify_ivf": "8-row centroid table broadcast (cell routing)",
+    "ss04_ivf_ann": "k-row centroid broadcast for cell assignment",
+    "ss06_sq_topk": "1-row quantization-spec broadcast",
+    "pl06_weighted_sample": "1-row total-weight spec broadcast",
+    "q22_parameterized": "1-row parameter spec broadcast",
+    "q13_range_join": "theta join against a handful of broadcast zonal bands",
+    "q23_percentiles": "quantile-boundary spec rows (4) broadcast in a range join",
+    "ss05_kmeans_train": "k-row centroid table broadcast per Lloyd's iteration",
+}
+
+
+def _benched():
+    return [(n, s) for n, s in REGISTRY.items() if s.bench]
+
+
+@pytest.mark.parametrize("name,spec", _benched(), ids=[n for n, _ in _benched()])
+def test_benched_plan_is_scale_shaped(spark, name, spec):
+    df = spec.fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: unkeyed all-pairs join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+        raise AssertionError(
+            f"{name}: BroadcastNestedLoopJoin outside the allowlist — either "
+            f"key the join or add the query with its justification"
+        )
