@@ -95,9 +95,12 @@ def _grids(draw):
         {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2},  # bitshuffle
         {"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 2},
         {"id": "zstd", "level": 3},
+        {"id": "blosc", "cname": "lz4hc", "clevel": 5, "shuffle": 1},
     ]
     if fmt == 2:
         comps.append({"id": "lz4"})  # numcodecs framing; no v3 spelling
+        comps.append({"id": "bz2", "level": 1})  # stdlib; no v3 spelling
+        comps.append({"id": "lzma"})
     comp = draw(st.sampled_from(comps))
     return shape, dtype, chunks, seed, fmt, shard, comp
 
@@ -224,3 +227,74 @@ def test_string_pruning_disabled_under_nonbinary_collation():
     assert block_may_match(bounds, ex_string, prune_strings=False)
     ex_num = [EqualTo(("t",), 50)]
     assert not block_may_match(bounds, ex_num, prune_strings=False)
+
+
+# --- property: v2 read-side filter fuzz (shuffle / packbits) ----------------
+@st.composite
+def _filter_cases(draw):
+    n = draw(st.integers(1, 60))
+    chunk = draw(st.integers(1, max(1, n)))
+    kind = draw(st.sampled_from(["shuffle2", "shuffle4", "shuffle8", "packbits"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return n, chunk, kind, seed
+
+
+@settings(max_examples=30, deadline=None)
+@given(_filter_cases())
+def test_v2_filter_read_fuzz(case):
+    """Read-only numcodecs filters (Shuffle, PackBits) over randomized
+    lengths/chunk grids: chunk bytes are encoded in the TEST with an
+    independent numpy implementation (byte transpose / pad-byte +
+    packbits), so the store reader's inverse is checked against the
+    public layout, not against itself. Edge chunks (shorter than the
+    grid) and non-multiple-of-8 bool tails included by construction."""
+    import json
+    import tempfile
+
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    n, chunk, kind, seed = case
+    rng = np.random.default_rng(seed)
+    path = os.path.join(tempfile.mkdtemp(), "ff.zarr")
+    os.makedirs(os.path.join(path, "v"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    if kind == "packbits":
+        data = rng.integers(0, 2, size=n).astype(bool)
+        dtype, filters = "|b1", [{"id": "packbits"}]
+    else:
+        es = int(kind[-1])
+        dtype = {2: "<i2", 4: "<i4", 8: "<i8"}[es]
+        data = rng.integers(-1000, 1000, size=n).astype(dtype)
+        filters = [{"id": "shuffle", "elementsize": es}]
+
+    with open(os.path.join(path, "v", ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [n], "chunks": [chunk],
+                   "dtype": dtype, "compressor": None, "fill_value": 0,
+                   "order": "C", "filters": filters}, f)
+    with open(os.path.join(path, "v", ".zattrs"), "w") as f:
+        json.dump({"_ARRAY_DIMENSIONS": ["x"]}, f)
+
+    nchunks = -(-n // chunk)
+    for ci in range(nchunks):
+        # zarr chunk files are always FULL chunk-shaped; the tail chunk is
+        # padded (values beyond the array edge are unread)
+        block = np.zeros(chunk, dtype=data.dtype)
+        seg = data[ci * chunk : (ci + 1) * chunk]
+        block[: len(seg)] = seg
+        if kind == "packbits":
+            pad = (8 - block.size % 8) % 8
+            enc = bytes([pad]) + np.packbits(block).tobytes()
+        else:
+            raw = block.tobytes()
+            es = block.dtype.itemsize
+            enc = (
+                np.frombuffer(raw, dtype=np.uint8)
+                .reshape(chunk, es).T.reshape(-1).tobytes()
+            )
+        with open(os.path.join(path, "v", str(ci)), "wb") as f:
+            f.write(enc)
+
+    got = open_zarr(path).data_vars["v"].values()
+    np.testing.assert_array_equal(got, data)
