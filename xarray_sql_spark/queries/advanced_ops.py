@@ -1394,7 +1394,11 @@ def ts08_rare_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-trigram aggregate map-side-combines into a tiny table that
     BROADCASTS back to the exploded doc-trigram stream — the per-doc
     rescan never shuffles on the trigram key. The only corpus-scale
-    exchange is the final per-doc aggregate."""
+    exchange is the final per-doc aggregate. (Round-7 measured
+    alternative: collapsing to per-(doc, trigram) counts first scans the
+    text once but adds a corpus-scale shuffle on the pair key — 7%
+    slower at the sf1 probe and strictly more shuffle bytes at 100 TB
+    than this shape's second columnar scan; rejected.)"""
     d = (
         table(spark, sf_dir, "documents", spread=True)
         .select("doc_id", F.lower("text").alias("t"))
