@@ -473,3 +473,82 @@ def test_distributed_zarr_sink_axis_guard(spark, tmp_path, monkeypatch):
     df = spark.range(100).selectExpr("id AS t", "CAST(id AS DOUBLE) AS v")
     with pytest.raises(ValueError, match="distinct values"):
         zarr_sink.write_zarr_distributed(df, str(tmp_path / "g.zarr"), ["t"])
+
+
+def test_zarr_region_write_roundtrip(spark, tmp_path):
+    """Chunk-aligned region overwrite of an existing store: the region's
+    chunks are rewritten from executors, everything outside is untouched
+    byte-for-byte, and sparse cells inside the region fall to the store's
+    fill_value (xarray to_zarr(region=...) semantics)."""
+    from xarray_sql_spark.operators.zarr_sink import write_zarr_region
+    from xarray_sql_spark.zarr_store import open_zarr, write_zarr
+
+    t = np.arange(48, dtype=np.int64)
+    y = np.arange(6, dtype=np.int64)
+    v = (t[:, None] * 10.0 + y[None, :])
+    ds = Dataset({"v": Variable(("t", "y"), v)}, {"t": t, "y": y})
+    path = str(tmp_path / "rg.zarr")
+    write_zarr(ds, path, chunks={"t": 12})
+
+    # overwrite t in [12, 36) with transformed values
+    df = (
+        spark.range(12, 36).selectExpr("id AS t")
+        .crossJoin(spark.range(6).selectExpr("id AS y"))
+        .selectExpr("t", "y", "CAST(-(t * 10 + y) AS DOUBLE) AS v")
+    )
+    stats = write_zarr_region(df, path, {"t": (12, 36)})
+    assert sum(stats.values()) == 24 * 6
+    assert set(stats) == {"1.0", "2.0"}
+
+    back = open_zarr(path).data_vars["v"].values()
+    want = v.copy()
+    want[12:36] = -v[12:36]
+    np.testing.assert_allclose(back, want)
+
+
+def test_zarr_region_write_guards(spark, tmp_path):
+    """Misaligned bounds, out-of-region rows, and unsupported store
+    features (filter chains) must refuse loudly."""
+    from xarray_sql_spark.operators.zarr_sink import write_zarr_region
+    from xarray_sql_spark.zarr_store import write_zarr
+
+    t = np.arange(24, dtype=np.int64)
+    ds = Dataset({"v": Variable(("t",), t * 1.0)}, {"t": t})
+    path = str(tmp_path / "rg2.zarr")
+    write_zarr(ds, path, chunks={"t": 8})
+
+    good = spark.range(8, 16).selectExpr("id AS t", "CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="not aligned"):
+        write_zarr_region(good, path, {"t": (8, 15)})
+    with pytest.raises(ValueError, match="outside region"):
+        # rows at t in [8,16) but region only covers [16, 24)
+        write_zarr_region(good, path, {"t": (16, 24)})
+    # sparse region write: absent cells -> fill_value, present updated
+    sparse = spark.range(16, 18).selectExpr("id AS t", "CAST(99 AS DOUBLE) AS v")
+    write_zarr_region(sparse, path, {"t": (16, 24)}, validate=False)
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    back = open_zarr(path).data_vars["v"].values()
+    np.testing.assert_allclose(back[16:18], [99.0, 99.0])
+    assert np.isnan(back[18:24]).all()  # store's declared float fill (NaN)
+    np.testing.assert_allclose(back[:16], t[:16] * 1.0)
+
+
+def test_zarr_region_write_v3(spark, tmp_path):
+    """Region writes honor the v3 chunk-key layout (c/-prefixed) and the
+    store's own codec chain."""
+    from xarray_sql_spark.operators.zarr_sink import write_zarr_region
+    from xarray_sql_spark.zarr_store import open_zarr, write_zarr
+
+    t = np.arange(16, dtype=np.int64)
+    ds = Dataset({"v": Variable(("t",), t * 2.0)}, {"t": t})
+    path = str(tmp_path / "rg3.zarr")
+    write_zarr(ds, path, chunks={"t": 8}, zarr_format=3,
+               compressor={"id": "zstd"})
+
+    df = spark.range(8, 16).selectExpr("id AS t", "CAST(id * -2 AS DOUBLE) AS v")
+    stats = write_zarr_region(df, path, {"t": (8, 16)})
+    assert sum(stats.values()) == 8
+    back = open_zarr(path).data_vars["v"].values()
+    np.testing.assert_allclose(back[:8], t[:8] * 2.0)
+    np.testing.assert_allclose(back[8:], t[8:] * -2.0)

@@ -96,6 +96,158 @@ def _collect_axes(
     return coords
 
 
+def write_zarr_region(
+    df: DataFrame,
+    path: str,
+    region: Mapping[str, tuple[int, int]],
+    validate: bool = True,
+) -> dict[str, int]:
+    """Executor-parallel OVERWRITE of a chunk-aligned rectangular region
+    of an EXISTING Zarr store (xarray's ``to_zarr(region=...)``, scaled
+    out): each touched chunk file is rewritten whole from the executor
+    holding its rows; metadata is untouched, so concurrent readers only
+    ever see complete old or complete new chunks (chunk writes are
+    atomic-by-replacement and idempotent under task retry).
+
+    ``region`` maps dim name -> (start, stop) POSITIONS; dims omitted
+    cover their full extent. Every touched dim's bounds must land on
+    chunk boundaries (a straddling chunk would need read-modify-write,
+    which breaks retry idempotence) — misalignment raises. Cells inside
+    the region absent from ``df`` become the store's fill_value (the
+    region is rewritten wholesale, xarray semantics); with
+    ``validate=True`` a row of ``df`` whose dim values fall OUTSIDE the
+    region raises instead of being silently dropped.
+
+    Like :func:`append_zarr`, this operates in the RAW encoded domain:
+    open the store with ``decode_cf=False`` spelling when checking what
+    to write — CF-packed/time-encoded stores expect raw values.
+    Sharded (v3 sharding_indexed) and filter-chain variables refuse:
+    their chunk bytes are not independently rewritable."""
+    from xarray_sql_spark.zarr_store import open_zarr
+
+    ds = open_zarr(path, decode_cf=False)
+    dim_names = set(ds.coords)
+    var_cols = [c for c in df.columns if c not in dim_names]
+    dims_cols = [c for c in df.columns if c in dim_names]
+    if not var_cols:
+        raise ValueError("no value columns: every column is a dim")
+    unknown = [v for v in var_cols if v not in ds.data_vars]
+    if unknown:
+        raise ValueError(f"columns {unknown} are not variables of {path}")
+    arrays = {v: ds.data_vars[v].data for v in var_cols}
+    dims = ds.data_vars[var_cols[0]].dims
+    for v in var_cols:
+        if ds.data_vars[v].dims != dims:
+            raise ValueError(
+                f"region write requires uniform dims; {v!r} has "
+                f"{ds.data_vars[v].dims}, expected {dims}"
+            )
+        za = arrays[v]
+        if getattr(za, "_shard", None):
+            raise NotImplementedError(
+                f"{v}: region writes into sharded stores are not supported"
+            )
+        if getattr(za, "filters", None) and za._vlen is None:
+            raise NotImplementedError(
+                f"{v}: region writes through filter chains are not supported"
+            )
+    if sorted(dims_cols) != sorted(dims):
+        raise ValueError(f"df must carry dim columns {dims}, got {dims_cols}")
+    bad = [d for d in region if d not in dims]
+    if bad:
+        raise ValueError(f"region dims {bad} not in store dims {dims}")
+
+    ref = arrays[var_cols[0]]
+    bounds: dict[str, tuple[int, int]] = {}
+    for ax, d in enumerate(dims):
+        size, chunk = ref.shape[ax], ref.chunks[ax]
+        start, stop = region.get(d, (0, size))
+        if not (0 <= start < stop <= size):
+            raise ValueError(f"region {d}=({start}, {stop}) outside [0, {size})")
+        if start % chunk or (stop % chunk and stop != size):
+            raise ValueError(
+                f"region {d}=({start}, {stop}) is not aligned to chunk "
+                f"size {chunk} (read-modify-write of straddled chunks is "
+                f"not supported)"
+            )
+        bounds[d] = (start, stop)
+
+    # position join against the store's own coordinate slice (raw domain)
+    spark = df.sparkSession
+    work = df
+    for ax, d in enumerate(dims):
+        start, stop = bounds[d]
+        pos_pdf = pd.DataFrame({
+            d: np.asarray(ds.coords[d][start:stop]),
+            f"__pos_{d}": np.arange(start, stop, dtype=np.int64),
+        })
+        work = work.join(F.broadcast(spark.createDataFrame(pos_pdf)), d)
+        work = work.withColumn(
+            f"__ck_{d}", F.expr(f"__pos_{d} div {ref.chunks[ax]}").cast("int")
+        )
+
+    dlist, vlist = list(dims), list(var_cols)
+    metas = {v: arrays[v] for v in vlist}
+
+    def _write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = tuple(int(pdf[f"__ck_{d}"].iloc[0]) for d in dlist)
+        for v in vlist:
+            za = metas[v]
+            locs = tuple(
+                pdf[f"__pos_{d}"].to_numpy(dtype=np.int64) - i * c
+                for d, i, c in zip(dlist, idx, za.chunks)
+            )
+            dt = za._storage_dtype
+            block = np.full(za.chunks, za.fill_value, dtype=dt)
+            if dt.kind in "iub" and pdf[v].isna().any():
+                raise ValueError(
+                    f"write_zarr_region: column {v!r} maps to non-nullable "
+                    f"dtype {dt} but contains NULLs"
+                )
+            vals = pdf[v].to_numpy()
+            if dt.kind == "O":
+                vals = np.array(
+                    [za.fill_value if x is None else str(x) for x in vals],
+                    dtype=object,
+                )
+                block[locs] = vals
+                raw = _vlen_encode(block)
+                ts = 1
+            else:
+                if dt.kind == "f":  # NULL -> fill (matches absent cells)
+                    vals = pd.to_numeric(pdf[v], errors="coerce").to_numpy()
+                block[locs] = vals.astype(dt)
+                raw = np.ascontiguousarray(block).tobytes()
+                ts = dt.itemsize
+            fname = za._chunk_file(idx)
+            os.makedirs(os.path.dirname(fname), exist_ok=True)
+            with open(fname, "wb") as f:
+                f.write(_compress(raw, za.compressor, ts))
+        key = ".".join(str(i) for i in idx)
+        return pd.DataFrame({"chunk": [key], "n": [len(pdf)]})
+
+    df = df.persist()
+    try:
+        stats = (
+            work.groupBy(*[f"__ck_{d}" for d in dims])
+            .applyInPandas(_write_chunk, "chunk string, n long")
+            .collect()
+        )
+        written = {r["chunk"]: r["n"] for r in stats}
+        if validate:
+            total = df.count()
+            inside = sum(written.values())
+            if inside != total:
+                raise ValueError(
+                    f"write_zarr_region: {total - inside} of {total} rows "
+                    f"fall outside region {dict(bounds)} (or carry dim "
+                    f"values absent from the store's coordinates)"
+                )
+        return written
+    finally:
+        df.unpersist()
+
+
 def write_zarr_distributed(
     df: DataFrame,
     path: str,

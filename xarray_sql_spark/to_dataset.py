@@ -235,6 +235,21 @@ class XarrayDataFrame:
             coords=coords,
         )
 
+    def to_zarr_region(
+        self,
+        path: str,
+        region: "Mapping[str, tuple[int, int]]",
+        validate: bool = True,
+    ) -> dict[str, int]:
+        """Overwrite a chunk-aligned rectangular region of an EXISTING
+        Zarr store with this query's rows, executor-parallel — xarray's
+        ``to_zarr(region=...)`` contract at cluster scale (see
+        :func:`xarray_sql_spark.operators.zarr_sink.write_zarr_region`
+        for alignment/raw-domain rules). Returns {chunk_key: rows}."""
+        from xarray_sql_spark.operators.zarr_sink import write_zarr_region
+
+        return write_zarr_region(self._df, path, region, validate=validate)
+
     # -- lazy path (A11/A12/A14) ---------------------------------------
     def _source_dataset(self, template=None) -> tuple[str, Dataset] | tuple[None, None]:
         if isinstance(template, str) and template in self._registered:
