@@ -1349,3 +1349,59 @@ def gq23_longtail_codec_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag "
         "FROM gq_grid23 WHERE x >= 8"
     ).df
+
+
+@query(
+    "gq24_region_write_roundtrip",
+    oracle="""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi,
+               CASE WHEN t.i >= 8 AND t.i < 24
+                    THEN 100.0 - (t.i * 0.5 + y.i * 0.25)
+                    ELSE t.i * 0.5 + y.i * 0.25 END AS v
+        FROM (SELECT unnest(range(32)) AS i) t,
+             (SELECT unnest(range(6)) AS i) y
+    )
+    SELECT CAST(ti % 4 AS INT) AS tb,
+           sum(v) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cells GROUP BY ti % 4 ORDER BY tb
+    """,
+    tags=("grid", "datasource", "zarr", "sink", "region"),
+    bench=False,
+)
+def gq24_region_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region overwrite under the hash gate (round 7): write a store,
+    SQL-transform the middle chunk-aligned slab (t in [8, 24) = chunks 1
+    and 2 of 4) through the DataSource, OVERWRITE just that region in
+    place with ``to_zarr_region`` (executor-parallel, metadata untouched),
+    re-open, and aggregate over the WHOLE axis — the hash matches only if
+    the overwritten chunks carry the transformed values bit-for-bit AND
+    the untouched chunks survived byte-identical. Values are exact binary
+    fractions throughout, so no rounding hides a partial failure."""
+    import tempfile
+
+    from xarray_sql_spark.zarr_store import write_zarr
+
+    t = np.arange(32, dtype=np.int64)
+    y = np.arange(6, dtype=np.int64)
+    v = t[:, None] * 0.5 + y[None, :] * 0.25
+    ds = Dataset({"v": Variable(("t", "y"), v)}, {"t": t, "y": y})
+    path = tempfile.mkdtemp(prefix="gq24_") + "/region.zarr"
+    write_zarr(ds, path, chunks={"t": 8})
+
+    xs = XarraySession(spark)
+    xs.from_dataset("gq_grid24", Dataset.open_store(path), chunks={"t": 8}, store=path)
+    patch = xs.sql(
+        "SELECT t, y, 100.0 - v AS v FROM gq_grid24 WHERE t >= 8 AND t < 24"
+    )
+    patch.to_zarr_region(path, {"t": (8, 24)})
+
+    xs2 = XarraySession(spark)
+    xs2.from_dataset(
+        "gq_grid24_back", Dataset.open_store(path), chunks={"t": 8}, store=path
+    )
+    return xs2.sql(
+        "SELECT CAST(t % 4 AS INT) AS tb, SUM(v) AS total, COUNT(*) AS n "
+        "FROM gq_grid24_back GROUP BY t % 4 ORDER BY tb"
+    ).df
