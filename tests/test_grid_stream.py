@@ -365,3 +365,65 @@ def test_stream_surfaces_partition_read_errors(spark, tmp_path):
     # the DECODE failure must be what surfaced (any generic failure
     # mentioning 'error' would green-light a broken read path)
     assert "decompress" in str(ei.value).lower() or "zlib" in str(ei.value).lower()
+
+
+def test_stream_to_zarr_regions_exactly_once(spark, tmp_path):
+    """Streaming grid INGESTION (the source's complement): slab files
+    arrive one per trigger, each lands as a chunk-aligned region
+    overwrite; the final store equals the batch ground truth, and
+    replaying the whole stream with a fresh checkpoint rewrites
+    byte-identical chunks (the idempotence that makes foreachBatch
+    exactly-once)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from xarray_sql_spark.dataset import Dataset, Variable
+    from xarray_sql_spark.streaming.grid_sink import stream_to_zarr_regions
+    from xarray_sql_spark.zarr_store import open_zarr, write_zarr
+
+    t = np.arange(32, dtype=np.int64)
+    y = np.arange(4, dtype=np.int64)
+    want = t[:, None] * 0.5 + y[None, :] * 2.0
+    path = str(tmp_path / "ingest.zarr")
+    # pre-allocated axis, zero-filled payload: ingestion fills it in
+    write_zarr(
+        Dataset({"v": Variable(("t", "y"), np.zeros_like(want))}, {"t": t, "y": y}),
+        path, chunks={"t": 8},
+    )
+
+    # one slab file per chunk (8 t-values x 4 y), arriving one per trigger
+    src = str(tmp_path / "slabs")
+    os.makedirs(src)
+    rows = [
+        (int(ti), int(yi), float(want[ti, yi])) for ti in t for yi in y
+    ]
+    for ci in range(4):
+        slab = [r for r in rows if ci * 8 <= r[0] < (ci + 1) * 8]
+        spark.createDataFrame(slab, "t long, y long, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, f"slab_{ci}"))
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema("t long, y long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "slab_*"))
+        )
+        q = stream_to_zarr_regions(stream, path, "t", checkpoint)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    back = open_zarr(path).data_vars["v"].values()
+    np.testing.assert_allclose(back, want)
+
+    chunk_bytes = {
+        f: open(f, "rb").read() for f in glob.glob(os.path.join(path, "v", "*"))
+        if not f.endswith((".zarray", ".zattrs"))
+    }
+    # full replay (fresh checkpoint) = the retry worst case: byte-identical
+    run(str(tmp_path / "ckpt2"))
+    for f, before in chunk_bytes.items():
+        assert open(f, "rb").read() == before
+    np.testing.assert_allclose(open_zarr(path).data_vars["v"].values(), want)
