@@ -552,3 +552,32 @@ def test_zarr_region_write_v3(spark, tmp_path):
     back = open_zarr(path).data_vars["v"].values()
     np.testing.assert_allclose(back[:8], t[:8] * 2.0)
     np.testing.assert_allclose(back[8:], t[8:] * -2.0)
+
+
+def test_rechunk_zarr(spark, tmp_path, monkeypatch):
+    """Rechunker: time-chunked store -> space-chunked v3 store in one
+    shuffle, values identical, destination chunk grid as requested, and
+    the axes come from source metadata (no driver axis jobs — the
+    monkeypatched collector must never fire)."""
+    from xarray_sql_spark.operators import zarr_sink
+    from xarray_sql_spark.operators.zarr_sink import rechunk_zarr
+    from xarray_sql_spark.zarr_store import open_zarr, write_zarr
+
+    t = np.arange(24, dtype=np.int64)
+    y = np.arange(12, dtype=np.int64)
+    v = t[:, None] * 0.5 + y[None, :] * 0.25
+    src = str(tmp_path / "src.zarr")
+    write_zarr(Dataset({"v": Variable(("t", "y"), v)}, {"t": t, "y": y}),
+               src, chunks={"t": 6})
+
+    def _boom(*a, **k):
+        raise AssertionError("rechunk must take axes from source metadata")
+
+    monkeypatch.setattr(zarr_sink, "_collect_axes", _boom)
+    dst = str(tmp_path / "dst.zarr")
+    stats = rechunk_zarr(spark, src, dst, chunks={"y": 4}, zarr_format=3,
+                         compressor={"id": "zstd"})
+    assert sum(stats.values()) == 24 * 12
+    back = open_zarr(dst)
+    np.testing.assert_allclose(back.data_vars["v"].values(), v)
+    assert back.data_vars["v"].data.chunks == (24, 4)
