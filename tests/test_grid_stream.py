@@ -427,3 +427,44 @@ def test_stream_to_zarr_regions_exactly_once(spark, tmp_path):
     for f, before in chunk_bytes.items():
         assert open(f, "rb").read() == before
     np.testing.assert_allclose(open_zarr(path).data_vars["v"].values(), want)
+
+
+def test_stream_to_zarr_rejects_sparse_batches(spark, tmp_path):
+    """A micro-batch with a gap inside its chunk-aligned span would zap a
+    neighbour batch's cells to fill on rewrite — the density gate must
+    fail the batch, not write."""
+    import numpy as np
+
+    from xarray_sql_spark.dataset import Dataset, Variable
+    from xarray_sql_spark.streaming.grid_sink import stream_to_zarr_regions
+    from xarray_sql_spark.zarr_store import open_zarr, write_zarr
+
+    t = np.arange(16, dtype=np.int64)
+    y = np.arange(2, dtype=np.int64)
+    seed = np.ones((16, 2))
+    path = str(tmp_path / "gap.zarr")
+    write_zarr(Dataset({"v": Variable(("t", "y"), seed)}, {"t": t, "y": y}),
+               path, chunks={"t": 8})
+
+    src = str(tmp_path / "gapslabs")
+    # one file whose rows span [0,16) but skip t in [8,12): aligned span,
+    # interior gap
+    rows = [
+        (int(ti), int(yi), 5.0) for ti in t for yi in y
+        if not (8 <= ti < 12)
+    ]
+    spark.createDataFrame(rows, "t long, y long, v double").coalesce(
+        1
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("t long, y long, v double").parquet(src)
+    )
+    q = stream_to_zarr_regions(stream, path, "t", str(tmp_path / "ck"))
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    # nothing was written: the store still holds the seed values
+    back = open_zarr(path).data_vars["v"].values()
+    np.testing.assert_allclose(back, seed)

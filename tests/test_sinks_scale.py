@@ -581,3 +581,99 @@ def test_rechunk_zarr(spark, tmp_path, monkeypatch):
     back = open_zarr(dst)
     np.testing.assert_allclose(back.data_vars["v"].values(), v)
     assert back.data_vars["v"].data.chunks == (24, 4)
+
+
+def test_zarr_region_write_refuses_unsafe_layouts(spark, tmp_path):
+    """Round-7 review guards: F-order stores, heterogeneous chunk grids,
+    and CF-packed rechunk sources all refuse loudly."""
+    import json
+
+    from xarray_sql_spark.operators.zarr_sink import rechunk_zarr, write_zarr_region
+    from xarray_sql_spark.zarr_store import write_zarr
+
+    # F-order store: hand-built metadata (with real coordinate arrays so
+    # t/y resolve as dims, not value columns)
+    path = str(tmp_path / "ford.zarr")
+    for name in ("v", "t", "y"):
+        os.makedirs(os.path.join(path, name))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+
+    def _coord(name, n):
+        with open(os.path.join(path, name, ".zarray"), "w") as f:
+            json.dump({"zarr_format": 2, "shape": [n], "chunks": [n],
+                       "dtype": "<i8", "compressor": None, "fill_value": 0,
+                       "order": "C", "filters": None}, f)
+        with open(os.path.join(path, name, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": [name]}, f)
+        with open(os.path.join(path, name, "0"), "wb") as f:
+            f.write(np.arange(n, dtype="<i8").tobytes())
+
+    _coord("t", 4)
+    _coord("y", 3)
+    a = np.arange(12, dtype="<f8").reshape(4, 3)
+    with open(os.path.join(path, "v", ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [4, 3], "chunks": [4, 3],
+                   "dtype": "<f8", "compressor": None, "fill_value": 0,
+                   "order": "F", "filters": None}, f)
+    with open(os.path.join(path, "v", ".zattrs"), "w") as f:
+        json.dump({"_ARRAY_DIMENSIONS": ["t", "y"]}, f)
+    with open(os.path.join(path, "v", "0.0"), "wb") as f:
+        f.write(np.asfortranarray(a).tobytes(order="F"))
+    df = spark.createDataFrame([(0, 0, 1.0)], "t long, y long, v double")
+    with pytest.raises(NotImplementedError, match="F-order"):
+        write_zarr_region(df, path, {"t": (0, 4)})
+
+    # heterogeneous chunk grids across variables
+    path2 = str(tmp_path / "het.zarr")
+    t = np.arange(16, dtype=np.int64)
+    write_zarr(Dataset({"a": Variable(("t",), t * 1.0)}, {"t": t}), path2,
+               chunks={"t": 8})
+    # plant a second var with a different chunk grid
+    import shutil
+
+    shutil.copytree(os.path.join(path2, "a"), os.path.join(path2, "b"))
+    meta = json.load(open(os.path.join(path2, "b", ".zarray")))
+    meta["chunks"] = [4]
+    json.dump(meta, open(os.path.join(path2, "b", ".zarray"), "w"))
+    # rewrite b's chunks to the 4-grid so the store stays readable
+    for f_ in glob.glob(os.path.join(path2, "b", "[0-9]*")):
+        os.remove(f_)
+    import zlib as _z
+
+    for ci in range(4):
+        with open(os.path.join(path2, "b", str(ci)), "wb") as f:
+            f.write(_z.compress((t[ci * 4:(ci + 1) * 4] * 1.0).tobytes(), 1))
+    mj = json.load(open(os.path.join(path2, ".zmetadata")))
+    mj["metadata"]["b/.zarray"] = meta
+    mj["metadata"]["b/.zattrs"] = {"_ARRAY_DIMENSIONS": ["t"]}
+    json.dump(mj, open(os.path.join(path2, ".zmetadata"), "w"))
+    df2 = spark.createDataFrame(
+        [(0, 1.0, 2.0)], "t long, a double, b double"
+    )
+    with pytest.raises(ValueError, match="uniform chunk grid"):
+        write_zarr_region(df2, path2, {"t": (0, 8)})
+    with pytest.raises(ValueError, match="uniform dims/chunk"):
+        rechunk_zarr(spark, path2, str(tmp_path / "x.zarr"), chunks={"t": 4})
+
+
+def test_rechunk_refuses_cf_packed(spark, tmp_path):
+    import json
+
+    from xarray_sql_spark.operators.zarr_sink import rechunk_zarr
+
+    path = str(tmp_path / "packed.zarr")
+    os.makedirs(os.path.join(path, "v"))
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    raw = np.arange(8, dtype="<i2")
+    with open(os.path.join(path, "v", ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [8], "chunks": [8],
+                   "dtype": "<i2", "compressor": None, "fill_value": 0,
+                   "order": "C", "filters": None}, f)
+    with open(os.path.join(path, "v", ".zattrs"), "w") as f:
+        json.dump({"_ARRAY_DIMENSIONS": ["t"], "scale_factor": 0.5}, f)
+    with open(os.path.join(path, "v", "0"), "wb") as f:
+        f.write(raw.tobytes())
+    with pytest.raises(NotImplementedError, match="CF-packed"):
+        rechunk_zarr(spark, path, str(tmp_path / "out.zarr"), chunks={"t": 4})

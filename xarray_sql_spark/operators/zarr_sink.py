@@ -118,23 +118,52 @@ def rechunk_zarr(
     This is the operation behind "my chunks are wrong for my access
     pattern" (time-chunked archive -> space-chunked serving layout, many
     tiny chunks -> object-store-sized shards via ``zarr_format=3`` +
-    ``shards``)."""
+    ``shards``).
+
+    CF-PACKED variables (scale_factor/add_offset/_Unsigned int packing)
+    refuse: rechunking them through the decoded domain would silently
+    re-encode int16 archives as float64 chunks (4x the bytes) and drop
+    the packing attrs — decode explicitly and write a decoded store if
+    that is what you want. Unpacked variables pass through
+    value-identical; CF TIME coordinates re-encode as timestamp
+    microseconds (value-preserving)."""
+    import uuid
+
     from xarray_sql_spark.dataset import Dataset
     from xarray_sql_spark.xr_session import XarraySession
+    from xarray_sql_spark.zarr_store import CFScaledArray
 
     ds = Dataset.open_store(src)
+    packed = [
+        n for n, var in ds.data_vars.items()
+        if isinstance(getattr(var, "data", None), CFScaledArray)
+    ]
+    if packed:
+        raise NotImplementedError(
+            f"rechunk_zarr: variables {packed} are CF-packed; rechunking "
+            f"would re-encode them in the decoded (float) domain and drop "
+            f"the packing — not supported"
+        )
     xs = XarraySession(spark)
-    name = f"__rechunk_{abs(hash(src)) % 10**8:08d}"
+    name = f"__rechunk_{uuid.uuid4().hex[:12]}"
     # register with the SOURCE chunk grid so reads parallelize over the
-    # existing partitioning
-    src_chunks = {}
-    for var in ds.data_vars.values():
+    # existing partitioning; all vars must share one dims/chunk geometry
+    # (SELECT * pivots them into one table)
+    dims, src_chunks = None, None
+    for vname, var in ds.data_vars.items():
         za = getattr(var, "data", None)
-        if hasattr(za, "chunks"):
-            src_chunks = dict(zip(var.dims, za.chunks))
-            break
+        v_chunks = (
+            dict(zip(var.dims, za.chunks)) if hasattr(za, "chunks") else None
+        )
+        if dims is None:
+            dims, src_chunks = var.dims, v_chunks
+        elif var.dims != dims or v_chunks != src_chunks:
+            raise ValueError(
+                f"rechunk_zarr requires a uniform dims/chunk geometry; "
+                f"{vname!r} has {var.dims}/{v_chunks}, expected "
+                f"{dims}/{src_chunks}"
+            )
     xs.from_dataset(name, ds, chunks=src_chunks or None, store=src)
-    dims = next(iter(ds.data_vars.values())).dims
     res = xs.sql(
         f"SELECT * FROM {name}"  # noqa: S608 — internal generated view name
     )
@@ -160,11 +189,17 @@ def write_zarr_region(
     ``region`` maps dim name -> (start, stop) POSITIONS; dims omitted
     cover their full extent. Every touched dim's bounds must land on
     chunk boundaries (a straddling chunk would need read-modify-write,
-    which breaks retry idempotence) — misalignment raises. Cells inside
-    the region absent from ``df`` become the store's fill_value (the
-    region is rewritten wholesale, xarray semantics); with
+    which breaks retry idempotence) — misalignment raises. Chunk
+    rewrite granularity is per chunk WITH rows: a chunk holding at
+    least one ``df`` row is rewritten wholesale (its cells absent from
+    ``df`` become the store's fill_value; duplicate dim-tuples are
+    last-writer-wins in an unspecified order, like the full sink), and
+    a region chunk with NO rows is left untouched. With
     ``validate=True`` a row of ``df`` whose dim values fall OUTSIDE the
-    region raises instead of being silently dropped.
+    region raises instead of being silently dropped; the validate count
+    also eagerly materializes ``df`` (localCheckpoint) BEFORE any chunk
+    is replaced, so a read-transform-overwrite of the SAME store cannot
+    recompute its inputs from half-overwritten chunks under task retry.
 
     Like :func:`append_zarr`, this operates in the RAW encoded domain:
     open the store with ``decode_cf=False`` spelling when checking what
@@ -199,6 +234,20 @@ def write_zarr_region(
             raise NotImplementedError(
                 f"{v}: region writes through filter chains are not supported"
             )
+        if getattr(za, "order", "C") != "C" or getattr(za, "_transpose_order", None):
+            raise NotImplementedError(
+                f"{v}: region writes into F-order / transpose-codec stores "
+                f"are not supported (the writer emits C-order chunks)"
+            )
+    ref0 = arrays[var_cols[0]]
+    for v in var_cols[1:]:
+        za = arrays[v]
+        if za.shape != ref0.shape or za.chunks != ref0.chunks:
+            raise ValueError(
+                f"region write requires a uniform chunk grid; {v!r} has "
+                f"shape {za.shape} chunks {za.chunks}, expected "
+                f"{ref0.shape} / {ref0.chunks}"
+            )
     if sorted(dims_cols) != sorted(dims):
         raise ValueError(f"df must carry dim columns {dims}, got {dims_cols}")
     bad = [d for d in region if d not in dims]
@@ -220,8 +269,16 @@ def write_zarr_region(
             )
         bounds[d] = (start, stop)
 
-    # position join against the store's own coordinate slice (raw domain)
     spark = df.sparkSession
+    total = None
+    if validate:
+        # eager materialization FIRST: if df reads the same store it is
+        # about to overwrite, a retried task must replay from the
+        # checkpointed rows, never re-scan half-overwritten chunks
+        df = df.localCheckpoint(eager=True)
+        total = df.count()
+
+    # position join against the store's own coordinate slice (raw domain)
     work = df
     for ax, d in enumerate(dims):
         start, stop = bounds[d]
@@ -269,31 +326,31 @@ def write_zarr_region(
                 ts = dt.itemsize
             fname = za._chunk_file(idx)
             os.makedirs(os.path.dirname(fname), exist_ok=True)
-            with open(fname, "wb") as f:
+            # atomic-by-replacement: never truncate the live chunk — a
+            # concurrent reader (or a crash mid-write) must see either
+            # the complete old bytes or the complete new bytes
+            tmp = f"{fname}.__tmp_{os.getpid()}_{idx[0] if idx else 0}"
+            with open(tmp, "wb") as f:
                 f.write(_compress(raw, za.compressor, ts))
+            os.replace(tmp, fname)
         key = ".".join(str(i) for i in idx)
         return pd.DataFrame({"chunk": [key], "n": [len(pdf)]})
 
-    df = df.persist()
-    try:
-        stats = (
-            work.groupBy(*[f"__ck_{d}" for d in dims])
-            .applyInPandas(_write_chunk, "chunk string, n long")
-            .collect()
-        )
-        written = {r["chunk"]: r["n"] for r in stats}
-        if validate:
-            total = df.count()
-            inside = sum(written.values())
-            if inside != total:
-                raise ValueError(
-                    f"write_zarr_region: {total - inside} of {total} rows "
-                    f"fall outside region {dict(bounds)} (or carry dim "
-                    f"values absent from the store's coordinates)"
-                )
-        return written
-    finally:
-        df.unpersist()
+    stats = (
+        work.groupBy(*[f"__ck_{d}" for d in dims])
+        .applyInPandas(_write_chunk, "chunk string, n long")
+        .collect()
+    )
+    written = {r["chunk"]: r["n"] for r in stats}
+    if validate:
+        inside = sum(written.values())
+        if inside != total:
+            raise ValueError(
+                f"write_zarr_region: {total - inside} of {total} rows "
+                f"fall outside region {dict(bounds)} (or carry dim "
+                f"values absent from the store's coordinates)"
+            )
+    return written
 
 
 def write_zarr_distributed(
