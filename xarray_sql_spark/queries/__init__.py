@@ -36,7 +36,8 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      collation gate), gq23 (NEW: bz2/lzma/Shuffle/PackBits store —
 #      takes q35_unpivot's slot; a new operator's first driver row
 #      outranks a re-proof of an r5-green shape), gq24 (NEW: in-place
-#      region-overwrite roundtrip — takes q34's slot, same rule).
+#      region-overwrite roundtrip — takes q34's slot, same rule), ss09
+#      (NEW: product-quantization ADC top-k — takes q33's slot).
 #   3. Oldest-proof entries: q07/q08 (last green r3), then the r4 batch
 #      (q02-q06, q09, q10, q25), then the oldest r5 relational block
 #      (q11-q35 numerics). Everything displaced was green in r5/r6 on
@@ -52,7 +53,7 @@ _PRIORITY = (
     "mm01_decode_meta mm04_resize dd08_incremental_dedup "
     "gq14_zarr_roundtrip gq17_blosclz_bitshuffle_store gq18_cf_decoded_store "
     "gq02_grid_pruned_slice gq15_filtered_store gq23_longtail_codec_store "
-    "gq24_region_write_roundtrip "
+    "gq24_region_write_roundtrip ss09_pq_adc_topk "
     # 3a. oldest proofs (r3/r4)
     "q07_cross_join q08_agg_filter "
     "q02_filter_scan q03_top_revenue q04_exists_semijoin q05_region_volume "
@@ -62,7 +63,7 @@ _PRIORITY = (
     "q16_distinct_sort q17_subqueries q18_rollup q19_count_star "
     "q20_weighted_regrid q21_udf_reproject q23_percentiles q24_pivot "
     "q26_anti_join q28_grouping_sets q29_window_suite q30_string_funcs "
-    "q31_null_ops q32_json_extract q33_array_funcs"
+    "q31_null_ops q32_json_extract"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]

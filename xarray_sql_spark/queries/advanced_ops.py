@@ -1640,3 +1640,183 @@ def ts07_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- ss09: product quantization (PQ) — codebooks, codes, ADC top-k ----------
+_PQ_M, _PQ_SUBDIM, _PQ_K = 2, 32, 4  # 64-dim vecs -> 2 subvectors x 4 codes
+_PQ_QUERIES = (10, 200, 390)
+_PQ_D2_SQL = (
+    "list_sum(list_transform(range(1, {n} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+@query(
+    "ss09_pq_adc_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, 0 AS s, emb[1:{_PQ_SUBDIM}] AS se FROM v
+        UNION ALL
+        SELECT vec_id, 1 AS s, emb[{_PQ_SUBDIM + 1}:{2 * _PQ_SUBDIM}] AS se FROM v
+    ),
+    seeds AS (SELECT s, vec_id AS j, se AS ce FROM sub WHERE vec_id < {_PQ_K}),
+    a1 AS (
+        SELECT sub.vec_id, sub.s, sub.se, sd.j,
+               row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY {_PQ_D2_SQL.format(n=_PQ_SUBDIM, a="sub.se", b="sd.ce")}, sd.j
+               ) AS rn
+        FROM sub JOIN seeds sd ON sd.s = sub.s
+    ),
+    mem AS (SELECT vec_id, s, j, se FROM a1 WHERE rn = 1),
+    cbe AS (
+        SELECT s, j, dim, round(avg(val), 4) AS val
+        FROM (SELECT s, j, generate_subscripts(se, 1) AS dim, unnest(se) AS val
+              FROM mem)
+        GROUP BY s, j, dim
+    ),
+    cb AS (SELECT s, j, list(val ORDER BY dim) AS ce FROM cbe GROUP BY s, j),
+    cbf AS (
+        SELECT sd.s, sd.j, COALESCE(cb.ce, sd.ce) AS ce
+        FROM seeds sd LEFT JOIN cb ON cb.s = sd.s AND cb.j = sd.j
+    ),
+    enc AS (
+        SELECT sub.vec_id, sub.s, c.j,
+               row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY {_PQ_D2_SQL.format(n=_PQ_SUBDIM, a="sub.se", b="c.ce")}, c.j
+               ) AS rn
+        FROM sub JOIN cbf c ON c.s = sub.s
+    ),
+    codes AS (SELECT vec_id, s, j FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, s, se AS qe FROM sub
+          WHERE vec_id IN {_PQ_QUERIES}),
+    dtab AS (
+        SELECT q.query_id, q.s, c.j,
+               round({_PQ_D2_SQL.format(n=_PQ_SUBDIM, a="q.qe", b="c.ce")}, 6) AS d2
+        FROM q JOIN cbf c ON c.s = q.s
+    ),
+    adc AS (
+        SELECT d.query_id, codes.vec_id, round(sum(d.d2), 6) AS adc
+        FROM codes JOIN dtab d ON d.s = codes.s AND d.j = codes.j
+        GROUP BY d.query_id, codes.vec_id
+    ),
+    top AS (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM adc
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, adc
+    FROM top WHERE rn <= 3 ORDER BY query_id, vec_id
+    """,
+    tags=("similarity", "quantization", "ann", "pipeline"),
+)
+def ss09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end — the memory-side ANN scale path
+    (IVF cuts candidates, PQ cuts BYTES: a 64-dim float32 vector becomes
+    m=2 uint8 codes, 128x smaller): per-subvector codebooks trained with
+    one deterministic Lloyd's iteration (seeds = first k vectors, means
+    rounded to 1e-4 like ss05 so cross-engine averaging order cannot
+    flip a bit), corpus encoded to nearest-centroid codes, queries
+    scored by Asymmetric Distance Computation — per (query, subvector)
+    a k-entry lookup table of squared L2 to each centroid, approximate
+    distance = sum of table entries selected by the stored codes.
+
+    Scale shape: codebooks and the per-query distance tables are tiny
+    and BROADCAST everywhere; the corpus is touched by broadcast joins
+    plus one partial-aggregating exchange per stage (min_by argmin); at
+    serving time only the (m x uint8) code columns are resident — the
+    embedding column is never shuffled at all. The DuckDB oracle
+    replicates training, encoding and ADC arithmetic exactly (squared
+    L2 as an index-ordered fold, identical rounding ladder)."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sub = v.select(
+        "vec_id", F.lit(0).alias("s"), F.slice("emb", 1, _PQ_SUBDIM).alias("se")
+    ).union(
+        v.select(
+            "vec_id", F.lit(1).alias("s"),
+            F.slice("emb", _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("se"),
+        )
+    )
+    seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("j"), F.col("se").alias("ce")
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    def assign(points, books):
+        """argmin centroid per (vec_id, s): broadcast the codebook, pick
+        min (d2, j) via min_by — partial-aggregating, no window."""
+        return (
+            points.join(F.broadcast(books), "s")
+            .select("vec_id", "s", "se", "j", d2("se", "ce").alias("d"))
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min_by("j", F.struct("d", "j")).alias("j"),
+                F.first("se").alias("se"),  # constant within the group
+            )
+        )
+
+    mem = assign(sub, seeds)
+    cb = (
+        mem.select("s", "j", F.posexplode("se").alias("dim", "val"))
+        .groupBy("s", "j", "dim")
+        .agg(F.round(F.avg("val"), 4).alias("val"))
+        .groupBy("s", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda e: e.val,
+            ).alias("ce")
+        )
+    )
+    cbf = (
+        seeds.alias("sd")
+        .join(cb.alias("cb"), ["s", "j"], "left")
+        .select("s", "j", F.coalesce("cb.ce", "sd.ce").alias("ce"))
+    )
+    codes = assign(sub, cbf).select("vec_id", "s", "j")
+
+    q = sub.filter(F.col("vec_id").isin(*_PQ_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("se").alias("qe")
+    )
+    dtab = (
+        q.join(F.broadcast(cbf), "s")
+        .select(
+            "query_id", "s", "j",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                ),
+                6,
+            ).alias("d2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "j"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "adc")
+        .orderBy("query_id", "vec_id")
+    )
