@@ -1733,7 +1733,12 @@ def ss09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving time only the (m x uint8) code columns are resident — the
     embedding column is never shuffled at all. The DuckDB oracle
     replicates training, encoding and ADC arithmetic exactly (squared
-    L2 as an index-ordered fold, identical rounding ladder)."""
+    L2 as an index-ordered fold, identical rounding ladder).
+
+    Bench note: ~2 s at sf0.1 is the train+encode+score PIPELINE's fixed
+    stage-scheduling floor (embeddings are 5000 rows there — compute is
+    trivial); per-stage data volume, not stage count, is what grows at
+    100 TB."""
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -1787,6 +1792,11 @@ def ss09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb.alias("cb"), ["s", "j"], "left")
         .select("s", "j", F.coalesce("cb.ce", "sd.ce").alias("ce"))
     )
+    # The trained codebook is m x k = 8 rows: materialize it once on the
+    # driver (the ss05 k-row centroid pattern) so the encode and ADC
+    # branches reference a literal table instead of each re-executing the
+    # whole training subtree inside their own plan.
+    cbf = spark.createDataFrame(cbf.collect(), "s int, j long, ce array<double>")
     codes = assign(sub, cbf).select("vec_id", "s", "j")
 
     q = sub.filter(F.col("vec_id").isin(*_PQ_QUERIES)).select(
