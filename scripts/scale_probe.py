@@ -29,7 +29,7 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "dd08_incremental_dedup", "ss04_ivf_ann", "q23_percentiles",
                  "ss08_knn_classify_ivf", "dd07_semantic_dedup",
                  "q41_recursive_cte_spine", "ts08_rare_trigram_score",
-                 "pl08_sequence_packing"]
+                 "pl08_sequence_packing", "ss09_pq_adc_topk"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10
