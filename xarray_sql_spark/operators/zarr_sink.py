@@ -16,8 +16,10 @@ wrong at scale. This sink keeps the data on executors end to end:
 The output is a plain public-spec Zarr v2 group readable by
 ``zarr_store.open_zarr`` (and any Zarr client). ``path`` must be storage
 every executor can reach (shared FS / object store on a cluster; the local
-FS here). Chunk writes are idempotent — a task retry rewrites the same
-bytes — so speculative execution is safe. Cells absent from the result stay
+FS here). Chunk writes are idempotent (a retry rewrites the same bytes)
+AND atomic (attempt-unique temp file + rename), so task retries and
+speculative twin attempts are both safe — two concurrent truncate-in-place
+writers of even identical bytes could race a kill into a short file. Cells absent from the result stay
 at ``fill_value`` (sparse chunks: all-missing chunks are never written);
 duplicate (dims) rows are last-writer-wins, same as the eager scatter.
 """
@@ -327,9 +329,12 @@ def write_zarr_region(
             fname = za._chunk_file(idx)
             os.makedirs(os.path.dirname(fname), exist_ok=True)
             # atomic-by-replacement: never truncate the live chunk — a
-            # concurrent reader (or a crash mid-write) must see either
-            # the complete old bytes or the complete new bytes
-            tmp = f"{fname}.__tmp_{os.getpid()}_{idx[0] if idx else 0}"
+            # concurrent reader (or a crash mid-write, or a speculative
+            # twin attempt) must see either the complete old bytes or the
+            # complete new bytes
+            import uuid as _uuid
+
+            tmp = f"{fname}.__tmp_{_uuid.uuid4().hex}"
             with open(tmp, "wb") as f:
                 f.write(_compress(raw, za.compressor, ts))
             os.replace(tmp, fname)
@@ -524,14 +529,22 @@ def _write_persisted(
             fname = os.path.join(root, v, key)
             if v3:
                 os.makedirs(os.path.dirname(fname), exist_ok=True)
+            # attempt-unique temp + atomic rename: with speculative
+            # execution two attempts may write the same chunk CONCURRENTLY
+            # — same bytes, but a plain open('wb') truncate from the late
+            # attempt can race the completed one and leave a short file
+            import uuid as _uuid
+
+            tmp = f"{fname}.__tmp_{_uuid.uuid4().hex}"
             if not do_shard:
                 raw = (
                     _vlen_encode(block)
                     if dt.kind == "O"
                     else np.ascontiguousarray(block).tobytes()
                 )
-                with open(fname, "wb") as f:
+                with open(tmp, "wb") as f:
                     f.write(_compress(raw, comp, 1 if dt.kind == "O" else dt.itemsize))
+                os.replace(tmp, fname)
                 continue
             # one sharding_indexed file: inner chunk payloads in C order +
             # (offset, nbytes) uint64-LE index + crc32c (zarr_store dialect)
@@ -555,10 +568,11 @@ def _write_persisted(
                 index[pos] = (len(payload), len(enc))
                 payload.extend(enc)
             idx_bytes = index.tobytes()
-            with open(fname, "wb") as f:
+            with open(tmp, "wb") as f:
                 f.write(bytes(payload))
                 f.write(idx_bytes)
                 f.write(_crc32c(idx_bytes).to_bytes(4, "little"))
+            os.replace(tmp, fname)
         return pd.DataFrame({"chunk": [key], "n": [len(pdf)]})
 
     stats = (
