@@ -1405,3 +1405,250 @@ def gq24_region_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(t % 4 AS INT) AS tb, SUM(v) AS total, COUNT(*) AS n "
         "FROM gq_grid24_back GROUP BY t % 4 ORDER BY tb"
     ).df
+
+
+@query(
+    "gq25_grid_interp",
+    oracle=f"""
+    WITH cells AS (
+        SELECT y.i AS yi, x.i AS xi,
+               5 * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    tq AS (SELECT unnest([0.5, 2.25, 7.75, 14.5]) AS yq),
+    nb AS (
+        SELECT yq, CAST(floor(yq) AS BIGINT) AS yn, 1.0 - (yq - floor(yq)) AS wgt
+        FROM tq
+        UNION ALL
+        SELECT yq, CAST(floor(yq) AS BIGINT) + 1, yq - floor(yq) FROM tq
+    )
+    SELECT nb.yq, CAST(c.xi AS BIGINT) AS x, sum(nb.wgt * c.v) AS vi
+    FROM nb JOIN cells c ON c.yi = nb.yn
+    GROUP BY nb.yq, c.xi ORDER BY yq, x
+    """,
+    tags=("grid", "datasource", "interp"),
+    bench=False,
+)
+def gq25_grid_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``ds.interp(y=[...])`` parity through SQL: linear
+    interpolation of a pruned time slice onto off-grid fractional y
+    coordinates. The 4 targets expand to an 8-row neighbor/weight table
+    (floor neighbor gets 1-frac, ceil neighbor gets frac) that BROADCASTS
+    into an equi-join on the integer y key — interpolation as the gq08
+    weighted-regrid join shape, never a theta join. Targets and the grid
+    values are binary fractions, so every wgt*v product and two-term sum
+    is exact and the hash is engine-independent.
+
+    Scale: the time predicate prunes 9 of 10 chunk partitions at the
+    source; the neighbor table is O(targets), broadcast; one partial-
+    aggregating exchange on (yq, x) — the same plan at any grid size."""
+    xs = _register(spark, "gq_grid25")
+    slice_df = xs.sql(
+        "SELECT y, x, v FROM gq_grid25 "
+        "WHERE time = TIMESTAMP '2024-01-01 05:00:00'"
+    ).df
+    targets = spark.createDataFrame([(0.5,), (2.25,), (7.75,), (14.5,)], "yq double")
+    lo = targets.select(
+        "yq",
+        F.floor("yq").cast("long").alias("yn"),
+        (F.lit(1.0) - (F.col("yq") - F.floor("yq"))).alias("wgt"),
+    )
+    hi = targets.select(
+        "yq",
+        (F.floor("yq") + 1).cast("long").alias("yn"),
+        (F.col("yq") - F.floor("yq")).alias("wgt"),
+    )
+    nb = lo.union(hi)
+    return (
+        slice_df.join(F.broadcast(nb), slice_df.y == nb.yn)
+        .groupBy("yq", "x")
+        .agg(F.sum(F.col("wgt") * F.col("v")).alias("vi"))
+        .orderBy("yq", "x")
+    )
+
+
+@query(
+    "gq26_grid_ffill",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               CASE WHEN (t.i + y.i + x.i) % 5 = 0 THEN NULL
+                    ELSE (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 END AS vg
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+        WHERE y.i < 4 AND x.i < 4
+    )
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           last_value(vg IGNORE NULLS) OVER (
+               PARTITION BY yi, xi ORDER BY ti
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM cells ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "ffill", "window"),
+    bench=False,
+)
+def gq26_grid_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``ffill('time')`` parity through SQL: deterministic gaps are
+    punched into the pivoted grid (every 5th diagonal cell), then forward-
+    filled per (y, x) series with last-non-null-value over an unbounded
+    preceding window — Spark's ``last(ignorenulls)`` vs DuckDB's
+    ``last_value(IGNORE NULLS)``. Leading gaps stay NULL on both engines
+    (xarray ffill semantics: nothing to propagate yet).
+
+    Scale: ONE exchange on the (y, x) series key, then each time series
+    fills independently inside its partition — no cross-series traffic at
+    any grid size."""
+    xs = _register(spark, "gq_grid26")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, "
+        "CASE WHEN ((dayofyear(time) - 1) * 24 + hour(time) + y + x) % 5 = 0 "
+        "THEN NULL ELSE v END AS vg "
+        "FROM gq_grid26 WHERE y < 4 AND x < 4"
+    ).df
+    w = W.partitionBy("y", "x").orderBy("ti").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        df.withColumn("filled", F.last("vg", ignorenulls=True).over(w))
+        .select(F.col("ti").cast("long").alias("ti"), "y", "x", "filled")
+        .orderBy("ti", "y", "x")
+    )
+
+
+@query(
+    "gq27_grid_differentiate",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+        WHERE y.i < 2 AND x.i < 2
+    ),
+    nbrs AS (
+        SELECT ti, yi, xi, v,
+               lag(v)  OVER (PARTITION BY yi, xi ORDER BY ti) AS pv,
+               lead(v) OVER (PARTITION BY yi, xi ORDER BY ti) AS nv
+        FROM cells
+    )
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           CASE WHEN pv IS NULL THEN nv - v
+                WHEN nv IS NULL THEN v - pv
+                ELSE (nv - pv) / 2 END AS dvdt
+    FROM nbrs ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "differentiate", "window"),
+    bench=False,
+)
+def gq27_grid_differentiate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``differentiate('time')`` parity through SQL — np.gradient
+    semantics: centered difference (v[i+1] - v[i-1]) / 2 in the interior,
+    one-sided at the series edges, per (y, x) cell, in per-hour units
+    (the axis step is 1 h). Every difference is a subtraction of exact
+    binary fractions and the /2 is a power of two, so the derivative is
+    bit-identical cross-engine.
+
+    Scale: same one-exchange series shape as gq19 — partition by cell,
+    sort by time inside the partition, lead/lag locally."""
+    xs = _register(spark, "gq_grid27")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid27 WHERE y < 2 AND x < 2"
+    ).df
+    w = W.partitionBy("y", "x").orderBy("ti")
+    pv, nv = F.lag("v").over(w), F.lead("v").over(w)
+    dvdt = (
+        F.when(pv.isNull(), nv - F.col("v"))
+        .when(nv.isNull(), F.col("v") - pv)
+        .otherwise((nv - pv) / 2)
+    )
+    return (
+        df.select(F.col("ti").cast("long").alias("ti"), "y", "x", dvdt.alias("dvdt"))
+        .orderBy("ti", "y", "x")
+    )
+
+
+@query(
+    "gq28_grid_argmax",
+    oracle=f"""
+    WITH cells AS (
+        SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (t.i) HOUR AS tm,
+               y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    ),
+    rk AS (
+        SELECT yi, xi, tm, v,
+               row_number() OVER (PARTITION BY yi, xi
+                                  ORDER BY v DESC, tm ASC) AS rn
+        FROM cells
+    )
+    SELECT CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           CAST(epoch_us(tm) AS BIGINT) AS t_us, v AS vmax
+    FROM rk WHERE rn = 1 ORDER BY y, x
+    """,
+    tags=("grid", "datasource", "argmax", "window"),
+    bench=False,
+)
+def gq28_grid_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``v.argmax('time')`` / ``idxmax`` parity through SQL: the
+    earliest timestamp attaining the per-cell maximum. The fixture's
+    diurnal cycle makes the max a 10-way tie (hour 23 of each day), so
+    the query also proves the deterministic earliest-time tie-break on
+    both engines — row_number ordered by (v DESC, time ASC).
+
+    Scale: one exchange on the cell key; at a real grid the same shape
+    runs as a partial max_by per partition. The full 61,440-row scan
+    reduces to 256 output rows."""
+    xs = _register(spark, "gq_grid28")
+    df = xs.sql("SELECT time, y, x, v FROM gq_grid28").df
+    w = W.partitionBy("y", "x").orderBy(F.col("v").desc(), F.col("time").asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "y", "x",
+            F.unix_micros(F.col("time").cast("timestamp_ltz")).alias("t_us"),
+            F.col("v").alias("vmax"),
+        )
+        .orderBy("y", "x")
+    )
+
+
+@query(
+    "gq29_grid_value_bins",
+    oracle=f"""
+    WITH cells AS (
+        SELECT (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )
+    SELECT CAST(floor(v / 4) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(v) AS total, min(v) AS vmin, max(v) AS vmax
+    FROM cells GROUP BY floor(v / 4) ORDER BY bin
+    """,
+    tags=("grid", "datasource", "histogram", "groupby-bins"),
+    bench=False,
+)
+def gq29_grid_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``groupby_bins('v', bins)`` parity through SQL: a value-space
+    histogram — bin the data variable into width-4 buckets, count / sum /
+    min / max per bucket. The /4 bin edge is a power of two so the bin
+    assignment is exact on both engines; sums of binary fractions are
+    exact.
+
+    Scale: the canonical map-side-combining aggregate — the shuffle
+    carries ~9 bin rows per partition regardless of grid size."""
+    xs = _register(spark, "gq_grid29")
+    return xs.sql(
+        "SELECT CAST(FLOOR(v / 4) AS BIGINT) AS bin, COUNT(*) AS n, "
+        "SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax "
+        "FROM gq_grid29 GROUP BY FLOOR(v / 4) ORDER BY bin"
+    ).df
