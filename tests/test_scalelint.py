@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "q13_range_join": "theta join against a handful of broadcast zonal bands",
     "q23_percentiles": "quantile-boundary spec rows (4) broadcast in a range join",
     "ss05_kmeans_train": "k-row centroid table broadcast per Lloyd's iteration",
+    "ts10_unigram_surprisal": "1-row corpus-total broadcast (LM normalizer)",
 }
 
 

@@ -1327,3 +1327,131 @@ def ss05_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"), F.round(F.avg("d"), 6).alias("avg_dist"))
         .select(F.col("cell").cast("long").alias("cell"), "n_vecs", "avg_dist")
     )
+
+
+# --- text analysis: Gopher-style quality rule filter -----------------------
+@query(
+    "ts09_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               len(w) AS n_words,
+               round((n_chars - len(w) + 1) / CAST(len(w) AS DOUBLE), 6)
+                   AS mean_word_len,
+               len(list_filter(w, x -> list_contains([{_SW_SQL}], x))) AS stop_hits,
+               round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+                   AS distinct_ratio
+        FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           CAST(stop_hits AS BIGINT) AS stop_hits, distinct_ratio,
+           CAST(n_words BETWEEN 30 AND 100000 AS INT) AS ok_len,
+           CAST(mean_word_len >= 3 AND mean_word_len <= 10 AS INT) AS ok_wordlen,
+           CAST(stop_hits >= 2 AS INT) AS ok_stop,
+           CAST(distinct_ratio >= 0.2 AS INT) AS ok_diverse,
+           CAST(n_words BETWEEN 30 AND 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND stop_hits >= 2 AND distinct_ratio >= 0.2 AS INT) AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "gopher", "pipeline"),
+)
+def ts09_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1.2,
+    the subset computable on a whitespace corpus): per-document word
+    count bounds, mean word length in [3, 10], minimum stopword
+    occurrences, and lexical-diversity floor, each emitted as an 0/1
+    rule flag plus the conjunctive keep decision. Unlike ts01's soft
+    score this is the hard gate shape real pretraining pipelines run
+    first.
+
+    Scale: entirely JVM higher-order array functions over one scan —
+    zero shuffles, embarrassingly parallel; the rules are pure
+    per-row arithmetic so the filter pushes to the scan at 100 TB.
+    Flags are computed from the ROUNDED ratios so the cross-engine
+    comparison boundary is on the same decimal grid in both engines."""
+    d = table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    t = d.select("doc_id", "lang", "n_chars", _tokens().alias("w"))
+    n_words = F.size("w")
+    mean_wl = F.round(
+        (F.col("n_chars") - n_words + 1).cast("double") / n_words, 6
+    )
+    stop_hits = F.size(F.filter("w", lambda x: F.array_contains(sw, x)))
+    dratio = F.round(F.size(F.array_distinct("w")).cast("double") / n_words, 6)
+    m = t.select(
+        "doc_id", "lang",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        dratio.alias("distinct_ratio"),
+    )
+    ok_len = F.col("n_words").between(30, 100000)
+    ok_wl = (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    ok_stop = F.col("stop_hits") >= 2
+    ok_div = F.col("distinct_ratio") >= 0.2
+    return m.select(
+        "doc_id", "lang", "n_words", "mean_word_len", "stop_hits",
+        "distinct_ratio",
+        ok_len.cast("int").alias("ok_len"),
+        ok_wl.cast("int").alias("ok_wordlen"),
+        ok_stop.cast("int").alias("ok_stop"),
+        ok_div.cast("int").alias("ok_diverse"),
+        (ok_len & ok_wl & ok_stop & ok_div).cast("int").alias("keep"),
+    )
+
+
+# --- text analysis: corpus unigram-LM surprisal ----------------------------
+@query(
+    "ts10_unigram_surprisal",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY word),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab)
+    SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-avg(ln(v.cnt / CAST(t.n AS DOUBLE))), 6) AS surprisal
+    FROM words w JOIN vocab v USING (word) CROSS JOIN tot t
+    GROUP BY w.doc_id
+    """,
+    tags=("text", "language-model", "quality", "pipeline"),
+)
+def ts10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the cheapest
+    perplexity proxy real pipelines use for in-domain scoring (CCNet's
+    LM filter, one model order lower): train the unigram LM on the
+    corpus itself (word -> count, plus the corpus total), then score
+    each document by -avg ln p(word). Outlier-vocabulary documents
+    surface with high surprisal.
+
+    Scale: the vocabulary table is sublinear in corpus size (Heaps'
+    law) and carries only (word, count) — Spark auto-broadcasts it
+    under AQE when small and falls back to a hash equi-join when not;
+    the 1-row corpus total always broadcasts. One explode, one vocab
+    aggregation, one per-doc aggregation: three map-side-combining
+    exchanges total, and the raw text never shuffles (only exploded
+    tokens, which compress to dictionary codes in the exchange).
+    ln() is not cross-engine bit-guaranteed, but the per-token
+    relative error is ~1e-16 and the per-doc average sits ~1e-14
+    from the round(6) boundary (registry docstring budget)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_tokens()).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n"))
+    return (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.avg(F.ln(F.col("cnt") / F.col("n").cast("double"))), 6
+            ).alias("surprisal"),
+        )
+    )
