@@ -1455,3 +1455,97 @@ def ts10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surprisal"),
         )
     )
+
+
+# --- dedup: exact shared-span (word-8-gram) pair mining --------------------
+@query(
+    "dd10_shared_span_pairs",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 6),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                        w[i+6] || ' ' || w[i+7]))) AS g
+        FROM words
+    ),
+    ng AS (SELECT doc_id, count(*) AS n_g FROM sh GROUP BY doc_id),
+    freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+    rare AS (SELECT g FROM freq WHERE df BETWEEN 2 AND 8),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM sh a
+        JOIN rare r ON a.g = r.g
+        JOIN sh b ON b.g = a.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+           CAST(p.doc_b AS BIGINT) AS doc_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           round(p.n_shared / CAST(least(na.n_g, nb.n_g) AS DOUBLE), 6)
+               AS containment
+    FROM pairs p
+    JOIN ng na ON na.doc_id = p.doc_a
+    JOIN ng nb ON nb.doc_id = p.doc_b
+    WHERE p.n_shared >= 2
+    """,
+    tags=("dedup", "text", "span", "pipeline"),
+)
+def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-span dedup pair mining (Lee et al. 2022, the
+    suffix-array substring-dedup objective re-expressed relationally):
+    two documents are near-copies when they share long exact token
+    spans — here any rare word-8-gram. Candidates come from an
+    EQUI-JOIN on the gram key restricted to grams with document
+    frequency in [2, 8]: df >= 2 makes the gram cross-document, the
+    df <= 8 cap bounds per-gram fan-out at C(8,2) = 28 pairs, so the
+    pair stage is linear in true overlap, never all-pairs (boilerplate
+    grams shared by everything are exactly the ones the cap drops —
+    they carry no dedup signal). Reported containment = shared grams /
+    the smaller document's gram count.
+
+    Scale: one shuffle keyed by the 8-gram for df counting, the same
+    key for the self-equi-join, then a pair-keyed count — the
+    suffix-array pass this replaces is a serial external sort; this
+    shape is the standard distributed approximation and every exchange
+    is map-side combining."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(8))).alias("g")
+    )
+    ng = sh.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+    rare = (
+        sh.groupBy("g").agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, 8))
+        .select("g")
+    )
+    shr = sh.join(rare, "g")
+    a, b = shr.alias("a"), shr.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    na, nb = ng.alias("na"), ng.alias("nb")
+    return (
+        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("na.n_g"), F.col("nb.n_g")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
