@@ -1651,9 +1651,7 @@ _PQ_D2_SQL = (
 )
 
 
-@query(
-    "ss09_pq_adc_topk",
-    oracle=f"""
+_PQ_CTES = f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ),
@@ -1703,42 +1701,16 @@ _PQ_D2_SQL = (
         SELECT d.query_id, codes.vec_id, round(sum(d.d2), 6) AS adc
         FROM codes JOIN dtab d ON d.s = codes.s AND d.j = codes.j
         GROUP BY d.query_id, codes.vec_id
-    ),
-    top AS (
-        SELECT query_id, vec_id, adc,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY adc, vec_id) AS rn
-        FROM adc
-    )
-    SELECT CAST(query_id AS BIGINT) AS query_id,
-           CAST(vec_id AS BIGINT) AS vec_id, adc
-    FROM top WHERE rn <= 3 ORDER BY query_id, vec_id
-    """,
-    tags=("similarity", "quantization", "ann", "pipeline"),
-)
-def ss09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization end to end — the memory-side ANN scale path
-    (IVF cuts candidates, PQ cuts BYTES: a 64-dim float32 vector becomes
-    m=2 uint8 codes, 128x smaller): per-subvector codebooks trained with
-    one deterministic Lloyd's iteration (seeds = first k vectors, means
-    rounded to 1e-4 like ss05 so cross-engine averaging order cannot
-    flip a bit), corpus encoded to nearest-centroid codes, queries
-    scored by Asymmetric Distance Computation — per (query, subvector)
-    a k-entry lookup table of squared L2 to each centroid, approximate
-    distance = sum of table entries selected by the stored codes.
+    )"""
 
-    Scale shape: codebooks and the per-query distance tables are tiny
-    and BROADCAST everywhere; the corpus is touched by broadcast joins
-    plus one partial-aggregating exchange per stage (min_by argmin); at
-    serving time only the (m x uint8) code columns are resident — the
-    embedding column is never shuffled at all. The DuckDB oracle
-    replicates training, encoding and ADC arithmetic exactly (squared
-    L2 as an index-ordered fold, identical rounding ladder).
 
-    Bench note: ~2 s at sf0.1 is the train+encode+score PIPELINE's fixed
-    stage-scheduling floor (embeddings are 5000 rows there — compute is
-    trivial); per-stage data volume, not stage count, is what grows at
-    100 TB."""
+def _pq_adc(spark: SparkSession, sf_dir: str):
+    """Shared PQ pipeline (ss09/ss10): train per-subvector codebooks
+    (one deterministic Lloyd's iteration, seeds = first k vectors,
+    means rounded 1e-4), encode the corpus to nearest-centroid codes,
+    and score the query set by Asymmetric Distance Computation.
+    Returns ``(v, adc)``: the full-vector table and the per
+    (query_id, vec_id) approximate distance table."""
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -1823,10 +1795,135 @@ def ss09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.round(F.sum("d2"), 6).alias("adc"))
     )
+    return v, adc
+
+
+@query(
+    "ss09_pq_adc_topk",
+    oracle=_PQ_CTES + f""",
+    top AS (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM adc
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, adc
+    FROM top WHERE rn <= 3 ORDER BY query_id, vec_id
+    """,
+    tags=("similarity", "quantization", "ann", "pipeline"),
+)
+def ss09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end — the memory-side ANN scale path
+    (IVF cuts candidates, PQ cuts BYTES: a 64-dim float32 vector becomes
+    m=2 uint8 codes, 128x smaller): per-subvector codebooks trained with
+    one deterministic Lloyd's iteration (seeds = first k vectors, means
+    rounded to 1e-4 like ss05 so cross-engine averaging order cannot
+    flip a bit), corpus encoded to nearest-centroid codes, queries
+    scored by Asymmetric Distance Computation — per (query, subvector)
+    a k-entry lookup table of squared L2 to each centroid, approximate
+    distance = sum of table entries selected by the stored codes.
+
+    Scale shape: codebooks and the per-query distance tables are tiny
+    and BROADCAST everywhere; the corpus is touched by broadcast joins
+    plus one partial-aggregating exchange per stage (min_by argmin); at
+    serving time only the (m x uint8) code columns are resident — the
+    embedding column is never shuffled at all. The DuckDB oracle
+    replicates training, encoding and ADC arithmetic exactly (squared
+    L2 as an index-ordered fold, identical rounding ladder).
+
+    Bench note: ~2 s at sf0.1 is the train+encode+score PIPELINE's fixed
+    stage-scheduling floor (embeddings are 5000 rows there — compute is
+    trivial); per-stage data volume, not stage count, is what grows at
+    100 TB."""
+    v, adc = _pq_adc(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy("adc", "vec_id")
     return (
         adc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("query_id", "vec_id", "adc")
+        .orderBy("query_id", "vec_id")
+    )
+
+
+_PQ_SHORTLIST = 16
+
+
+@query(
+    "ss10_pq_rerank",
+    oracle=_PQ_CTES + f""",
+    short AS (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM adc
+    ),
+    cand AS (SELECT query_id, vec_id, adc FROM short WHERE rn <= {_PQ_SHORTLIST}),
+    qv AS (SELECT vec_id AS query_id, emb AS qe FROM v
+           WHERE vec_id IN {_PQ_QUERIES}),
+    rer AS (
+        SELECT c.query_id, c.vec_id, c.adc,
+               round({_PQ_D2_SQL.format(n=2 * _PQ_SUBDIM, a="qv.qe", b="cv.emb")}, 6)
+                   AS d2
+        FROM cand c
+        JOIN v cv ON cv.vec_id = c.vec_id
+        JOIN qv ON qv.query_id = c.query_id
+    ),
+    rtop AS (
+        SELECT query_id, vec_id, adc, d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, vec_id) AS rn
+        FROM rer
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, d2, adc
+    FROM rtop WHERE rn <= 3 ORDER BY query_id, vec_id
+    """,
+    tags=("similarity", "quantization", "rerank", "ann", "pipeline"),
+)
+def ss10_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape (Jégou et
+    al. 2011 §IV: IVFADC + exact re-rank): the PQ/ADC stage from ss09
+    produces a cheap 16-deep shortlist per query from
+    2-byte codes only, then ONLY the shortlisted vec_ids fetch their
+    full float vectors for an exact squared-L2 re-rank to top-3. The
+    quantization error of the coarse stage cannot reorder the final
+    ranking — that is the point of the pattern, and the driver hash
+    proves both stages cross-engine.
+
+    Scale: the full-vector column is touched by an equi-join on
+    vec_id for shortlist rows ONLY (queries x 16 rows,
+    vanishing vs corpus size); the 3-row query-vector table broadcasts.
+    Everything upstream is ss09's broadcast-join shape. At 100 TB the
+    re-rank join is the classic 'fetch from the vector store' stage,
+    keyed and tiny."""
+    v, adc = _pq_adc(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy("adc", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "vec_id", "adc")
+    )
+    qv = v.filter(F.col("vec_id").isin(*_PQ_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    rer = (
+        cand.join(v, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", "adc", d2.alias("d2"))
+    )
+    rw = W.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "d2", "adc")
         .orderBy("query_id", "vec_id")
     )
