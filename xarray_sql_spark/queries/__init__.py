@@ -54,16 +54,23 @@ _PRIORITY = (
     "gq14_zarr_roundtrip gq17_blosclz_bitshuffle_store gq18_cf_decoded_store "
     "gq02_grid_pruned_slice gq15_filtered_store gq23_longtail_codec_store "
     "gq24_region_write_roundtrip ss09_pq_adc_topk "
+    # 2b. NEW this round, second wave — first driver rows: xarray-parity
+    # grid ops (interp/ffill/differentiate/argmax/value-bins), the Gopher
+    # rule gate, unigram-LM surprisal, shared-span dedup pairs, and the
+    # PQ re-rank second stage
+    "gq25_grid_interp gq26_grid_ffill gq27_grid_differentiate "
+    "gq28_grid_argmax gq29_grid_value_bins ts09_gopher_rules "
+    "ts10_unigram_surprisal dd10_shared_span_pairs ss10_pq_rerank "
     # 3a. oldest proofs (r3/r4)
     "q07_cross_join q08_agg_filter "
     "q02_filter_scan q03_top_revenue q04_exists_semijoin q05_region_volume "
     "q06_forecast_revenue q09_climatology_hour q10_anomaly_cte q25_set_ops "
-    # 3b. oldest r5 relational block
+    # 3b. oldest r5 relational block (truncated to keep the window at 50;
+    # q20-q32 were all green r5/r6 on unchanged code and stay covered by
+    # the local 130-query pytest sweep)
     "q11_window_topk q13_range_join q14_math_rmse q15_case_having_union "
     "q16_distinct_sort q17_subqueries q18_rollup q19_count_star "
-    "q20_weighted_regrid q21_udf_reproject q23_percentiles q24_pivot "
-    "q26_anti_join q28_grouping_sets q29_window_suite q30_string_funcs "
-    "q31_null_ops q32_json_extract"
+    "q20_weighted_regrid"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]
