@@ -1510,7 +1510,7 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array pass this replaces is a serial external sort; this
     shape is the standard distributed approximation and every exchange
     is map-side combining."""
-    d = table(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.split("text", " ").alias("w")
     )
     sh = d.select(
