@@ -1549,3 +1549,63 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --- text analysis: BPE merge-candidate statistics -------------------------
+@query(
+    "ts11_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wf AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+    pairs AS (
+        SELECT word, cnt,
+               unnest(list_transform(range(1, len(word)),
+                                     i -> substr(word, i, 2))) AS pair
+        FROM wf WHERE len(word) >= 2
+    ),
+    agg AS (
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, total, n_words FROM agg ORDER BY total DESC, pair LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def ts11_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training statistics (Sennrich et al. 2016's inner
+    loop at corpus scale): the top merge candidates — adjacent
+    character-pair counts weighted by word frequency, plus the number
+    of distinct word types containing each pair. One iteration of this
+    IS tokenizer training; the full algorithm re-runs it after each
+    merge, so the distributed shape of this count is the whole game.
+
+    Scale: the corpus collapses to the word-frequency table FIRST
+    (sublinear in corpus size by Heaps' law) so pair generation runs
+    per word TYPE, not per token occurrence — the classic BPE-training
+    optimization. Pair space is bounded by alphabet² and the final
+    top-20 is a tiny ordered limit; every exchange is map-side
+    combining. Pure integer arithmetic: the hash is exact."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    words = d.select(F.explode(_tokens()).alias("word"))
+    wf = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "word", "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("long").alias("total"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("total").desc(), "pair")
+        .limit(20)
+    )
