@@ -323,3 +323,74 @@ def cc02_twohop_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("m1"), F.coalesce("nmin", F.col("m1"))).alias("comp_2hop"),
         )
     )
+
+
+def _pl09_oracle() -> str:
+    """cc01's recursive closure + the pl02 md5 bucket rule applied to the
+    COMPONENT label, so every member of a near-dup cluster inherits one
+    split."""
+    return f"""
+    WITH RECURSIVE lsh AS ({_minhash_oracle()}),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM lsh
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM lsh
+    ),
+    reach(id, node) AS (
+        SELECT src, src FROM sym GROUP BY src
+        UNION
+        SELECT r.id, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT id, min(node) AS comp FROM reach GROUP BY id),
+    assign AS (
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keeper
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(keeper AS BIGINT) AS keeper_doc_id,
+           CASE WHEN ('0x' || substring(md5(CAST(keeper AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 < 80
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM assign
+    """
+
+
+@query(
+    "pl09_leakage_free_split",
+    oracle=_pl09_oracle(),
+    tags=("pipeline", "split", "dedup", "components", "beyond-reference"),
+    bench=False,  # rides the dd04 pair graph (same synthetic-corpus artifact)
+)
+def pl09_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/holdout split: hash-bucket the near-dup
+    COMPONENT label (cc01's fixpoint), not the document id, so every
+    member of a near-duplicate cluster lands in the same split — the
+    standard fix for eval contamination via near-copies straddling the
+    split boundary (pl02's per-doc bucketing cannot guarantee this).
+    The driver hash proves per-document inheritance, not just counts.
+
+    Scale: the component assignment is cc01's skew-hardened fixpoint;
+    the split decision adds only a per-row md5 — no extra exchange.
+    Singleton documents are their own component and bucket exactly as
+    pl02 would."""
+    pairs = dd04_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+    assign = dedup_assignment(pairs)
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    keeper = F.coalesce("keeper_doc_id", F.col("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(keeper.cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        docs.join(assign, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            keeper.alias("keeper_doc_id"),
+            F.when(bucket < 80, F.lit("train")).otherwise(F.lit("holdout")).alias("split"),
+        )
+    )

@@ -1609,3 +1609,62 @@ def ts11_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total").desc(), "pair")
         .limit(20)
     )
+
+
+# --- text analysis: cross-document memorization score ----------------------
+@query(
+    "ts12_memorization_score",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 6),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                        w[i+6] || ' ' || w[i+7]))) AS g
+        FROM words
+    ),
+    freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+    SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_grams,
+           round(1.0 - sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN freq f ON f.g = sh.g
+    GROUP BY sh.doc_id
+    """,
+    tags=("text", "memorization", "dedup", "pipeline"),
+)
+def ts12_memorization_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document memorization risk score: the fraction of a
+    document's distinct word-8-grams that also occur in at least one
+    OTHER document (df >= 2 over per-doc-distinct shingles), and its
+    complement 'novelty'. High-overlap documents are the ones a model
+    can regurgitate from elsewhere in the corpus — the span-level
+    diagnostic behind dd10's pair mining, reported per document.
+
+    Scale: one shuffle keyed by the 8-gram to count document
+    frequency, a second equi-join on the same key to classify each
+    document's grams, then a per-doc aggregate — all map-side
+    combining, text itself never shuffles. Documents shorter than 8
+    words have no shingles and drop out (novelty undefined)."""
+    d = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(8))).alias("g")
+    )
+    freq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    shared = F.sum((F.col("df") >= 2).cast("int")).cast("long")
+    return (
+        sh.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            shared.alias("n_shared_grams"),
+            F.round(
+                1.0 - shared.cast("double") / F.count("*").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
