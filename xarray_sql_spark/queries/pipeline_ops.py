@@ -1440,6 +1440,9 @@ def ts10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() is not cross-engine bit-guaranteed, but the per-token
     relative error is ~1e-16 and the per-doc average sits ~1e-14
     from the round(6) boundary (registry docstring budget)."""
+    # spread=True measured SLOWER here at both sf0.1 and the 10x probe
+    # (the explode is too light to repay repartitioning the text) — the
+    # multi-row-group layout real data has feeds the cores on its own.
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(_tokens()).alias("word"))
     vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
@@ -1464,20 +1467,21 @@ def ts10_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
         SELECT doc_id,
-               unnest(list_distinct(list_transform(range(1, len(w) - 6),
+               ('0x' || substring(md5(unnest(list_distinct(list_transform(
+                   range(1, len(w) - 6),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
                         w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
-                        w[i+6] || ' ' || w[i+7]))) AS g
+                        w[i+6] || ' ' || w[i+7])))), 1, 15))::BIGINT AS gh
         FROM words
     ),
     ng AS (SELECT doc_id, count(*) AS n_g FROM sh GROUP BY doc_id),
-    freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
-    rare AS (SELECT g FROM freq WHERE df BETWEEN 2 AND 8),
+    freq AS (SELECT gh, count(*) AS df FROM sh GROUP BY gh),
+    rare AS (SELECT gh FROM freq WHERE df BETWEEN 2 AND 8),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         FROM sh a
-        JOIN rare r ON a.g = r.g
-        JOIN sh b ON b.g = a.g AND a.doc_id < b.doc_id
+        JOIN rare r ON a.gh = r.gh
+        JOIN sh b ON b.gh = a.gh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
@@ -1505,34 +1509,49 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     they carry no dedup signal). Reported containment = shared grams /
     the smaller document's gram count.
 
-    Scale: one shuffle keyed by the 8-gram for df counting, the same
-    key for the self-equi-join, then a pair-keyed count — the
-    suffix-array pass this replaces is a serial external sort; this
-    shape is the standard distributed approximation and every exchange
-    is map-side combining."""
+    Scale: grams are keyed by a 60-bit md5-prefix (8-byte shuffle keys
+    instead of ~50-byte strings; BOTH engines derive the same key, so
+    even a collision cannot diverge the hash), the corpus shuffles
+    ONCE on that key into per-gram sorted doc lists, and pairs expand
+    locally via the bounded combinations lambda — no second shuffle of
+    the shingle stream and no self-join. The suffix-array pass this
+    replaces is a serial external sort; every exchange here is
+    map-side combining. Probe: the old self-join shape ran 4.3x at
+    10x data; this one cuts the pair stage to the df-capped
+    combination count."""
     d = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.split("text", " ").alias("w")
     )
     sh = d.select(
-        "doc_id", F.explode(F.array_distinct(_word_ngrams(8))).alias("g")
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.array_distinct(_word_ngrams(8)),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("gh"),
     )
     ng = sh.groupBy("doc_id").agg(F.count("*").alias("n_g"))
-    rare = (
-        sh.groupBy("g").agg(F.count("*").alias("df"))
-        .filter(F.col("df").between(2, 8))
-        .select("g")
+    grams = (
+        sh.groupBy("gh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, 8))
     )
-    shr = sh.join(rare, "g")
-    a, b = shr.alias("a"), shr.alias("b")
+    combos = F.flatten(
+        F.transform(
+            "ds",
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grams.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
@@ -1624,15 +1643,18 @@ def ts11_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         w[i+6] || ' ' || w[i+7]))) AS g
         FROM words
     ),
-    freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
-    SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+    shh AS (
+        SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh FROM sh
+    ),
+    freq AS (SELECT gh, count(*) AS df FROM shh GROUP BY gh)
+    SELECT CAST(shh.doc_id AS BIGINT) AS doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_shared_grams,
            round(1.0 - sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
                        / CAST(count(*) AS DOUBLE), 6) AS novelty
-    FROM sh JOIN freq f ON f.g = sh.g
-    GROUP BY sh.doc_id
+    FROM shh JOIN freq f ON f.gh = shh.gh
+    GROUP BY shh.doc_id
     """,
     tags=("text", "memorization", "dedup", "pipeline"),
 )
@@ -1644,21 +1666,30 @@ def ts12_memorization_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     can regurgitate from elsewhere in the corpus — the span-level
     diagnostic behind dd10's pair mining, reported per document.
 
-    Scale: one shuffle keyed by the 8-gram to count document
-    frequency, a second equi-join on the same key to classify each
-    document's grams, then a per-doc aggregate — all map-side
-    combining, text itself never shuffles. Documents shorter than 8
+    Scale: grams shuffle as 60-bit md5-prefix keys (dd10's trick —
+    8-byte keys, engine-identical, collision-proof for the hash gate)
+    once for the df count and once for the classify join, then a
+    per-doc aggregate — all map-side combining, text itself never
+    shuffles. Documents shorter than 8
     words have no shingles and drop out (novelty undefined)."""
     d = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.split("text", " ").alias("w")
     )
     sh = d.select(
-        "doc_id", F.explode(F.array_distinct(_word_ngrams(8))).alias("g")
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.array_distinct(_word_ngrams(8)),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("gh"),
     )
-    freq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    freq = sh.groupBy("gh").agg(F.count("*").alias("df"))
     shared = F.sum((F.col("df") >= 2).cast("int")).cast("long")
     return (
-        sh.join(freq, "g")
+        sh.join(freq, "gh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
