@@ -769,3 +769,61 @@ def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "mm06_audio_rollup",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, source AS origin, strlen(text) AS body_n,
+               8000 + (doc_id * 13) % 40000 AS sr
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    m AS (
+        SELECT origin, sr // 8000 AS sr_band,
+               body_n + {WAV_HEADER_LEN} AS n_bytes,
+               CAST((body_n * 1000000) // (2 * sr) AS DOUBLE) / 1e6 AS dur
+        FROM a
+    )
+    SELECT origin, CAST(sr_band AS BIGINT) AS sr_band,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(sum(dur), 6) AS total_duration_s
+    FROM m GROUP BY origin, sr_band
+    """,
+    tags=("multimodal", "audio", "pipeline"),
+)
+def mm06_audio_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level audio statistics from DECODED container metadata: per
+    (origin, sample-rate band) clip counts, byte totals, and total
+    duration — the dataset-card rollup every audio-corpus pipeline
+    produces, computed downstream of the real WAV header parse (mm01's
+    kernel), while the oracle regenerates the planted values by
+    arithmetic. A hash match proves decode -> relational analytics
+    composes end to end.
+
+    Scale: decode is the zero-shuffle mapInPandas; origin re-attaches
+    through a doc_id equi-join of two-column slices (the decode schema
+    intentionally omits free-text metadata), then the rollup shuffles
+    only (origin, band) group rows after map-side partial aggregation —
+    the binary payload never leaves the scan partition and is pruned
+    from the aggregate's projection. Durations are 1e-6-grid doubles
+    summed then re-rounded, inside the registry's fp budget."""
+    decoded = decode_media(encoded_media_table(spark, sf_dir))
+    origins = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("origin")
+    )
+    return (
+        decoded.filter(F.col("media_type") == "audio")
+        .join(origins, "doc_id")
+        .groupBy(
+            "origin",
+            (F.col("sample_rate").cast("bigint") / 8000)
+            .cast("bigint").alias("sr_band"),
+        )
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(F.sum("duration_s"), 6).alias("total_duration_s"),
+        )
+    )
