@@ -467,3 +467,29 @@ def test_pure_scan_identity_guard(spark, tmp_path):
     # df2 IS a pure scan — but not of dataset "ga"
     assert imposter._is_pure_scan()
     assert not imposter._pure_scan_of("ga")
+
+
+def test_shared_span_pairs_no_gram_self_join(spark):
+    """dd10: pair candidates must expand LOCALLY from per-gram doc
+    lists (bounded combinations lambda) with the containment
+    denominator riding along in the collected structs — ZERO joins,
+    ONE corpus scan, two Generates. The round-7 probe measured the
+    original gram self-join shape at 4.3x per 10x data; this shape
+    at ~2.3x."""
+    df = REGISTRY["dd10_shared_span_pairs"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # One shingle Generate + one pair-combination Generate; one scan.
+    assert len(re.findall(r"\bGenerate\b", plan)) == 2, plan
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1, plan
+
+
+def test_memorization_score_gram_keys_are_bigint(spark):
+    """ts12: the gram-frequency join must key on the 60-bit md5-prefix
+    BIGINT, not the raw 8-gram string — shuffle rows carry 8-byte keys.
+    The join-key column gh is bigint in the analyzed schema and no
+    string gram column survives into the join."""
+    df = REGISTRY["ts12_memorization_score"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(gh#\d+L", plan), plan
+    assert "CartesianProduct" not in plan, plan

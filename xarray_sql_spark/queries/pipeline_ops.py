@@ -1522,21 +1522,19 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.array_distinct(_word_ngrams(8)),
-                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
-                    "bigint"
-                ),
-            )
-        ).alias("gh"),
+    hashed = F.transform(
+        F.array_distinct(_word_ngrams(8)),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
     )
-    ng = sh.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+    # n_g rides along with every exploded gram row (+8 bytes/row) so the
+    # containment denominator needs NO per-doc count table and NO joins —
+    # the corpus is scanned and shingled exactly once.
+    sh = d.select(
+        "doc_id", F.size(hashed).alias("n_g"), F.explode(hashed).alias("gh")
+    )
     grams = (
         sh.groupBy("gh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_g"))).alias("ds"))
         .filter(F.size("ds").between(2, 8))
     )
     combos = F.flatten(
@@ -1544,27 +1542,29 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ds",
             lambda a, i: F.transform(
                 F.slice(F.col("ds"), i + 2, F.size("ds")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                lambda b: F.struct(
+                    a.doc_id.alias("doc_a"),
+                    b.doc_id.alias("doc_b"),
+                    a.n_g.alias("na"),
+                    b.n_g.alias("nb"),
+                ),
             ),
         )
     )
-    pairs = (
-        grams.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
-    na, nb = ng.alias("na"), ng.alias("nb")
     return (
-        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        grams.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(F.col("n_shared") >= 2)
         .select(
             "doc_a", "doc_b", "n_shared",
             F.round(
-                F.col("n_shared")
-                / F.least(F.col("na.n_g"), F.col("nb.n_g")).cast("double"),
-                6,
+                F.col("n_shared") / F.least("na", "nb").cast("double"), 6
             ).alias("containment"),
         )
     )
