@@ -31,7 +31,8 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "q41_recursive_cte_spine", "ts08_rare_trigram_score",
                  "pl08_sequence_packing", "ss09_pq_adc_topk",
                  "dd10_shared_span_pairs", "ss10_pq_rerank",
-                 "ts10_unigram_surprisal", "ts11_bpe_pair_stats"]
+                 "ts10_unigram_surprisal", "ts11_bpe_pair_stats",
+                 "ts12_memorization_score"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

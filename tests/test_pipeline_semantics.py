@@ -1,0 +1,131 @@
+"""Semantic grounding for the round-7 second-wave pipeline ops.
+
+The oracle sweep proves Spark == DuckDB on the same arithmetic; these
+tests prove the arithmetic finds PLANTED signals: a shared span makes a
+dd10 pair, a duplicated document zeroes ts12 novelty, exact duplicates
+can never straddle a pl09 split, rule violations trip exactly the ts09
+flag they should. Fixtures are tiny crafted documents.parquet dirs fed
+through the registry entries' own (spark, sf_dir) contract."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from xarray_sql_spark.queries import REGISTRY
+
+
+def _write_documents(tmp_path, texts: list[str], langs=None, sources=None) -> str:
+    langs = langs or ["en"] * len(texts)
+    sources = sources or ["src0"] * len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def _words(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def test_dd10_finds_planted_shared_span(spark, tmp_path):
+    """Two documents sharing an exact 12-word span (= 5 word-8-grams)
+    must pair with n_shared = 5; unrelated documents must not pair."""
+    span = _words("shared", 12)
+    doc_a = _words("alpha", 10) + span + _words("tailone", 10)
+    doc_b = _words("beta", 7) + span + _words("tailtwo", 4)
+    doc_c = _words("gamma", 30)
+    sf = _write_documents(
+        tmp_path, [" ".join(doc_a), " ".join(doc_b), " ".join(doc_c)]
+    )
+    rows = REGISTRY["dd10_shared_span_pairs"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.n_shared) == (0, 1, 5)
+    # containment = 5 / min(n_grams): doc_b has 23 words -> 16 grams
+    assert r.containment == round(5 / 16, 6)
+
+
+def test_ts12_duplicate_doc_has_zero_novelty(spark, tmp_path):
+    """A verbatim duplicate's every 8-gram occurs elsewhere -> novelty 0;
+    a fully unique document scores novelty 1."""
+    dup = " ".join(_words("copy", 20))
+    uniq = " ".join(_words("lonely", 20))
+    sf = _write_documents(tmp_path, [dup, dup, uniq])
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["ts12_memorization_score"].fn(spark, sf).collect()
+    }
+    assert out[0].novelty == 0.0 and out[1].novelty == 0.0
+    assert out[2].novelty == 1.0
+    assert out[0].n_grams == 13  # 20 words -> 13 distinct 8-grams
+
+
+def test_ts09_rules_trip_individually(spark, tmp_path):
+    """Each crafted violation flips exactly its own flag: doc 0 is clean,
+    doc 1 too short, doc 2 has no stopwords, doc 3 is one repeated word
+    (diversity floor)."""
+    clean = " ".join(["the", "a"] + _words("ok", 38))
+    short = " ".join(["the", "a"] + _words("tiny", 8))
+    nostop = " ".join(_words("warm", 40))
+    repet = " ".join(["the", "a"] + ["dupe"] * 48)
+    sf = _write_documents(tmp_path, [clean, short, nostop, repet])
+    out = {r.doc_id: r for r in REGISTRY["ts09_gopher_rules"].fn(spark, sf).collect()}
+    assert (out[0].ok_len, out[0].ok_stop, out[0].ok_diverse, out[0].keep) == (1, 1, 1, 1)
+    assert (out[1].ok_len, out[1].keep) == (0, 0)
+    assert (out[2].ok_stop, out[2].keep) == (0, 0)
+    assert (out[3].ok_diverse, out[3].keep) == (0, 0)
+    for r in out.values():  # no fixture trips the word-length rule
+        assert r.ok_wordlen == 1
+
+
+def test_ts10_rare_vocabulary_scores_higher_surprisal(spark, tmp_path):
+    """A document of corpus-common words must score strictly lower
+    surprisal than one of corpus-unique words."""
+    common = " ".join(["base"] * 30)
+    filler = [" ".join(["base"] * 30)] * 8  # make 'base' dominate the LM
+    rare = " ".join(_words("hapax", 30))
+    sf = _write_documents(tmp_path, [common, rare, *filler])
+    out = {
+        r.doc_id: r.surprisal
+        for r in REGISTRY["ts10_unigram_surprisal"].fn(spark, sf).collect()
+    }
+    assert out[0] < out[1]
+
+
+def test_pl09_exact_duplicates_never_straddle_split(spark, tmp_path):
+    """Verbatim duplicates form a MinHash component, so pl09 must give
+    them one split and the component-min keeper; the split decision
+    must equal the pl02 bucket of the KEEPER id for every member."""
+    dup = " ".join(_words("twin", 40))
+    others = [" ".join(_words(f"solo{k}", 40)) for k in range(4)]
+    sf = _write_documents(tmp_path, [dup, dup, *others])
+    rows = REGISTRY["pl09_leakage_free_split"].fn(spark, sf).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].keeper_doc_id == 0 and by_id[1].keeper_doc_id == 0
+    assert by_id[0].split == by_id[1].split
+    for r in rows:  # singletons keep themselves
+        if r.doc_id > 1:
+            assert r.keeper_doc_id == r.doc_id
+
+
+def test_ts11_planted_dominant_pair_wins(spark, tmp_path):
+    """A corpus dominated by one repeated word must rank that word's
+    leading character pair first (frequency-weighted counts)."""
+    texts = [" ".join(["zz" + "qx" * 3] * 50)] * 4 + [" ".join(_words("mix", 30))]
+    sf = _write_documents(tmp_path, texts)
+    rows = REGISTRY["ts11_bpe_pair_stats"].fn(spark, sf).collect()
+    top = rows[0]
+    # word 'zzqxqxqx' x 200 occurrences: pair 'qx' appears 3x per word
+    # (positions 3,5,7) -> 600, beating 'zz' (200) and every mixN pair.
+    assert top.pair == "qx" and top.total == 600

@@ -1522,19 +1522,28 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    hashed = F.transform(
-        F.array_distinct(_word_ngrams(8)),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
-    )
-    # n_g rides along with every exploded gram row (+8 bytes/row) so the
-    # containment denominator needs NO per-doc count table and NO joins —
-    # the corpus is scanned and shingled exactly once.
+    shingles = F.array_distinct(_word_ngrams(8))
+    # Measured dead end (sf1 probe): carrying n_g inside the collected
+    # structs to avoid the two count-table joins ran ~12x SLOWER — the
+    # collect shuffle then sorts array<struct> rows off the primitive
+    # fast path. The long-array collect + two tiny keyed joins win.
     sh = d.select(
-        "doc_id", F.size(hashed).alias("n_g"), F.explode(hashed).alias("gh")
+        "doc_id",
+        F.explode(
+            F.transform(
+                shingles,
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("gh"),
     )
+    # Per-doc gram counts come straight off the doc array — no explode,
+    # no md5, one column-pruned pass.
+    ng = d.select("doc_id", F.size(shingles).alias("n_g"))
     grams = (
         sh.groupBy("gh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_g"))).alias("ds"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds").between(2, 8))
     )
     combos = F.flatten(
@@ -1542,29 +1551,27 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ds",
             lambda a, i: F.transform(
                 F.slice(F.col("ds"), i + 2, F.size("ds")),
-                lambda b: F.struct(
-                    a.doc_id.alias("doc_a"),
-                    b.doc_id.alias("doc_b"),
-                    a.n_g.alias("na"),
-                    b.n_g.alias("nb"),
-                ),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
             ),
         )
     )
-    return (
+    pairs = (
         grams.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+        .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
+    )
+    na, nb = ng.alias("na"), ng.alias("nb")
+    return (
+        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .select(
             "doc_a", "doc_b", "n_shared",
             F.round(
-                F.col("n_shared") / F.least("na", "nb").cast("double"), 6
+                F.col("n_shared")
+                / F.least(F.col("na.n_g"), F.col("nb.n_g")).cast("double"),
+                6,
             ).alias("containment"),
         )
     )
