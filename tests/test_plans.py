@@ -499,3 +499,9 @@ def test_memorization_score_gram_keys_are_bigint(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(gh#\d+L", plan), plan
     assert "CartesianProduct" not in plan, plan
+    # The classify join must stay a sort-merge on gh: without the merge
+    # hint Catalyst has no stats under the shingle Generate and
+    # broadcast the whole exploded stream (10-40 s driver stalls at the
+    # sf1 probe).
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan

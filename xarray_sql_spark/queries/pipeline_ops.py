@@ -1695,8 +1695,12 @@ def ts12_memorization_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = sh.groupBy("gh").agg(F.count("*").alias("df"))
     shared = F.sum((F.col("df") >= 2).cast("int")).cast("long")
+    # merge hint: Catalyst has no stats below the shingle Generate and
+    # intermittently BROADCAST the whole exploded stream (BuildLeft),
+    # stalling the driver for 10-40 s at the sf1 probe; the keyed
+    # sort-merge is the shape that survives any corpus size.
     return (
-        sh.join(freq, "gh")
+        sh.hint("merge").join(freq, "gh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
