@@ -1563,9 +1563,13 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
     )
     na, nb = ng.alias("na"), ng.alias("nb")
+    # merge hints: same missing-Generate-stats trap as ts12 — left alone,
+    # Catalyst broadcasts the 500k-row ng projection (with the shingle
+    # size() compute inside it) and the probe session stalls 4-8 s on the
+    # build; the two keyed sort-merges are flat at any corpus size.
     return (
-        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        pairs.hint("merge").join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .hint("merge").join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .select(
             "doc_a", "doc_b", "n_shared",
             F.round(
