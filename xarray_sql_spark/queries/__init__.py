@@ -62,7 +62,7 @@ _PRIORITY = (
     "gq28_grid_argmax gq29_grid_value_bins ts09_gopher_rules "
     "ts10_unigram_surprisal dd10_shared_span_pairs ss10_pq_rerank "
     "ts11_bpe_pair_stats pl09_leakage_free_split ts12_memorization_score "
-    "mm06_audio_rollup "
+    "mm06_audio_rollup gq30_grid_cumsum ev11_user_value_quartiles "
     # 3a. oldest proofs (r3/r4)
     "q07_cross_join q08_agg_filter "
     "q02_filter_scan q03_top_revenue q04_exists_semijoin q05_region_volume "
@@ -70,8 +70,7 @@ _PRIORITY = (
     # 3b. oldest r5 relational block (truncated to keep the window at 50;
     # q20-q32 were all green r5/r6 on unchanged code and stay covered by
     # the local 130-query pytest sweep)
-    "q11_window_topk q13_range_join q14_math_rmse q15_case_having_union "
-    "q16_distinct_sort"
+    "q11_window_topk q13_range_join q14_math_rmse"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]

@@ -1652,3 +1652,47 @@ def gq29_grid_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax "
         "FROM gq_grid29 GROUP BY FLOOR(v / 4) ORDER BY bin"
     ).df
+
+
+@query(
+    "gq30_grid_cumsum",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+        WHERE y.i < 2 AND x.i < 2
+    )
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           sum(v) OVER (PARTITION BY yi, xi ORDER BY ti
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM cells ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "cumsum", "window"),
+    bench=False,
+)
+def gq30_grid_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``cumsum('time')`` parity through SQL: the running sum per
+    (y, x) series via an unbounded-preceding window — the accumulation
+    verb behind degree-day and precipitation-total diagnostics. Every
+    prefix sum is a sum of exact binary fractions in the SAME order on
+    both engines (window frames are sequential by definition), so the
+    hash is exact with no rounding.
+
+    Scale: one exchange on the cell key, sequential accumulation inside
+    each series partition — gq19's shape with a wider frame."""
+    xs = _register(spark, "gq_grid30")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid30 WHERE y < 2 AND x < 2"
+    ).df
+    w = W.partitionBy("y", "x").orderBy("ti").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        df.withColumn("cum", F.sum("v").over(w))
+        .select(F.col("ti").cast("long").alias("ti"), "y", "x", "cum")
+        .orderBy("ti", "y", "x")
+    )

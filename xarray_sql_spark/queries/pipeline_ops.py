@@ -1714,3 +1714,60 @@ def ts12_memorization_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --- events: user-value quartile segmentation -------------------------------
+@query(
+    "ev11_user_value_quartiles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT *, ntile(4) OVER (ORDER BY total_value DESC, user_id) AS q
+        FROM per_user
+    )
+    SELECT CAST(q AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(sum(total_value), 2) AS segment_value,
+           round(min(total_value), 4) AS min_user_value,
+           round(max(total_value), 4) AS max_user_value
+    FROM ranked GROUP BY q ORDER BY quartile
+    """,
+    tags=("events", "segmentation", "window", "pipeline"),
+)
+def ev11_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-value quartile segmentation (the 'M' of an RFM analysis):
+    per-user event counts and value totals, NTILE(4) by descending
+    value with a user_id tie-break (deterministic cross-engine), then
+    per-quartile rollups. Per-user totals are rounded to the 1e-4 grid
+    BEFORE ranking so the quartile boundary decision is taken on
+    identical numbers in both engines; segment sums re-round at 1e-2.
+
+    Scale: the per-user aggregate map-side combines; the ntile ranking
+    is the one genuinely global step (single-partition window over the
+    USER table, not the event stream — bounded by distinct users, the
+    same driver-resident contract as a sorted quantile boundary); the
+    final rollup is 4 rows."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    w = W.orderBy(F.col("total_value").desc(), "user_id")
+    ranked = per_user.withColumn("q", F.ntile(4).over(w))
+    return (
+        ranked.groupBy(F.col("q").cast("int").alias("quartile"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("segment_value"),
+            F.round(F.min("total_value"), 4).alias("min_user_value"),
+            F.round(F.max("total_value"), 4).alias("max_user_value"),
+        )
+        .orderBy("quartile")
+    )
