@@ -1927,3 +1927,55 @@ def ss10_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "d2", "adc")
         .orderBy("query_id", "vec_id")
     )
+
+
+# --- q45: PIVOT (wide reshaping) ---------------------------------------------
+_Q45_YEARS = (1995, 1996, 1997, 1998, 1999, 2000, 2001)
+
+
+@query(
+    "q45_pivot",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+    """
+    + ",\n    ".join(
+        f"CAST(count(*) FILTER (WHERE year(o_orderdate) = {y}) AS BIGINT) AS y{y}_n,\n"
+        f"    round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = {y}), 0) AS y{y}_rev"
+        for y in _Q45_YEARS
+    )
+    + """
+    FROM orders GROUP BY o_orderpriority ORDER BY pri
+    """,
+    tags=("relational", "pivot", "reshape"),
+)
+def q45_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — wide reshaping of order counts and revenue by year, one
+    column pair per order year, via Spark's native ``pivot`` relational
+    operator (the reverse of q35's UNPIVOT). The oracle spells the same
+    reshape as conditional aggregation, which is also exactly what
+    Catalyst lowers PIVOT to — a single hash aggregate, NOT one scan per
+    output column. Revenue sums are integer-rounded per the registry's
+    multi-row double-sum convention.
+
+    Scale: one map-side-combinable aggregate over (priority, year); the
+    pivot value list is static, so the plan is a plain 35-group hash
+    aggregate regardless of table size."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.year("o_orderdate").alias("yr"),
+            "o_totalprice",
+        )
+        .groupBy("pri")
+        .pivot("yr", list(_Q45_YEARS))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 0).alias("rev"),
+        )
+    )
+    cols = [F.col("pri")]
+    for y in _Q45_YEARS:
+        cols.append(F.coalesce(F.col(f"{y}_n"), F.lit(0)).cast("bigint").alias(f"y{y}_n"))
+        cols.append(F.col(f"{y}_rev").alias(f"y{y}_rev"))
+    return wide.select(*cols).orderBy("pri")

@@ -1696,3 +1696,202 @@ def gq30_grid_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ti").cast("long").alias("ti"), "y", "x", "cum")
         .orderBy("ti", "y", "x")
     )
+
+
+# --- second fixture: non-periodic exact values ------------------------------
+# The primary fixture's v is periodic in time (ti % 24), which makes
+# time-shift diagnostics (diff, trend) degenerate. This variant uses
+# v = ((ti*ti) % 32) * 0.25 + y * 0.5 + x * 0.25 — still exact binary
+# quarters (bit-identical across numpy / Spark / DuckDB integer-mod
+# arithmetic), but aperiodic enough that lags, ranks, slopes and
+# integrals are all non-trivial.
+_SQ_EXPR_DUCK = "((t.i * t.i) % 32) * 0.25 + y.i * 0.5 + x.i * 0.25"
+
+
+def _fixture_dataset_sq() -> Dataset:
+    t = np.arange("2024-01-01T00", "2024-01-11T00", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    y = np.arange(N_Y, dtype=np.int64)
+    x = np.arange(N_X, dtype=np.int64)
+    ti = np.arange(N_T, dtype=np.int64)
+    v = (
+        ((ti * ti) % 32)[:, None, None] * 0.25
+        + y[None, :, None] * 0.5
+        + x[None, None, :] * 0.25
+    )
+    return Dataset({"v": Variable(("time", "y", "x"), v)}, {"time": t, "y": y, "x": x})
+
+
+def _register_sq(spark: SparkSession, view: str) -> XarraySession:
+    xs = XarraySession(spark)
+    xs.from_dataset(view, _fixture_dataset_sq(), chunks={"time": 24})
+    return xs
+
+
+def _sq_cells(where: str = "") -> str:
+    return f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               {_SQ_EXPR_DUCK} AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+        {where}
+    )"""
+
+
+@query(
+    "gq31_grid_shift_diff",
+    oracle=_sq_cells("WHERE y.i < 2 AND x.i < 2")
+    + """
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           v - lag(v) OVER (PARTITION BY yi, xi ORDER BY ti) AS d
+    FROM cells QUALIFY d IS NOT NULL ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "shift", "diff", "window"),
+    bench=False,
+)
+def gq31_grid_shift_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``shift('time')`` / ``diff('time')`` parity: the first
+    discrete difference along time per (y, x) series via a lag window —
+    the verb behind rate-of-change and tendency fields. The aperiodic
+    fixture keeps every difference an exact quarter, so the hash is
+    exact.
+
+    Scale: one exchange on the series key, sequential lag inside each
+    partition — no self-join (the naive spelling), no shuffle of the
+    full grid beyond the window's own."""
+    xs = _register_sq(spark, "gq_grid31")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid31 WHERE y < 2 AND x < 2"
+    ).df
+    w = W.partitionBy("y", "x").orderBy("ti")
+    return (
+        df.withColumn("d", F.col("v") - F.lag("v").over(w))
+        .filter(F.col("d").isNotNull())
+        .select(F.col("ti").cast("long").alias("ti"), "y", "x", "d")
+        .orderBy("ti", "y", "x")
+    )
+
+
+@query(
+    "gq32_grid_rank",
+    oracle=_sq_cells("WHERE y.i < 2 AND x.i < 2")
+    + """
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           CAST(rank() OVER w AS BIGINT) AS rk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk
+    FROM cells WINDOW w AS (PARTITION BY yi, xi ORDER BY v)
+    ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "rank", "window"),
+    bench=False,
+)
+def gq32_grid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``rank('time')`` parity: the within-series rank of every
+    value (rank + dense_rank, both tie-stable across engines because
+    ties share a rank by definition). Integer outputs — exact.
+
+    Scale: one exchange on the series key; ranking is a sort inside each
+    series partition, never global."""
+    xs = _register_sq(spark, "gq_grid32")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid32 WHERE y < 2 AND x < 2"
+    ).df
+    w = W.partitionBy("y", "x").orderBy("v")
+    return df.select(
+        F.col("ti").cast("long").alias("ti"),
+        "y",
+        "x",
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+    ).orderBy("ti", "y", "x")
+
+
+@query(
+    "gq33_grid_trend",
+    oracle=_sq_cells()
+    + """
+    SELECT CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           (count(*) * sum(ti * v) - sum(ti) * sum(v))
+               / (count(*) * sum(ti * ti) - sum(ti) * sum(ti)) AS slope,
+           (sum(v) - ((count(*) * sum(ti * v) - sum(ti) * sum(v))
+               / (count(*) * sum(ti * ti) - sum(ti) * sum(ti))) * sum(ti))
+               / count(*) AS intercept
+    FROM cells GROUP BY yi, xi ORDER BY y, x
+    """,
+    tags=("grid", "datasource", "polyfit", "trend"),
+    bench=False,
+)
+def gq33_grid_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``polyfit(dim='time', deg=1)`` parity: the per-cell OLS
+    trend, computed from raw moment sums (n, Σt, Σv, Σtv, Σt²) with the
+    closed normal-equation form spelled IDENTICALLY in both engines.
+    Every sum is exact (integer ti, quarter-grid v, magnitudes far below
+    2^53), so the final divisions see bit-identical operands and produce
+    bit-identical IEEE doubles — the hash needs no rounding.
+
+    Scale: a single map-side-combinable aggregate over the series key —
+    the moment-sums formulation is exactly how a 100-TB trend field is
+    computed (one pass, five accumulators), not a per-cell lstsq."""
+    xs = _register_sq(spark, "gq_grid33")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid33"
+    ).df
+    m = df.groupBy("y", "x").agg(
+        F.count("*").alias("n"),
+        F.sum("ti").alias("st"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("ti") * F.col("v")).alias("stv"),
+        F.sum(F.col("ti") * F.col("ti")).alias("stt"),
+    )
+    slope = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    return m.select(
+        "y",
+        "x",
+        slope.alias("slope"),
+        ((F.col("sv") - slope * F.col("st")) / F.col("n")).alias("intercept"),
+    ).orderBy("y", "x")
+
+
+@query(
+    "gq34_grid_integrate",
+    oracle=_sq_cells()
+    + """
+    SELECT CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           sum(v) - (min(CASE WHEN ti = 0 THEN v END)
+                     + min(CASE WHEN ti = {last} THEN v END)) / 2 AS integral
+    FROM cells GROUP BY yi, xi ORDER BY y, x
+    """.format(last=N_T - 1),
+    tags=("grid", "datasource", "integrate"),
+    bench=False,
+)
+def gq34_grid_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``integrate('time')`` parity on a uniform unit-spaced axis:
+    the trapezoidal rule collapses to Σv − (v_first + v_last)/2, computed
+    per cell. All terms are exact binary quarters, so the subtraction
+    and halving are bit-exact on both engines.
+
+    Scale: one aggregate over the series key — the endpoint terms ride
+    the same pass as conditional MINs, so there is no second scan and no
+    window."""
+    xs = _register_sq(spark, "gq_grid34")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid34"
+    ).df
+    first = F.min(F.when(F.col("ti") == 0, F.col("v")))
+    last = F.min(F.when(F.col("ti") == N_T - 1, F.col("v")))
+    return (
+        df.groupBy("y", "x")
+        .agg((F.sum("v") - (first + last) / 2).alias("integral"))
+        .orderBy("y", "x")
+    )

@@ -1771,3 +1771,139 @@ def ev11_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+# --- events: ordered conversion funnel ---------------------------------------
+@query(
+    "ev12_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    gaps AS (
+        SELECT v.user_id,
+               CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS clicked,
+               CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS purchased,
+               epoch_us(c.t2) - epoch_us(v.t1) AS view_to_click_us,
+               epoch_us(p.t3) - epoch_us(c.t2) AS click_to_buy_us
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+           CAST(sum(clicked) AS BIGINT) AS n_clicked,
+           CAST(sum(purchased) AS BIGINT) AS n_purchased,
+           CAST(sum(view_to_click_us) AS BIGINT) AS sum_view_to_click_us,
+           CAST(sum(click_to_buy_us) AS BIGINT) AS sum_click_to_buy_us
+    FROM gaps
+    """,
+    tags=("events", "funnel", "pipeline"),
+)
+def ev12_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each step's
+    earliest event must strictly follow the previous step's earliest
+    qualifying event (min-timestamp semantics, so the result is
+    deterministic without per-event pairing). Gap sums are integer
+    microseconds — exact on both engines (bit-identical BIGINT sums), no
+    float rounding anywhere.
+
+    Scale: three per-user min-aggregates (map-side combinable) joined on
+    user_id — the classic funnel shape; no window over the raw event
+    stream, and the event table is touched three times by pushed-down
+    single-type scans rather than once by a per-user sort."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    gaps = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("clicked"),
+            F.when(F.col("t3").isNotNull(), 1).otherwise(0).alias("purchased"),
+            (F.unix_micros("t2") - F.unix_micros("t1")).alias("view_to_click_us"),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias("click_to_buy_us"),
+        )
+    )
+    return gaps.agg(
+        F.count("*").alias("n_viewed"),
+        F.sum("clicked").cast("bigint").alias("n_clicked"),
+        F.sum("purchased").cast("bigint").alias("n_purchased"),
+        F.sum("view_to_click_us").cast("bigint").alias("sum_view_to_click_us"),
+        F.sum("click_to_buy_us").cast("bigint").alias("sum_click_to_buy_us"),
+    )
+
+
+# --- events: semi-structured JSON property extraction ------------------------
+@query(
+    "ev13_json_props",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "json", "semi-structured", "pipeline"),
+)
+def ev13_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction — the ubiquitous
+    event-pipeline verb (properties bags ride as JSON strings): pull a
+    typed value out of the ``props`` JSON column with the engine's native
+    JSON path accessor (Spark ``get_json_object``, DuckDB
+    ``json_extract_string``) and aggregate it per event type. All-integer
+    outputs — exact.
+
+    Scale: ``get_json_object`` is a JVM-side expression inside
+    whole-stage codegen (no Python, no UDF); one map-side-combinable
+    aggregate; the distinct-count shuffles (event_type, k) pairs, bounded
+    by the value domain, not the event count."""
+    e = table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
