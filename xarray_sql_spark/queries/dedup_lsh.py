@@ -784,3 +784,65 @@ def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("accepted", F.col("n_hit_bands") == 0)
         .orderBy("doc_id")
     )
+
+
+# --- dd11: cross-source duplication matrix ----------------------------------
+def _dd11_oracle() -> str:
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
+    )
+    return f"""{_minhash_bands_cte()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+        WHERE ({eq_terms}) / {N_PERMS}.0 >= {EST_JACCARD_MIN}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM dup
+    JOIN documents da ON da.doc_id = dup.doc_a
+    JOIN documents db ON db.doc_id = dup.doc_b
+    GROUP BY 1, 2 ORDER BY source_a, source_b
+    """
+
+
+@query(
+    "dd11_cross_source_dup_matrix",
+    oracle=_dd11_oracle(),
+    tags=("dedup", "minhash", "provenance", "pipeline"),
+)
+def dd11_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which corpus sources copy from
+    which — dd04's MinHash near-dup pairs rolled up to unordered
+    (source, source) cells. The standard provenance diagnostic before
+    choosing per-source mixing weights (a source that is 90% dups of
+    another contributes no new tokens). least/greatest canonicalizes the
+    pair so the matrix is triangular on both engines.
+
+    Scale: rides dd04's bucketed candidate join (never all-pairs); the
+    two provenance joins shuffle only (doc_id, source) pairs — a tiny
+    projection of the corpus, not text; the final rollup has at most
+    n_sources^2 groups."""
+    pairs = dd04_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da, db = d.alias("da"), d.alias("db")
+    return (
+        pairs.join(da, F.col("da.doc_id") == F.col("doc_a"))
+        .join(db, F.col("db.doc_id") == F.col("doc_b"))
+        .groupBy(
+            F.least("da.source", "db.source").alias("source_a"),
+            F.greatest("da.source", "db.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -1907,3 +1907,144 @@ def ev13_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- pl10: repetition-factor (fractional-epoch) mixing ------------------------
+# Per-source repetition factor in exact EIGHTHS, derived from md5 so both
+# engines embed the identical rule: f8 in [8, 24) -> factor 1.0 .. 2.875.
+# A doc gets floor(f8/8) guaranteed copies plus one more iff its own
+# md5-derived residue falls below the fractional eighths -- deterministic
+# fractional upsampling with zero floating point anywhere.
+_PL10_F8_SPARK = (
+    "8 + pmod(CAST(conv(substring(md5(source), 1, 15), 16, 10) AS BIGINT), 16)"
+)
+_PL10_F8_DUCK = "8 + (('0x' || substring(md5(source), 1, 15))::BIGINT % 16)"
+_PL10_RES_SPARK = (
+    "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 8)"
+)
+_PL10_RES_DUCK = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8)"
+
+
+@query(
+    "pl10_repetition_mixing",
+    oracle=f"""
+    WITH planned AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS toks,
+               ({_PL10_F8_DUCK}) AS f8,
+               ({_PL10_F8_DUCK}) // 8
+                 + CASE WHEN {_PL10_RES_DUCK} < ({_PL10_F8_DUCK}) % 8
+                        THEN 1 ELSE 0 END AS copies
+        FROM documents
+    ),
+    emitted AS (
+        SELECT p.source, p.doc_id, p.f8, p.toks
+        FROM planned p, LATERAL (SELECT unnest(range(p.copies)) AS i) r
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(f8) AS BIGINT) AS factor_eighths,
+           CAST(count(*) AS BIGINT) AS n_emitted,
+           CAST(sum(toks) AS BIGINT) AS tokens_emitted
+    FROM emitted GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "mixing", "epochs"),
+)
+def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repetition mixing: upsample each source by a
+    per-source factor expressed in exact eighths (1.0-2.875 epochs), with
+    the fractional epoch realized by a deterministic per-doc md5 residue
+    rather than a random draw — re-running the pipeline emits the
+    identical training set (content-addressed, like pl02's split). The
+    rollup reports planned factor vs realized copies and token counts.
+
+    Scale: the repetition plan is pure integer expressions inside one
+    scan; the explode multiplies rows only by the factor (bounded <= 3),
+    never joins; the rollup is a map-side-combinable aggregate on
+    n_sources groups. This is exactly how multi-epoch data mixing is
+    materialized for sequence-packing at 100 TB (explode-then-shuffle
+    once, not one pass per epoch)."""
+    d = table(spark, sf_dir, "documents")
+    planned = d.selectExpr(
+        "source",
+        "doc_id",
+        "size(split(text, ' ')) AS toks",
+        f"({_PL10_F8_SPARK}) AS f8",
+        f"({_PL10_F8_SPARK}) DIV 8"
+        f" + IF({_PL10_RES_SPARK} < ({_PL10_F8_SPARK}) % 8, 1, 0) AS copies",
+    )
+    emitted = planned.select(
+        "source", "doc_id", "f8", "toks",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("i"),
+    )
+    return (
+        emitted.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("f8").cast("bigint").alias("factor_eighths"),
+            F.count("*").alias("n_emitted"),
+            F.sum("toks").cast("bigint").alias("tokens_emitted"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- ts13: greedy token-budget fill ------------------------------------------
+_TS13_BUDGET = 50_000
+
+
+@query(
+    "ts13_token_budget_fill",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT *,
+               sum(tokens) OVER (ORDER BY tokens * 1.0 / n_docs DESC, source
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM per_source
+    )
+    SELECT source, n_docs, tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(CASE WHEN cum_tokens <= {_TS13_BUDGET} THEN 1 ELSE 0 END AS INT)
+               AS in_budget
+    FROM ranked ORDER BY cum_tokens
+    """,
+    tags=("text", "budget", "planning", "pipeline"),
+)
+def ts13_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill: rank sources by mean document length
+    (densest first, source-name tiebreak), take the running token total,
+    and mark the prefix that fits a fixed training budget — the planning
+    step before committing a mixture. All token counts are integers; the
+    ranking key is the same division of the same integers on both
+    engines, so ordering (and therefore the cumulative sums) is
+    deterministic.
+
+    Scale: the window runs over the SOURCE rollup (n_sources rows), not
+    the corpus — the standard pre-aggregate-then-window shape for
+    global-order cumulations (cf. ev04)."""
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+    )
+    w = (
+        W.orderBy((F.col("tokens") * 1.0 / F.col("n_docs")).desc(), "source")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        per_source.withColumn("cum_tokens", F.sum("tokens").over(w).cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") <= _TS13_BUDGET).cast("int").alias("in_budget"),
+        )
+        .orderBy("cum_tokens")
+    )
