@@ -63,14 +63,18 @@ _PRIORITY = (
     "ts10_unigram_surprisal dd10_shared_span_pairs ss10_pq_rerank "
     "ts11_bpe_pair_stats pl09_leakage_free_split ts12_memorization_score "
     "mm06_audio_rollup gq30_grid_cumsum ev11_user_value_quartiles "
-    # 3a. oldest proofs (r3/r4)
-    "q07_cross_join q08_agg_filter "
-    "q02_filter_scan q03_top_revenue q04_exists_semijoin q05_region_volume "
-    "q06_forecast_revenue q09_climatology_hour q10_anomaly_cte q25_set_ops "
-    # 3b. oldest r5 relational block (truncated to keep the window at 50;
-    # q20-q32 were all green r5/r6 on unchanged code and stay covered by
-    # the local 130-query pytest sweep)
-    "q11_window_topk q13_range_join q14_math_rmse"
+    # 2c. NEW this round, third wave — first driver rows: funnel, JSON
+    # props, PIVOT, the aperiodic-fixture xarray verbs (diff/rank/trend/
+    # integrate), cross-source dup matrix, fractional-epoch mixing, and
+    # the token-budget planner
+    "ev12_funnel_conversion ev13_json_props q45_pivot gq31_grid_shift_diff "
+    "gq32_grid_rank gq33_grid_trend gq34_grid_integrate "
+    "dd11_cross_source_dup_matrix pl10_repetition_mixing "
+    "ts13_token_budget_fill "
+    # 3. oldest proofs (r3) + one r5 representative; the displaced r4/r5
+    # relational block (q02-q06, q09-q13, q25) was green on unchanged
+    # code paths and stays covered by the local full-registry pytest sweep
+    "q07_cross_join q08_agg_filter q14_math_rmse"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]
