@@ -70,11 +70,11 @@ _PRIORITY = (
     "ev12_funnel_conversion ev13_json_props q45_pivot gq31_grid_shift_diff "
     "gq32_grid_rank gq33_grid_trend gq34_grid_integrate "
     "dd11_cross_source_dup_matrix pl10_repetition_mixing "
-    "ts13_token_budget_fill "
-    # 3. oldest proofs (r3) + one r5 representative; the displaced r4/r5
-    # relational block (q02-q06, q09-q13, q25) was green on unchanged
-    # code paths and stays covered by the local full-registry pytest sweep
-    "q07_cross_join q08_agg_filter q14_math_rmse"
+    "ts13_token_budget_fill gq35_grid_corr_cov gq36_grid_quantiles "
+    # 3. oldest proof (r3); the displaced r3-r5 relational block
+    # (q02-q14, q25) was green on unchanged code paths and stays covered
+    # by the local full-registry pytest sweep
+    "q07_cross_join"
 ).split()
 
 _front = [n for n in _PRIORITY if n in REGISTRY]

@@ -1895,3 +1895,128 @@ def gq34_grid_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("v") - (first + last) / 2).alias("integral"))
         .orderBy("y", "x")
     )
+
+
+# --- two-variable fixture for corr/cov parity --------------------------------
+_UV_U_DUCK = "((t.i * t.i) % 32) * 0.25 + y.i * 0.5"
+_UV_V_DUCK = "((t.i * (t.i + 1)) % 32) * 0.25 + x.i * 0.25"
+
+
+def _fixture_dataset_uv() -> Dataset:
+    t = np.arange("2024-01-01T00", "2024-01-11T00", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    y = np.arange(N_Y, dtype=np.int64)
+    x = np.arange(N_X, dtype=np.int64)
+    ti = np.arange(N_T, dtype=np.int64)
+    u = ((ti * ti) % 32)[:, None, None] * 0.25 + y[None, :, None] * 0.5 + np.zeros(
+        (1, 1, N_X)
+    )
+    v = ((ti * (ti + 1)) % 32)[:, None, None] * 0.25 + np.zeros((1, N_Y, 1)) + x[
+        None, None, :
+    ] * 0.25
+    return Dataset(
+        {"u": Variable(("time", "y", "x"), u), "v": Variable(("time", "y", "x"), v)},
+        {"time": t, "y": y, "x": x},
+    )
+
+
+def _uv_cells() -> str:
+    return f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               {_UV_U_DUCK} AS u, {_UV_V_DUCK} AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+    )"""
+
+
+@query(
+    "gq35_grid_corr_cov",
+    oracle=_uv_cells()
+    + """
+    SELECT CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           (count(*) * sum(u * v) - sum(u) * sum(v))
+             / sqrt((count(*) * sum(u * u) - sum(u) * sum(u))
+                    * (count(*) * sum(v * v) - sum(v) * sum(v))) AS corr_uv,
+           (sum(u * v) - sum(u) * sum(v) / count(*)) / (count(*) - 1) AS cov_uv
+    FROM cells GROUP BY yi, xi ORDER BY y, x
+    """,
+    tags=("grid", "datasource", "corr", "cov"),
+    bench=False,
+)
+def gq35_grid_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xr.corr(u, v, dim='time')`` / ``xr.cov`` parity: per-cell Pearson
+    correlation and sample covariance between two variables of the same
+    dataset, computed from raw moment sums with the IDENTICAL closed-form
+    expression on both engines. Every sum is exact (quarter-grid values,
+    far below 2^53), so sqrt/divide see bit-identical operands — no
+    rounding needed. Built-in ``corr``/``covar_samp`` aggregates are NOT
+    used on either side precisely because their internal update orders
+    differ between engines; the moment-sum form is also the one-pass
+    shape you'd run at 100 TB.
+
+    Scale: one map-side-combinable aggregate (six accumulators) over the
+    series key; the two-variable pivot rides the same DataSource scan —
+    variables sharing dims are columns of one row stream, not a join."""
+    xs = XarraySession(spark)
+    xs.from_dataset("gq_grid35", _fixture_dataset_uv(), chunks={"time": 24})
+    df = xs.sql("SELECT y, x, u, v FROM gq_grid35").df
+    n, su, sv = F.count("*"), F.sum("u"), F.sum("v")
+    suv = F.sum(F.col("u") * F.col("v"))
+    suu = F.sum(F.col("u") * F.col("u"))
+    svv = F.sum(F.col("v") * F.col("v"))
+    m = df.groupBy("y", "x").agg(
+        n.alias("n"), su.alias("su"), sv.alias("sv"),
+        suv.alias("suv"), suu.alias("suu"), svv.alias("svv"),
+    )
+    corr = (F.col("n") * F.col("suv") - F.col("su") * F.col("sv")) / F.sqrt(
+        (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
+        * (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+    )
+    cov = (F.col("suv") - F.col("su") * F.col("sv") / F.col("n")) / (F.col("n") - 1)
+    return m.select("y", "x", corr.alias("corr_uv"), cov.alias("cov_uv")).orderBy(
+        "y", "x"
+    )
+
+
+@query(
+    "gq36_grid_quantiles",
+    oracle=_sq_cells()
+    + """
+    SELECT CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           quantile_cont(CAST(v AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(v AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(v AS DOUBLE), 0.75) AS p75
+    FROM cells GROUP BY yi, xi ORDER BY y, x
+    """,
+    tags=("grid", "datasource", "quantile"),
+    bench=False,
+)
+def gq36_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``quantile(dim='time')`` parity: per-cell p25/p50/p75 via
+    exact linear-interpolated percentiles (both engines implement the
+    same type-7 definition: position (n-1)p, linear between order
+    statistics). On the quarter-grid fixture with n=240 the interpolation
+    fractions are exact binary (0.75/0.5/0.25), so results land on the
+    eighths grid and hash exactly.
+
+    Scale: Spark's ``percentile`` is a sort-based exact aggregate —
+    correct parity target for a 240-sample series; a 100-TB pipeline
+    with huge groups swaps in approx_percentile (same plan shape,
+    sketch-based) which is deliberately NOT the parity op here."""
+    xs = _register_sq(spark, "gq_grid36")
+    df = xs.sql("SELECT y, x, v FROM gq_grid36").df
+    q = F.expr("percentile(v, array(0.25D, 0.5D, 0.75D))")
+    return (
+        df.groupBy("y", "x")
+        .agg(q.alias("qs"))
+        .select(
+            "y", "x",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+        )
+        .orderBy("y", "x")
+    )
