@@ -2048,3 +2048,72 @@ def ts13_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cum_tokens")
     )
+
+
+# --- ev14: time-series gap fill over an hourly scaffold -----------------------
+@query(
+    "ev14_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    scaffold AS (SELECT h, event_type FROM hours CROSS JOIN types),
+    counts AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(epoch_us(s.h) AS BIGINT) AS hour_us,
+           s.event_type AS event_type,
+           COALESCE(c.n, 0) AS n_events,
+           COALESCE(c.sum_value, 0.0) AS sum_value,
+           CAST(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM scaffold s LEFT JOIN counts c
+      ON s.h = c.h AND s.event_type = c.event_type
+    ORDER BY hour_us, event_type
+    """,
+    tags=("events", "scaffold", "gap-fill", "pipeline"),
+)
+def ev14_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap fill over a generated time scaffold (the 'date spine'):
+    every (hour, event_type) cell between the corpus' first and last hour
+    exists in the output, zero-filled where no events landed, with a gap
+    flag — the preprocessing step dashboards and anomaly detectors need
+    before differencing or windowing. Hour stamps emitted as epoch-micros.
+
+    Scale: the scaffold derives from ONE single-row min/max aggregate
+    (metadata-answerable on sorted storage) exploded JVM-side via
+    ``sequence`` — its size is hours x types, independent of event count;
+    the left join broadcasts the scaffold against the pre-aggregated
+    hourly counts, so the raw event stream is touched exactly once."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    scaffold = hours.crossJoin(types)
+    counts = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+    return (
+        scaffold.join(counts, ["h", "event_type"], "left")
+        .select(
+            F.unix_micros("h").alias("hour_us"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
