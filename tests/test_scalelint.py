@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "q23_percentiles": "quantile-boundary spec rows (4) broadcast in a range join",
     "ss05_kmeans_train": "k-row centroid table broadcast per Lloyd's iteration",
     "ts10_unigram_surprisal": "1-row corpus-total broadcast (LM normalizer)",
+    "ev14_gap_fill": "date-spine scaffold: hours x 5-type cross (both sides "
+    "derived from single-row aggregates, size independent of event count)",
 }
 
 

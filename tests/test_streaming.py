@@ -368,3 +368,81 @@ def test_lsh_neardup_gate_matches_batch(spark):
     }
     assert got == want
     assert sum(got.values()) > 0  # the synthetic corpus has near-dups
+
+
+def test_funnel_stage_machine_matches_batch(spark, batch_events):
+    """Streaming funnel stage machine == batch funnel_stages min-joins over
+    the same events (users with >= 1 view; stage + per-stage first-hit
+    timestamps), single availableNow batch."""
+    from xarray_sql_spark.queries.pipeline_ops import funnel_stages
+
+    out = se.run_to_memory(
+        se.funnel_stage_machine(se.events_stream(spark, SF_SMALL)),
+        "t_funnel",
+        output_mode="update",
+    )
+    got = {
+        r["user_id"]: (r["stage"], r["view_us"], r["click_us"], r["purchase_us"])
+        for r in out.collect()
+        if r["stage"] > 0
+    }
+    expect = {}
+    for r in funnel_stages(batch_events).select(
+        "user_id",
+        F.unix_micros("t1").alias("u1"),
+        F.unix_micros("t2").alias("u2"),
+        F.unix_micros("t3").alias("u3"),
+    ).collect():
+        stage = 1 + (r["u2"] is not None) + (r["u3"] is not None)
+        expect[r["user_id"]] = (stage, r["u1"], r["u2"], r["u3"])
+    assert len(expect) > 0
+    assert got == expect
+
+
+def test_funnel_state_carries_across_microbatches(spark, batch_events, tmp_path):
+    """Split the time-ordered feed into two files, one per micro-batch: a
+    click in batch 2 must still advance a funnel whose view landed in
+    batch 1 — the cross-batch half of the stage-machine contract."""
+    import os
+
+    from xarray_sql_spark.queries.pipeline_ops import funnel_stages
+
+    src = batch_events.select("event_id", "ts", "user_id", "event_type", "value")
+    rows = src.orderBy("ts").collect()
+    half = len(rows) // 2
+    outdir = str(tmp_path / "funnel_feed")
+    os.makedirs(outdir)
+    for i, part in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(part, src.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(outdir, f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(outdir, "b*"))
+    )
+    out = se.run_to_memory(
+        se.funnel_stage_machine(stream), "t_funnel_batches", output_mode="update"
+    )
+    # update mode emits one row per touched user per batch: keep the LAST
+    # (highest-stage) row per user.
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r["user_id"])
+        if cur is None or r["stage"] >= cur[0]:
+            latest[r["user_id"]] = (
+                r["stage"], r["view_us"], r["click_us"], r["purchase_us"]
+            )
+    got = {u: v for u, v in latest.items() if v[0] > 0}
+    expect = {}
+    for r in funnel_stages(batch_events).select(
+        "user_id",
+        F.unix_micros("t1").alias("u1"),
+        F.unix_micros("t2").alias("u2"),
+        F.unix_micros("t3").alias("u3"),
+    ).collect():
+        stage = 1 + (r["u2"] is not None) + (r["u3"] is not None)
+        expect[r["user_id"]] = (stage, r["u1"], r["u2"], r["u3"])
+    assert len(expect) > 0
+    assert got == expect

@@ -820,6 +820,10 @@ def _dd11_oracle() -> str:
     "dd11_cross_source_dup_matrix",
     oracle=_dd11_oracle(),
     tags=("dedup", "minhash", "provenance", "pipeline"),
+    # Rides dd04's pair output, which is quadratic on the ~40-word
+    # synthetic vocabulary at sf0.1 (same artifact that benches dd04/dd05
+    # out); the rollup itself is linear in true pairs on a real corpus.
+    bench=False,
 )
 def dd11_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: which corpus sources copy from

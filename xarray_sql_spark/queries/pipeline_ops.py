@@ -1774,6 +1774,34 @@ def ev11_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- events: ordered conversion funnel ---------------------------------------
+def funnel_stages(e: DataFrame) -> DataFrame:
+    """Per-user funnel stage table (user_id, t1, t2, t3): t1 = earliest
+    view, t2 = earliest click strictly after t1, t3 = earliest purchase
+    strictly after t2; t2/t3 NULL where the user never converted. Shared
+    by ev12's rollup and the streaming stage-machine equivalence test
+    (``streaming.events.funnel_stage_machine``)."""
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
 @query(
     "ev12_funnel_conversion",
     oracle="""
@@ -1822,34 +1850,11 @@ def ev12_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, and the event table is touched three times by pushed-down
     single-type scans rather than once by a per-user sort."""
     e = table(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    gaps = (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("clicked"),
-            F.when(F.col("t3").isNotNull(), 1).otherwise(0).alias("purchased"),
-            (F.unix_micros("t2") - F.unix_micros("t1")).alias("view_to_click_us"),
-            (F.unix_micros("t3") - F.unix_micros("t2")).alias("click_to_buy_us"),
-        )
+    gaps = funnel_stages(e).select(
+        F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("clicked"),
+        F.when(F.col("t3").isNotNull(), 1).otherwise(0).alias("purchased"),
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("view_to_click_us"),
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("click_to_buy_us"),
     )
     return gaps.agg(
         F.count("*").alias("n_viewed"),

@@ -438,3 +438,85 @@ def asof_enrich(stream: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# --- stateful funnel stage machine ------------------------------------------
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+    ]
+)
+_FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+        StructField("purchase_us", LongType()),
+    ]
+)
+
+
+def _funnel_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel stage machine: advance view -> click -> purchase on
+    earliest-strictly-after semantics — the streaming twin of
+    ``queries.pipeline_ops.funnel_stages``. Within a micro-batch the step
+    updates are MIN-reductions (vectorized), applied in stage order so a
+    click and the view it follows may arrive in the same batch; across
+    micro-batches only (stage, t1, t2, t3) persists — O(1) state per user
+    regardless of event volume."""
+    stage, t1, t2, t3 = state.get if state.exists else (0, None, None, None)
+    for pdf in pdfs:
+        us = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
+        et = pdf["event_type"].to_numpy()
+        if stage == 0:
+            views = us[et == "view"]
+            if len(views):
+                t1 = int(views.min())
+                stage = 1
+        if stage == 1:
+            clicks = us[(et == "click") & (us > t1)]
+            if len(clicks):
+                t2 = int(clicks.min())
+                stage = 2
+        if stage == 2:
+            buys = us[(et == "purchase") & (us > t2)]
+            if len(buys):
+                t3 = int(buys.min())
+                stage = 3
+    state.update((stage, t1, t2, t3))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage": [stage],
+            "view_us": [t1],
+            "click_us": [t2],
+            "purchase_us": [t3],
+        }
+    )
+
+
+def funnel_stage_machine(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState funnel: per-user conversion stage tracked
+    incrementally — the streaming form of sequence/pattern matching (a
+    bounded MATCH_RECOGNIZE). Equivalent to the batch ``funnel_stages``
+    min-join when the feed is replayed in time order (the property
+    tests/test_streaming.py pins, single-batch AND split-feed): within a
+    batch each step is an order-independent MIN-reduction, and a step
+    can only regress if a qualifying earlier event arrives AFTER the
+    machine advanced past its stage — impossible on an in-order feed.
+
+    Scale: state is 4 longs per user, sharded by user_id across
+    executors; each micro-batch touches only users with new events."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=_FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
