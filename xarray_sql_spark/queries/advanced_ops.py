@@ -2063,3 +2063,55 @@ def q45_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.coalesce(F.col(f"{y}_n"), F.lit(0)).cast("bigint").alias(f"y{y}_n"))
         cols.append(F.col(f"{y}_rev").alias(f"y{y}_rev"))
     return wide.select(*cols).orderBy("pri")
+
+
+# --- q46: RANGE window frame (event-time sliding aggregate) -------------------
+@query(
+    "q46_range_frame",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           t_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+           round(sum(value) OVER w, 6) AS sum_prev_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("relational", "window-frame", "range-frame", "events"),
+)
+def q46_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame keyed by event time: for every event, the count
+    and value sum of the same user's events in the trailing hour — the
+    VALUE-based frame (RANGE ... PRECEDING) that ROWS frames cannot
+    express when event spacing is irregular. Ordering key is epoch-µs
+    (BIGINT) so the frame boundary arithmetic is integer-exact on both
+    engines; same-µs ties share a frame by RANGE semantics, so the
+    result is deterministic without a tie-break.
+
+    Scale: one exchange on user_id; the frame scan is a sliding
+    two-pointer inside each user partition — no self-join (the naive
+    event-pairing spelling is O(n²) per user)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id", "user_id", F.unix_micros("ts").alias("t_us"), "value"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "t_us",
+            F.count("*").over(w).alias("n_prev_hour"),
+            F.round(F.sum("value").over(w), 6).alias("sum_prev_hour"),
+        )
+        .orderBy("event_id")
+    )

@@ -2020,3 +2020,63 @@ def gq36_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "x")
     )
+
+
+@query(
+    "gq37_grid_rolling_std",
+    oracle=_sq_cells("WHERE y.i < 2 AND x.i < 2")
+    + """
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           CAST(n AS BIGINT) AS n,
+           sqrt((sv2 - sv * sv / n) / (n - 1)) AS roll_std
+    FROM (
+        SELECT ti, yi, xi,
+               count(*) OVER w AS n,
+               sum(v) OVER w AS sv,
+               sum(v * v) OVER w AS sv2
+        FROM cells
+        WINDOW w AS (PARTITION BY yi, xi ORDER BY ti
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    WHERE n >= 2 ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "rolling", "std", "window"),
+    bench=False,
+)
+def gq37_grid_rolling_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``rolling(time=24).std()`` parity: the 24-step rolling
+    sample standard deviation per series, computed from windowed moment
+    sums (n, Σv, Σv²) with the IDENTICAL closed form on both engines —
+    the built-in stddev window aggregate is deliberately avoided (its
+    internal update order differs between engines); the sums are exact
+    on the quarter grid, so sqrt/divide see bit-identical operands and
+    the hash needs no rounding. gq19's rolling-mean shape, one moment
+    higher.
+
+    Scale: one exchange on the series key; the frame scan is sequential
+    within each series partition."""
+    xs = _register_sq(spark, "gq_grid37")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid37 WHERE y < 2 AND x < 2"
+    ).df
+    w = W.partitionBy("y", "x").orderBy("ti").rowsBetween(-23, 0)
+    m = df.select(
+        F.col("ti").cast("long").alias("ti"),
+        "y",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("sv"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("sv2"),
+    ).filter(F.col("n") >= 2)
+    return m.select(
+        "ti",
+        "y",
+        "x",
+        "n",
+        F.sqrt(
+            (F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("roll_std"),
+    ).orderBy("ti", "y", "x")

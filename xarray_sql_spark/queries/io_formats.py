@@ -1,0 +1,107 @@
+"""Text-format ingest parity: JSONL and CSV roundtrips under the hash gate.
+
+Raw web-crawl corpora land as JSONL (one document object per line) or CSV
+long before they become parquet; a training-data engine must ingest both
+losslessly. Each query here writes the documents table to the text format
+with Spark's native writer, reads it back through the native reader with an
+EXPLICIT schema (schema inference is a convenience trap at 100 TB — it
+costs an extra full scan and can flip types between runs), and aggregates
+the readback — hash-equality with the DuckDB oracle over the original
+parquet proves the write -> read cycle lost nothing.
+
+Only exactly-representable column types ride the text roundtrip here
+(int64, string): float-through-text is a separate contract (shortest
+round-trip repr) deliberately out of scope for the hash gate.
+
+Scale: both writers/readers are JVM-native and splittable (CSV and JSONL
+shard by line; the readback scan parallelizes per 128 MB split); the
+fixture writes one shuffle-free pass and aggregates with map-side combine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.session import table
+
+_IO_DIR = "/tmp/xss_io_formats"
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+_IO_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **writer_opts) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = os.path.join(_IO_DIR, f"{fmt}-{abs(hash(sf_dir)) % (1 << 32):08x}")
+    d.write.mode("overwrite").format(fmt).options(**writer_opts).save(path)
+    back = (
+        spark.read.format(fmt)
+        .options(**writer_opts)
+        .schema(_DOC_SCHEMA)
+        .load(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "io01_jsonl_roundtrip",
+    oracle=_IO_ORACLE,
+    tags=("io", "jsonl", "ingest", "roundtrip"),
+    bench=False,  # I/O fixture: proves the cycle, not a throughput shape
+)
+def io01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest parity: documents -> line-delimited JSON -> explicit-
+    schema readback -> per-lang rollup. Hash-equality with the oracle over
+    the ORIGINAL parquet proves the JSON writer/reader cycle is lossless
+    for the int64/string document model (escaping, unicode, nulls)."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query(
+    "io02_csv_roundtrip",
+    oracle=_IO_ORACLE,
+    tags=("io", "csv", "ingest", "roundtrip"),
+    bench=False,  # I/O fixture: proves the cycle, not a throughput shape
+)
+def io02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest parity: same cycle through the CSV writer/reader with
+    header + full quoting (document text contains the delimiter-adjacent
+    space soup that breaks naive splitting; Spark's quoted CSV is the
+    splittable-by-line contract)."""
+    return _roundtrip(spark, sf_dir, "csv", header="true", quoteAll="true", escape='"')
