@@ -827,3 +827,79 @@ def mm06_audio_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("duration_s"), 6).alias("total_duration_s"),
         )
     )
+
+
+@query(
+    "mm07_image_rollup",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, source AS origin, strlen(text) AS body_n,
+               160 + (doc_id * 37) % 1760 AS w,
+               90 + (doc_id * 53) % 990 AS h,
+               (doc_id // 3) % 4 AS fmt
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    m AS (
+        SELECT origin, w, h,
+               body_n + CASE fmt WHEN 0 THEN {PNG_HEADER_LEN}
+                                 WHEN 1 THEN {GIF_HEADER_LEN}
+                                 WHEN 2 THEN {BMP_HEADER_LEN}
+                                 ELSE {JPEG_HEADER_LEN} END AS n_bytes,
+               (w * h) // 250000 AS mp_band,
+               CASE WHEN w * 9 >= h * 16 THEN 'wide'
+                    WHEN w >= h THEN 'landscape' ELSE 'portrait' END AS shape
+        FROM img
+    )
+    SELECT origin, CAST(mp_band AS BIGINT) AS mp_band, shape,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(w * h) AS BIGINT) AS total_pixels,
+           CAST(max(w) AS INT) AS max_w, CAST(max(h) AS INT) AS max_h
+    FROM m GROUP BY origin, mp_band, shape
+    """,
+    tags=("multimodal", "image", "pipeline"),
+)
+def mm07_image_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level image statistics from DECODED container headers: per
+    (origin, quarter-megapixel band, aspect class) counts, byte and pixel
+    totals, and max dimensions — the resolution/aspect census a vision
+    training pipeline runs before choosing resize targets (mm06's rollup
+    for the image half of the corpus). Widths and heights come from the
+    REAL PNG/GIF/BMP/JPEG header parses; the oracle regenerates the
+    planted dimensions by arithmetic, so a hash match proves all four
+    container parsers feed relational analytics correctly.
+
+    Scale: decode is the zero-shuffle mapInPandas; the rollup shuffles
+    only (origin, band, shape) group rows after map-side combine, with
+    the binary payload pruned from the aggregate's projection."""
+    decoded = decode_media(encoded_media_table(spark, sf_dir))
+    origins = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("origin")
+    )
+    img = (
+        decoded.filter(F.col("media_type") == "image")
+        .join(origins, "doc_id")
+        .select(
+            "origin",
+            "n_bytes",
+            F.col("width").cast("long").alias("w"),
+            F.col("height").cast("long").alias("h"),
+        )
+    )
+    return (
+        img.groupBy(
+            "origin",
+            F.expr("(w * h) DIV 250000").alias("mp_band"),
+            F.when(F.col("w") * 9 >= F.col("h") * 16, "wide")
+            .when(F.col("w") >= F.col("h"), "landscape")
+            .otherwise("portrait")
+            .alias("shape"),
+        )
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum(F.col("w") * F.col("h")).cast("bigint").alias("total_pixels"),
+            F.max("w").cast("int").alias("max_w"),
+            F.max("h").cast("int").alias("max_h"),
+        )
+    )
