@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "ts10_unigram_surprisal": "1-row corpus-total broadcast (LM normalizer)",
     "ev14_gap_fill": "date-spine scaffold: hours x 5-type cross (both sides "
     "derived from single-row aggregates, size independent of event count)",
+    "ss11_mmr_diversify": "exact shortlist stage: 3-row query set broadcast "
+    "against the corpus (ss01's contract); diversity steps are keyed joins",
 }
 
 

@@ -2115,3 +2115,170 @@ def q46_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- ss11: MMR diversified re-rank -------------------------------------------
+_MMR_SHORT = 8  # exact shortlist depth feeding the greedy diversity steps
+
+
+def _mmr_d2(a: str, b: str):
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+
+
+_MMR_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS query_id, emb AS qe FROM v
+           WHERE vec_id IN {_PQ_QUERIES}),
+    scored AS (
+        SELECT qv.query_id, v.vec_id, v.emb,
+               round({_PQ_D2_SQL.format(n=64, a="qv.qe", b="v.emb")}, 6) AS d2q
+        FROM v CROSS JOIN qv
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT query_id, vec_id, emb, d2q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2q, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= {_MMR_SHORT}
+    ),
+    pairs AS (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               round({_PQ_D2_SQL.format(n=64, a="a.emb", b="b.emb")}, 6) AS dab
+        FROM cand a JOIN cand b ON a.query_id = b.query_id
+    ),
+    s1 AS (SELECT query_id, vec_id, d2q FROM cand WHERE rn = 1),
+    c2 AS (
+        SELECT c.query_id, c.vec_id, c.d2q,
+               0.5 * c.d2q - 0.5 * p.dab AS score
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND c.vec_id <> s1.vec_id
+        JOIN pairs p ON p.query_id = c.query_id
+                    AND p.va = c.vec_id AND p.vb = s1.vec_id
+    ),
+    s2 AS (
+        SELECT query_id, vec_id, d2q FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score, vec_id) AS rn
+            FROM c2)
+        WHERE rn = 1
+    ),
+    c3 AS (
+        SELECT c.query_id, c.vec_id, c.d2q,
+               0.5 * c.d2q - 0.5 * least(p1.dab, p2.dab) AS score
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id
+        JOIN s2 ON s2.query_id = c.query_id
+        JOIN pairs p1 ON p1.query_id = c.query_id
+                     AND p1.va = c.vec_id AND p1.vb = s1.vec_id
+        JOIN pairs p2 ON p2.query_id = c.query_id
+                     AND p2.va = c.vec_id AND p2.vb = s2.vec_id
+        WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+    ),
+    s3 AS (
+        SELECT query_id, vec_id, d2q FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score, vec_id) AS rn
+            FROM c3)
+        WHERE rn = 1
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+           CAST(vec_id AS BIGINT) AS vec_id, d2q
+    FROM (
+        SELECT query_id, 1 AS rank, vec_id, d2q FROM s1
+        UNION ALL SELECT query_id, 2, vec_id, d2q FROM s2
+        UNION ALL SELECT query_id, 3, vec_id, d2q FROM s3
+    ) ORDER BY query_id, rank
+"""
+
+
+@query(
+    "ss11_mmr_diversify",
+    oracle=_MMR_ORACLE,
+    tags=("similarity", "mmr", "rerank", "diversity", "pipeline"),
+)
+def ss11_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    from an exact top-8 shortlist per query, greedily pick 3 results
+    trading relevance against redundancy — score = λ·d2(q,c) −
+    (1−λ)·min_{s∈S} d2(c,s) with λ=0.5, minimized, vec_id tie-break.
+    The greedy recurrence is unrolled into three explicit relational
+    selection rounds (k is a serving-time constant), so BOTH engines
+    walk the identical selection sequence; every distance is the same
+    index-ordered fold rounded at 1e-6 before any comparison.
+
+    Scale: shortlist generation is ss01's broadcast-query exact scan
+    (the 3-row query set is the BNLJ side); everything after operates on
+    queries × 8 rows — the pairwise diversity matrix is 64 rows per
+    query and joins on (query_id, vec_id), never touching the corpus
+    again. The unrolled-k shape is exactly how MMR runs in serving
+    (k is small and fixed; the shortlist bounds all pairwise work)."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = v.filter(F.col("vec_id").isin(*_PQ_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    scored = v.join(F.broadcast(qv)).select(
+        "query_id", "vec_id", "emb", _mmr_d2("qe", "emb").alias("d2q")
+    )
+    w = W.partitionBy("query_id").orderBy("d2q", "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_SHORT)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = a.join(b, F.col("a.query_id") == F.col("b.query_id")).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        _mmr_d2("a.emb", "b.emb").alias("dab"),
+    )
+    s1 = cand.filter(F.col("rn") == 1).select("query_id", "vec_id", "d2q")
+
+    def pick(prev_sel: list[DataFrame]) -> DataFrame:
+        c = cand.select("query_id", "vec_id", "d2q")
+        dists = []
+        for i, s in enumerate(prev_sel):
+            sv = s.select(
+                "query_id", F.col("vec_id").alias(f"sv{i}")
+            )
+            p = pairs.select(
+                "query_id",
+                F.col("va").alias("vec_id"),
+                F.col("vb").alias(f"sv{i}"),
+                F.col("dab").alias(f"d{i}"),
+            )
+            c = c.join(sv, "query_id").filter(
+                F.col("vec_id") != F.col(f"sv{i}")
+            ).join(p, ["query_id", "vec_id", f"sv{i}"])
+            dists.append(F.col(f"d{i}"))
+        score = 0.5 * F.col("d2q") - 0.5 * F.least(*dists) if len(dists) > 1 else (
+            0.5 * F.col("d2q") - 0.5 * dists[0]
+        )
+        sw = W.partitionBy("query_id").orderBy(score.alias("score"), "vec_id")
+        return (
+            c.withColumn("srn", F.row_number().over(sw))
+            .filter(F.col("srn") == 1)
+            .select("query_id", "vec_id", "d2q")
+        )
+
+    s2 = pick([s1])
+    s3 = pick([s1, s2])
+    out = (
+        s1.select("query_id", F.lit(1).alias("rank"), "vec_id", "d2q")
+        .unionAll(s2.select("query_id", F.lit(2).alias("rank"), "vec_id", "d2q"))
+        .unionAll(s3.select("query_id", F.lit(3).alias("rank"), "vec_id", "d2q"))
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "d2q"
+    ).orderBy("query_id", "rank")
