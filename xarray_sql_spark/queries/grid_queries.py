@@ -2080,3 +2080,55 @@ def gq37_grid_rolling_std(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         ).alias("roll_std"),
     ).orderBy("ti", "y", "x")
+
+
+@query(
+    "gq38_grid_upsample",
+    oracle=_sq_cells("WHERE y.i < 2 AND x.i < 2")
+    + """
+    , pts AS (
+        SELECT ti, yi, xi, v,
+               lead(v) OVER (PARTITION BY yi, xi ORDER BY ti) AS v_next
+        FROM cells
+    )
+    SELECT CAST(ti2 AS BIGINT) AS ti2,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x, v2
+    FROM (
+        SELECT ti * 2 AS ti2, yi, xi, v AS v2 FROM pts
+        UNION ALL
+        SELECT ti * 2 + 1, yi, xi, (v + v_next) / 2 FROM pts
+        WHERE v_next IS NOT NULL
+    ) ORDER BY ti2, y, x
+    """,
+    tags=("grid", "datasource", "resample", "upsample", "interp"),
+    bench=False,
+)
+def gq38_grid_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``resample(time='30min').interpolate('linear')`` parity:
+    upsample the hourly series to half-hourly by inserting linear
+    midpoints between consecutive samples (on-the-hour rows pass
+    through; the trailing half-hour has no right neighbor and is
+    dropped, matching xarray's interpolation domain). Midpoints are
+    (v + v_next)/2 on the exact quarter grid — exact eighths, no
+    rounding. gq25 interpolates onto arbitrary OFF-grid targets; this
+    is the regular-upsampling verb.
+
+    Scale: one exchange on the series key for the lead window, then a
+    union of two projections — output is 2x input rows, no join against
+    a generated spine (the spine is implicit in the lag structure)."""
+    xs = _register_sq(spark, "gq_grid38")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid38 WHERE y < 2 AND x < 2"
+    ).df
+    w = W.partitionBy("y", "x").orderBy("ti")
+    pts = df.withColumn("v_next", F.lead("v").over(w))
+    on_hour = pts.select(
+        (F.col("ti") * 2).cast("long").alias("ti2"), "y", "x",
+        F.col("v").alias("v2"),
+    )
+    mid = pts.filter(F.col("v_next").isNotNull()).select(
+        (F.col("ti") * 2 + 1).cast("long").alias("ti2"), "y", "x",
+        ((F.col("v") + F.col("v_next")) / 2).alias("v2"),
+    )
+    return on_hour.unionAll(mid).orderBy("ti2", "y", "x")

@@ -2122,3 +2122,78 @@ def ev14_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_us", "event_type")
     )
+
+
+# --- ts14: Heaps-law vocabulary growth ----------------------------------------
+_TS14_BUCKET = 50  # docs per growth-curve bucket
+
+
+@query(
+    "ts14_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id
+    ),
+    first_seen AS (
+        SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w
+    ),
+    bucket_tokens AS (
+        SELECT doc_id // {_TS14_BUCKET} AS bucket,
+               sum(n_tokens) AS n_tokens
+        FROM per_doc GROUP BY 1
+    ),
+    bucket_vocab AS (
+        SELECT first_doc // {_TS14_BUCKET} AS bucket,
+               count(*) AS vocab_new
+        FROM first_seen GROUP BY 1
+    )
+    SELECT CAST(t.bucket AS BIGINT) AS bucket,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(COALESCE(v.vocab_new, 0) AS BIGINT) AS vocab_new,
+           CAST(sum(COALESCE(v.vocab_new, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM bucket_tokens t LEFT JOIN bucket_vocab v ON v.bucket = t.bucket
+    WINDOW w AS (ORDER BY t.bucket ROWS UNBOUNDED PRECEDING)
+    ORDER BY bucket
+    """,
+    tags=("text", "vocabulary", "diagnostics", "pipeline"),
+)
+def ts14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-word count
+    vs cumulative token count in ingestion (doc_id) order, bucketed —
+    the diagnostic that tells a pipeline whether a corpus is still
+    contributing new vocabulary or has gone redundant (the empirical
+    V = K·n^β curve). A word's arrival bucket is its FIRST-occurrence
+    doc, computed as min(doc_id) per word — all integers, exact.
+
+    Scale: two map-side-combinable aggregates (per-doc token counts;
+    per-word first occurrence — vocabulary is Heaps-sublinear in corpus
+    size, so the word shuffle shrinks relative to data); the cumulative
+    window runs over the BUCKET rollup (corpus/50 rows here; a crawl
+    date in production), never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    bucket_tokens = per_doc.groupBy(
+        F.expr(f"doc_id DIV {_TS14_BUCKET}").alias("bucket")
+    ).agg(F.sum("n_tokens").alias("n_tokens"))
+    bucket_vocab = first_seen.groupBy(
+        F.expr(f"first_doc DIV {_TS14_BUCKET}").alias("bucket")
+    ).agg(F.count("*").alias("vocab_new"))
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    joined = bucket_tokens.join(bucket_vocab, "bucket", "left").select(
+        "bucket",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("vocab_new", F.lit(0)).cast("bigint").alias("vocab_new"),
+    )
+    return joined.select(
+        "bucket",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        "vocab_new",
+        F.sum("vocab_new").over(w).cast("bigint").alias("cum_vocab"),
+    ).orderBy("bucket")
