@@ -129,3 +129,96 @@ def test_ts11_planted_dominant_pair_wins(spark, tmp_path):
     # word 'zzqxqxqx' x 200 occurrences: pair 'qx' appears 3x per word
     # (positions 3,5,7) -> 600, beating 'zz' (200) and every mixN pair.
     assert top.pair == "qx" and top.total == 600
+
+
+def test_pl10_copies_bracket_the_planned_factor(spark, tmp_path):
+    """Every document's realized copy count must be floor(f8/8) or
+    ceil(f8/8) for its source's factor, and the per-source emitted total
+    must land between n_docs*floor and n_docs*ceil — the fractional-epoch
+    contract."""
+    texts = [" ".join(_words(f"doc{i}", 12)) for i in range(40)]
+    sf = _write_documents(
+        tmp_path, texts, sources=[f"s{i % 4}" for i in range(40)]
+    )
+    rows = REGISTRY["pl10_repetition_mixing"].fn(spark, sf).collect()
+    assert len(rows) == 4
+    for r in rows:
+        lo, hi = r.factor_eighths // 8, -(-r.factor_eighths // 8)
+        assert r.n_docs * lo <= r.n_emitted <= r.n_docs * hi, r
+
+
+def test_ts13_budget_prefix_is_greedy_and_monotone(spark, tmp_path):
+    """cum_tokens must be strictly increasing in output order, in_budget
+    must be a prefix property (no 1 after a 0), and the flagged prefix
+    must fit the budget."""
+    from xarray_sql_spark.queries.pipeline_ops import _TS13_BUDGET
+
+    texts = [" ".join(_words(f"w{i}", 20 + 30 * (i % 5))) for i in range(50)]
+    sf = _write_documents(
+        tmp_path, texts, sources=[f"s{i % 10}" for i in range(50)]
+    )
+    rows = REGISTRY["ts13_token_budget_fill"].fn(spark, sf).collect()
+    cums = [r.cum_tokens for r in rows]
+    assert cums == sorted(cums) and len(set(cums)) == len(cums)
+    flags = [r.in_budget for r in rows]
+    assert flags == sorted(flags, reverse=True)  # 1s then 0s
+    in_budget = [r for r in rows if r.in_budget]
+    if in_budget:
+        assert in_budget[-1].cum_tokens <= _TS13_BUDGET
+
+
+def test_ev12_funnel_counts_are_monotone_and_gaps_positive(spark):
+    """Funnel step counts must be non-increasing and every gap sum
+    non-negative (strictly-after semantics) on the real events table."""
+    r = REGISTRY["ev12_funnel_conversion"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_viewed >= r.n_clicked >= r.n_purchased > 0
+    assert r.sum_view_to_click_us >= 0 and r.sum_click_to_buy_us >= 0
+
+
+def test_ts14_vocab_growth_is_monotone_and_bounded(spark, tmp_path):
+    """Cumulative vocabulary must be non-decreasing, never exceed
+    cumulative tokens, and the final cum_vocab must equal the corpus'
+    true distinct-word count."""
+    texts = [
+        " ".join(_words("common", 5) + _words(f"rare{i}", i % 3)) for i in range(60)
+    ]
+    sf = _write_documents(tmp_path, texts)
+    rows = REGISTRY["ts14_vocab_growth"].fn(spark, sf).collect()
+    vocab = [r.cum_vocab for r in rows]
+    assert vocab == sorted(vocab)
+    for r in rows:
+        assert r.cum_vocab <= r.cum_tokens
+    truth = len({w for t in texts for w in t.split(" ")})
+    assert rows[-1].cum_vocab == truth
+
+
+def test_ss11_mmr_diversifies_a_planted_clone_cluster(spark, tmp_path):
+    """Plant a query whose 4 nearest neighbors are near-clones of each
+    other and one slightly-farther but diverse vector: plain top-3 would
+    return three clones; MMR's rank-2/3 picks must include the diverse
+    vector."""
+    import numpy as np
+
+    base = np.zeros(64); base[0] = 1.0
+    clones = [base + 1e-3 * (i + 1) * np.eye(64)[1] for i in range(4)]
+    diverse = np.zeros(64); diverse[0] = 0.9; diverse[32] = 0.8
+    far = [np.full(64, 5.0 + i) for i in range(10)]
+    vecs = [base] + clones + [diverse] + far
+    # query ids in _PQ_QUERIES are (10, 200, 390); put the query at id 10
+    ids, embs = [], []
+    for i, v in enumerate(vecs):
+        ids.append(10 if i == 0 else (0 if i == 1 else i + 100))
+        embs.append([float(x) for x in v])
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(embs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "embeddings.parquet"))
+    rows = REGISTRY["ss11_mmr_diversify"].fn(spark, str(tmp_path)).collect()
+    mine = [r for r in rows if r.query_id == 10]
+    assert [r.rank for r in mine] == [1, 2, 3]
+    assert mine[0].vec_id == 10  # the query itself is its own nearest
+    picked = {r.vec_id for r in mine}
+    diverse_id = ids[5]
+    assert diverse_id in picked, f"MMR failed to diversify: {mine}"

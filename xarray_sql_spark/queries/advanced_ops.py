@@ -2282,3 +2282,38 @@ def ss11_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "d2q"
     ).orderBy("query_id", "rank")
+
+
+# --- q47: anti join ------------------------------------------------------------
+@query(
+    "q47_anti_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_idle_customers,
+           round(sum(c.c_acctbal), 2) AS idle_balance
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey ORDER BY nationkey
+    """,
+    tags=("relational", "anti-join", "subquery"),
+)
+def q47_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers who never placed an order,
+    rolled up per nation — the TPC-H Q22 shape, spelled as a LEFT ANTI
+    join on the DataFrame side (what Catalyst rewrites the NOT EXISTS
+    subquery to).
+
+    Scale: a keyed anti join — the orders side is reduced to its
+    distinct custkeys by the join itself (no pre-distinct needed); the
+    rollup is map-side combinable over 25 nations."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_idle_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("idle_balance"),
+        )
+        .orderBy("nationkey")
+    )

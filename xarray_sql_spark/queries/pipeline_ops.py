@@ -2197,3 +2197,43 @@ def ts14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_new",
         F.sum("vocab_new").over(w).cast("bigint").alias("cum_vocab"),
     ).orderBy("bucket")
+
+
+# --- ev15: event-type transition matrix ----------------------------------------
+@query(
+    "ev15_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type ORDER BY prev_type, next_type
+    """,
+    tags=("events", "sequence", "markov", "pipeline"),
+)
+def ev15_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the empirical Markov
+    kernel of user behavior): per user, each event is paired with its
+    predecessor by a lag window ordered on (epoch-µs, event_id) — the
+    µs-domain spelling with a unique tie-break so both engines pair
+    identical neighbors on ns-precision testdata — then transitions are
+    counted corpus-wide. 25 output cells, all integers.
+
+    Scale: one exchange on user_id for the lag, then a map-side
+    combinable count over the 25-cell key space — the standard
+    sessionless sequence-mining shape (cf. ev09's lead pairing)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
