@@ -158,3 +158,68 @@ def sk02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(F.col("value") * F.col("weight")), 6).alias("weighted_value"),
     )
+
+
+# --- sk03: bloom-filter pre-filtered join -------------------------------------
+_BLOOM_M = 4096  # one-hash bloom width; driver-side residue set is <= m ints
+
+
+def bloom_prefilter_join(
+    big: DataFrame, small: DataFrame, key: str, m: int = _BLOOM_M
+) -> DataFrame:
+    """Join ``big`` to ``small`` on ``key`` with a bloom pre-pass: hash the
+    small side's keys into an m-slot one-hash bloom (a bounded <= m-int
+    residue set, the same <=4096-literal driver-collect contract as the
+    components hot-key router), cut the big side with the membership probe
+    BEFORE the shuffle, then run the exact equi-join. False positives
+    survive the pre-filter but die in the join, so the RESULT is
+    bit-identical to the plain join — the bloom only reduces the bytes
+    that reach the exchange (at 100 TB: the difference between shuffling
+    the full fact table and ~its selectivity fraction; Spark's runtime
+    row-level filtering injects the same shape when statistics allow —
+    this is the explicit form, and Spark's own InSet predicate pushes the
+    probe into the parquet scan)."""
+    residues = [
+        r["r"]
+        for r in small.select(
+            F.pmod(F.xxhash64(key), F.lit(m)).alias("r")
+        ).distinct().collect()
+    ]
+    pruned = big.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(m)).isin(residues))
+    return pruned.join(small, key)
+
+
+@query(
+    "sk03_bloom_prefilter_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 0) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_nationkey ORDER BY nationkey
+    """,
+    tags=("scale", "bloom", "join", "prefilter"),
+)
+def sk03_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered fact-dimension join: orders are cut by a bloom
+    built over rich customers' keys before joining. The oracle is the
+    PLAIN join — hash equality proves the bloom pass changes bytes
+    moved, never the answer (false positives are eliminated by the exact
+    join, the defining property of the rewrite)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = bloom_prefilter_join(o, c, "c_custkey")
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+        )
+        .orderBy("nationkey")
+    )
