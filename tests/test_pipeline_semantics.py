@@ -222,3 +222,67 @@ def test_ss11_mmr_diversifies_a_planted_clone_cluster(spark, tmp_path):
     picked = {r.vec_id for r in mine}
     diverse_id = ids[5]
     assert diverse_id in picked, f"MMR failed to diversify: {mine}"
+
+
+def test_bloom_prefilter_cuts_rows_and_preserves_the_join(spark, tmp_path):
+    """The bloom pre-pass must (a) drop most non-matching fact rows before
+    the join and (b) leave the join result exactly equal to the plain
+    join — false positives are allowed in the pruned set, never in the
+    result."""
+    from xarray_sql_spark.operators.skew import bloom_prefilter_join
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 20000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    small = spark.range(0, 20000, 400).select(F.col("id").alias("k"))  # 50 keys
+    residues = small.select(F.pmod(F.xxhash64("k"), F.lit(4096)).alias("r"))
+    pruned_count = big.filter(
+        F.pmod(F.xxhash64(F.col("k")), F.lit(4096)).isin(
+            [r["r"] for r in residues.distinct().collect()]
+        )
+    ).count()
+    assert pruned_count < 20000 * 0.05  # <=50/4096 slots hit ~ 1.2% expected
+    got = sorted(tuple(r) for r in bloom_prefilter_join(big, small, "k").collect())
+    want = sorted(tuple(r) for r in big.join(small, "k").collect())
+    assert got == want and len(want) == 50
+
+
+def test_io_roundtrips_survive_hostile_strings(spark, tmp_path):
+    """JSONL and CSV cycles must preserve delimiters, quotes, unicode and
+    (JSONL only) embedded newlines — the characters raw crawls actually
+    contain. CSV's line-splittable contract excludes embedded newlines;
+    that constraint is part of the format choice, not a bug."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from xarray_sql_spark.queries.io_formats import _DOC_SCHEMA, _roundtrip
+
+    nasty = [
+        'comma, "quoted", more',
+        "unicode: héllo wörld 你好 🚀",
+        "tab\tand backslash \\ and 'single'",
+        '"leading quote and trailing "',
+    ]
+    jsonl_only = ["embedded\nnewline"]
+
+    def write(texts):
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        })
+        d = os.path.join(str(tmp_path), f"n{len(texts)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        return d
+
+    sf_json = write(nasty + jsonl_only)
+    row = REGISTRY["io01_jsonl_roundtrip"].fn(spark, sf_json).collect()[0]
+    assert row.n_docs == 5
+    assert row.sum_text_len == sum(len(s) for s in nasty + jsonl_only)
+
+    sf_csv = write(nasty)
+    row = REGISTRY["io02_csv_roundtrip"].fn(spark, sf_csv).collect()[0]
+    assert row.n_docs == 4
+    assert row.sum_text_len == sum(len(s) for s in nasty)

@@ -78,6 +78,15 @@ _PRIORITY = (
     "q07_cross_join"
 ).split()
 
+# ROUND-8 ROTATION NOTE: queries that landed after this round's window
+# filled and therefore have never had a driver CORRECTNESS row (all
+# local-oracle green, full-window sim 50/50): ev14_gap_fill,
+# gq37_grid_rolling_std, gq38_grid_upsample, q46_range_frame,
+# q47_anti_join, io01_jsonl_roundtrip, io02_csv_roundtrip,
+# mm07_image_rollup, ss11_mmr_diversify, ts14_vocab_growth,
+# ev15_transition_matrix, sk03_bloom_prefilter_join. Rotate these into
+# the first 50 next round, displacing this round's re-proof entries.
+
 _front = [n for n in _PRIORITY if n in REGISTRY]
 _rest = {n: s for n, s in REGISTRY.items() if n not in _front}
 _reordered = {**{n: REGISTRY[n] for n in _front}, **_rest}
