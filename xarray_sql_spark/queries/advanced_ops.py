@@ -2236,6 +2236,10 @@ def ss11_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MMR_SHORT)
     )
+    # The shortlist (queries x 8 rows) feeds pairs(a), pairs(b), s1 and
+    # both greedy rounds — without a cut, every branch would re-run the
+    # corpus-wide distance scan. Materialize it once.
+    cand = cand.localCheckpoint(eager=True)
     a, b = cand.alias("a"), cand.alias("b")
     pairs = a.join(b, F.col("a.query_id") == F.col("b.query_id")).select(
         F.col("a.query_id").alias("query_id"),

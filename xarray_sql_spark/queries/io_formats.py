@@ -105,3 +105,70 @@ def io02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     space soup that breaks naive splitting; Spark's quoted CSV is the
     splittable-by-line contract)."""
     return _roundtrip(spark, sf_dir, "csv", header="true", quoteAll="true", escape='"')
+
+
+@query(
+    "io03_corrupt_record_quarantine",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang
+    UNION ALL
+    SELECT '__corrupt__' AS lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 7 = 0
+    ORDER BY lang
+    """,
+    tags=("io", "jsonl", "ingest", "bad-records"),
+    bench=False,  # I/O fixture: proves the quarantine path, not throughput
+)
+def io03_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE ingest with corrupt-record quarantine — the bad-line
+    contract every raw-crawl ingest needs: a JSONL feed where every 7th
+    line is truncated mid-object must parse the good lines, land the bad
+    ones intact in ``_corrupt_record`` (nulls elsewhere), and NEVER fail
+    the job (FAILFAST is the opposite contract; DROPMALFORMED silently
+    lies about corpus size). The oracle regenerates good-per-lang and
+    corrupt counts from the planting rule, so a hash match proves the
+    quarantine routed every line to exactly one side.
+
+    Scale: the feed writes and reads line-split (splittable) JSONL; the
+    corrupt branch is per-line state in the JSON parser, no extra pass."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    feed = d.select(
+        F.when(F.col("doc_id") % 7 == 0, F.substring(line, 1, 20))
+        .otherwise(line)
+        .alias("value")
+    )
+    path = os.path.join(_IO_DIR, f"corrupt-{abs(hash(sf_dir)) % (1 << 32):08x}")
+    feed.write.mode("overwrite").text(path)
+
+    from pyspark.sql.types import StructType as _St
+
+    schema = _St(
+        _DOC_SCHEMA.fields + [StructField("_corrupt_record", StringType())]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "__corrupt__")
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            "n_chars",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
