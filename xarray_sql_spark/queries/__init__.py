@@ -84,8 +84,9 @@ _PRIORITY = (
 # gq37_grid_rolling_std, gq38_grid_upsample, q46_range_frame,
 # q47_anti_join, io01_jsonl_roundtrip, io02_csv_roundtrip,
 # mm07_image_rollup, ss11_mmr_diversify, ts14_vocab_growth,
-# ev15_transition_matrix, sk03_bloom_prefilter_join. Rotate these into
-# the first 50 next round, displacing this round's re-proof entries.
+# ev15_transition_matrix, sk03_bloom_prefilter_join,
+# io03_corrupt_record_quarantine. Rotate these into the first 50 next
+# round, displacing this round's re-proof entries.
 
 _front = [n for n in _PRIORITY if n in REGISTRY]
 _rest = {n: s for n, s in REGISTRY.items() if n not in _front}
