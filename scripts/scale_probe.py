@@ -32,14 +32,20 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "pl08_sequence_packing", "ss09_pq_adc_topk",
                  "dd10_shared_span_pairs", "ss10_pq_rerank",
                  "ts10_unigram_surprisal", "ts11_bpe_pair_stats",
-                 "ts12_memorization_score"]
+                 "ts12_memorization_score",
+                 # events family (10x events over the same time range:
+                 # windows densify, user count scales via the id shift)
+                 "q46_range_frame", "ev12_funnel_conversion",
+                 "ev15_transition_matrix", "ev11_user_value_quartiles",
+                 "ev14_gap_fill", "ss11_mmr_diversify"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10
 # every table the probe queries touch
-TABLES = ("lineitem", "embeddings", "documents", "orders")
-ID_COLS = {"lineitem": "l_orderkey", "embeddings": "vec_id",
-           "documents": "doc_id", "orders": "o_orderkey"}
+TABLES = ("lineitem", "embeddings", "documents", "orders", "events")
+ID_COLS = {"lineitem": ["l_orderkey"], "embeddings": ["vec_id"],
+           "documents": ["doc_id"], "orders": ["o_orderkey"],
+           "events": ["event_id", "user_id"]}
 
 
 def build_replica() -> None:
@@ -53,15 +59,16 @@ def build_replica() -> None:
         if os.path.exists(dst):
             continue
         t = pq.read_table(os.path.join(SRC_SF, f"{name}.parquet"))
-        id_col = ID_COLS[name]
-        span = pc.max(t[id_col]).as_py() + 1
+        id_cols = ID_COLS[name]
+        spans = {c: pc.max(t[c]).as_py() + 1 for c in id_cols}
         parts = []
         for i in range(COPIES):
             ti = t
             if i:
-                idx = ti.column_names.index(id_col)
-                shifted = pc.add(ti[id_col], i * span)
-                ti = ti.set_column(idx, ti.schema.field(id_col), shifted)
+                for c in id_cols:
+                    idx = ti.column_names.index(c)
+                    shifted = pc.add(ti[c], i * spans[c])
+                    ti = ti.set_column(idx, ti.schema.field(c), shifted)
                 if name == "documents":
                     # perturb content so near-dup structure scales instead
                     # of becoming 10 exact copies of every doc

@@ -20,6 +20,7 @@ fixture writes one shuffle-free pass and aggregates with map-side combine.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,7 +58,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **writer_opts) -> Dat
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    path = os.path.join(_IO_DIR, f"{fmt}-{abs(hash(sf_dir)) % (1 << 32):08x}")
+    path = os.path.join(_IO_DIR, f"{fmt}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     d.write.mode("overwrite").format(fmt).options(**writer_opts).save(path)
     back = (
         spark.read.format(fmt)
@@ -144,7 +145,7 @@ def io03_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(line)
         .alias("value")
     )
-    path = os.path.join(_IO_DIR, f"corrupt-{abs(hash(sf_dir)) % (1 << 32):08x}")
+    path = os.path.join(_IO_DIR, f"corrupt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     feed.write.mode("overwrite").text(path)
 
     from pyspark.sql.types import StructType as _St
