@@ -394,3 +394,95 @@ def pl09_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(bucket < 80, F.lit("train")).otherwise(F.lit("holdout")).alias("split"),
         )
     )
+
+
+# --- gr01: dup-graph centrality (fixed-point PageRank) -----------------------
+from xarray_sql_spark.queries.dedup_lsh import _dup_edges_cte  # noqa: E402
+
+_PR_ITERS = 3
+_PR_ONE = 1_000_000  # rank 1.0 in fixed-point millionths
+
+
+def _gr01_oracle() -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    it{i} AS (
+        SELECT n.id, 150000 + (85 * COALESCE(s.s, 0)) // 100 AS r
+        FROM {prev} n LEFT JOIN (
+            SELECT e.dst AS id, sum(p.r // dg.d) AS s
+            FROM edges e
+            JOIN {prev} p ON p.id = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst) s ON s.id = n.id
+    )""")
+        prev = f"it{i}"
+    return f"""{_dup_edges_cte()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS id, CAST({_PR_ONE} AS BIGINT) AS r FROM deg),
+    {','.join(its)}
+    SELECT CAST(f.id AS BIGINT) AS doc_id,
+           CAST(dg.d AS BIGINT) AS degree,
+           CAST(f.r AS BIGINT) AS rank_fp
+    FROM {prev} f JOIN deg dg ON dg.src = f.id
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "gr01_dup_graph_pagerank",
+    oracle=_gr01_oracle(),
+    tags=("graph", "pagerank", "dedup", "centrality"),
+    # rides dd04's pair output — same synthetic-vocabulary quadratic
+    # artifact that benches dd04/dd11 out; linear on a real corpus
+    bench=False,
+)
+def gr01_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the near-duplicate graph — the
+    centrality signal behind canonical-document selection (keep the copy
+    everything else points at, not an arbitrary min-id). Rank arithmetic
+    is INTEGER throughout: ranks live in millionths, each push is
+    ``r DIV deg`` and the damping update is ``150000 + (85·Σ) DIV 100``
+    — floor division on both engines, so three unrolled iterations are
+    bit-exact cross-engine with no rounding ladder (the float PageRank's
+    per-group summation order could flip a 1e-6 grid; integers cannot).
+
+    Scale: each iteration is one equi-join (edges ⋈ ranks on src — the
+    rank table is 2 ints per vertex) plus a map-side-combinable sum on
+    dst; degrees are computed once. Iterations are unrolled because k is
+    a fixed small constant here — the open-ended variant belongs to
+    ``connected_components``' loop machinery (checkpoint per round, hot
+    keys broadcast); the reference has neither, this extends the
+    dedup family (pairs → clusters → canonical member)."""
+    pairs = dd04_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    edges = edges.localCheckpoint(eager=True)  # consumed by deg + 3 rounds
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    r = deg.select(F.col("src").alias("id"), F.lit(_PR_ONE).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        share = r.join(deg, r.id == deg.src).selectExpr("src", "r DIV d AS share")
+        s = (
+            edges.join(share, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("share").alias("s"))
+        )
+        r = r.join(s, "id", "left").selectExpr(
+            "id", f"150000 + (85 * COALESCE(s, 0)) DIV 100 AS r"
+        )
+    return (
+        r.join(deg, r.id == deg.src)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.col("r").alias("rank_fp"),
+        )
+        .orderBy("doc_id")
+    )

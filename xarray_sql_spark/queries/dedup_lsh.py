@@ -787,7 +787,11 @@ def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- dd11: cross-source duplication matrix ----------------------------------
-def _dd11_oracle() -> str:
+def _dup_edges_cte() -> str:
+    """Shared oracle WITH-fragment ending in ``dup(doc_a, doc_b)``: the
+    est-jaccard-filtered MinHash near-dup pair list (dd04's output shape).
+    Used by dd11's provenance matrix and gr01's dup-graph centrality so
+    the edge definition exists in exactly one place per engine."""
     eq_terms = " + ".join(
         f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
     )
@@ -805,7 +809,11 @@ def _dd11_oracle() -> str:
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b
         WHERE ({eq_terms}) / {N_PERMS}.0 >= {EST_JACCARD_MIN}
-    )
+    )"""
+
+
+def _dd11_oracle() -> str:
+    return f"""{_dup_edges_cte()}
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
            CAST(count(*) AS BIGINT) AS n_dup_pairs
