@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from tests.conftest import SF_SMALL
 from xarray_sql_spark.queries import REGISTRY
 
 
@@ -170,7 +171,7 @@ def test_ts13_budget_prefix_is_greedy_and_monotone(spark, tmp_path):
 def test_ev12_funnel_counts_are_monotone_and_gaps_positive(spark):
     """Funnel step counts must be non-increasing and every gap sum
     non-negative (strictly-after semantics) on the real events table."""
-    r = REGISTRY["ev12_funnel_conversion"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    r = REGISTRY["ev12_funnel_conversion"].fn(spark, SF_SMALL).collect()[0]
     assert r.n_viewed >= r.n_clicked >= r.n_purchased > 0
     assert r.sum_view_to_click_us >= 0 and r.sum_click_to_buy_us >= 0
 
@@ -286,3 +287,24 @@ def test_io_roundtrips_survive_hostile_strings(spark, tmp_path):
     row = REGISTRY["io02_csv_roundtrip"].fn(spark, sf_csv).collect()[0]
     assert row.n_docs == 4
     assert row.sum_text_len == sum(len(s) for s in nasty)
+
+
+def test_io_csv_distinguishes_null_from_empty_string(spark, tmp_path):
+    """The CSV cycle must keep NULL and '' apart (writer nullValue=\\N +
+    quoteAll): a lang of '' groups as '', a lang of NULL groups as NULL —
+    conflating them would silently move documents between rollup groups."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma", "delta"], pa.string()),
+        "lang": pa.array(["", None, "en"], pa.string()),
+        "source": pa.array(["s0", "s0", "s0"], pa.string()),
+        "n_chars": pa.array([10, 5, 5], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    for qname in ("io01_jsonl_roundtrip", "io02_csv_roundtrip"):
+        rows = {r.lang: r.n_docs for r in REGISTRY[qname].fn(spark, str(tmp_path)).collect()}
+        assert rows == {"": 1, None: 1, "en": 1}, (qname, rows)

@@ -446,3 +446,48 @@ def test_funnel_state_carries_across_microbatches(spark, batch_events, tmp_path)
         expect[r["user_id"]] = (stage, r["u1"], r["u2"], r["u3"])
     assert len(expect) > 0
     assert got == expect
+
+
+def test_funnel_is_chunk_order_independent(spark, batch_events, tmp_path):
+    """A group bigger than the Arrow batch size arrives as several chunks
+    in no particular time order: feed the events REVERSED in time with a
+    tiny maxRecordsPerBatch so every user spans many chunks — the stage
+    machine must still equal the batch min-join semantics."""
+    import os
+
+    from xarray_sql_spark.queries.pipeline_ops import funnel_stages
+
+    src = batch_events.select("event_id", "ts", "user_id", "event_type", "value")
+    rows = src.orderBy(F.col("ts").desc()).collect()  # worst-case order
+    outdir = str(tmp_path / "funnel_rev")
+    os.makedirs(outdir)
+    spark.createDataFrame(rows, src.schema).coalesce(1).write.parquet(
+        os.path.join(outdir, "b0")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = (
+            spark.readStream.schema(src.schema).parquet(os.path.join(outdir, "b*"))
+        )
+        out = se.run_to_memory(
+            se.funnel_stage_machine(stream), "t_funnel_rev", output_mode="update"
+        )
+        got = {
+            r["user_id"]: (r["stage"], r["view_us"], r["click_us"], r["purchase_us"])
+            for r in out.collect()
+            if r["stage"] > 0
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    expect = {}
+    for r in funnel_stages(batch_events).select(
+        "user_id",
+        F.unix_micros("t1").alias("u1"),
+        F.unix_micros("t2").alias("u2"),
+        F.unix_micros("t3").alias("u3"),
+    ).collect():
+        stage = 1 + (r["u2"] is not None) + (r["u3"] is not None)
+        expect[r["user_id"]] = (stage, r["u1"], r["u2"], r["u3"])
+    assert len(expect) > 0
+    assert got == expect

@@ -179,13 +179,13 @@ def bloom_prefilter_join(
     row-level filtering injects the same shape when statistics allow —
     this is the explicit form, and Spark's own InSet predicate pushes the
     probe into the parquet scan)."""
-    residues = [
-        r["r"]
-        for r in small.select(
-            F.pmod(F.xxhash64(key), F.lit(m)).alias("r")
-        ).distinct().collect()
-    ]
-    pruned = big.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(m)).isin(residues))
+    # Hash the STRING rendering of the key: xxhash64 is type-sensitive
+    # (int 5 and bigint 5 hash differently), so hashing raw columns would
+    # silently drop every match when the two sides' key dtypes differ
+    # even though the equi-join itself would coerce them.
+    probe = lambda df: F.pmod(F.xxhash64(df[key].cast("string")), F.lit(m))
+    residues = [r["r"] for r in small.select(probe(small).alias("r")).distinct().collect()]
+    pruned = big.filter(probe(big).isin(residues))
     return pruned.join(small, key)
 
 

@@ -1739,27 +1739,37 @@ def _pq_serve(v: DataFrame, cbf: dict, dtab: dict) -> DataFrame:
     literals (the ss05 k-row centroid contract)."""
     sub0 = F.slice("emb", 1, _PQ_SUBDIM)
     sub1 = F.slice("emb", _PQ_SUBDIM + 1, _PQ_SUBDIM)
+    seed_js = sorted({j for (_s, j) in cbf})
+    queries_present = sorted({q for (q, _s, _j) in dtab})
+    # j values are positions in the sorted seed-id list (argmin emits the
+    # literal j id); with a full seed set these coincide with 0..k-1.
+    j_pos = {j: i for i, j in enumerate(seed_js)}
     codes = v.select(
         "vec_id",
-        _pq_argmin_j(sub0, {j: cbf[(0, j)] for j in range(_PQ_K)}).alias("j0"),
-        _pq_argmin_j(sub1, {j: cbf[(1, j)] for j in range(_PQ_K)}).alias("j1"),
+        _pq_argmin_j(sub0, {j: cbf[(0, j)] for j in seed_js}).alias("j0"),
+        _pq_argmin_j(sub1, {j: cbf[(1, j)] for j in seed_js}).alias("j1"),
     )
+    lookup = {
+        (q, s): F.array(*[F.lit(dtab[(q, s, j)]) for j in seed_js])
+        for q in queries_present
+        for s in (0, 1)
+    }
+    pos0 = sum(
+        (F.col("j0") == j).cast("int") * j_pos[j] for j in seed_js
+    ) if seed_js != list(range(len(seed_js))) else F.col("j0").cast("int")
+    pos1 = sum(
+        (F.col("j1") == j).cast("int") * j_pos[j] for j in seed_js
+    ) if seed_js != list(range(len(seed_js))) else F.col("j1").cast("int")
     per_query = [
         F.struct(
             F.lit(int(q)).cast("long").alias("query_id"),
             F.round(
-                F.get(
-                    F.array(*[F.lit(dtab[(q, 0, j)]) for j in range(_PQ_K)]),
-                    F.col("j0").cast("int"),
-                )
-                + F.get(
-                    F.array(*[F.lit(dtab[(q, 1, j)]) for j in range(_PQ_K)]),
-                    F.col("j1").cast("int"),
-                ),
+                F.get(lookup[(q, 0)], pos0.cast("int"))
+                + F.get(lookup[(q, 1)], pos1.cast("int")),
                 6,
             ).alias("adc"),
         )
-        for q in _PQ_QUERIES
+        for q in queries_present
     ]
     return codes.select(
         "vec_id", F.explode(F.array(*per_query)).alias("qa")
@@ -1795,8 +1805,16 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    if sf_dir in _PQ_TRAIN_CACHE:
-        cbf, dtab = _PQ_TRAIN_CACHE[sf_dir]
+    # Memo key includes the parquet's (mtime, size) so an in-process
+    # rewrite of the same path (the scale probe rebuilds its replica)
+    # retrains instead of serving a stale codebook.
+    import os as _os
+
+    fp = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(fp)
+    cache_key = (sf_dir, st.st_mtime_ns, st.st_size)
+    if cache_key in _PQ_TRAIN_CACHE:
+        cbf, dtab = _PQ_TRAIN_CACHE[cache_key]
         return v, _pq_serve(v, cbf, dtab)
 
     # One tiny job: seed + query vectors off the corpus (k + nq rows).
@@ -1810,8 +1828,20 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
     def half(emb, s):
         return emb[:_PQ_SUBDIM] if s == 0 else emb[_PQ_SUBDIM:]
 
+    # Degrade like the pre-literal DataFrame formulation did: absent seed
+    # ids mean fewer codebook entries, absent query ids mean fewer scored
+    # queries — never a KeyError.
+    seed_js = [j for j in range(_PQ_K) if j in picked]
+    queries_present = [q for q in _PQ_QUERIES if q in picked]
+    if not seed_js or not queries_present:
+        empty = v.limit(0).select(
+            F.col("vec_id").alias("query_id"),
+            "vec_id",
+            F.lit(0.0).alias("adc"),
+        )
+        return v, empty
     seed_books = {
-        s: {j: half(picked[j], s) for j in range(_PQ_K)} for s in (0, 1)
+        s: {j: half(picked[j], s) for j in seed_js} for s in (0, 1)
     }
     sub0 = F.slice("emb", 1, _PQ_SUBDIM)
     sub1 = F.slice("emb", _PQ_SUBDIM + 1, _PQ_SUBDIM)
@@ -1848,16 +1878,16 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
             else list(seed_books[s][j])  # empty cluster keeps its seed
         )
         for s in (0, 1)
-        for j in range(_PQ_K)
+        for j in seed_js
     }
 
     # Per-query ADC lookup tables: a 24-row all-local job so the rounding
     # (HALF_UP) and fold order match the corpus-side expressions exactly.
     dt_rows = [
         (int(q), s, [float(x) for x in half(picked[q], s)], int(j), cbf[(s, j)])
-        for q in _PQ_QUERIES
+        for q in queries_present
         for s in (0, 1)
-        for j in range(_PQ_K)
+        for j in seed_js
     ]
     dt_df = spark.createDataFrame(
         dt_rows, "query_id long, s int, qe array<double>, j long, ce array<double>"
@@ -1878,7 +1908,7 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
             ).alias("d2"),
         ).collect()
     }
-    _PQ_TRAIN_CACHE[sf_dir] = (cbf, dtab)
+    _PQ_TRAIN_CACHE[cache_key] = (cbf, dtab)
     return v, _pq_serve(v, cbf, dtab)
 
 

@@ -105,7 +105,10 @@ def io02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     header + full quoting (document text contains the delimiter-adjacent
     space soup that breaks naive splitting; Spark's quoted CSV is the
     splittable-by-line contract)."""
-    return _roundtrip(spark, sf_dir, "csv", header="true", quoteAll="true", escape='"')
+    return _roundtrip(
+        spark, sf_dir, "csv",
+        header="true", quoteAll="true", escape='"', nullValue="\\\\N",
+    )
 
 
 @query(
@@ -148,9 +151,7 @@ def io03_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
     path = os.path.join(_IO_DIR, f"corrupt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     feed.write.mode("overwrite").text(path)
 
-    from pyspark.sql.types import StructType as _St
-
-    schema = _St(
+    schema = StructType(
         _DOC_SCHEMA.fields + [StructField("_corrupt_record", StringType())]
     )
     back = (

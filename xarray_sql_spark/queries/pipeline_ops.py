@@ -1975,8 +1975,9 @@ def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "size(split(text, ' ')) AS toks",
         f"({_PL10_F8_SPARK}) AS f8",
-        f"({_PL10_F8_SPARK}) DIV 8"
-        f" + IF({_PL10_RES_SPARK} < ({_PL10_F8_SPARK}) % 8, 1, 0) AS copies",
+    ).selectExpr(
+        "source", "doc_id", "toks", "f8",
+        f"f8 DIV 8 + IF({_PL10_RES_SPARK} < f8 % 8, 1, 0) AS copies",
     )
     emitted = planned.select(
         "source", "doc_id", "f8", "toks",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -465,30 +466,37 @@ def _funnel_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per-user funnel stage machine: advance view -> click -> purchase on
     earliest-strictly-after semantics — the streaming twin of
-    ``queries.pipeline_ops.funnel_stages``. Within a micro-batch the step
-    updates are MIN-reductions (vectorized), applied in stage order so a
-    click and the view it follows may arrive in the same batch; across
-    micro-batches only (stage, t1, t2, t3) persists — O(1) state per user
-    regardless of event volume."""
+    ``queries.pipeline_ops.funnel_stages``. The per-type timestamp arrays
+    are gathered across ALL of the group's Arrow chunks BEFORE the stage
+    recurrence runs, so the result is independent of chunk boundaries and
+    intra-batch row order (a group larger than
+    spark.sql.execution.arrow.maxRecordsPerBatch arrives as several
+    chunks, in no particular time order). Across micro-batches only
+    (stage, t1, t2, t3) persists — O(1) state per user."""
     stage, t1, t2, t3 = state.get if state.exists else (0, None, None, None)
+    by_type: dict[str, list] = {"view": [], "click": [], "purchase": []}
     for pdf in pdfs:
         us = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
         et = pdf["event_type"].to_numpy()
-        if stage == 0:
-            views = us[et == "view"]
-            if len(views):
-                t1 = int(views.min())
-                stage = 1
-        if stage == 1:
-            clicks = us[(et == "click") & (us > t1)]
-            if len(clicks):
-                t2 = int(clicks.min())
-                stage = 2
-        if stage == 2:
-            buys = us[(et == "purchase") & (us > t2)]
-            if len(buys):
-                t3 = int(buys.min())
-                stage = 3
+        for kind, acc in by_type.items():
+            acc.append(us[et == kind])
+    views, clicks, buys = (
+        np.concatenate(by_type[k]) if by_type[k] else np.array([], dtype="int64")
+        for k in ("view", "click", "purchase")
+    )
+    if stage == 0 and len(views):
+        t1 = int(views.min())
+        stage = 1
+    if stage == 1:
+        qual = clicks[clicks > t1]
+        if len(qual):
+            t2 = int(qual.min())
+            stage = 2
+    if stage == 2:
+        qual = buys[buys > t2]
+        if len(qual):
+            t3 = int(qual.min())
+            stage = 3
     state.update((stage, t1, t2, t3))
     yield pd.DataFrame(
         {
