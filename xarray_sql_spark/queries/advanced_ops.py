@@ -1802,7 +1802,10 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
     is trained ONCE and served many times, so repeat calls — bench
     medians, the ss09+ss10 pair — pay only the serving projection,
     exactly like a production ADC path."""
-    v = table(spark, sf_dir, "embeddings").select(
+    # spread: the serving projection does 8 x 64-dim distance folds per
+    # row — heavy enough to repartition when the file layout can't feed
+    # the cores (no-op on real multi-row-group data)
+    v = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     # Memo key includes the parquet's (mtime, size) so an in-process
@@ -2252,7 +2255,8 @@ def ss11_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     query and joins on (query_id, vec_id), never touching the corpus
     again. The unrolled-k shape is exactly how MMR runs in serving
     (k is small and fixed; the shortlist bounds all pairwise work)."""
-    v = table(spark, sf_dir, "embeddings").select(
+    # spread: 3 x 64-dim distance folds per corpus row (cf. _pq_adc)
+    v = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     qv = v.filter(F.col("vec_id").isin(*_PQ_QUERIES)).select(
