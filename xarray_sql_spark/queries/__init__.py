@@ -85,7 +85,8 @@ _PRIORITY = (
 # q47_anti_join, io01_jsonl_roundtrip, io02_csv_roundtrip,
 # mm07_image_rollup, ss11_mmr_diversify, ts14_vocab_growth,
 # ev15_transition_matrix, sk03_bloom_prefilter_join,
-# io03_corrupt_record_quarantine, gr01_dup_graph_pagerank. Rotate
+# io03_corrupt_record_quarantine, gr01_dup_graph_pagerank,
+# io04_schema_evolution, ev16_conversion_delays. Rotate
 # these into the first 50 next round, displacing this round's re-proof
 # entries.
 

@@ -174,3 +174,63 @@ def io03_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "io04_schema_evolution",
+    oracle="""
+    WITH old_half AS (
+        SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    new_half AS (
+        SELECT doc_id, lang, n_chars, n_chars % 100 AS quality
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    unioned AS (SELECT * FROM old_half UNION ALL SELECT * FROM new_half)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(sum(quality) AS BIGINT) AS sum_quality,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM unioned GROUP BY lang ORDER BY lang
+    """,
+    tags=("io", "parquet", "schema-evolution"),
+    bench=False,  # I/O fixture: proves the evolution contract, not throughput
+)
+def io04_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: half the corpus is written
+    with the ORIGINAL schema, half with an added ``quality`` column (the
+    unavoidable lakehouse situation once a pipeline version adds a
+    field); a ``mergeSchema`` read must union the footers, null-fill the
+    missing column in old files, and aggregate correctly. The oracle
+    regenerates the same union by arithmetic.
+
+    Scale note: ``mergeSchema`` reads EVERY file footer at planning time
+    — the per-query cost that makes real deployments pin evolved schemas
+    in a table catalog instead; the read itself stays splittable and
+    column-pruned either way. Explicitly requesting it here documents
+    the contract AND the cost."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = os.path.join(
+        _IO_DIR, f"evolve-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    d.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(root, "v1")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % 100).cast("bigint")
+    ).write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("quality").alias("n_with_quality"),
+            F.sum("quality").cast("bigint").alias("sum_quality"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -2238,3 +2238,62 @@ def ev15_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# --- ev16: conversion-delay distribution --------------------------------------
+@query(
+    "ev16_conversion_delays",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT epoch_us(p.t3) - epoch_us(v.t1) AS delay_us
+        FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(delay_us) AS BIGINT) AS min_us,
+           CAST(quantile_disc(delay_us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(delay_us, 0.9) AS BIGINT) AS p90_us,
+           CAST(max(delay_us) AS BIGINT) AS max_us
+    FROM d
+    """,
+    tags=("events", "funnel", "latency", "pipeline"),
+)
+def ev16_conversion_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-delay distribution: integer-µs view→purchase latencies
+    over the funnel-stage table (ev12's shared helper), summarized with
+    DISCRETE percentiles — percentile_disc picks an actual sample, so
+    the result is an exact integer on both engines (q40's determinism
+    rule; interpolating percentiles over timestamps would manufacture
+    instants nobody converted at).
+
+    Scale: rides the three map-side-combinable funnel aggregates; the
+    percentile runs over converted USERS (a fraction of the user table,
+    itself a fraction of events)."""
+    e = table(spark, sf_dir, "events")
+    d = (
+        funnel_stages(e)
+        .filter(F.col("t3").isNotNull())
+        .select((F.unix_micros("t3") - F.unix_micros("t1")).alias("delay_us"))
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.min("delay_us").cast("bigint").alias("min_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us)")
+        .cast("bigint").alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us)")
+        .cast("bigint").alias("p90_us"),
+        F.max("delay_us").cast("bigint").alias("max_us"),
+    )
