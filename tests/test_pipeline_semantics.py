@@ -230,14 +230,14 @@ def test_bloom_prefilter_cuts_rows_and_preserves_the_join(spark, tmp_path):
     the join and (b) leave the join result exactly equal to the plain
     join — false positives are allowed in the pruned set, never in the
     result."""
-    from xarray_sql_spark.operators.skew import bloom_prefilter_join
+    from xarray_sql_spark.operators.skew import _bloom_probe, bloom_prefilter_join
     from pyspark.sql import functions as F
 
     big = spark.range(0, 20000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
     small = spark.range(0, 20000, 400).select(F.col("id").alias("k"))  # 50 keys
-    residues = small.select(F.pmod(F.xxhash64("k"), F.lit(4096)).alias("r"))
+    residues = small.select(_bloom_probe(small, "k", 4096).alias("r"))
     pruned_count = big.filter(
-        F.pmod(F.xxhash64(F.col("k")), F.lit(4096)).isin(
+        _bloom_probe(big, "k", 4096).isin(
             [r["r"] for r in residues.distinct().collect()]
         )
     ).count()
@@ -308,3 +308,17 @@ def test_io_csv_distinguishes_null_from_empty_string(spark, tmp_path):
     for qname in ("io01_jsonl_roundtrip", "io02_csv_roundtrip"):
         rows = {r.lang: r.n_docs for r in REGISTRY[qname].fn(spark, str(tmp_path)).collect()}
         assert rows == {"": 1, None: 1, "en": 1}, (qname, rows)
+
+
+def test_io_csv_sentinel_collision_is_a_known_format_boundary(spark, tmp_path):
+    """Pin the documented CSV boundary: a value literally equal to the
+    null sentinel reads back NULL even when quoted (univocity compares
+    unquoted content). If a Spark upgrade ever changes this, the io02
+    docstring should be updated — this test is the tripwire."""
+    df = spark.createDataFrame([(0, "\\N"), (1, "x")], "id long, t string")
+    out = str(tmp_path / "sentinel")
+    opts = dict(header="true", quoteAll="true", escape='"', nullValue="\\N")
+    df.write.mode("overwrite").options(**opts).csv(out)
+    back = spark.read.options(**opts).schema("id long, t string").csv(out)
+    got = {r.id: r.t for r in back.collect()}
+    assert got == {0: None, 1: "x"}

@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xarray_sql_spark.queries.registry import query
-from xarray_sql_spark.queries.dedup_lsh import _minhash_oracle, dd04_minhash_lsh
+from xarray_sql_spark.queries.dedup_lsh import (
+    _dup_edges_cte,
+    _minhash_oracle,
+    dd04_minhash_lsh,
+)
 from xarray_sql_spark.session import table
 
 MAX_ROUNDS = 12
@@ -397,8 +401,6 @@ def pl09_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- gr01: dup-graph centrality (fixed-point PageRank) -----------------------
-from xarray_sql_spark.queries.dedup_lsh import _dup_edges_cte  # noqa: E402
-
 _PR_ITERS = 3
 _PR_ONE = 1_000_000  # rank 1.0 in fixed-point millionths
 

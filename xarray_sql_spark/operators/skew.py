@@ -164,6 +164,12 @@ def sk02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_M = 4096  # one-hash bloom width; driver-side residue set is <= m ints
 
 
+def _bloom_probe(df: DataFrame, key: str, m: int):
+    """The bloom membership probe expression — module-level so tests
+    exercise the SAME probe the join uses, not a reimplementation."""
+    return F.pmod(F.xxhash64(df[key]), F.lit(m))
+
+
 def bloom_prefilter_join(
     big: DataFrame, small: DataFrame, key: str, m: int = _BLOOM_M
 ) -> DataFrame:
@@ -179,13 +185,25 @@ def bloom_prefilter_join(
     row-level filtering injects the same shape when statistics allow —
     this is the explicit form, and Spark's own InSet predicate pushes the
     probe into the parquet scan)."""
-    # Hash the STRING rendering of the key: xxhash64 is type-sensitive
-    # (int 5 and bigint 5 hash differently), so hashing raw columns would
-    # silently drop every match when the two sides' key dtypes differ
-    # even though the equi-join itself would coerce them.
-    probe = lambda df: F.pmod(F.xxhash64(df[key].cast("string")), F.lit(m))
-    residues = [r["r"] for r in small.select(probe(small).alias("r")).distinct().collect()]
-    pruned = big.filter(probe(big).isin(residues))
+    # xxhash64 is type-sensitive (int 5, bigint 5 and the string '5'
+    # all hash differently), and string-rendering both sides only fixes
+    # integer-width mismatches ('5' vs '5.0' still diverge for
+    # float/decimal keys). Equal dtypes hash consistently; unequal
+    # dtypes fail LOUDLY here — the silent alternative is a prefilter
+    # that drops genuine matches the coercing equi-join would keep.
+    bt, st_ = big.schema[key].dataType, small.schema[key].dataType
+    if bt != st_:
+        raise ValueError(
+            f"bloom_prefilter_join: key dtypes differ ({bt} vs {st_}); "
+            f"cast both sides to a common type first"
+        )
+    residues = [
+        r["r"]
+        for r in small.select(_bloom_probe(small, key, m).alias("r"))
+        .distinct()
+        .collect()
+    ]
+    pruned = big.filter(_bloom_probe(big, key, m).isin(residues))
     return pruned.join(small, key)
 
 

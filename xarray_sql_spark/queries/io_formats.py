@@ -104,7 +104,14 @@ def io02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest parity: same cycle through the CSV writer/reader with
     header + full quoting (document text contains the delimiter-adjacent
     space soup that breaks naive splitting; Spark's quoted CSV is the
-    splittable-by-line contract)."""
+    splittable-by-line contract).
+
+    Format boundary (verified empirically, pinned in
+    tests/test_pipeline_semantics.py): the univocity parser compares
+    unquoted field CONTENT against ``nullValue``, so a data value
+    literally equal to the sentinel reads back NULL even when quoted —
+    like the no-embedded-newlines rule, this is inherent to CSV, not to
+    this reader; arbitrary-content corpora belong in JSONL (io01)."""
     return _roundtrip(
         spark, sf_dir, "csv",
         header="true", quoteAll="true", escape='"', nullValue="\\\\N",

@@ -62,8 +62,21 @@ def get_spark(app_name: str = "xarray-sql-spark", cpus: int | None = None) -> Sp
 # than N scan tasks, whatever maxPartitionBytes says. The driver's testdata
 # files are each ONE row group, so without compensation every scan (and its
 # map-side partial aggregation / per-row expression work) runs serially on
-# one of 32 cores. Cache: path -> row-group count.
-_ROW_GROUPS: dict[str, int] = {}
+# one of 32 cores. Cache: (path, mtime, size) -> row-group count — the
+# stat in the key makes an in-process rewrite of the same path (the scale
+# probe rebuilding its replica) invalidate naturally instead of serving a
+# stale layout decision.
+_ROW_GROUPS: dict[tuple, int] = {}
+
+
+def _file_sig(path: str) -> tuple:
+    """(path, mtime_ns, size) identity of a file's current contents; the
+    cheap cache-key component that turns 'same path' into 'same bytes'."""
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
 
 # session -> {(path, spread): reader DataFrame}; see table() docstring.
 # Weak-keyed on the SparkSession so a stopped/collected session releases its
@@ -76,14 +89,15 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _scan_tasks_available(path: str) -> int:
-    if path not in _ROW_GROUPS:
+    sig = _file_sig(path)
+    if sig not in _ROW_GROUPS:
         try:
             import pyarrow.parquet as pq
 
-            _ROW_GROUPS[path] = pq.ParquetFile(path).num_row_groups
+            _ROW_GROUPS[sig] = pq.ParquetFile(path).num_row_groups
         except Exception:
-            _ROW_GROUPS[path] = 1 << 30  # unknown layout: assume splittable
-    return _ROW_GROUPS[path]
+            _ROW_GROUPS[sig] = 1 << 30  # unknown layout: assume splittable
+    return _ROW_GROUPS[sig]
 
 
 def table(
@@ -112,7 +126,8 @@ def table(
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     per_session = _TABLE_CACHE.setdefault(spark, {})
-    cached = per_session.get((path, spread))
+    cache_key = (_file_sig(path), spread)
+    cached = per_session.get(cache_key)
     if cached is not None:
         return cached
     if name == "events":
@@ -147,7 +162,7 @@ def table(
         cores = spark.sparkContext.defaultParallelism
         if _scan_tasks_available(path) < max(cores // 4, 2):
             df = df.repartition(cores)
-    per_session[(path, spread)] = df
+    per_session[cache_key] = df
     return df
 
 
