@@ -491,3 +491,52 @@ def test_funnel_is_chunk_order_independent(spark, batch_events, tmp_path):
         expect[r["user_id"]] = (stage, r["u1"], r["u2"], r["u3"])
     assert len(expect) > 0
     assert got == expect
+
+
+def test_watermark_drops_late_event_from_finalized_window(spark, tmp_path):
+    """Append-mode windowed aggregation with a 1-hour watermark: a late
+    event must be EXCLUDED from its already-finalized window — the
+    bounded-state guarantee. Existing equivalence tests never feed late
+    data; this is the drop-side proof.
+
+    Empirical Spark detail this fixture accounts for: the late-row
+    FILTER uses the watermark committed one batch earlier than the value
+    the progress line reports, so the drop takes effect one micro-batch
+    AFTER the advance (a late row landing in the very next batch still
+    merges into live state). Hence three files: b0 sets the high event
+    time, b1 commits the advanced watermark, b2 carries the late row."""
+    import datetime as dt
+    import os
+
+    def ts(h, m):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    b0 = [(1, ts(10, 0), 1, "view", 1.0), (2, ts(10, 10), 1, "view", 1.0),
+          (3, ts(12, 50), 1, "view", 1.0)]
+    b1 = [(5, ts(13, 30), 1, "view", 1.0)]  # commits watermark 11:50
+    # 10:20 is LATE (watermark 12:30 by now); 14:30 keeps time advancing
+    b2 = [(6, ts(10, 20), 1, "view", 1.0), (7, ts(14, 30), 1, "view", 1.0)]
+    outdir = str(tmp_path / "late_feed")
+    os.makedirs(outdir)
+    for i, rows in enumerate((b0, b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(outdir, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(outdir, "b*"))
+    )
+    out = se.run_to_memory(
+        se.windowed_counts(stream, watermark="1 hour"), "t_late", output_mode="append"
+    )
+    rows = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    ten_am = dt.datetime(2024, 3, 1, 10, 0)
+    # the 10:00 window finalized with its two on-time events; the late
+    # 10:20 arrival was dropped, not merged to 3 and not resurrected as
+    # a second 10:00 output row
+    assert rows.get((ten_am, "view")) == 2, rows
+    assert sum(1 for (w, _t) in rows if w == ten_am) == 1, rows
