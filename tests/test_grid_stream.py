@@ -468,3 +468,91 @@ def test_stream_to_zarr_rejects_sparse_batches(spark, tmp_path):
     # nothing was written: the store still holds the seed values
     back = open_zarr(path).data_vars["v"].values()
     np.testing.assert_allclose(back, seed)
+
+
+def test_append_rejects_mismatched_non_append_dim(tmp_path):
+    """A slab whose non-append dimension is shorter than the store's must
+    be REFUSED — zero-padding it would commit fabricated values inside
+    the valid shape (round-7 review repro)."""
+    import pytest
+
+    path = write_zarr(_slab(0, 4), str(tmp_path / "g.zarr"), chunks={"time": 2})
+    bad = _slab(4, 2, nlat=3)  # store has nlat=5
+    with pytest.raises(ValueError, match="does not match the store"):
+        append_zarr(bad, path, "time")
+    # store unchanged and still openable
+    back = open_zarr(path)
+    assert back.data_vars["temp"].shape == (4, 5)
+
+
+def test_append_rejects_partial_slab(tmp_path):
+    """A slab missing one of the store's append-dim arrays must be
+    REFUSED — committing it would leave conflicting sizes along the dim
+    and the store could never be opened again (round-7 review repro)."""
+    import pytest
+
+    time = np.datetime64("2024-01-01", "h") + np.arange(4)
+    ds = Dataset(
+        {"a": (("time",), np.arange(4.0)), "b": (("time",), np.arange(4.0))},
+        {"time": time},
+    )
+    path = write_zarr(ds, str(tmp_path / "ab.zarr"), chunks={"time": 2})
+    slab = Dataset(
+        {"a": (("time",), np.arange(2.0))},
+        {"time": np.datetime64("2024-01-01", "h") + np.arange(4, 6)},
+    )
+    with pytest.raises(ValueError, match="missing from the slab"):
+        append_zarr(slab, path, "time")
+    back = open_zarr(path)  # still opens, sizes consistent
+    assert back.data_vars["b"].shape == (4,)
+
+
+def test_big_endian_datetime_fill_is_nat(tmp_path):
+    """A big-endian datetime array's int NaT-sentinel fill must decode to
+    NaT, not epoch+128ns (byte-order .view bug, round-7 review repro)."""
+    import json
+    import os
+
+    path = str(tmp_path / "be.zarr")
+    os.makedirs(os.path.join(path, "t"))
+    meta = {
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": ">M8[ns]",
+        "compressor": None, "fill_value": -9223372036854775808,
+        "order": "C", "filters": None,
+    }
+    with open(os.path.join(path, "t", ".zarray"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(path, "t", ".zattrs"), "w") as f:
+        json.dump({"_ARRAY_DIMENSIONS": ["t"]}, f)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    back = open_zarr(path)
+    vals = back.coords["t"] if "t" in back.coords else back.data_vars["t"].values()
+    assert np.isnat(np.asarray(vals)).all()
+
+
+def test_array_valued_missing_value_masks_all_sentinels(tmp_path):
+    """CF-legal array-valued missing_value must mask EVERY listed
+    sentinel instead of crashing the block read (round-7 review repro)."""
+    import json
+    import os
+
+    ds = Dataset(
+        {"v": (("x",), np.array([1, 9999, -9999, 4], dtype=np.int16))},
+        {"x": np.arange(4)},
+    )
+    path = write_zarr(ds, str(tmp_path / "mv.zarr"), chunks={"x": 4})
+    zattrs_path = os.path.join(path, "v", ".zattrs")
+    za = json.load(open(zattrs_path))
+    za["missing_value"] = [9999, -9999]
+    json.dump(za, open(zattrs_path, "w"))
+    # refresh consolidated metadata copy if present
+    zm = os.path.join(path, ".zmetadata")
+    if os.path.isfile(zm):
+        m = json.load(open(zm))
+        m["metadata"]["v/.zattrs"] = za
+        json.dump(m, open(zm, "w"))
+    back = open_zarr(path, decode_cf=True)
+    vals = back.data_vars["v"].values()
+    assert np.isnan(vals[1]) and np.isnan(vals[2])
+    assert vals[0] == 1.0 and vals[3] == 4.0

@@ -1092,3 +1092,61 @@ def test_v2_bz2_lzma_write_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.frombuffer(raw, dtype=v.dtype), v)
         back = open_zarr(p)
         np.testing.assert_array_equal(back.data_vars["v"].values(), v)
+
+
+def test_zarr_v3_transpose_composes_with_vlen_utf8(tmp_path):
+    """A spec-legal v3 chain [transpose, vlen-utf8] on a 2-D string
+    array: the stored bytes are the vlen encoding of the TRANSPOSED
+    block; decode must invert the permutation for string arrays exactly
+    as it does for fixed-width ones (round-7 review: the vlen branch
+    returned before the transpose inversion, silently scrambling
+    positions)."""
+    import json
+
+    from xarray_sql_spark.zarr_store import ZarrArray, _vlen_encode
+
+    x = np.array([["aa", "bb", "cc"], ["dd", "ee", "ff"]], dtype=object)
+    shape, chunks, order = (2, 3), (2, 3), [1, 0]
+    adir = str(tmp_path / "sarr")
+    os.makedirs(adir)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": "string",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": "",
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": order}},
+            {"name": "vlen-utf8"},
+        ],
+        "dimension_names": ["a", "b"],
+    }
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    enc = np.transpose(x, order)  # encoded representation, C-order flatten
+    os.makedirs(os.path.join(adir, "c", "0"), exist_ok=True)
+    with open(os.path.join(adir, "c", "0", "0"), "wb") as f:
+        f.write(_vlen_encode(np.ascontiguousarray(enc)))
+    arr = ZarrArray(adir)
+    np.testing.assert_array_equal(arr.values(), x)
+
+
+def test_timedelta_null_fill_is_nat(tmp_path):
+    """A v2 timedelta64 array with fill_value null must materialize
+    absent chunks as NaT, not timedelta 0 (round-7 review)."""
+    import json
+
+    from xarray_sql_spark.zarr_store import ZarrArray
+
+    adir = str(tmp_path / "td")
+    os.makedirs(adir)
+    meta = {
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<m8[ns]",
+        "compressor": None, "fill_value": None, "order": "C", "filters": None,
+    }
+    with open(os.path.join(adir, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    arr = ZarrArray(adir)  # no chunk files: all fill
+    assert np.isnat(arr.values()).all()

@@ -85,11 +85,18 @@ def _parse_fill(fill: Any, dtype: np.dtype):
     if dtype.kind == "O":  # vlen strings: numcodecs writes fill 0 or null
         return fill if isinstance(fill, str) else ""
     if fill is None:
-        return np.datetime64("NaT") if dtype.kind == "M" else dtype.type(0)
+        if dtype.kind == "M":
+            return np.datetime64("NaT")
+        if dtype.kind == "m":
+            return np.timedelta64("NaT")  # zarr-python's null NaT spelling
+        return dtype.type(0)
     if isinstance(fill, str) and dtype.kind == "f":
         return dtype.type(float(fill))  # "NaN" / "Infinity" / "-Infinity"
-    if dtype.kind == "M":
-        return np.int64(fill).view(dtype)
+    if dtype.kind in "Mm":
+        # reinterpret through the NATIVE-endian dtype, then convert: a
+        # direct .view on a big-endian target reinterprets the int's
+        # bytes and turns the NaT sentinel into a real timestamp
+        return np.int64(fill).view(dtype.newbyteorder("=")).astype(dtype)
     return dtype.type(fill)
 
 
@@ -471,6 +478,12 @@ class ZarrArray:
                 pos += 4
                 out[i] = raw[pos : pos + ln].decode("utf-8")
                 pos += ln
+            if self._transpose_order is not None:
+                # v3 transpose composes with vlen-utf8 too — skipping it
+                # here would silently scramble string positions
+                perm = self._transpose_order
+                enc = out.reshape(tuple(self.chunks[p] for p in perm))
+                return np.transpose(enc, np.argsort(perm))
             return out.reshape(self.chunks, order=self.order)
         if self._shuffle_elem is not None:
             # numcodecs Shuffle inverse: whole-buffer stride-elementsize
@@ -768,8 +781,14 @@ def _cf_decode_var(arr: ZarrArray, zattrs: dict):
             if zattrs.get(key) is not None:
                 try:
                     # same-width wrap cast: a fill stored as -1 on an
-                    # _Unsigned var means 255/65535/... (and vice versa)
-                    fills.append(np.array(zattrs[key]).astype(eff_dtype)[()])
+                    # _Unsigned var means 255/65535/... (and vice versa).
+                    # CF allows ARRAY-valued missing_value — flatten to
+                    # one sentinel per element (a raw ndarray here would
+                    # break the elementwise mask broadcast at read time)
+                    val = np.array(zattrs[key]).astype(eff_dtype)
+                    fills.extend(
+                        [val[()]] if val.ndim == 0 else list(val.ravel())
+                    )
                 except (TypeError, ValueError, OverflowError):
                     pass
     if not packed and not fills and view_dtype is None:
@@ -1242,13 +1261,46 @@ def append_zarr(slab, path: str, dim: str) -> str:
     # the coord's does — e.g. a coord stored as one full-length chunk)
     # would silently overwrite the committed trailing chunk with
     # zero-padded data at the wrong offset.
-    appended = [(dim, (dim,), np.asarray(slab.coords[dim]).dtype)] + [
-        (n, var.dims, var.dtype)
+    appended = [
+        (dim, (dim,), np.asarray(slab.coords[dim]).dtype, (len(slab.coords[dim]),))
+    ] + [
+        (n, var.dims, var.dtype, var.shape)
         for n, var in slab.data_vars.items()
         if dim in var.dims
     ]
-    for name, dims_, slab_dtype in appended:
-        meta = _meta(name)
+    # Completeness: every store array that spans the append dim must be in
+    # the slab — a partial append would commit conflicting shapes along
+    # ``dim`` and the store could never be opened again.
+    slab_names = {name for name, *_ in appended}
+    for entry in sorted(os.listdir(path)):
+        zarray = os.path.join(path, entry, ".zarray")
+        zattrs = os.path.join(path, entry, ".zattrs")
+        if entry in slab_names or not os.path.isfile(zarray):
+            continue
+        store_dims = (
+            _read_json(zattrs).get("_ARRAY_DIMENSIONS", [])
+            if os.path.isfile(zattrs)
+            else []
+        )
+        if dim in store_dims:
+            raise ValueError(
+                f"append along {dim!r} must include every array spanning "
+                f"it; store array {entry!r} is missing from the slab (a "
+                f"partial append would commit conflicting {dim!r} sizes "
+                f"and brick the store)"
+            )
+    metas: dict[str, dict] = {}
+    for name, dims_, slab_dtype, slab_shape in appended:
+        meta = metas[name] = _meta(name)
+        # Non-append dims must match the store exactly: _write_append
+        # would silently zero-pad a short slab (fabricated values inside
+        # the valid shape) or overflow chunk addressing on a long one.
+        for ax, (d_, n_slab) in enumerate(zip(dims_, slab_shape)):
+            if d_ != dim and n_slab != int(meta["shape"][ax]):
+                raise ValueError(
+                    f"append to {name!r}: size {n_slab} along {d_!r} does "
+                    f"not match the store's {int(meta['shape'][ax])}"
+                )
         chunk_n = int(meta["chunks"][dims_.index(dim)])
         if old_n % chunk_n:
             raise NotImplementedError(
@@ -1280,7 +1332,7 @@ def append_zarr(slab, path: str, dim: str) -> str:
     new_metas: dict[str, dict] = {}
 
     def _write_append(name: str, dims: tuple[str, ...], data: np.ndarray) -> None:
-        meta = _meta(name)
+        meta = metas[name]  # read once in the validation loop
         axis = dims.index(dim)
         chunk_shape = tuple(int(c) for c in meta["chunks"])
         dtype = _parse_dtype(meta["dtype"])
