@@ -37,12 +37,17 @@ def to_arrow_reader(
     reader.py:37-189): blocks are pivoted lazily as the consumer pulls, so
     peak memory is one block + one batch regardless of dataset size."""
     dims = canonical_dims(ds.data_vars)
-    schema = infer_schema(dims, ds.coords, ds.data_vars, ds.coord_attrs)
-    sizes = {d: len(ds.coords[d]) for d in dims}
+    # Implicit (coordless) dims pivot as 0..n-1, same as the grid-source
+    # and reference reader paths (reference reader.py:59-66).
+    from xarray_sql_spark.sources.grid_source import _grid_coords
+
+    all_coords = _grid_coords(ds, dims)
+    schema = infer_schema(dims, all_coords, ds.data_vars, ds.coord_attrs)
+    sizes = {d: len(all_coords[d]) for d in dims}
 
     def gen() -> Iterator[pa.RecordBatch]:
         for block in block_slices(sizes, chunks):
-            coords = {d: ds.coords[d][block[d]] for d in dims}
+            coords = {d: all_coords[d][block[d]] for d in dims}
             arrays = {
                 name: var.read_block(tuple(block[d] for d in dims))
                 for name, var in ds.data_vars.items()

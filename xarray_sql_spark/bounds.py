@@ -51,6 +51,12 @@ def dim_bounds(coords: Mapping[str, np.ndarray], block: Mapping[str, slice]) -> 
             vals = seg.tolist()
             out[d] = (min(vals), max(vals))
         else:
+            if seg.dtype.kind in "Mm" and np.isnat(seg).any():
+                # NaT would canonicalize to INT64_MIN and silently prune
+                # blocks holding real timestamps; float NaN is safe (all
+                # comparisons False -> conservative keep) but the int64
+                # datetime conversion loses that, so skip the dim instead.
+                continue
             out[d] = (_canon(seg.min()), _canon(seg.max()))
     return out
 

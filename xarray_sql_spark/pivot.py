@@ -32,6 +32,13 @@ def arrow_type_for(dtype: np.dtype) -> pa.DataType:
         return pa.string()
     if dtype.kind == "b":
         return pa.bool_()
+    if dtype.kind == "u":
+        # Spark's Arrow bridge accepts signed ints only (UNSUPPORTED_ARROWTYPE
+        # for uint batches): widen losslessly; uint64 narrows to int64 and
+        # overflow raises at batch build rather than wrapping.
+        return {1: pa.int16(), 2: pa.int32(), 4: pa.int64(), 8: pa.int64()}[dtype.itemsize]
+    if dtype == np.float16:
+        return pa.float32()  # no half-float in Spark's Arrow bridge
     return pa.from_numpy_dtype(dtype)
 
 
@@ -45,6 +52,20 @@ def canonical_dims(data_vars: Mapping[str, "object"]) -> tuple[str, ...]:
             "register them as separate tables (XarraySession.from_dataset does this)"
         )
     return next(iter(dims_set))
+
+
+def _coord_nullable(arr: np.ndarray) -> bool:
+    """Dim coords are non-nullable UNLESS the axis actually carries missing
+    values (NaT/NaN/None), which pivot to Arrow nulls — declaring those
+    fields non-nullable makes Spark's vectorized reader throw
+    ``Value at index is null`` at scan time."""
+    if arr.dtype.kind == "M":
+        return bool(np.isnat(arr).any())
+    if arr.dtype.kind == "f":
+        return bool(np.isnan(arr).any())
+    if arr.dtype.kind == "O":
+        return any(x is None for x in arr)
+    return False
 
 
 def infer_schema(
@@ -61,7 +82,14 @@ def infer_schema(
         meta = None
         if coord_meta and d in coord_meta:
             meta = {str(k): str(v) for k, v in coord_meta[d].items()}
-        fields.append(pa.field(d, arrow_type_for(coords[d].dtype), nullable=False, metadata=meta))
+        fields.append(
+            pa.field(
+                d,
+                arrow_type_for(coords[d].dtype),
+                nullable=_coord_nullable(np.asarray(coords[d])),
+                metadata=meta,
+            )
+        )
     for name, var in data_vars.items():
         fields.append(pa.field(name, arrow_type_for(var.dtype), nullable=True))
     return pa.schema(fields)

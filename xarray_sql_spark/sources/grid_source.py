@@ -59,6 +59,17 @@ class GridPartition(InputPartition):
         self.block = block  # dim -> (start, stop)
 
 
+def _grid_coords(ds: Dataset, dims) -> dict[str, "np.ndarray"]:
+    """Coordinate arrays per dim, synthesizing 0..n-1 for implicit
+    (coordless) dims — store-backed re-opens must mirror make_payload's
+    inline-path synthesis or reader construction KeyErrors."""
+    out = {}
+    for d in dims:
+        c = ds.coords.get(d)
+        out[d] = np.asarray(c) if c is not None else np.arange(ds.sizes[d], dtype=np.int64)
+    return out
+
+
 def _spark_type_for(arrow_type: pa.DataType):
     from pyspark.sql import types as T
 
@@ -154,7 +165,7 @@ class GridReader(DataSourceReader):
         # Driver-side, coordinate-only work: block grid + bounds (A6/A7).
         ds = self._open()
         self.sizes = ds.sizes
-        self.coords = {d: ds.coords[d] for d in self.dims}
+        self.coords = _grid_coords(ds, self.dims)
         chunked_dims = {
             d: c for d, c in (self.chunks or {}).items() if d in self.sizes and c < self.sizes[d]
         }
@@ -165,8 +176,15 @@ class GridReader(DataSourceReader):
         self._blocks = list(
             chunklib.block_slices({d: self.sizes[d] for d in self.dims}, self.chunks)
         )
+        # Per-block bounds over CHUNKED dims only — the static (unchunked)
+        # bounds are computed once above; recomputing them per block would
+        # make reader construction O(#blocks x unchunked dim length).
         self._bounds = [
-            {**self.static_bounds, **dim_bounds(self.coords, b)} for b in self._blocks
+            {
+                **self.static_bounds,
+                **dim_bounds(self.coords, {d: sl for d, sl in b.items() if d in chunked_dims}),
+            }
+            for b in self._blocks
         ]
 
     def _open(self) -> Dataset:
@@ -400,17 +418,28 @@ class GridStreamReader(DataSourceStreamReader):
         lo, hi = int(start["offset"]), int(end["offset"])
         if hi <= lo:
             return [GridPartition(-1, {d: (0, 0) for d in self.dims})]
-        sizes = dict(self._static_sizes)
-        sizes[self.append_dim] = hi - lo
+        # Split the slab on the store's ABSOLUTE chunk grid: a block shifted
+        # relative to lo would straddle two physical chunk files and double
+        # every executor's decompression work.
+        cs = (self.chunks or {}).get(self.append_dim)
+        spans: list[tuple[int, int]] = []
+        a = lo
+        while a < hi:
+            b = min(hi, (a // cs + 1) * cs) if cs else hi
+            spans.append((a, b))
+            a = b
         parts = []
-        for i, block in enumerate(chunklib.block_slices(sizes, self.chunks)):
-            shifted = {
-                d: (
-                    (s.start + lo, s.stop + lo) if d == self.append_dim else (s.start, s.stop)
-                )
-                for d, s in block.items()
-            }
-            parts.append(GridPartition(i, shifted))
+        i = 0
+        for span in spans:
+            if self._static_sizes:
+                sub_blocks = chunklib.block_slices(dict(self._static_sizes), self.chunks)
+            else:
+                sub_blocks = [{}]
+            for block in sub_blocks:
+                full = {d: (s.start, s.stop) for d, s in block.items()}
+                full[self.append_dim] = span
+                parts.append(GridPartition(i, full))
+                i += 1
         return parts
 
     def read(self, partition: GridPartition) -> Iterator[pa.RecordBatch]:
@@ -418,7 +447,7 @@ class GridStreamReader(DataSourceStreamReader):
             return
         block = {d: slice(a, b) for d, (a, b) in partition.block.items()}
         ds = Dataset.open_store(self.store_path)
-        coords = {d: np.asarray(ds.coords[d]) for d in self.dims}
+        coords = _grid_coords(ds, self.dims)
         yield from _block_batches(
             ds,
             coords,

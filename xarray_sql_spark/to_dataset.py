@@ -77,14 +77,16 @@ class XarrayDataFrame:
             cand = tuple(d for d in template.sizes if d in columns)
             if cand:
                 return cand
+        # Any registered variable whose dims intersect the result columns
+        # proposes that intersection (in the variable's dim order) as the
+        # candidate dims tuple.
         candidates: dict[tuple[str, ...], str] = {}
         for name, ds in self._registered.items():
             for var in ds.data_vars.values():
                 cand = tuple(d for d in var.dims if d in columns)
-                if cand and set(cand) == set(var.dims) & set(columns):
+                if cand:
                     candidates.setdefault(cand, name)
-        # Keep only maximal candidate dim tuples that are subsets of columns.
-        full = [c for c in candidates if set(c) <= set(columns)]
+        full = list(candidates)
         if not full:
             raise ValueError(
                 f"cannot infer dims from columns {list(columns)}; pass dims="

@@ -45,6 +45,10 @@ def _coord_predicate_mask(coords: np.ndarray, op: str, lits) -> np.ndarray | Non
     if coords.dtype.kind == "M":
         if not kinds <= {"timestamp", "timestamp_ntz"}:
             return None
+        if np.isnat(coords).any():
+            # NaT pivots to SQL NULL (excluded by every comparison); the
+            # int64 view would compare it as INT64_MIN and over-count.
+            return None
         # the pivoted table exposes microsecond timestamps, so compare in
         # the same truncated domain the engine would
         cv = coords.astype("datetime64[us]").astype(np.int64)
@@ -182,6 +186,21 @@ class XarraySession:
                 self.spark.createDataFrame([row]).createOrReplaceTempView(view)
                 views.append(view)
 
+        # Re-registering under the same name with a different dims-group
+        # structure must drop the previous registration's group views, or
+        # stale views keep serving the OLD dataset's data silently.
+        for old in self._tables.get(name, []):
+            if old not in views:
+                try:
+                    self.spark.catalog.dropTempView(old)
+                except Exception:
+                    pass
+                self._pruned_cache = {
+                    k: v for k, v in self._pruned_cache.items() if k[0] != old
+                }
+                self._payload_views = {
+                    p: t for p, t in self._payload_views.items() if t[0] != old
+                }
         self._registered_datasets[name] = ds
         self._registered_chunks[name] = dict(chunks) if chunks else {}
         self._tables[name] = views
@@ -256,19 +275,25 @@ class XarraySession:
         self._payload_views[path] = (view, kwargs, df)
         return path
 
-    def _scan_df(self, make_payload_kwargs: dict) -> tuple[DataFrame, str]:
-        payload = make_payload(**make_payload_kwargs)
-        # Capture whether the session's default collation is binary at
-        # registration time: the DataSource plans in a separate Python
-        # worker with no session handle, and string-dim pruning bounds are
-        # only sound under binary collation (bounds.py).
+    def _binary_collation(self) -> bool:
+        """True when the session's default string collation compares by
+        code point (Spark's default UTF8_BINARY) — the soundness gate for
+        both string-dim pruning and the string metadata-aggregate paths."""
         try:
             coll = self.spark.conf.get(
                 "spark.sql.session.collation.default", "UTF8_BINARY"
             )
         except Exception:
             coll = "UTF8_BINARY"
-        payload["binary_collation"] = (coll or "UTF8_BINARY").upper() == "UTF8_BINARY"
+        return (coll or "UTF8_BINARY").upper() == "UTF8_BINARY"
+
+    def _scan_df(self, make_payload_kwargs: dict) -> tuple[DataFrame, str]:
+        payload = make_payload(**make_payload_kwargs)
+        # Capture whether the session's default collation is binary at
+        # registration time: the DataSource plans in a separate Python
+        # worker with no session handle, and string-dim pruning bounds are
+        # only sound under binary collation (bounds.py).
+        payload["binary_collation"] = self._binary_collation()
         path = os.path.join(self._tmpdir, f"payload_{uuid.uuid4().hex}.pkl")
         with open(path, "wb") as f:
             pickle.dump(payload, f)
@@ -398,9 +423,20 @@ class XarraySession:
             if dim not in dims or dim not in ds.coords:
                 return None  # a data variable, or an implicit coordless dim
             coords = np.asarray(ds.coords[dim])
+            if coords.dtype.kind in "US" and not self._binary_collation():
+                # numpy compares strings by code point; a collation-aware
+                # session default (e.g. UTF8_LCASE) compares differently,
+                # so the shortcut must defer to the engine (bounds.py doc).
+                return None
             mask = masks.setdefault(dim, np.ones(len(coords), dtype=bool))
             if op == "notnull":
-                continue  # dim coords are never null
+                # Dim coords are non-null EXCEPT NaT/NaN axis values, which
+                # pivot to SQL NULL — mask those out instead of skipping.
+                if coords.dtype.kind == "M":
+                    np.logical_and(mask, ~np.isnat(coords), out=mask)
+                elif coords.dtype.kind == "f":
+                    np.logical_and(mask, ~np.isnan(coords), out=mask)
+                continue
             m = _coord_predicate_mask(coords, op, lits)
             if m is None:
                 return None
@@ -429,6 +465,10 @@ class XarraySession:
                 coords.dtype.kind == "f" and np.isnan(coords).any()
             ):
                 return None  # empty/NaN coord ordering: let the engine decide
+            if coords.dtype.kind in "Mm" and np.isnat(coords).any():
+                return None  # NaT pivots to NULL; numpy min/max would return NaT
+            if coords.dtype.kind in "US" and not self._binary_collation():
+                return None  # MIN/MAX ordering is collation-dependent
             if col in masks:
                 # total > 0 implies every dim's mask is non-empty, so the
                 # filtered cross-product's extremes ARE the masked extremes
