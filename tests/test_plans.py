@@ -505,3 +505,40 @@ def test_memorization_score_gram_keys_are_bigint(spark):
     # sf1 probe).
     assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_partitioned_layout_prunes_directories(spark):
+    """io06: a filter on the hive partition column must become
+    PartitionFilters at planning time (non-matching lang directories are
+    never listed into the scan) and the scan must read zero data-file
+    bytes for the pruned languages."""
+    df = REGISTRY["io06_partitioned_prune"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]
+    # the write really produced a directory per language (5), of which the
+    # partition filter admits exactly 2 — so pruning has something to skip
+    import glob as _glob
+
+    root = re.search(r"InMemoryFileIndex\(1 paths\)\[file:([^\]]+)\]", plan).group(1)
+    langs = {p.rsplit("=", 1)[1] for p in _glob.glob(root + "/lang=*")}
+    assert langs == {"en", "de", "es", "fr", "zh"}
+    df.collect()
+
+
+def test_cdc_latest_state_single_exchange(spark):
+    """ev17: the rank-and-keep-latest shape needs exactly one exchange
+    (hash on user_id) before the final tiny rollup."""
+    df = REGISTRY["ev17_cdc_latest_state"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 2, f"expected window + rollup exchanges only, got {n_ex}:\n{plan[:2000]}"
+
+
+def test_rag_chunking_is_scan_local(spark):
+    """pl11: chunk explosion must happen scan-side — no exchange below
+    the per-lang aggregate's partial/final pair, and no Python UDF."""
+    df = REGISTRY["pl11_rag_chunking"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan[:2000]

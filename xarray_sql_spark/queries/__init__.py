@@ -86,7 +86,9 @@ _PRIORITY = (
 # mm07_image_rollup, ss11_mmr_diversify, ts14_vocab_growth,
 # ev15_transition_matrix, sk03_bloom_prefilter_join,
 # io03_corrupt_record_quarantine, gr01_dup_graph_pagerank,
-# io04_schema_evolution, ev16_conversion_delays. Rotate
+# io04_schema_evolution, ev16_conversion_delays,
+# io05_orc_roundtrip, io06_partitioned_prune, pl11_rag_chunking,
+# ev17_cdc_latest_state. Rotate
 # these into the first 50 next round, displacing this round's re-proof
 # entries.
 

@@ -241,3 +241,73 @@ def io04_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "io05_orc_roundtrip",
+    oracle=_IO_ORACLE,
+    tags=("io", "orc", "ingest", "roundtrip"),
+    bench=False,  # I/O fixture: proves the cycle, not a throughput shape
+)
+def io05_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest parity: the second columnar lake format Spark ships a
+    native vectorized reader/writer for (Hive/Trino deployments hold
+    petabytes of it). Same cycle as io01/io02 — write the documents
+    table as ORC, explicit-schema readback, per-lang rollup — hashed
+    against the oracle over the ORIGINAL parquet, so a match proves the
+    ORC writer/reader cycle is lossless for the int64/string model.
+
+    Scale: ORC stripes are splittable like parquet row groups, and the
+    reader does predicate pushdown + column pruning through the same
+    DataSource V1 path; the cycle is one shuffle-free write pass plus a
+    map-side-combinable aggregate."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "io06_partitioned_prune",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents WHERE lang IN ('en', 'zh')
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+    tags=("io", "parquet", "hive-partitioning", "pruning"),
+    bench=False,  # I/O fixture: proves the layout contract, not throughput
+)
+def io06_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned lake layout: the documents table is written
+    ``partitionBy("lang")`` (the directory-per-value layout every curated
+    corpus uses for its coarsest filter column), then read back with a
+    partition-column filter. Catalyst turns the filter into
+    ``PartitionFilters`` at PLANNING time — non-matching directories are
+    never listed into the scan, the 100-TB version of "don't read 3 of 5
+    language shards" (pinned by a plan test on this fixture). The oracle
+    applies the same filter to the flat table, so the hash also proves
+    partition values round-trip through directory names (URL-escaped
+    keys included).
+
+    Scale: pruning cost is proportional to the partition COUNT (a
+    metadata listing), not data size; low-cardinality columns only —
+    partitionBy on doc_id would create one directory per row."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars", "lang"
+    )
+    root = os.path.join(
+        _IO_DIR, f"bylang-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    d.write.mode("overwrite").partitionBy("lang").parquet(root)
+    back = spark.read.parquet(root).filter(F.col("lang").isin("en", "zh"))
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1986,7 +1986,7 @@ def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emitted.groupBy("source")
         .agg(
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count_if(F.col("off") == 0).alias("n_docs"),
             F.min("f8").cast("bigint").alias("factor_eighths"),
             F.count("*").alias("n_emitted"),
             F.sum("toks").cast("bigint").alias("tokens_emitted"),
@@ -2296,4 +2296,115 @@ def ev16_conversion_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us)")
         .cast("bigint").alias("p90_us"),
         F.max("delay_us").cast("bigint").alias("max_us"),
+    )
+
+
+# --- pl11: RAG chunking (sliding window with overlap) -------------------------
+@query(
+    "pl11_rag_chunking",
+    oracle="""
+    WITH c AS (
+        SELECT lang, doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS off
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ch AS (
+        SELECT lang, off, substr(text, off + 1, 200) AS chunk FROM c
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE off = 0) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(length(chunk)) AS BIGINT) AS sum_chunk_chars,
+           CAST(sum(('0x' || substring(md5(chunk), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS chunk_sig
+    FROM ch GROUP BY lang ORDER BY lang
+    """,
+    tags=("chunking", "rag", "pipeline", "beyond-reference"),
+)
+def pl11_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding prep
+    step every RAG and long-context pipeline runs before vectorizing:
+    windows of 200 chars at stride 150 (50-char overlap so no sentence
+    straddles a boundary unseen). Offsets come from ``sequence`` +
+    ``explode`` (JVM-side, no Python), the chunk text from character
+    ``substring`` — both engines index characters, not bytes, so
+    multibyte corpora chunk identically. The per-lang rollup hashes a
+    60-bit md5 signature of every chunk, so a match proves the exact
+    chunk CONTENT (boundaries included), not just the counts.
+
+    Scale: chunking is scan-local (explode multiplies rows ~n_chars/150
+    with zero exchange); the only shuffle is the final 5-row per-lang
+    aggregate, map-side combined. Chunk rows never need to materialize
+    corpus-wide — downstream embedding consumes them streaming, exactly
+    how this query's aggregate does."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    offs = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(150)
+    )
+    ch = d.select("lang", "text", F.explode(offs).alias("off")).select(
+        "lang",
+        "off",
+        F.expr("substring(text, off + 1, 200)").alias("chunk"),
+    )
+    sig = (
+        F.conv(F.substring(F.md5(F.col("chunk")), 1, 15), 16, 10).cast("bigint")
+        % 1_000_000_000
+    )
+    return (
+        ch.groupBy("lang")
+        .agg(
+            F.count_if(F.col("off") == 0).alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.length("chunk")).cast("bigint").alias("sum_chunk_chars"),
+            F.sum(sig).cast("bigint").alias("chunk_sig"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- ev17: CDC latest-state materialization -----------------------------------
+@query(
+    "ev17_cdc_latest_state",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type AS last_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(value), 6) AS avg_last_value,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_last_us
+    FROM r WHERE rn = 1
+    GROUP BY event_type ORDER BY last_type
+    """,
+    tags=("events", "cdc", "upsert", "pipeline"),
+)
+def ev17_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state materialization: collapse an append-only change
+    feed to one current row per key — the upsert-view every warehouse
+    sink (and every feature store) derives from a change stream. Latest
+    = row_number() over (key ORDER BY epoch-µs DESC, event_id DESC): the
+    µs-domain ordering with a unique tie-break, so both engines pick the
+    IDENTICAL row when timestamps collide at ns precision (ev15's rule).
+    The rollup groups survivors by their final state.
+
+    Scale: one exchange on the key, and AQE handles skewed keys; at
+    100 TB the same shape runs incrementally — a date-partitioned feed
+    only re-ranks keys touched in the new partition (cf. dd08's
+    incremental contract)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").desc(), F.col("event_id").desc()
+    )
+    latest = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        latest.groupBy(F.col("event_type").alias("last_type"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_last_value"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("max_last_us"),
+        )
+        .orderBy("last_type")
     )
