@@ -246,3 +246,39 @@ def test_string_metadata_shortcut_declines_nonbinary_collation(spark, monkeypatc
     assert xs2._with_metadata_aggregates(xs2.spark.sql(q)) is None
     slow = xs2.sql(q).df.collect()[0]
     assert (slow.lo, slow.hi, slow.n) == ("A", "c", 3)
+
+
+def test_nat_coord_count_dim_excludes_nulls(xs):
+    """COUNT(dim) must exclude the NaT rows (they pivot to SQL NULL) even
+    when the zero-job metadata shortcut answers."""
+    xs.from_dataset("natgrid", _nat_ds(), chunks={"time": 2})
+    assert xs.sql("SELECT count(time) AS n FROM natgrid").df.collect()[0].n == 6
+    assert xs.sql("SELECT count(lat) AS n FROM natgrid").df.collect()[0].n == 8
+    # and the shortcut really is the responder for the clean-dim case
+    fast = xs._with_metadata_aggregates(
+        xs.spark.sql("SELECT count(time) AS n FROM natgrid")
+    )
+    assert fast is None or fast.collect()[0].n == 6
+
+
+def test_computed_dim_alias_does_not_borrow_source_axis(spark):
+    """A Project computing ``i + 10 AS i`` is still a pure scan by node
+    shape, but the aliased dim must NOT resolve coordinates from the
+    source axis (exprId passthrough check) — the shifted values are the
+    real coordinates."""
+    xs2 = XarraySession(spark)
+    ds = Dataset(
+        {"v": Variable(("i",), np.array([1.0, 2.0, 3.0, 4.0]))},
+        {"i": np.arange(4, dtype=np.int64)},
+    )
+    xs2.from_dataset("psrc", ds)
+    out = xs2.sql("SELECT i + 10 AS i, v FROM psrc").to_dataset(
+        dims=("i",), chunks={"i": 2}
+    )
+    assert np.asarray(out.coords["i"]).tolist() == [10, 11, 12, 13]
+    np.testing.assert_allclose(
+        np.asarray(out.data_vars["v"].values()), [1.0, 2.0, 3.0, 4.0]
+    )
+    # the bare passthrough still takes the zero-job source-axis path
+    out2 = xs2.sql("SELECT i, v FROM psrc").to_dataset(dims=("i",), chunks={"i": 2})
+    assert np.asarray(out2.coords["i"]).tolist() == [0, 1, 2, 3]

@@ -74,6 +74,40 @@ def pure_scan_payload(df: DataFrame) -> str | None:
         return None
 
 
+def pure_scan_passthrough(df: DataFrame) -> tuple[str, set[str]] | None:
+    """(payload, result columns that ARE the scan's own output attributes)
+    for a pure-scan plan, else None.
+
+    Purity alone does not make a result column safe to resolve from source
+    coordinates: ``SELECT time + INTERVAL 1 HOUR AS time, ...`` is still
+    Project-over-scan, but its ``time`` is a COMPUTED alias (fresh exprId)
+    whose values no longer equal the source axis. Only columns whose
+    exprId appears verbatim in the scan output pass through unchanged —
+    Project/Sort/SubqueryAlias all preserve exprIds for bare attributes,
+    and every alias (even a pure rename) mints a new one, which is the
+    conservative side."""
+    try:
+        payload = pure_scan_payload(df)
+        if payload is None:
+            return None
+        plan = df._jdf.queryExecution().optimizedPlan()
+        scan_ids: set[int] = set()
+        for n in _walk(plan):
+            if n.getClass().getSimpleName() == "DataSourceV2ScanRelation":
+                it = n.output().iterator()
+                while it.hasNext():
+                    scan_ids.add(it.next().exprId().id())
+        passthrough: set[str] = set()
+        it = plan.output().iterator()
+        while it.hasNext():
+            a = it.next()
+            if a.exprId().id() in scan_ids:
+                passthrough.add(a.name())
+        return (payload, passthrough)
+    except Exception:
+        return None
+
+
 def referenced_scan_columns(df: DataFrame, payload_keys) -> dict[str, set[str]]:
     """Map payload key -> columns of that grid scan actually referenced by
     the optimized plan (exprId-precise, so duplicate column names across

@@ -1986,7 +1986,7 @@ def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emitted.groupBy("source")
         .agg(
-            F.count_if(F.col("off") == 0).alias("n_docs"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.min("f8").cast("bigint").alias("factor_eighths"),
             F.count("*").alias("n_emitted"),
             F.sum("toks").cast("bigint").alias("tokens_emitted"),

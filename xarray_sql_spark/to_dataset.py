@@ -228,7 +228,7 @@ class XarrayDataFrame:
         name, src = self._source_dataset()
         if (
             src is not None
-            and self._pure_scan_of(name)
+            and self._pure_scan_of(name, dims)
             and all(d in src.coords for d in dims)
         ):
             coords = {d: np.asarray(src.coords[d]) for d in dims}
@@ -322,18 +322,24 @@ class XarrayDataFrame:
 
         return is_pure_scan(self._df)
 
-    def _pure_scan_of(self, name: str | None) -> bool:
+    def _pure_scan_of(self, name: str | None, dims=()) -> bool:
         """True iff the plan is a pure scan AND the scanned relation is a
-        registered scan (full or pruned) of dataset ``name`` — the guard
-        that keeps a pure scan of some unrelated V2 table from borrowing
-        a registered grid's axes. Falls back to False (collected axes,
-        always correct) whenever identity can't be proven."""
+        registered scan (full or pruned) of dataset ``name`` AND every
+        ``dims`` column is the scan's own output attribute (exprId-level
+        passthrough — a COMPUTED alias like ``time + INTERVAL 1 HOUR AS
+        time`` is still a pure Project-over-scan but its values no longer
+        equal the source axis, so it must not borrow it). Falls back to
+        False (collected axes, always correct) whenever identity can't be
+        proven."""
         if name is None:
             return False
-        from xarray_sql_spark.plans.introspect import pure_scan_payload
+        from xarray_sql_spark.plans.introspect import pure_scan_passthrough
 
-        p = pure_scan_payload(self._df)
-        return p is not None and self._payload_names.get(p) == name
+        pp = pure_scan_passthrough(self._df)
+        if pp is None:
+            return False
+        payload, passthrough = pp
+        return self._payload_names.get(payload) == name and set(dims) <= passthrough
 
     def _build_lazy(self, dims, template, chunk_map: dict, fill_value=None) -> Dataset:
         tmpl = self._resolve_template(template)
@@ -345,7 +351,7 @@ class XarrayDataFrame:
         # (A12), else per-dim SELECT DISTINCT ... ORDER BY (reference
         # ds.py:531-543).
         coords: dict[str, np.ndarray] = {}
-        use_src = src is not None and self._pure_scan_of(name) and all(
+        use_src = src is not None and self._pure_scan_of(name, dims) and all(
             d in src.coords for d in dims
         )
         inner = self._df.persist()

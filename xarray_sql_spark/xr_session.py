@@ -453,7 +453,27 @@ class XarraySession:
             if col not in dims:
                 return None  # a data variable: needs real chunk reads
             if kind == "count":
-                values[out_name] = total  # dim coords are never null
+                # COUNT(dim) excludes NULL rows: NaT/NaN coords pivot to SQL
+                # NULL, so the column's own axis contributes its NON-NULL
+                # (and filter-masked) count, other axes their masked counts.
+                cc = np.asarray(ds.coords[col]) if col in ds.coords else None
+                nn = None
+                if cc is not None and cc.dtype.kind == "M":
+                    nn = ~np.isnat(cc)
+                elif cc is not None and cc.dtype.kind == "f":
+                    nn = ~np.isnan(cc)
+                if nn is not None and not nn.all():
+                    cnt = 1
+                    for d in dims:
+                        m = masks.get(d)
+                        if d == col:
+                            m = nn if m is None else (m & nn)
+                            cnt *= int(m.sum())
+                        else:
+                            cnt *= int(m.sum()) if m is not None else int(ds.sizes[d])
+                    values[out_name] = cnt
+                else:
+                    values[out_name] = total
                 continue
             if total == 0:
                 values[out_name] = None  # SQL MIN/MAX over zero rows
