@@ -488,3 +488,79 @@ def gr01_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- gr02: triangle census of the dup graph ----------------------------------
+def _gr02_oracle() -> str:
+    return f"""{_dup_edges_cte()},
+    ed AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM dup e1
+        JOIN dup e2 ON e2.doc_a = e1.doc_b
+        JOIN dup e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM dup) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
+    """
+
+
+@query(
+    "gr02_triangle_count",
+    oracle=_gr02_oracle(),
+    tags=("graph", "triangles", "dedup", "clustering"),
+    # rides dd04's pair output — same synthetic-vocabulary quadratic
+    # artifact that benches dd04/gr01 out; linear-in-triangles on a real
+    # corpus
+    bench=False,
+)
+def gr02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph: n_triangles vs
+    n_wedges is the global clustering coefficient (3T/W) — the standard
+    probe for whether near-dup pairs form tight cliques (template spam,
+    mirrored sites -> transitive clusters worth collapsing whole) or
+    loose chains (borderline Jaccard scores -> collapse cautiously).
+    All four census numbers are exact integers.
+
+    The enumeration is the classic ordered-edge join: ``dup`` keeps each
+    undirected edge once as (a < b), so a triangle a<b<c is found exactly
+    once as e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — three EQUI-joins, no
+    all-pairs step beyond dd04's bucketed candidate generation. Wedges
+    come from the degree table alone (d·(d−1) DIV 2, floor-exact on both
+    engines).
+
+    Scale: edge-orientation (low id -> high id) is the standard skew cap
+    — a hub vertex only fans out to its HIGHER-id neighbors, halving the
+    worst join key in expectation; production triangle counters refine
+    this to degree-ordering, which this shape accepts unchanged. Each
+    join shuffles 2-int edge tuples; the census aggregates are
+    map-side-combinable counts."""
+    pairs = dd04_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.localCheckpoint(eager=True)  # consumed by 3 self-joins + deg
+    ed = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    deg = ed.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+    )
+    nv = deg.agg(F.count("*").cast("bigint").alias("n_vertices"))
+    ne = pairs.agg(F.count("*").cast("bigint").alias("n_edges"))
+    nw = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges")
+    )
+    nt = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return nv.crossJoin(ne).crossJoin(nw).crossJoin(nt)

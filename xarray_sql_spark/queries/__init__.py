@@ -88,7 +88,7 @@ _PRIORITY = (
 # io03_corrupt_record_quarantine, gr01_dup_graph_pagerank,
 # io04_schema_evolution, ev16_conversion_delays,
 # io05_orc_roundtrip, io06_partitioned_prune, pl11_rag_chunking,
-# ev17_cdc_latest_state. Rotate
+# ev17_cdc_latest_state, gr02_triangle_count. Rotate
 # these into the first 50 next round, displacing this round's re-proof
 # entries.
 
