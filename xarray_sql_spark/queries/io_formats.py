@@ -311,3 +311,108 @@ def io06_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "io07_xml_roundtrip",
+    oracle=_IO_ORACLE,
+    tags=("io", "xml", "ingest", "roundtrip"),
+    bench=False,  # I/O fixture: proves the cycle, not a throughput shape
+)
+def io07_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest parity through Spark 4's BUILT-IN XML source (the
+    spark-xml donation): enterprise feeds (sitemaps, patent corpora,
+    PubMed, legacy B2B) still land as XML; the same cycle as io01/io02 —
+    write the documents table row-per-``<doc>`` element, explicit-schema
+    readback, per-lang rollup — hashed against the oracle over the
+    ORIGINAL parquet proves entity escaping (&amp;/&lt;) and unicode
+    round-trip losslessly for the int64/string model.
+
+    Scale: the XML writer emits one file per task like the other text
+    writers; the reader splits between row tags, so readback
+    parallelizes like JSONL. Control characters are the format boundary
+    (XML 1.0 cannot encode them at all) — arbitrary-binary corpora
+    belong in JSONL (io01) or parquet."""
+    return _roundtrip(spark, sf_dir, "xml", rowTag="doc")
+
+
+@query(
+    "io08_binaryfile_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_content,
+           CAST(sum(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000003)
+                AS BIGINT) AS sum_h60
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("io", "binary", "ingest", "multimodal"),
+    bench=False,  # I/O fixture: proves the landing path, not throughput
+)
+def io08_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose-binary-file landing: the raw multimodal ingestion shape —
+    blobs arrive as ONE FILE PER OBJECT on the object store (crawler
+    output, image dumps), are read through Spark's ``binaryFile`` source
+    (path, length, content), keyed by filename, and joined back to the
+    metadata table. The fixture writes each document's UTF-8 bytes as
+    ``doc_<id>.bin`` from the EXECUTORS (mapInPandas partition-local
+    writes — the driver never touches a payload), reads the directory
+    back, and verifies content integrity per language via md5-derived
+    60-bit residues; the oracle recomputes byte lengths and digests from
+    the original parquet, so a hash match proves every blob landed and
+    read back byte-identical.
+
+    Scale: ``binaryFile`` packs many small files per input partition
+    (spark.sql.files.maxPartitionBytes) and never splits one file — the
+    natural blob granularity; the metadata join shuffles only
+    (doc_id, lang) projections while content stays where it was read.
+    Listing cost is proportional to file COUNT — at 100 TB you shard
+    blobs into subdirectories and register them in a catalog, but the
+    read path is this one."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    root = os.path.join(
+        _IO_DIR, f"blobs-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    def _land(batches):
+        import pandas as pd
+
+        n = 0
+        for pdf in batches:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                with open(os.path.join(root, f"doc_{did}.bin"), "wb") as f:
+                    f.write(txt.encode("utf-8"))
+            n += len(pdf)
+        yield pd.DataFrame({"n": [n]})
+
+    # Eager landing job: the binaryFile listing below must see the files.
+    d.select("doc_id", "text").mapInPandas(_land, "n long").collect()
+
+    blobs = spark.read.format("binaryFile").load(root).select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").alias("nbytes"),
+        F.md5("content").alias("h"),
+    )
+    joined = blobs.join(d.select("doc_id", "lang"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("nbytes").cast("bigint").alias("sum_bytes"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct_content"),
+            F.sum(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint")
+                % F.lit(1000003)
+            )
+            .cast("bigint")
+            .alias("sum_h60"),
+        )
+        .orderBy("lang")
+    )

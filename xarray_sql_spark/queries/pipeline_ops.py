@@ -2408,3 +2408,169 @@ def ev17_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("last_type")
     )
+
+
+# --- ev18: VARIANT semi-structured extraction ---------------------------------
+@query(
+    "ev18_variant_props",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS t,
+               event_id % 97 AS code,
+               user_id % 7 AS tag0,
+               event_id % 5 AS tag1,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT t,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+           CAST(sum(code) AS BIGINT) AS sum_code,
+           CAST(sum(tag0) AS BIGINT) AS sum_tag0,
+           CAST(sum(tag1) AS BIGINT) AS sum_tag1,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM x GROUP BY t ORDER BY t
+    """,
+    tags=("events", "variant", "semi-structured", "pipeline"),
+)
+def ev18_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT extraction — the SHREDDED successor to ev13's
+    string-path JSON access: a nested properties bag (object + array +
+    scalar) is parsed ONCE into the binary VARIANT encoding, then every
+    field access is an offset lookup into that encoding
+    (``variant_get`` with a typed path), not a re-parse of the JSON
+    text — the difference between O(fields x bytes) and O(fields) per
+    row, which is why warehouse engines shred semi-structured columns.
+    The fixture synthesizes the nested bag from raw columns by exact
+    integer arithmetic, so the oracle recomputes the expected values
+    directly — a hash match proves value -> JSON -> VARIANT -> typed
+    extraction is the identity, nested paths and array indexing
+    included. All-integer outputs.
+
+    Scale: ``parse_json`` and ``variant_get`` are JVM expressions
+    inside whole-stage codegen (no UDF); one map-side-combinable
+    aggregate; VARIANT values are shuffle- and parquet-safe, so at
+    100 TB the parse happens once at INGEST and queries pay only the
+    offset lookups."""
+    e = table(spark, sf_dir, "events", spread=True)
+    bag = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("event_type").alias("t"),
+                    (F.col("event_id") % 97).cast("long").alias("code"),
+                ).alias("meta"),
+                F.array(
+                    (F.col("user_id") % 7).cast("long"),
+                    (F.col("event_id") % 5).cast("long"),
+                ).alias("tags"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+        )
+    )
+    x = e.select(bag.alias("v")).select(
+        F.variant_get("v", "$.meta.t", "string").alias("t"),
+        F.variant_get("v", "$.meta.code", "long").alias("code"),
+        F.variant_get("v", "$.tags[0]", "long").alias("tag0"),
+        F.variant_get("v", "$.tags[1]", "long").alias("tag1"),
+        F.variant_get("v", "$.k", "long").alias("k"),
+    )
+    return (
+        x.groupBy("t")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("code").cast("bigint").alias("n_codes"),
+            F.sum("code").cast("bigint").alias("sum_code"),
+            F.sum("tag0").cast("bigint").alias("sum_tag0"),
+            F.sum("tag1").cast("bigint").alias("sum_tag1"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("t")
+    )
+
+
+# --- pl12: dataset card --------------------------------------------------------
+@query(
+    "pl12_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT source, lang, n_chars,
+               len(string_split(text, ' ')) AS toks,
+               md5(text) AS h
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+               round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+               CAST(sum(toks) AS BIGINT) AS sum_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_excess
+        FROM base GROUP BY source
+    ),
+    lc AS (
+        SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang
+    ),
+    top AS (
+        SELECT source, lang AS top_lang, CAST(c AS BIGINT) AS top_lang_docs
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY c DESC, lang ASC
+            ) AS rk FROM lc
+        ) WHERE rk = 1
+    )
+    SELECT p.source, p.n_docs, p.sum_chars, p.mean_chars, p.p50_chars,
+           p.sum_tokens, p.n_langs, p.n_dup_excess,
+           t.top_lang, t.top_lang_docs
+    FROM per_source p JOIN top t USING (source) ORDER BY p.source
+    """,
+    tags=("pipeline", "stats", "dataset-card", "governance"),
+)
+def pl12_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics rollup — the governance artifact every
+    released training corpus ships (datasheets for datasets): per
+    source, document count, size, central tendency (mean + exact type-7
+    median of characters), whitespace-token volume, language breadth,
+    the dominant language with a deterministic tie-break (count DESC,
+    lang ASC), and the exact-duplicate excess (rows minus distinct
+    content digests — dd01's signal as a per-source census number).
+    Mean/median round at 1e-6; everything else is exact integers.
+
+    Scale: ONE scan feeds both aggregates (per-source and per
+    (source, lang)); each is map-side combinable, the distinct counts
+    shuffle (source, value) pairs bounded by content diversity, and the
+    top-language window runs over a |sources| x |langs| table (tiny).
+    The final join is sources-sized — broadcast territory."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("toks"),
+        F.md5("text").alias("h"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+        F.round(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 6
+        ).alias("p50_chars"),
+        F.sum("toks").cast("bigint").alias("sum_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count("*") - F.countDistinct("h")).cast("bigint").alias("n_dup_excess"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    w = W.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        lc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("c").cast("bigint").alias("top_lang_docs"),
+        )
+    )
+    return per_source.join(top, "source").orderBy("source")
