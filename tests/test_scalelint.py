@@ -39,6 +39,10 @@ BNLJ_ALLOWED = {
     "derived from single-row aggregates, size independent of event count)",
     "ss11_mmr_diversify": "exact shortlist stage: 3-row query set broadcast "
     "against the corpus (ss01's contract); diversity steps are keyed joins",
+    "ts15_bigram_surprisal": "1-row corpus-total broadcast (LM normalizer, "
+    "ts10's contract one order higher)",
+    "ev19_incremental_rollup": "1-row day-boundary broadcast splitting "
+    "base/delta (in production the cutoff is a literal)",
 }
 
 

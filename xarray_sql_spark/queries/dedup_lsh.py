@@ -543,6 +543,88 @@ def ss03_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# --- ss12: LSH-bucketed radius (range) search --------------------------------
+RADIUS_TAU = 0.2
+RADIUS_NQ = 50
+
+
+def _lsh_radius_oracle() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_plane_literal_duck(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {bucket_terms} AS bucket FROM e
+    )
+    SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+           CAST(c.vec_id AS BIGINT) AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+    FROM bucketed q JOIN bucketed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {RADIUS_NQ}
+      AND round(list_cosine_similarity(q.v, c.v), 6) >= {RADIUS_TAU}
+    """
+
+
+@query(
+    "ss12_radius_search",
+    oracle=_lsh_radius_oracle(),
+    tags=("similarity", "lsh", "range-query", "pipeline"),
+)
+def ss12_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the retrieval verb top-k cannot express:
+    return EVERY corpus vector within a fixed cosine radius of each
+    query, however many or few there are (near-duplicate sweeps, recall
+    sets, dense-region diagnostics all want "all matches above τ", not
+    "the best 3"). Same sublinear shape as ss03: one scan computes the
+    8-bit hyperplane signature, candidates come from the bucket
+    equi-join, and the radius test runs only within the bucket. The
+    decision compares the ROUNDED cosine on both engines, so the keep/
+    drop boundary sits on the shared 1e-6 grid.
+
+    Scale: identical to ss03 — candidates are ~1/256 of the corpus per
+    query, recall is tuned with multi-probe or more tables, and the
+    output is linear in TRUE matches (radius queries are the shape
+    whose result size top-k clamps artificially)."""
+    table(spark, sf_dir, "embeddings", spread=True).createOrReplaceTempView(
+        "ss12_embeddings"
+    )
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(repr(x) for x in PLANES[p]) + ")"
+        for p in range(N_PLANES)
+    ) + ")"
+    return spark.sql(f"""
+        WITH b AS (
+            SELECT vec_id, v,
+                   aggregate(sequence(0, {N_PLANES - 1}), 0, (acc, p) ->
+                       acc + IF(aggregate(zip_with(v, {planes_sql}[p],
+                                                   (x, y) -> x * y),
+                                CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= 0,
+                                shiftleft(1, p), 0)) AS bucket,
+                   sqrt(aggregate(transform(v, x -> x * x),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS norm
+            FROM (SELECT vec_id, CAST(embedding AS array<double>) AS v
+                  FROM ss12_embeddings)
+        ),
+        scored AS (
+            SELECT /*+ BROADCAST(q) */
+                   q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(aggregate(zip_with(q.v, c.v, (x, y) -> x * y),
+                             CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+                       / (q.norm * c.norm), 6) AS cosine
+            FROM b c JOIN (SELECT * FROM b WHERE vec_id < {RADIUS_NQ}) q
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM scored WHERE cosine >= {RADIUS_TAU}
+    """)
+
+
 # --- BPE-ish regex tokenization --------------------------------------------
 TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 

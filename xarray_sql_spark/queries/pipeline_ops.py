@@ -2574,3 +2574,176 @@ def pl12_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_source.join(top, "source").orderBy("source")
+
+
+# --- ts15: interpolated bigram-LM surprisal -----------------------------------
+@query(
+    "ts15_bigram_surprisal",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM docs, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT AS gh12,
+               ('0x' || substring(md5(w1), 1, 15))::BIGINT AS gh1,
+               ('0x' || substring(md5(w2), 1, 15))::BIGINT AS gh2
+        FROM pos
+    ),
+    uni AS (
+        SELECT ('0x' || substring(md5(t), 1, 15))::BIGINT AS gh,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+    big AS (SELECT gh12, CAST(count(*) AS BIGINT) AS c12 FROM h GROUP BY 1)
+    SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln(0.75 * (b.c12 / CAST(u1.cnt AS DOUBLE))
+                         + 0.25 * (u2.cnt / CAST(t.n AS DOUBLE)))), 6)
+               AS surprisal
+    FROM h
+    JOIN big b USING (gh12)
+    JOIN uni u1 ON u1.gh = h.gh1
+    JOIN uni u2 ON u2.gh = h.gh2
+    CROSS JOIN tot t
+    GROUP BY h.doc_id
+    """,
+    tags=("text", "language-model", "quality", "pipeline"),
+)
+def ts15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal — ts10's model one order higher
+    and the closest relational analogue of CCNet's KenLM filter:
+    p(w2|w1) = 0.75·c(w1w2)/c(w1) + 0.25·c(w2)/N (fixed-weight Jelinek-
+    Mercer smoothing, so unseen-bigram mass comes from the unigram
+    model), document score = -avg ln p over its bigram positions.
+    Repetitive/templated text scores LOW (its bigrams dominate the
+    model), outlier-vocabulary text scores HIGH.
+
+    Cross-engine: every join key is a 60-bit md5 prefix (dd10's rule —
+    an 8-byte shuffle key both engines derive identically, so even a
+    collision cannot diverge the hash); the interpolation is spelled
+    with the identical operation order on both sides and ln() rides
+    ts10's documented 1e-6 rounding budget.
+
+    Scale: the bigram table is the heavy object — still far sublinear
+    in corpus size (Heaps' law on pairs) and carrying only (hash,
+    count); the position stream shuffles 8-byte keys, never text. One
+    explode for unigrams, one for positions, then hash equi-joins; the
+    1-row total broadcasts. At 100 TB you'd prune the bigram table to
+    counts >= 2 (singleton bigrams collapse into the smoothed unigram
+    term) — the same join shape with a smaller build side."""
+    # spread measured 2.5x faster at sf0.1 (3.1 -> 1.2 s): the per-row
+    # 3x md5 + explode work is heavy enough to repay distributing an
+    # unsplittable layout (dd10's rule, unlike ts10's light explode)
+    d = table(spark, sf_dir, "documents", spread=True)
+    docs = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    # 0-based Spark indexing; struct fields keep (w1, w2) names
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    )
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    h = pos.select(
+        "doc_id",
+        h60(F.concat_ws(" ", "bg.w1", "bg.w2")).alias("gh12"),
+        h60(F.col("bg.w1")).alias("gh1"),
+        h60(F.col("bg.w2")).alias("gh2"),
+    )
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .select(h60(F.col("t")).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").cast("long").alias("n"))
+    big = h.groupBy("gh12").agg(F.count("*").alias("c12"))
+    p = F.lit(0.75) * (F.col("c12") / F.col("c1").cast("double")) + F.lit(
+        0.25
+    ) * (F.col("c2") / F.col("n").cast("double"))
+    return (
+        h.join(big, "gh12")
+        .join(uni.select(F.col("gh").alias("gh1"), F.col("cnt").alias("c1")), "gh1")
+        .join(uni.select(F.col("gh").alias("gh2"), F.col("cnt").alias("c2")), "gh2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 6).alias("surprisal"),
+        )
+    )
+
+
+# --- ev19: incremental rollup maintenance --------------------------------------
+@query(
+    "ev19_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(event_id % 1000003) AS BIGINT) AS sum_res
+    FROM events GROUP BY 1, 2 ORDER BY event_type, day
+    """,
+    tags=("events", "incremental", "rollup", "pipeline"),
+)
+def ev19_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the warehouse pattern that
+    makes daily rollups affordable at 100 TB: the HISTORICAL rollup
+    (events strictly before the latest day) is merged with the DELTA
+    rollup (the latest day only) by a FULL OUTER join + coalesced adds,
+    and the oracle computes the rollup directly over ALL events — a
+    hash match proves merge(partial(base), partial(delta)) ==
+    full recompute, i.e. the measures are genuinely additive and the
+    merge handles keys that exist on only one side (a brand-new
+    event_type day would appear only in the delta). All-integer
+    measures; day boundaries derive from the data itself.
+
+    Scale: in production the base rollup is a stored table and only the
+    delta is scanned per refresh — this query reproduces both halves
+    from the raw feed to make the identity checkable. Each half is one
+    map-side-combinable aggregate; the merge joins two rollup-sized
+    (not event-sized) tables on the group key."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        (F.col("event_id") % 1000003).cast("bigint").alias("res"),
+    )
+    boundary = e.agg(
+        F.date_trunc("day", F.max("ts")).alias("cutoff")
+    )
+
+    def _rollup(part: DataFrame, suffix: str) -> DataFrame:
+        return part.groupBy("event_type", "day").agg(
+            F.count("*").alias(f"n_{suffix}"),
+            F.sum("k").cast("bigint").alias(f"k_{suffix}"),
+            F.sum("res").cast("bigint").alias(f"r_{suffix}"),
+        )
+
+    with_cut = e.crossJoin(F.broadcast(boundary))
+    base = _rollup(with_cut.filter(F.col("ts") < F.col("cutoff")), "b")
+    delta = _rollup(with_cut.filter(F.col("ts") >= F.col("cutoff")), "d")
+    merged = base.join(delta, ["event_type", "day"], "full_outer")
+    z = F.lit(0).cast("bigint")
+    return merged.select(
+        "event_type",
+        "day",
+        (F.coalesce("n_b", z) + F.coalesce("n_d", z)).cast("bigint").alias("n"),
+        (F.coalesce("k_b", z) + F.coalesce("k_d", z)).cast("bigint").alias("sum_k"),
+        (F.coalesce("r_b", z) + F.coalesce("r_d", z)).cast("bigint").alias("sum_res"),
+    ).orderBy("event_type", "day")
