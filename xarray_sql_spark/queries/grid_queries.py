@@ -2132,3 +2132,52 @@ def gq38_grid_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("v") + F.col("v_next")) / 2).alias("v2"),
     )
     return on_hour.unionAll(mid).orderBy("ti2", "y", "x")
+
+
+@query(
+    "gq39_grid_where_clip_fill",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               (t.i % 24) * 1.0 + y.i * 0.5 + x.i * 0.25 AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+        WHERE y.i < 2 AND x.i < 2
+    )
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           CASE WHEN v >= 8 THEN v END AS masked,
+           least(greatest(v, 4.0), 20.0) AS clipped,
+           coalesce(CASE WHEN v >= 8 THEN v END, 0.0) AS filled
+    FROM cells ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "where", "clip", "fillna"),
+    bench=False,
+)
+def gq39_grid_where_clip_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray conditional-selection verb parity through SQL, three verbs
+    in one pass: ``v.where(v >= 8)`` (keep-else-NaN masking -> CASE WHEN
+    with the NaN<->NULL bridge gq04 pinned), ``v.clip(min=4, max=20)``
+    (LEAST/GREATEST saturation), and ``v.where(...).fillna(0.0)``
+    (COALESCE over the masked value). All three are pure projections on
+    the exact-quarters fixture — bit-exact, no rounding.
+
+    Scale: zero shuffles — element-wise verbs stay inside whole-stage
+    codegen on the scan, exactly how a 100-TB mask/clip/fill pipeline
+    should run (and the predicate-free projection keeps partition
+    pruning + column pruning untouched upstream)."""
+    xs = _register(spark, "gq_grid39")
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid39 WHERE y < 2 AND x < 2"
+    ).df
+    masked = F.when(F.col("v") >= 8, F.col("v"))
+    return df.select(
+        F.col("ti").cast("long").alias("ti"),
+        "y",
+        "x",
+        masked.alias("masked"),
+        F.least(F.greatest(F.col("v"), F.lit(4.0)), F.lit(20.0)).alias("clipped"),
+        F.coalesce(masked, F.lit(0.0)).alias("filled"),
+    ).orderBy("ti", "y", "x")

@@ -528,3 +528,82 @@ def funnel_stage_machine(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _rollup_one_batch(batch_df: DataFrame) -> DataFrame:
+    """The per-batch partial aggregate of the incremental rollup — shared
+    with the merge sink so the test can compare against the identical
+    batch-side expression (ev19_incremental_rollup's measure set minus
+    the JSON column the stream schema drops)."""
+    return batch_df.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("event_id") % 1000003).cast("bigint").alias("sum_res"),
+    )
+
+
+def incremental_rollup_sink(stream: DataFrame, path: str, checkpoint: str):
+    """Streaming twin of ev19_incremental_rollup: maintain a per
+    (event_type, day) rollup TABLE from an event stream by merging each
+    micro-batch's partial aggregate into the stored rollup — the
+    foreachBatch upsert-to-warehouse pattern (what a MERGE INTO does on
+    a transactional table, expressed on plain parquet).
+
+    Exactly-once by APPLIED-BATCH FENCING, not just the checkpoint: the
+    stored rollup carries ``applied_through`` (the max merged batch id);
+    a replayed micro-batch (crash after the parquet commit but before
+    the checkpoint commit — the documented foreachBatch replay window)
+    sees ``batch_id <= applied_through`` and skips, so its rows are
+    never double-counted. The merge localCheckpoints BEFORE overwriting
+    (the store is its own input — same read-transform-overwrite rule as
+    the Zarr region writer).
+
+    Scale: the merge joins two ROLLUP-sized tables (group-key cardinality,
+    not event count) per trigger; the micro-batch aggregate is map-side
+    combinable. On a real lakehouse the same function body targets a
+    transactional MERGE and drops the overwrite."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        delta = _rollup_one_batch(batch_df)
+        exists = os.path.exists(os.path.join(path, "_SUCCESS"))
+        if exists:
+            cur = spark.read.parquet(path)
+            applied = cur.agg(F.max("applied_through")).collect()[0][0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: already merged, skip (idempotence)
+            d = delta.select(
+                "event_type", "day",
+                F.col("n").alias("n_d"), F.col("sum_res").alias("r_d"),
+            )
+            z = F.lit(0).cast("bigint")
+            merged = (
+                cur.drop("applied_through")
+                .join(d, ["event_type", "day"], "full_outer")
+                .select(
+                    "event_type", "day",
+                    (F.coalesce("n", z) + F.coalesce("n_d", z))
+                    .cast("bigint").alias("n"),
+                    (F.coalesce("sum_res", z) + F.coalesce("r_d", z))
+                    .cast("bigint").alias("sum_res"),
+                )
+            )
+        else:
+            merged = delta
+        out = merged.withColumn(
+            "applied_through", F.lit(batch_id).cast("bigint")
+        )
+        # materialize before overwriting the directory we just read
+        out = out.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
