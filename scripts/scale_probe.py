@@ -37,7 +37,11 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # windows densify, user count scales via the id shift)
                  "q46_range_frame", "ev12_funnel_conversion",
                  "ev15_transition_matrix", "ev11_user_value_quartiles",
-                 "ev14_gap_fill", "ss11_mmr_diversify"]
+                 "ev14_gap_fill", "ss11_mmr_diversify",
+                 # round-7 wave 4: bigram LM (heaviest text op), VARIANT
+                 # extraction, incremental-rollup merge, dataset card
+                 "ts15_bigram_surprisal", "ev18_variant_props",
+                 "ev19_incremental_rollup", "pl12_dataset_card"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

@@ -245,3 +245,27 @@ def test_planted_gif_has_no_phantom_color_table():
     g = mm.gif_header(100, 50)
     assert len(g) == mm.GIF_HEADER_LEN
     assert g[10] & 0x80 == 0  # GCT flag clear
+
+
+def test_mp3_header_roundtrip_and_guards():
+    """The MP3 branch unpacks exactly the planted indices; free-format,
+    reserved indices, and truncated syncs fall back to None; JPEG's SOI
+    (0xFF 0xD8) never reaches the MP3 branch."""
+    for br_idx in (1, 9, 14):
+        for sr_idx in (0, 1, 2):
+            for mode in (0, 3):
+                p = mm.mp3_header(br_idx, sr_idx, mode) + b"body"
+                info = mm.parse_container(p)
+                assert info is not None and info["format"] == "mp3"
+                assert info["bitrate_kbps"] == mm.MP3_BITRATES[br_idx]
+                assert info["sample_rate"] == mm.MP3_RATES[sr_idx]
+                assert info["mode"] == mode
+                assert info["data_len"] == 4
+    # free-format bitrate (0) and reserved sample rate (3): not parseable
+    assert mm.parse_container(mm.mp3_header(0, 1, 0) + b"x") is None
+    assert mm.parse_container(mm.mp3_header(5, 3, 0) + b"x") is None
+    # truncated: sync byte alone
+    assert mm.parse_container(b"\xff\xfb") is None
+    # JPEG SOI is not an MP3 frame (version/layer bits fail)
+    j = mm.parse_container(mm.jpeg_header(320, 240) + b"x")
+    assert j is not None and j["format"] == "jpeg"

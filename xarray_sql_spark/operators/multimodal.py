@@ -170,6 +170,21 @@ def wav_header(sample_rate: int, body_len: int) -> bytes:
 # variants all share the same payload prefix (ITU T.81 Table B.1)
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
+# MPEG-1 Layer III tables (ISO 11172-3): bitrate kbps by 4-bit index
+# (0 = free format, 15 = reserved), sample rate Hz by 2-bit index
+# (3 = reserved)
+MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_header(bitrate_idx: int, sr_idx: int, mode: int) -> bytes:
+    """MPEG-1 Layer III frame header: sync(11) + version(2=MPEG1) +
+    layer(2=III) + no-CRC(1), then bitrate/samplerate indices + channel
+    mode — 4 bytes of real ISO 11172-3 bit packing."""
+    return bytes(
+        [0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2), (mode & 0x3) << 6]
+    )
+
 
 def parse_container(payload: bytes) -> dict[str, Any] | None:
     """Sniff + struct-parse a media container header. Returns format,
@@ -221,6 +236,29 @@ def parse_container(payload: bytes) -> dict[str, Any] | None:
             "sample_rate": sample_rate,
             "byte_rate": byte_rate,
             "data_len": data_len,
+        }
+    if (
+        len(payload) >= 4
+        and payload[0] == 0xFF
+        and payload[1] & 0xE0 == 0xE0  # 11-bit frame sync
+        and (payload[1] >> 3) & 0x3 == 0x3  # MPEG version 1
+        and (payload[1] >> 1) & 0x3 == 0x1  # Layer III
+    ):
+        # MPEG-1 Layer III frame header (ISO 11172-3 §2.4.1.3): bitrate
+        # and sample rate are TABLE INDICES in byte 2, channel mode in
+        # byte 3 — the real CBR-MP3 metadata path. (JPEG's 0xFF 0xD8 SOI
+        # cannot reach here: 0xD8 fails the version/layer bit tests.)
+        br_idx = (payload[2] >> 4) & 0xF
+        sr_idx = (payload[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-format / reserved: not parseable CBR
+        return {
+            "format": "mp3",
+            "header_len": 4,
+            "bitrate_kbps": MP3_BITRATES[br_idx],
+            "sample_rate": MP3_RATES[sr_idx],
+            "mode": (payload[3] >> 6) & 0x3,
+            "data_len": len(payload) - 4,
         }
     if payload[:2] == b"\xff\xd8":  # JPEG SOI: scan the marker stream
         pos = 2
@@ -902,4 +940,122 @@ def mm07_image_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("w").cast("int").alias("max_w"),
             F.max("h").cast("int").alias("max_h"),
         )
+    )
+
+
+# --- mm08: MP3 frame-header census --------------------------------------------
+MP3_DECODED_SCHEMA = (
+    "doc_id bigint, bitrate_kbps int, sample_rate int, mode int, "
+    "n_bytes bigint, dur_ms bigint"
+)
+
+
+def mp3_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio documents re-encoded as CBR MP3 payloads: a REAL MPEG-1
+    Layer III frame header (bit-packed indices from doc_id arithmetic)
+    in front of the document body. Separate fixture from
+    ``encoded_media_table`` so mm01-mm07's planted values are
+    untouched."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if doc_id % 3 != 1:  # media_table's audio assignment
+                    continue
+                head = mp3_header(
+                    1 + (doc_id * 7) % 14, (doc_id // 3) % 3, (doc_id // 9) % 4
+                )
+                rows.append(
+                    (doc_id, head + str(text).encode("utf-8"), "audio")
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type"]
+            )
+
+    return d.mapInPandas(
+        _encode, "doc_id long, content binary, media_type string"
+    )
+
+
+def _mp3_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, content, media_type in zip(
+            pdf["doc_id"], pdf["content"], pdf["media_type"]
+        ):
+            if media_type != "audio":  # sniff gated on declared type
+                continue
+            payload = bytes(content)
+            info = parse_container(payload)
+            if info is None or info["format"] != "mp3":
+                continue
+            # CBR duration from the header alone: bits / (kbps * 1000)
+            # = (bytes * 8) / kbps milliseconds — exact integer division
+            rows.append(
+                (
+                    int(doc_id),
+                    info["bitrate_kbps"],
+                    info["sample_rate"],
+                    info["mode"],
+                    len(payload),
+                    info["data_len"] * 8 // info["bitrate_kbps"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "bitrate_kbps", "sample_rate", "mode",
+                "n_bytes", "dur_ms",
+            ],
+        )
+
+
+@query(
+    "mm08_mp3_census",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, strlen(text) AS body_n,
+               ([{", ".join(str(b) for b in MP3_BITRATES[1:])}])[1 + (doc_id * 7) % 14] AS br,
+               ([44100, 48000, 32000])[1 + (doc_id // 3) % 3] AS sr
+        FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT CAST(br AS INT) AS bitrate_kbps,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(body_n + 4) AS BIGINT) AS total_bytes,
+           CAST(sum((body_n * 8) // br) AS BIGINT) AS total_ms
+    FROM a GROUP BY br, sr ORDER BY bitrate_kbps, sample_rate
+    """,
+    tags=("multimodal", "audio", "mp3", "pipeline"),
+    bench=False,  # fixture-encode dominates; decode shape == mm01 (benched)
+)
+def mm08_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 corpus census from REAL MPEG-1 Layer III header bits — the
+    dominant web-audio container joins the parsed-for-real family
+    (PNG/GIF/BMP/WAV/JPEG): bitrate and sample rate are 4-/2-bit TABLE
+    INDICES unpacked from the frame header, duration is the CBR identity
+    bytes*8/kbps in exact integer milliseconds. The fixture plants the
+    indices by doc_id arithmetic; the kernel recovers them ONLY from the
+    packed bytes; the oracle regenerates them from the rule — a hash
+    match proves the bit unpacking.
+
+    Scale: same zero-shuffle Arrow-batched mapInPandas as mm01; the
+    rollup shuffles only (bitrate, rate) group rows after map-side
+    combine — 42 groups regardless of corpus size."""
+    decoded = mp3_media_table(spark, sf_dir).mapInPandas(
+        _mp3_decode_batches, schema=MP3_DECODED_SCHEMA
+    )
+    return (
+        decoded.groupBy("bitrate_kbps", "sample_rate")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("dur_ms").cast("bigint").alias("total_ms"),
+        )
+        .orderBy("bitrate_kbps", "sample_rate")
     )
