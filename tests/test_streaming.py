@@ -570,7 +570,7 @@ def test_incremental_rollup_sink_matches_batch(spark, batch_events, tmp_path):
     q.awaitTermination(120)
 
     got = _rows(
-        spark.read.parquet(sink).select("event_type", "day", "n", "sum_res"),
+        se.read_rollup(spark, sink).select("event_type", "day", "n", "sum_res"),
         "event_type",
         "day",
     )
@@ -578,7 +578,9 @@ def test_incremental_rollup_sink_matches_batch(spark, batch_events, tmp_path):
     assert len(expect) > 0
     assert got == expect
     # >1 micro-batch actually merged (not one big batch)
-    applied = spark.read.parquet(sink).agg(F.max("applied_through")).collect()[0][0]
+    applied = se.read_rollup(spark, sink).agg(
+        F.max("applied_through")
+    ).collect()[0][0]
     assert applied >= 2
 
 
@@ -603,13 +605,13 @@ def test_incremental_rollup_replay_is_idempotent(spark, batch_events, tmp_path):
 
     _run()
     before = _rows(
-        spark.read.parquet(sink).select("event_type", "day", "n", "sum_res"),
+        se.read_rollup(spark, sink).select("event_type", "day", "n", "sum_res"),
         "event_type",
         "day",
     )
     _run()  # restart on same checkpoint: no new files, nothing merged
     after = _rows(
-        spark.read.parquet(sink).select("event_type", "day", "n", "sum_res"),
+        se.read_rollup(spark, sink).select("event_type", "day", "n", "sum_res"),
         "event_type",
         "day",
     )
@@ -623,7 +625,7 @@ def test_incremental_rollup_replay_is_idempotent(spark, batch_events, tmp_path):
     shutil.rmtree(ckpt)
     _run()
     replayed = _rows(
-        spark.read.parquet(sink).select("event_type", "day", "n", "sum_res"),
+        se.read_rollup(spark, sink).select("event_type", "day", "n", "sum_res"),
         "event_type",
         "day",
     )

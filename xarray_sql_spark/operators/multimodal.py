@@ -965,8 +965,11 @@ def mp3_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 doc_id = int(doc_id)
                 if doc_id % 3 != 1:  # media_table's audio assignment
                     continue
+                # multiplier must be coprime with 14 so ALL bitrate
+                # indices are planted (7 shares a factor: only {1, 8}
+                # ever appeared — review finding)
                 head = mp3_header(
-                    1 + (doc_id * 7) % 14, (doc_id // 3) % 3, (doc_id // 9) % 4
+                    1 + (doc_id * 5) % 14, (doc_id // 3) % 3, (doc_id // 9) % 4
                 )
                 rows.append(
                     (doc_id, head + str(text).encode("utf-8"), "audio")
@@ -1020,7 +1023,7 @@ def _mp3_decode_batches(
     oracle=f"""
     WITH a AS (
         SELECT doc_id, strlen(text) AS body_n,
-               ([{", ".join(str(b) for b in MP3_BITRATES[1:])}])[1 + (doc_id * 7) % 14] AS br,
+               ([{", ".join(str(b) for b in MP3_BITRATES[1:])}])[1 + (doc_id * 5) % 14] AS br,
                ([44100, 48000, 32000])[1 + (doc_id // 3) % 3] AS sr
         FROM documents WHERE doc_id % 3 = 1
     )

@@ -448,12 +448,42 @@ def _plane_literal_duck(p: int) -> str:
     return "[" + ", ".join(repr(x) for x in PLANES[p]) + "]::DOUBLE[]"
 
 
-def _lsh_ann_oracle() -> str:
-    bucket_terms = " + ".join(
+def _bucket_terms_duck() -> str:
+    """The 8-bit hyperplane signature, DuckDB spelling — ONE definition
+    shared by every LSH oracle (ss03/ss12), so a change to the plane set
+    or the >= 0 sign rule cannot drift between queries."""
+    return " + ".join(
         f"(CASE WHEN list_inner_product(v, {_plane_literal_duck(p)}) >= 0 "
         f"THEN {1 << p} ELSE 0 END)"
         for p in range(N_PLANES)
     )
+
+
+def _bucketed_cte_spark(view: str) -> str:
+    """The matching Spark-SQL CTE body: signature + L2 norm per vector —
+    the single source of the bucket definition on the Spark side. The
+    8x64 plane matrix appears ONCE inside a sequence-aggregate (the DSL
+    form duplicated a 64-float literal into 8 subtrees and paid ~1 s of
+    py4j/analysis per build)."""
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(repr(x) for x in PLANES[p]) + ")"
+        for p in range(N_PLANES)
+    ) + ")"
+    return f"""
+            SELECT vec_id, v,
+                   aggregate(sequence(0, {N_PLANES - 1}), 0, (acc, p) ->
+                       acc + IF(aggregate(zip_with(v, {planes_sql}[p],
+                                                   (x, y) -> x * y),
+                                CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= 0,
+                                shiftleft(1, p), 0)) AS bucket,
+                   sqrt(aggregate(transform(v, x -> x * x),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS norm
+            FROM (SELECT vec_id, CAST(embedding AS array<double>) AS v
+                  FROM {view})"""
+
+
+def _lsh_ann_oracle() -> str:
+    bucket_terms = _bucket_terms_duck()
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -503,26 +533,8 @@ def ss03_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "embeddings", spread=True).createOrReplaceTempView(
         "ss03_embeddings"
     )
-    # ONE SQL statement with the 8x64 plane matrix appearing ONCE inside a
-    # sequence-aggregate: the previous DSL form duplicated a 64-float array
-    # literal into each of 8 when(zip_with(...)) subtrees, and the driver
-    # paid ~1 s per build in py4j literal conversion + analysis.
-    planes_sql = "array(" + ", ".join(
-        "array(" + ", ".join(repr(x) for x in PLANES[p]) + ")"
-        for p in range(N_PLANES)
-    ) + ")"
     return spark.sql(f"""
-        WITH b AS (
-            SELECT vec_id, v,
-                   aggregate(sequence(0, {N_PLANES - 1}), 0, (acc, p) ->
-                       acc + IF(aggregate(zip_with(v, {planes_sql}[p],
-                                                   (x, y) -> x * y),
-                                CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= 0,
-                                shiftleft(1, p), 0)) AS bucket,
-                   sqrt(aggregate(transform(v, x -> x * x),
-                        CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS norm
-            FROM (SELECT vec_id, CAST(embedding AS array<double>) AS v
-                  FROM ss03_embeddings)
+        WITH b AS ({_bucketed_cte_spark("ss03_embeddings")}
         ),
         scored AS (
             SELECT /*+ BROADCAST(q) */
@@ -549,11 +561,7 @@ RADIUS_NQ = 50
 
 
 def _lsh_radius_oracle() -> str:
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_inner_product(v, {_plane_literal_duck(p)}) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
-    )
+    bucket_terms = _bucket_terms_duck()
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -594,22 +602,8 @@ def ss12_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "embeddings", spread=True).createOrReplaceTempView(
         "ss12_embeddings"
     )
-    planes_sql = "array(" + ", ".join(
-        "array(" + ", ".join(repr(x) for x in PLANES[p]) + ")"
-        for p in range(N_PLANES)
-    ) + ")"
     return spark.sql(f"""
-        WITH b AS (
-            SELECT vec_id, v,
-                   aggregate(sequence(0, {N_PLANES - 1}), 0, (acc, p) ->
-                       acc + IF(aggregate(zip_with(v, {planes_sql}[p],
-                                                   (x, y) -> x * y),
-                                CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= 0,
-                                shiftleft(1, p), 0)) AS bucket,
-                   sqrt(aggregate(transform(v, x -> x * x),
-                        CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS norm
-            FROM (SELECT vec_id, CAST(embedding AS array<double>) AS v
-                  FROM ss12_embeddings)
+        WITH b AS ({_bucketed_cte_spark("ss12_embeddings")}
         ),
         scored AS (
             SELECT /*+ BROADCAST(q) */

@@ -2601,14 +2601,17 @@ def pl12_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     ),
     tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
-    big AS (SELECT gh12, CAST(count(*) AS BIGINT) AS c12 FROM h GROUP BY 1)
+    big AS (
+        SELECT gh12, gh1, gh2, CAST(count(*) AS BIGINT) AS c12
+        FROM h GROUP BY 1, 2, 3
+    )
     SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            round(-avg(ln(0.75 * (b.c12 / CAST(u1.cnt AS DOUBLE))
                          + 0.25 * (u2.cnt / CAST(t.n AS DOUBLE)))), 6)
                AS surprisal
     FROM h
-    JOIN big b USING (gh12)
+    JOIN big b USING (gh12, gh1, gh2)
     JOIN uni u1 ON u1.gh = h.gh1
     JOIN uni u2 ON u2.gh = h.gh2
     CROSS JOIN tot t
@@ -2693,11 +2696,15 @@ def ts15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gh2",
         )
         .crossJoin(F.broadcast(tot))
-        .select("gh12", F.log(p).alias("lnp"))
+        .select("gh12", "gh1", "gh2", F.log(p).alias("lnp"))
     )
+    # join on the FULL (gh12, gh1, gh2) triple: both engines group the
+    # score table by the same key, so even a 60-bit gh12 collision
+    # between distinct bigrams resolves identically (review finding —
+    # joining on gh12 alone would double-match collided positions on
+    # the Spark side only)
     return (
-        h.select("doc_id", "gh12")
-        .join(scores.hint("shuffle_hash"), "gh12")
+        h.join(scores.hint("shuffle_hash"), ["gh12", "gh1", "gh2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -2760,10 +2767,23 @@ def ev19_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = _rollup(with_cut.filter(F.col("ts") >= F.col("cutoff")), "d")
     merged = base.join(delta, ["event_type", "day"], "full_outer")
     z = F.lit(0).cast("bigint")
+
+    def _add(a: str, b: str):
+        # NULL-faithful additive merge: a group whose measure is NULL on
+        # every contributing side must stay NULL (SQL SUM over all-NULLs),
+        # not become 0 — coalescing unconditionally would diverge from
+        # the direct-rollup oracle on a key with no extractable values
+        # (review finding; counts can never hit this, sums can)
+        return (
+            F.when(F.col(a).isNull() & F.col(b).isNull(), F.lit(None))
+            .otherwise(F.coalesce(a, z) + F.coalesce(b, z))
+            .cast("bigint")
+        )
+
     return merged.select(
         "event_type",
         "day",
         (F.coalesce("n_b", z) + F.coalesce("n_d", z)).cast("bigint").alias("n"),
-        (F.coalesce("k_b", z) + F.coalesce("k_d", z)).cast("bigint").alias("sum_k"),
-        (F.coalesce("r_b", z) + F.coalesce("r_d", z)).cast("bigint").alias("sum_res"),
+        _add("k_b", "k_d").alias("sum_k"),
+        _add("r_b", "r_d").alias("sum_res"),
     ).orderBy("event_type", "day")

@@ -551,28 +551,34 @@ def incremental_rollup_sink(stream: DataFrame, path: str, checkpoint: str):
     foreachBatch upsert-to-warehouse pattern (what a MERGE INTO does on
     a transactional table, expressed on plain parquet).
 
-    Exactly-once by APPLIED-BATCH FENCING, not just the checkpoint: the
-    stored rollup carries ``applied_through`` (the max merged batch id);
-    a replayed micro-batch (crash after the parquet commit but before
-    the checkpoint commit — the documented foreachBatch replay window)
-    sees ``batch_id <= applied_through`` and skips, so its rows are
-    never double-counted. The merge localCheckpoints BEFORE overwriting
-    (the store is its own input — same read-transform-overwrite rule as
-    the Zarr region writer).
+    Exactly-once by VERSIONED COMMITS + APPLIED-BATCH FENCING, not just
+    the checkpoint: each merge writes a NEW immutable version directory
+    (``v=<batch_id>``), then flips a one-line ``_CURRENT`` pointer with
+    an atomic rename — a plain ``mode("overwrite")`` of the live
+    directory would have a crash window where the old files are deleted
+    and the new _SUCCESS not yet written, silently reinitializing the
+    rollup from one micro-batch (review finding). Crash anywhere before
+    the pointer flip leaves the old version live and the re-run merges
+    from it again (deterministic, same result); a replayed micro-batch
+    AFTER the flip (crash before the checkpoint commit — the documented
+    foreachBatch replay window) sees ``batch_id <= applied_through`` in
+    the pointed-to version and skips. Superseded versions older than the
+    previous one are pruned after each successful flip.
 
     Scale: the merge joins two ROLLUP-sized tables (group-key cardinality,
     not event count) per trigger; the micro-batch aggregate is map-side
     combinable. On a real lakehouse the same function body targets a
-    transactional MERGE and drops the overwrite."""
+    transactional MERGE and drops the versioning."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         import os
+        import shutil
 
         spark = batch_df.sparkSession
         delta = _rollup_one_batch(batch_df)
-        exists = os.path.exists(os.path.join(path, "_SUCCESS"))
-        if exists:
-            cur = spark.read.parquet(path)
+        cur_path = _rollup_current(path)
+        if cur_path is not None:
+            cur = spark.read.parquet(cur_path)
             applied = cur.agg(F.max("applied_through")).collect()[0][0]
             if applied is not None and batch_id <= applied:
                 return  # replayed batch: already merged, skip (idempotence)
@@ -597,9 +603,21 @@ def incremental_rollup_sink(stream: DataFrame, path: str, checkpoint: str):
         out = merged.withColumn(
             "applied_through", F.lit(batch_id).cast("bigint")
         )
-        # materialize before overwriting the directory we just read
-        out = out.localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(path)
+        vdir = os.path.join(path, f"v={batch_id}")
+        out.write.mode("overwrite").parquet(vdir)
+        # atomic pointer flip: temp file + os.replace on the same filesystem
+        tmp = os.path.join(path, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v={batch_id}")
+        os.replace(tmp, os.path.join(path, "_CURRENT"))
+        # prune versions older than the one just superseded (kept as the
+        # rollback target); names are v=<int>
+        versions = sorted(
+            int(n[2:]) for n in os.listdir(path)
+            if n.startswith("v=") and n[2:].isdigit()
+        )
+        for v in versions[:-2]:
+            shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(_merge)
@@ -607,3 +625,27 @@ def incremental_rollup_sink(stream: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _rollup_current(path: str) -> str | None:
+    """Resolve the live version directory of a versioned rollup sink, or
+    None if no version has ever committed (missing/dangling pointer)."""
+    import os
+
+    ptr = os.path.join(path, "_CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        v = f.read().strip()
+    vdir = os.path.join(path, v)
+    return vdir if os.path.exists(os.path.join(vdir, "_SUCCESS")) else None
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Read the LIVE version of a rollup maintained by
+    ``incremental_rollup_sink`` (the pointer indirection is the read
+    contract — never read the sink root, it holds multiple versions)."""
+    cur = _rollup_current(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed rollup version under {path}")
+    return spark.read.parquet(cur)
