@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "ts10's contract one order higher)",
     "ev19_incremental_rollup": "1-row day-boundary broadcast splitting "
     "base/delta (in production the cutoff is a literal)",
+    "ts16_zipf_fit": "1-row moment-sum x 1-row vocab-count cross (both "
+    "sides single-row aggregates)",
 }
 
 

@@ -564,3 +564,96 @@ def gr02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
     return nv.crossJoin(ne).crossJoin(nw).crossJoin(nt)
+
+
+# --- gr03: near-dup cluster-size distribution ---------------------------------
+def _gr03_oracle() -> str:
+    return f"""
+    WITH RECURSIVE lsh AS ({_minhash_oracle()}),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM lsh
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM lsh
+    ),
+    reach(id, node) AS (
+        SELECT src, src FROM sym GROUP BY src
+        UNION
+        SELECT r.id, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT id, min(node) AS comp FROM reach GROUP BY id),
+    sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY comp),
+    hist AS (
+        SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY sz
+    ),
+    singles AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.id = d.doc_id)
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+    FROM hist
+    UNION ALL
+    SELECT 1, n, n FROM singles WHERE n > 0
+    ORDER BY cluster_size
+    """
+
+
+@query(
+    "gr03_cluster_size_dist",
+    oracle=_gr03_oracle(),
+    tags=("graph", "components", "dedup", "diagnostics"),
+    # rides dd04's pair output + the cc01 fixpoint — same synthetic-
+    # vocabulary artifact that benches dd04/cc01/gr01/gr02 out
+    bench=False,
+)
+def gr03_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-SIZE distribution — THE dedup planning
+    diagnostic: how many clusters of each size exist (and how many
+    documents they hold) decides both the expected purge rate
+    (Σ(sz−1)·n_clusters docs get dropped) and whether min-label
+    propagation needs the hot-key path (a mega-cluster shows up here
+    long before it melts a reducer). Sizes come from cc01's full
+    fixpoint; documents in no candidate pair are size-1 clusters
+    (disjoint from pair clusters, which are always >= 2, so the union
+    cannot collide). All-integer outputs; oracled through the same
+    recursive-CTE closure that proves cc01.
+
+    Scale: the histogram runs over the COMPONENT table (one row per
+    pair-member doc), two map-side-combinable aggregates; the singleton
+    count is an anti-join of doc ids only."""
+    pairs = dd04_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+    comp = connected_components(
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    )
+    sizes = comp.groupBy("comp").agg(F.count("*").cast("bigint").alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    singles = (
+        docs.join(comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

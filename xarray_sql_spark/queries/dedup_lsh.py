@@ -934,3 +934,118 @@ def dd11_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --- ss13: ANN recall evaluation ------------------------------------------------
+RECALL_NQ = 10
+RECALL_K = 3
+
+
+def _ann_recall_oracle() -> str:
+    bucket_terms = _bucket_terms_duck()
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+    q AS (SELECT * FROM b WHERE vec_id < {RECALL_NQ}),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                c.vec_id
+                   ) AS rk
+            FROM b c JOIN q ON c.vec_id <> q.vec_id
+        ) WHERE rk <= {RECALL_K}
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                c.vec_id
+                   ) AS rk
+            FROM b c JOIN q ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        ) WHERE rk <= {RECALL_K}
+    )
+    SELECT CAST(x.query_id AS BIGINT) AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM exact x LEFT JOIN approx a USING (query_id, neighbor_id)
+    GROUP BY x.query_id
+    """
+
+
+@query(
+    "ss13_ann_recall",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "lsh", "evaluation", "diagnostics"),
+    # evaluation diagnostic: the exact arm is deliberately brute force
+    # (dd09's rule for sketch-accuracy checks) — excluded from bench
+    bench=False,
+)
+def ss13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN recall@k — dd09's sketch-accuracy contract applied
+    to retrieval: for each query, the LSH arm's top-{RECALL_K} (ss03's
+    bucket candidates and ranking rule) is scored against the exact
+    brute-force top-{RECALL_K} ground truth, per query. This is how a
+    100-TB pipeline tunes its bucket count / multi-probe width: recall
+    is measured ON A SAMPLE inside the engine, not eyeballed — the exact
+    arm runs on the {RECALL_NQ}-query sample only, never the full
+    corpus. Both arms rank on the identical (cosine DESC, neighbor_id)
+    rule, so hits are well-defined cross-engine; recall rounds on the
+    1e-6 grid.
+
+    Scale: the exact arm is {RECALL_NQ} broadcast queries against one
+    corpus scan (ss01's intentional shape); the approx arm is the ss03
+    bucket equi-join; the comparison joins two k·{RECALL_NQ}-row sets."""
+    table(spark, sf_dir, "embeddings", spread=True).createOrReplaceTempView(
+        "ss13_embeddings"
+    )
+    cos = (
+        "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (q.norm * c.norm)"
+    )
+    return spark.sql(f"""
+        WITH b AS ({_bucketed_cte_spark("ss13_embeddings")}
+        ),
+        q AS (SELECT * FROM b WHERE vec_id < {RECALL_NQ}),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT /*+ BROADCAST(q) */
+                       q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {cos} DESC, c.vec_id
+                       ) AS rk
+                FROM b c JOIN q ON c.vec_id <> q.vec_id
+            ) WHERE rk <= {RECALL_K}
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT /*+ BROADCAST(q) */
+                       q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {cos} DESC, c.vec_id
+                       ) AS rk
+                FROM b c JOIN q
+                  ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            ) WHERE rk <= {RECALL_K}
+        )
+        SELECT x.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(IF(a.neighbor_id IS NOT NULL, 1, 0)) AS BIGINT)
+                   AS n_hit,
+               round(SUM(IF(a.neighbor_id IS NOT NULL, 1, 0))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+        FROM exact x LEFT JOIN approx a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    """)

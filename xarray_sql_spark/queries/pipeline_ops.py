@@ -2787,3 +2787,91 @@ def ev19_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _add("k_b", "k_d").alias("sum_k"),
         _add("r_b", "r_d").alias("sum_res"),
     ).orderBy("event_type", "day")
+
+
+# --- ts16: Zipf rank-frequency fit ---------------------------------------------
+ZIPF_TOP_K = 100
+
+
+@query(
+    "ts16_zipf_fit",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY word
+    ),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vocab),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+        FROM vocab QUALIFY rk <= {ZIPF_TOP_K}
+    ),
+    pts AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+            FROM ranked),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT nv.n_vocab,
+           round((m.k * m.sxy - m.sx * m.sy)
+                 / (m.k * m.sxx - m.sx * m.sx), 6) AS zipf_slope,
+           round((m.sy - ((m.k * m.sxy - m.sx * m.sy)
+                          / (m.k * m.sxx - m.sx * m.sx)) * m.sx) / m.k, 6)
+               AS zipf_intercept
+    FROM m CROSS JOIN nv
+    """,
+    tags=("text", "zipf", "diagnostics", "pipeline"),
+)
+def ts16_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the standard corpus-health diagnostic
+    (natural text runs slope ~ -1 on the log-log rank/frequency curve;
+    templated or synthetic text bends it): OLS slope + intercept of
+    ln(count) against ln(rank) over the top-{ZIPF_TOP_K} word ranks,
+    computed from raw moment sums with the identical closed form on both
+    engines (gq33's normal-equation rule — never the built-in regression
+    aggregates, whose update orders differ). Ranks tie-break (count DESC,
+    word ASC) so both engines pick the identical top set.
+
+    Scale: the vocabulary aggregate is the only data-scale stage
+    (Heaps-sublinear, map-side combined); the rank window runs over the
+    top slice after a SORT of (word, count) pairs — at 100 TB you'd
+    pre-filter to cnt above a coarse threshold before sorting, same
+    shape. The fit itself is a 1-row reduction over {ZIPF_TOP_K} points
+    (ln sums land ~1e-14 from the 1e-6 rounding grid)."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    nv = vocab.agg(F.count("*").cast("bigint").alias("n_vocab"))
+    # distributed top-k (TakeOrderedAndProject: per-partition heads merged
+    # on the driver), NOT a global row_number window — that would sort the
+    # whole vocabulary on one partition; the rank window then runs over
+    # the already-selected {ZIPF_TOP_K} rows only
+    top = vocab.orderBy(F.desc("cnt"), F.asc("word")).limit(ZIPF_TOP_K)
+    w = W.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = top.withColumn("rk", F.row_number().over(w)).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.crossJoin(F.broadcast(nv)).select(
+        "n_vocab",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -88,13 +88,37 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+# Spark's FilePartition packing defaults (SQLConf): a file contributes
+# size + openCostInBytes, and splits bin-pack up to maxPartitionBytes per
+# scan task. Estimating the REAL task count needs both terms — a directory
+# of ten 10 MB part-files has ten row groups but packs into ~5 tasks, and
+# a 10 MB file with 50 row groups is still ONE task (byte ranges, not row
+# groups, are the split unit; row groups only CAP the achievable split).
+_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
 def _scan_tasks_available(path: str) -> int:
     sig = _file_sig(path)
     if sig not in _ROW_GROUPS:
         try:
             import pyarrow.parquet as pq
 
-            _ROW_GROUPS[sig] = pq.ParquetFile(path).num_row_groups
+            if os.path.isdir(path):
+                parts = [
+                    os.path.join(path, n)
+                    for n in os.listdir(path)
+                    if n.endswith(".parquet") or n.startswith("part-")
+                ]
+            else:
+                parts = [path]
+            total_rg = 0
+            effective = 0
+            for f in parts:
+                total_rg += pq.ParquetFile(f).num_row_groups
+                effective += os.path.getsize(f) + _OPEN_COST_BYTES
+            packed = max(1, -(-effective // _MAX_PARTITION_BYTES))
+            _ROW_GROUPS[sig] = min(total_rg, packed) if total_rg else 1
         except Exception:
             _ROW_GROUPS[sig] = 1 << 30  # unknown layout: assume splittable
     return _ROW_GROUPS[sig]
