@@ -61,20 +61,13 @@ PERM_B = [_md5int(f"minhash-b-{i}") % MERSENNE31 for i in range(N_PERMS)]
 EST_JACCARD_MIN = 0.9
 
 
-def _minhash_bands_cte() -> str:
+def _minhash_sig_cte() -> str:
     """Shared oracle CTE prefix: documents -> distinct-token hashes ->
-    16-component MinHash signatures -> 4 banded hashes. Used by dd04's
-    pair generation AND dd08's incremental gate so the band definition
-    exists in exactly one place per engine."""
+    16-component MinHash signatures (no banding). dd12's layout sweep
+    builds its own band arms on top of this."""
     mins = ",\n               ".join(
         f"min(({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE31}) AS s{i}"
         for i in range(N_PERMS)
-    )
-    band_rows = ", ".join(
-        "(" + str(j) + ", md5(concat_ws('-', "
-        + ", ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ")))"
-        for j in range(N_BANDS)
     )
     return f"""
     WITH tok AS (
@@ -86,7 +79,20 @@ def _minhash_bands_cte() -> str:
         SELECT doc_id,
                {mins}
         FROM h GROUP BY doc_id
-    ),
+    )"""
+
+
+def _minhash_bands_cte() -> str:
+    """Signature prefix + the production 4x4 banded hashes. Used by dd04's
+    pair generation AND dd08's incremental gate so the band definition
+    exists in exactly one place per engine."""
+    band_rows = ", ".join(
+        "(" + str(j) + ", md5(concat_ws('-', "
+        + ", ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")))"
+        for j in range(N_BANDS)
+    )
+    return f"""{_minhash_sig_cte()},
     bands AS (
         SELECT doc_id, band.band_idx, band.band_hash
         FROM sig, LATERAL (
@@ -1049,3 +1055,137 @@ def ss13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
         GROUP BY x.query_id
     """)
+
+
+# --- dd12: LSH banding parameter sweep -------------------------------------------
+# The three band layouts 16 permutations admit: collision probability for a
+# pair with true signature agreement s is 1 - (1 - s^rows)^bands — the
+# S-curve every LSH deployment tunes before committing a layout.
+BAND_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows_per_band)
+
+
+def _band_sweep_oracle() -> str:
+    sig_cte = _minhash_sig_cte()
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
+    )
+    arms = []
+    for bands, rows in BAND_CONFIGS:
+        band_rows = ", ".join(
+            "(" + str(j) + ", md5(concat_ws('-', "
+            + ", ".join(f"s{j * rows + r}" for r in range(rows))
+            + ")))"
+            for j in range(bands)
+        )
+        arms.append(f"""
+    SELECT {bands} AS n_bands, {rows} AS rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(count(DISTINCT p.doc_a) + count(DISTINCT p.doc_b)
+                AS BIGINT) AS n_doc_slots,
+           round(avg(({eq_terms}) / {N_PERMS}.0), 6) AS mean_est_jaccard
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, band.band_idx, band.band_hash
+              FROM sig, LATERAL (SELECT * FROM (VALUES {band_rows})
+                                 AS v(band_idx, band_hash)) AS band) a
+        JOIN (SELECT doc_id, band.band_idx, band.band_hash
+              FROM sig, LATERAL (SELECT * FROM (VALUES {band_rows})
+                                 AS v(band_idx, band_hash)) AS band) b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b""")
+    return f"""{sig_cte}
+    {" UNION ALL ".join(arms)}
+    ORDER BY n_bands
+    """
+
+
+@query(
+    "dd12_lsh_band_sweep",
+    oracle=_band_sweep_oracle(),
+    tags=("dedup", "lsh", "tuning", "diagnostics"),
+    # rides the dd04 signature table on the tiny-vocabulary corpus — the
+    # candidate sets are artifact-quadratic like dd04 (bench=False there
+    # for the same reason); on a real corpus each arm is linear in true
+    # near-dups
+    bench=False,
+)
+def dd12_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep — the tuning table computed BEFORE
+    committing a band layout (ss13's measure-inside-the-engine contract
+    applied to the candidate-generation stage): for each layout 16
+    permutations admit (2x8 conservative, 4x4 balanced, 8x2 aggressive),
+    the candidate pair count, the number of matched doc slots, and the
+    mean estimated jaccard of the candidates. More bands with fewer rows
+    shifts the S-curve left: more candidates, lower mean quality — the
+    numbers quantify exactly that tradeoff on YOUR corpus.
+
+    Scale: one signature table (16 ints/doc) feeds all three arms; each
+    arm is a bucketed equi-join on its banded hashes (dd04's shape) and
+    a rollup — no pairwise stage outside the buckets. Arms union to a
+    3-row result."""
+    sig, _ = _minhash_bands_df(spark, sf_dir)
+    sig = sig.localCheckpoint(eager=True)  # consumed by 3 arms x 3 refs
+    eq = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    ) / float(N_PERMS)
+    arms = []
+    for bands, rows in BAND_CONFIGS:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            *[F.col(f"s{j * rows + r}") for r in range(rows)],
+                        )
+                    ).alias("band_hash"),
+                )
+                for j in range(bands)
+            ]
+        )
+        banded = sig.select(
+            "doc_id", F.explode(band_structs).alias("band")
+        ).select("doc_id", "band.band_idx", "band.band_hash")
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        arm = (
+            pairs.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_candidate_pairs"),
+                (
+                    F.countDistinct("doc_a") + F.countDistinct("doc_b")
+                ).cast("bigint").alias("n_doc_slots"),
+                F.round(F.avg(eq), 6).alias("mean_est_jaccard"),
+            )
+            .select(
+                F.lit(bands).cast("int").alias("n_bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                "n_candidate_pairs",
+                "n_doc_slots",
+                "mean_est_jaccard",
+            )
+        )
+        arms.append(arm)
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out.orderBy("n_bands")
