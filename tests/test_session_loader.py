@@ -69,3 +69,38 @@ def test_table_normalizes_every_ts_encoding(spark, tmp_path, arrow_type):
     # numeric cast works too (ev01's seconds-since-epoch path)
     secs = df.select(F.col("ts").cast("double").alias("s")).orderBy("s").collect()
     assert secs[0]["s"] == pytest.approx(WANT_US[0] / 1e6)
+
+
+def test_scan_task_estimate_uses_byte_packing(tmp_path):
+    """The spread heuristic must estimate what Spark's FilePartition
+    packing will DO, not the row-group count alone: a small file with
+    many row groups is still one byte-range task (the round-7 case that
+    serialized ev18 at the 10x replica), a directory of small parts
+    packs by bytes + openCost, and an unsplittable big single-row-group
+    file stays 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xarray_sql_spark.session import _scan_tasks_available
+
+    tbl = pa.table({"x": list(range(10000))})
+
+    # small file, MANY row groups: Spark still scans it as ONE task
+    many_rg = str(tmp_path / "many_rg.parquet")
+    pq.write_table(tbl, many_rg, row_group_size=500)  # 20 row groups
+    assert pq.ParquetFile(many_rg).num_row_groups >= 10
+    assert _scan_tasks_available(many_rg) == 1
+
+    # directory of small parts: packed estimate (bytes + 4MB openCost
+    # per file over 128MB target), capped well below the part count
+    d = tmp_path / "parts.parquet"
+    d.mkdir()
+    for i in range(10):
+        pq.write_table(tbl, str(d / f"part-{i:05d}.parquet"))
+    est = _scan_tasks_available(str(d))
+    assert 1 <= est < 10  # ten ~40MB-effective parts never mean ten tasks
+
+    # single small single-row-group file: 1
+    one = str(tmp_path / "one.parquet")
+    pq.write_table(tbl, one)
+    assert _scan_tasks_available(one) == 1
