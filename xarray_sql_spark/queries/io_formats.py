@@ -54,11 +54,16 @@ _IO_ORACLE = """
 """
 
 
-def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **writer_opts) -> DataFrame:
+def _roundtrip(
+    spark: SparkSession, sf_dir: str, fmt: str, tag: str = "", **writer_opts
+) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    path = os.path.join(_IO_DIR, f"{fmt}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    path = os.path.join(
+        _IO_DIR,
+        f"{fmt}{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
     d.write.mode("overwrite").format(fmt).options(**writer_opts).save(path)
     back = (
         spark.read.format(fmt)
@@ -334,6 +339,27 @@ def io07_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (XML 1.0 cannot encode them at all) — arbitrary-binary corpora
     belong in JSONL (io01) or parquet."""
     return _roundtrip(spark, sf_dir, "xml", rowTag="doc")
+
+
+@query(
+    "io09_gzip_jsonl_roundtrip",
+    oracle=_IO_ORACLE,
+    tags=("io", "jsonl", "gzip", "compression", "roundtrip"),
+    bench=False,  # I/O fixture: proves the cycle, not a throughput shape
+)
+def io09_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSONL roundtrip — how raw crawls actually arrive
+    (WARC-adjacent .json.gz drops): io01's cycle with
+    ``compression=gzip`` on the writer, transparent codec decode on the
+    read. The hash gate proves losslessness through the codec.
+
+    THE scale lesson this query documents: gzip is NOT SPLITTABLE — one
+    .gz file is one task no matter how big, so a single 100 GB drop
+    serializes its scan. The mitigation is in the layout, not the
+    reader: many medium files (this writer emits one per task, the
+    right shape already) or a splittable codec (bzip2, or zstd with a
+    seekable frame index). Never one giant gzip."""
+    return _roundtrip(spark, sf_dir, "json", tag="gz", compression="gzip")
 
 
 @query(

@@ -2875,3 +2875,66 @@ def ts16_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+# --- ev20: longest activity streak (gaps and islands) ----------------------------
+@query(
+    "ev20_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               (CAST(date_trunc('day', ts) AS DATE) - DATE '2020-01-01') AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, island
+    ),
+    best AS (
+        SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak
+        FROM streaks GROUP BY user_id
+    )
+    SELECT best_streak,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY best_streak ORDER BY best_streak
+    """,
+    tags=("events", "streaks", "gaps-islands", "pipeline"),
+)
+def ev20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled up to a
+    streak-length histogram — the classic GAPS-AND-ISLANDS shape
+    (retention/engagement reporting): distinct active days per user,
+    islands keyed by ``day_number − row_number()`` (constant within a
+    consecutive run, strictly decreasing across gaps), island sizes,
+    per-user max. All-integer day arithmetic from a fixed epoch — exact
+    cross-engine; DISTINCT makes multiple same-day events one activity
+    day on both sides.
+
+    Scale: one exchange on user_id shared by the DISTINCT, the
+    row_number window, and both rollups (same partitioning key
+    end-to-end — Catalyst reuses the exchange); the histogram output is
+    bounded by the longest streak, not the user count."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2020-01-01")).alias("d"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("best_streak")
+    )
+    return (
+        best.groupBy("best_streak")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("best_streak")
+    )
