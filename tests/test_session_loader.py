@@ -71,13 +71,14 @@ def test_table_normalizes_every_ts_encoding(spark, tmp_path, arrow_type):
     assert secs[0]["s"] == pytest.approx(WANT_US[0] / 1e6)
 
 
-def test_scan_task_estimate_uses_byte_packing(tmp_path):
+def test_scan_task_estimate_mirrors_spark_packing(tmp_path):
     """The spread heuristic must estimate what Spark's FilePartition
-    packing will DO, not the row-group count alone: a small file with
-    many row groups is still one byte-range task (the round-7 case that
-    serialized ev18 at the 10x replica), a directory of small parts
-    packs by bytes + openCost, and an unsplittable big single-row-group
-    file stays 1."""
+    packing will DO (maxSplitBytes = min(128MB, max(4MB openCost,
+    totalEffective/cores)), row groups capping per-file splits) — not
+    the row-group count alone: a tiny file with many row groups is
+    still one byte-range task (the round-7 case that serialized ev18
+    at the 10x replica), while a directory of single-row-group parts
+    scans one task per part regardless of the dynamic split size."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -85,22 +86,40 @@ def test_scan_task_estimate_uses_byte_packing(tmp_path):
 
     tbl = pa.table({"x": list(range(10000))})
 
-    # small file, MANY row groups: Spark still scans it as ONE task
+    # tiny file, MANY row groups: one byte-range task on any core count
     many_rg = str(tmp_path / "many_rg.parquet")
     pq.write_table(tbl, many_rg, row_group_size=500)  # 20 row groups
     assert pq.ParquetFile(many_rg).num_row_groups >= 10
-    assert _scan_tasks_available(many_rg) == 1
+    assert _scan_tasks_available(many_rg, cores=1) == 1
+    assert _scan_tasks_available(many_rg, cores=32) == 1
 
-    # directory of small parts: packed estimate (bytes + 4MB openCost
-    # per file over 128MB target), capped well below the part count
+    # directory of single-row-group parts: Spark's dynamic split sizing
+    # still cannot cut inside a row group, so ten parts = ten tasks
     d = tmp_path / "parts.parquet"
     d.mkdir()
     for i in range(10):
         pq.write_table(tbl, str(d / f"part-{i:05d}.parquet"))
-    est = _scan_tasks_available(str(d))
-    assert 1 <= est < 10  # ten ~40MB-effective parts never mean ten tasks
+    assert _scan_tasks_available(str(d), cores=32) == 10
+
+    # hive-partitioned subdirectories are walked recursively
+    h = tmp_path / "hive.parquet"
+    for k in ("a", "b", "c"):
+        (h / f"lang={k}").mkdir(parents=True)
+        pq.write_table(tbl, str(h / f"lang={k}" / "part-00000.parquet"))
+    assert _scan_tasks_available(str(h), cores=32) == 3
+
+    # in-place rewrite of one part must invalidate the cached estimate
+    # (directory stat alone would not change — the sig aggregates parts)
+    import time
+
+    time.sleep(0.02)
+    big = pa.table({"x": list(range(200000))})
+    pq.write_table(
+        big, str(d / "part-00000.parquet"), row_group_size=200000
+    )
+    assert _scan_tasks_available(str(d), cores=32) == 10  # still 10 x 1rg
 
     # single small single-row-group file: 1
     one = str(tmp_path / "one.parquet")
     pq.write_table(tbl, one)
-    assert _scan_tasks_available(one) == 1
+    assert _scan_tasks_available(one, cores=32) == 1

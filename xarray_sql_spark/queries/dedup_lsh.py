@@ -82,21 +82,46 @@ def _minhash_sig_cte() -> str:
     )"""
 
 
+def _band_rows_sql(bands: int, rows: int) -> str:
+    """DuckDB VALUES rows hashing a (bands x rows) layout of the s0..s15
+    signature columns — ONE construction for the production 4x4 CTE and
+    dd12's layout sweep."""
+    return ", ".join(
+        "(" + str(j) + ", md5(concat_ws('-', "
+        + ", ".join(f"s{j * rows + r}" for r in range(rows))
+        + ")))"
+        for j in range(bands)
+    )
+
+
+def _band_structs(bands: int, rows: int):
+    """Spark twin of :func:`_band_rows_sql`: the exploded-band struct
+    array over a signature row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "-", *[F.col(f"s{j * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
 def _minhash_bands_cte() -> str:
     """Signature prefix + the production 4x4 banded hashes. Used by dd04's
     pair generation AND dd08's incremental gate so the band definition
     exists in exactly one place per engine."""
-    band_rows = ", ".join(
-        "(" + str(j) + ", md5(concat_ws('-', "
-        + ", ".join(f"s{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ")))"
-        for j in range(N_BANDS)
-    )
     return f"""{_minhash_sig_cte()},
     bands AS (
         SELECT doc_id, band.band_idx, band.band_hash
         FROM sig, LATERAL (
-            SELECT * FROM (VALUES {band_rows}) AS v(band_idx, band_hash)
+            SELECT * FROM (VALUES {_band_rows_sql(N_BANDS, ROWS_PER_BAND)})
+            AS v(band_idx, band_hash)
         ) AS band
     )"""
 
@@ -117,23 +142,9 @@ def _minhash_bands_df(spark: SparkSession, sf_dir: str):
             for i in range(N_PERMS)
         ]
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[F.col(f"s{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                    )
-                ).alias("band_hash"),
-            )
-            for j in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
-    )
+    bands = sig.select(
+        "doc_id", F.explode(_band_structs(N_BANDS, ROWS_PER_BAND)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
     return sig, bands
 
 
@@ -454,6 +465,16 @@ def _plane_literal_duck(p: int) -> str:
     return "[" + ", ".join(repr(x) for x in PLANES[p]) + "]::DOUBLE[]"
 
 
+# The Spark-side exact-cosine fold between aliases q and c — ONE spelling
+# shared by ss03/ss12/ss13 so the distance arithmetic cannot drift between
+# the retrieval queries (the fold equals DuckDB's list_cosine_similarity
+# only at the 1e-6 rounding grid; comparisons/ranks must round first).
+COS_FOLD_SQL = (
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (q.norm * c.norm)"
+)
+
+
 def _bucket_terms_duck() -> str:
     """The 8-bit hyperplane signature, DuckDB spelling — ONE definition
     shared by every LSH oracle (ss03/ss12), so a change to the plane set
@@ -545,9 +566,7 @@ def ss03_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
             SELECT /*+ BROADCAST(q) */
                    q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   aggregate(zip_with(q.v, c.v, (x, y) -> x * y),
-                             CAST(0.0 AS DOUBLE), (a, x) -> a + x)
-                       / (q.norm * c.norm) AS cos
+                   {COS_FOLD_SQL} AS cos
             FROM b c JOIN (SELECT * FROM b WHERE vec_id < 10) q
               ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         )
@@ -614,9 +633,7 @@ def ss12_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
             SELECT /*+ BROADCAST(q) */
                    q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(aggregate(zip_with(q.v, c.v, (x, y) -> x * y),
-                             CAST(0.0 AS DOUBLE), (a, x) -> a + x)
-                       / (q.norm * c.norm), 6) AS cosine
+                   round({COS_FOLD_SQL}, 6) AS cosine
             FROM b c JOIN (SELECT * FROM b WHERE vec_id < {RADIUS_NQ}) q
               ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         )
@@ -960,7 +977,8 @@ def _ann_recall_oracle() -> str:
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 6)
+                                    DESC,
                                 c.vec_id
                    ) AS rk
             FROM b c JOIN q ON c.vec_id <> q.vec_id
@@ -971,7 +989,8 @@ def _ann_recall_oracle() -> str:
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 6)
+                                    DESC,
                                 c.vec_id
                    ) AS rk
             FROM b c JOIN q ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
@@ -985,6 +1004,7 @@ def _ann_recall_oracle() -> str:
                  / CAST(count(*) AS DOUBLE), 6) AS recall
     FROM exact x LEFT JOIN approx a USING (query_id, neighbor_id)
     GROUP BY x.query_id
+    ORDER BY x.query_id
     """
 
 
@@ -1014,10 +1034,10 @@ def ss13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "embeddings", spread=True).createOrReplaceTempView(
         "ss13_embeddings"
     )
-    cos = (
-        "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (q.norm * c.norm)"
-    )
+    # rank on the ROUNDED cosine: the fold and list_cosine_similarity agree
+    # only at the 1e-6 grid, so a top-k MEMBERSHIP decision on raw doubles
+    # could flip at the rank boundary between engines (review finding)
+    cos = f"round({COS_FOLD_SQL}, 6)"
     return spark.sql(f"""
         WITH b AS ({_bucketed_cte_spark("ss13_embeddings")}
         ),
@@ -1054,6 +1074,7 @@ def ss13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM exact x LEFT JOIN approx a
           ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
         GROUP BY x.query_id
+        ORDER BY x.query_id
     """)
 
 
@@ -1071,12 +1092,7 @@ def _band_sweep_oracle() -> str:
     )
     arms = []
     for bands, rows in BAND_CONFIGS:
-        band_rows = ", ".join(
-            "(" + str(j) + ", md5(concat_ws('-', "
-            + ", ".join(f"s{j * rows + r}" for r in range(rows))
-            + ")))"
-            for j in range(bands)
-        )
+        band_rows = _band_rows_sql(bands, rows)
         arms.append(f"""
     SELECT {bands} AS n_bands, {rows} AS rows_per_band,
            CAST(count(*) AS BIGINT) AS n_candidate_pairs,
@@ -1135,22 +1151,8 @@ def dd12_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / float(N_PERMS)
     arms = []
     for bands, rows in BAND_CONFIGS:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "-",
-                            *[F.col(f"s{j * rows + r}") for r in range(rows)],
-                        )
-                    ).alias("band_hash"),
-                )
-                for j in range(bands)
-            ]
-        )
         banded = sig.select(
-            "doc_id", F.explode(band_structs).alias("band")
+            "doc_id", F.explode(_band_structs(bands, rows)).alias("band")
         ).select("doc_id", "band.band_idx", "band.band_hash")
         a, b = banded.alias("a"), banded.alias("b")
         pairs = (

@@ -69,10 +69,34 @@ def get_spark(app_name: str = "xarray-sql-spark", cpus: int | None = None) -> Sp
 _ROW_GROUPS: dict[tuple, int] = {}
 
 
+def _parquet_parts(path: str) -> list[str]:
+    """Data files of a parquet dataset: the file itself, or a recursive
+    walk collecting *.parquet / part-* FILES (hive-partitioned layouts
+    keep parts under key=value subdirectories)."""
+    if not os.path.isdir(path):
+        return [path]
+    parts: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for n in files:
+            if n.endswith(".parquet") or n.startswith("part-"):
+                parts.append(os.path.join(root, n))
+    return parts
+
+
 def _file_sig(path: str) -> tuple:
-    """(path, mtime_ns, size) identity of a file's current contents; the
-    cheap cache-key component that turns 'same path' into 'same bytes'."""
+    """(path, mtime_ns, size) identity of a dataset's current contents.
+    For a directory the signature aggregates over the PART FILES
+    (count, total size, max mtime): the directory's own stat does not
+    change when a part is rewritten in place (review finding)."""
     try:
+        if os.path.isdir(path):
+            parts = _parquet_parts(path)
+            sizes = mt = 0
+            for f in parts:
+                st = os.stat(f)
+                sizes += st.st_size
+                mt = max(mt, st.st_mtime_ns)
+            return (path, mt, sizes, len(parts))
         st = os.stat(path)
         return (path, st.st_mtime_ns, st.st_size)
     except OSError:
@@ -98,27 +122,41 @@ _MAX_PARTITION_BYTES = 128 * 1024 * 1024
 _OPEN_COST_BYTES = 4 * 1024 * 1024
 
 
-def _scan_tasks_available(path: str) -> int:
-    sig = _file_sig(path)
+def _scan_tasks_available(path: str, cores: int = 1) -> int:
+    """Estimate the scan tasks Spark's FilePartition packing will create,
+    mirroring its maxSplitBytes rule: splits target
+    min(maxPartitionBytes, max(openCost, totalEffective/cores)) bytes —
+    the DYNAMIC term means small datasets on many-core sessions split
+    finer than 128 MB (review finding: the static target alone
+    undercounts multi-file layouts and would add a gratuitous
+    repartition). Row groups CAP the achievable split per file (byte
+    ranges cannot cut inside one). Unknown/empty layouts report
+    'splittable' so spread never adds a shuffle on a layout it cannot
+    read."""
+    sig = (_file_sig(path), cores)
     if sig not in _ROW_GROUPS:
         try:
             import pyarrow.parquet as pq
 
-            if os.path.isdir(path):
-                parts = [
-                    os.path.join(path, n)
-                    for n in os.listdir(path)
-                    if n.endswith(".parquet") or n.startswith("part-")
-                ]
-            else:
-                parts = [path]
-            total_rg = 0
-            effective = 0
+            parts = _parquet_parts(path)
+            total_effective = sum(
+                os.path.getsize(f) + _OPEN_COST_BYTES for f in parts
+            )
+            max_split = min(
+                _MAX_PARTITION_BYTES,
+                max(_OPEN_COST_BYTES, total_effective // max(cores, 1)),
+            )
+            tasks = 0
             for f in parts:
-                total_rg += pq.ParquetFile(f).num_row_groups
-                effective += os.path.getsize(f) + _OPEN_COST_BYTES
-            packed = max(1, -(-effective // _MAX_PARTITION_BYTES))
-            _ROW_GROUPS[sig] = min(total_rg, packed) if total_rg else 1
+                rg = pq.ParquetFile(f).num_row_groups
+                # byte-range splits come from the RAW size (openCost only
+                # affects packing), and row groups cap them per file
+                splits = max(1, -(-os.path.getsize(f) // max_split))
+                tasks += min(rg, splits) if rg else 1
+            # bin-packing merges small splits across files up to
+            # max_split effective bytes — a second cap on the total
+            pack_bound = max(1, -(-total_effective // max_split))
+            _ROW_GROUPS[sig] = min(tasks, pack_bound) if parts else 1 << 30
         except Exception:
             _ROW_GROUPS[sig] = 1 << 30  # unknown layout: assume splittable
     return _ROW_GROUPS[sig]
@@ -184,7 +222,7 @@ def table(
         df = df.withColumns({c: F.col(c).cast("timestamp_ltz") for c in ntz_cols})
     if spread:
         cores = spark.sparkContext.defaultParallelism
-        if _scan_tasks_available(path) < max(cores // 4, 2):
+        if _scan_tasks_available(path, cores) < max(cores // 4, 2):
             df = df.repartition(cores)
     per_session[cache_key] = df
     return df
