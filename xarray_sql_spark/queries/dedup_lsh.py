@@ -1038,32 +1038,27 @@ def ss13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only at the 1e-6 grid, so a top-k MEMBERSHIP decision on raw doubles
     # could flip at the rank boundary between engines (review finding)
     cos = f"round({COS_FOLD_SQL}, 6)"
+
+    def _arm(join_cond: str) -> str:
+        # exact and approx differ ONLY in the candidate join predicate
+        return f"""
+            SELECT query_id, neighbor_id FROM (
+                SELECT /*+ BROADCAST(q) */
+                       q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {cos} DESC, c.vec_id
+                       ) AS rk
+                FROM b c JOIN q ON {join_cond}
+            ) WHERE rk <= {RECALL_K}"""
+
     return spark.sql(f"""
         WITH b AS ({_bucketed_cte_spark("ss13_embeddings")}
         ),
         q AS (SELECT * FROM b WHERE vec_id < {RECALL_NQ}),
-        exact AS (
-            SELECT query_id, neighbor_id FROM (
-                SELECT /*+ BROADCAST(q) */
-                       q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY {cos} DESC, c.vec_id
-                       ) AS rk
-                FROM b c JOIN q ON c.vec_id <> q.vec_id
-            ) WHERE rk <= {RECALL_K}
+        exact AS ({_arm("c.vec_id <> q.vec_id")}
         ),
-        approx AS (
-            SELECT query_id, neighbor_id FROM (
-                SELECT /*+ BROADCAST(q) */
-                       q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY {cos} DESC, c.vec_id
-                       ) AS rk
-                FROM b c JOIN q
-                  ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-            ) WHERE rk <= {RECALL_K}
+        approx AS ({_arm("q.bucket = c.bucket AND c.vec_id <> q.vec_id")}
         )
         SELECT x.query_id,
                COUNT(*) AS n_exact,
