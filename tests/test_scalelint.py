@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     "base/delta (in production the cutoff is a literal)",
     "ts16_zipf_fit": "1-row moment-sum x 1-row vocab-count cross (both "
     "sides single-row aggregates)",
+    "ev21_rfm_segments": "1-row corpus-max-day anchor broadcast (the "
+    "recency reference point)",
 }
 
 

@@ -630,3 +630,81 @@ def test_incremental_rollup_replay_is_idempotent(spark, batch_events, tmp_path):
         "day",
     )
     assert replayed == before
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(spark, batch_events):
+    """With capacity >= distinct entities per shard, sharded space-saving
+    degenerates to exact counting: the merged shard tables must equal the
+    batch per-user counts (an entity hashes to exactly one shard, so the
+    merge is plain union)."""
+    n_users = batch_events.select("user_id").distinct().count()
+    out = se.run_to_memory(
+        se.heavy_hitters_stream(
+            se.events_stream(spark, SF_SMALL), capacity=n_users + 10, shards=4
+        ),
+        "t_hh_exact",
+        output_mode="update",
+    )
+    # update mode: keep the LAST emission per (shard, entity)
+    got = {}
+    for r in out.collect():
+        got[(r["shard"], r["entity"])] = (r["cnt"], r["err"])
+    merged = {}
+    for (_s, e), (c, err) in got.items():
+        assert err == 0  # no evictions -> exact
+        merged[e] = merged.get(e, 0) + c
+    expect = {
+        str(r["user_id"]): r["n"]
+        for r in batch_events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert merged == expect
+
+
+def test_heavy_hitters_guarantee_under_eviction(spark, batch_events):
+    """With a tight capacity the counts are approximate, but space-saving's
+    guarantees must hold per shard: cnt is never an underestimate
+    (cnt - err <= true <= cnt) and every entity whose true count exceeds
+    shard_len / capacity is present in its shard's table."""
+    CAP = 3  # 15 distinct users over 2 shards -> ~7/shard: evictions fire
+    SHARDS = 2
+    out = se.run_to_memory(
+        se.heavy_hitters_stream(
+            se.events_stream(spark, SF_SMALL), capacity=CAP, shards=SHARDS
+        ),
+        "t_hh_approx",
+        output_mode="update",
+    )
+    table = {}
+    for r in out.collect():
+        table[(r["shard"], r["entity"])] = (r["cnt"], r["err"])
+
+    truth = {
+        str(r["user_id"]): r["n"]
+        for r in batch_events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    shard_of = {
+        str(r["user_id"]): r["shard"]
+        for r in batch_events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(SHARDS))
+            .cast("int")
+            .alias("shard"),
+        )
+        .collect()
+    }
+    shard_len = {}
+    for e, n in truth.items():
+        shard_len[shard_of[e]] = shard_len.get(shard_of[e], 0) + n
+
+    evicted_somewhere = False
+    for (sh, e), (cnt, err) in table.items():
+        true = truth[e]
+        assert true <= cnt <= true + err, (e, cnt, err, true)
+        evicted_somewhere = evicted_somewhere or err > 0
+    assert evicted_somewhere  # capacity was actually exercised
+    for e, true in truth.items():
+        sh = shard_of[e]
+        if true > shard_len[sh] / CAP:  # the space-saving presence bound
+            assert (sh, e) in table, (e, true, shard_len[sh])

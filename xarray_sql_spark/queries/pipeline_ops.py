@@ -2938,3 +2938,97 @@ def ev20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("best_streak")
     )
+
+
+# --- ev21: RFM segmentation -------------------------------------------------------
+@query(
+    "ev21_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+        SELECT (CAST(date_trunc('day', max(ts)) AS DATE)
+                - DATE '2020-01-01') AS d_max
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(a.d_max - max(CAST(date_trunc('day', ts) AS DATE)
+                                  - DATE '2020-01-01') AS BIGINT) AS recency_d,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0.0), 6) AS monetary
+        FROM events CROSS JOIN anchor a
+        GROUP BY user_id, a.d_max
+    ),
+    scored AS (
+        SELECT user_id,
+               ntile(4) OVER (ORDER BY recency_d ASC, user_id) AS r_q,
+               ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+               ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q,
+               frequency, monetary
+        FROM per_user
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(frequency) AS BIGINT) AS sum_freq,
+           round(sum(monetary), 6) AS sum_monetary
+    FROM scored GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+    """,
+    tags=("events", "rfm", "segmentation", "pipeline"),
+)
+def ev21_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse user-value verb: per
+    user, Recency (days since last activity vs the corpus max day),
+    Frequency (event count), Monetary (purchase value sum), each
+    quartiled by NTILE with a user_id tie-break (ev11's rule: rank on
+    PRE-ROUNDED totals so both engines order identical numbers), rolled
+    up to the 4x4x4 segment census. Day arithmetic is exact integers
+    from a fixed epoch.
+
+    Scale: one user_id exchange feeds the rollup; the three NTILEs run
+    over the USER table (not events) — at 100 TB you'd replace the
+    global NTILE sort with quantile-boundary lookups (q23's two-pass
+    histogram), same output contract; the segment census is 64 rows."""
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(
+        F.datediff(F.date_trunc("day", F.max("ts")), F.lit("2020-01-01"))
+        .alias("d_max")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "d_max")
+        .agg(
+            (
+                F.col("d_max")
+                - F.max(
+                    F.datediff(F.date_trunc("day", "ts"), F.lit("2020-01-01"))
+                )
+            ).cast("bigint").alias("recency_d"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("event_type") == "purchase", F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("monetary"),
+        )
+    )
+    scored = per_user.select(
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy(F.asc("recency_d"), F.asc("user_id"))).alias("r_q"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_q"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("frequency").cast("bigint").alias("sum_freq"),
+            F.round(F.sum("monetary"), 6).alias("sum_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

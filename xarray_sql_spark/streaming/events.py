@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -649,3 +651,101 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed rollup version under {path}")
     return spark.read.parquet(cur)
+
+
+# --- streaming heavy hitters (sharded space-saving) -----------------------------
+_HH_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("entity", StringType()),
+        StructField("cnt", LongType()),
+        StructField("err", LongType()),
+    ]
+)
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+    ]
+)
+
+
+def _hh_fn_factory(capacity: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts, errs = state.get
+            table = {
+                k: [c, e] for k, c, e in zip(keys, counts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdfs:
+            for entity in pdf["entity"]:
+                entity = str(entity)
+                if entity in table:
+                    table[entity][0] += 1
+                elif len(table) < capacity:
+                    table[entity] = [1, 0]
+                else:
+                    # evict the min-count entry; the newcomer inherits its
+                    # count as the overestimation bound (space-saving)
+                    victim = min(table, key=lambda k: (table[k][0], k))
+                    vcnt = table[victim][0]
+                    del table[victim]
+                    table[entity] = [vcnt + 1, vcnt]
+        items = sorted(table.items())
+        state.update(
+            (
+                [k for k, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "entity": [k for k, _ in items],
+                "cnt": [v[0] for _, v in items],
+                "err": [v[1] for _, v in items],
+            }
+        )
+
+    return fn
+
+
+def heavy_hitters_stream(
+    stream: DataFrame, *, capacity: int = 64, shards: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters via SHARDED space-saving (Metwally et al.
+    2005) — the approximate top-k over an unbounded stream, the shape a
+    100-TB event firehose needs when exact per-entity counts won't fit
+    anywhere: each shard (hash of the entity, so an entity lives in
+    EXACTLY one shard and shard tables merge by plain union) maintains at
+    most ``capacity`` counters; a full table evicts its min-count entry
+    and the newcomer inherits that count as its documented overestimate
+    bound (``err``). Guarantees per shard: true_count <= cnt <=
+    true_count + err, and every entity whose true count exceeds
+    shard_stream_length / capacity is PRESENT — so corpus-level heavy
+    hitters are never missed. With capacity >= distinct entities per
+    shard, counts are exact (pinned against the batch groupBy in tests).
+
+    Scale: state is O(shards x capacity) regardless of stream length;
+    each micro-batch touches only the shards with new events. Emissions
+    are update-mode snapshots — the LAST row set per shard is the
+    current table."""
+    sharded = stream.select(
+        F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+        F.col("user_id").cast("string").alias("entity"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _hh_fn_factory(capacity),
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
