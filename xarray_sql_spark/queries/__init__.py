@@ -93,7 +93,8 @@ _PRIORITY = (
 # ts15_bigram_surprisal, ev19_incremental_rollup, ss12_radius_search,
 # gq39_grid_where_clip_fill, mm08_mp3_census, gr03_cluster_size_dist,
 # ts16_zipf_fit, ss13_ann_recall, dd12_lsh_band_sweep,
-# ev20_activity_streaks, io09_gzip_jsonl_roundtrip, ev21_rfm_segments. Rotate
+# ev20_activity_streaks, io09_gzip_jsonl_roundtrip, ev21_rfm_segments,
+# ts17_readability, io10_multiline_json_roundtrip. Rotate
 # these into the first 50 next round, displacing this round's re-proof
 # entries.
 

@@ -363,6 +363,71 @@ def io09_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "io10_multiline_json_roundtrip",
+    oracle=_IO_ORACLE,
+    tags=("io", "json", "multiline", "roundtrip"),
+    bench=False,  # I/O fixture: proves the cycle, not a throughput shape
+)
+def io10_multiline_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretty-printed / array-form JSON roundtrip: API exports and data
+    dumps often arrive as ONE JSON ARRAY per file, not line-delimited —
+    readable only with ``multiLine=true`` (the default line reader sees
+    a '[' line and quarantines everything). The fixture writes each
+    partition's rows as a JSON array file from the executors, reads the
+    directory back multiLine with the explicit schema, and proves the
+    cycle under the hash gate.
+
+    THE scale lesson (gzip's sibling): a multiLine JSON file is NOT
+    SPLITTABLE — the parser must see the whole document, so one task
+    per file no matter the size. The mitigation is again layout (many
+    files — this fixture's shape) or converting to JSONL at the landing
+    zone; never one giant array file."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = os.path.join(
+        _IO_DIR, f"mljson-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def _dump(batches):
+        import json as _json
+
+        import pandas as pd
+
+        n = 0
+        for i, pdf in enumerate(batches):
+            rows = pdf.to_dict(orient="records")
+            fname = os.path.join(
+                path, f"chunk-{os.getpid()}-{i}-{len(rows)}.json"
+            )
+            with open(fname, "w", encoding="utf-8") as f:
+                _json.dump(rows, f, ensure_ascii=False, indent=2)
+            n += len(rows)
+        yield pd.DataFrame({"n": [n]})
+
+    d.mapInPandas(_dump, "n long").collect()  # eager: the read lists files
+    back = (
+        spark.read.option("multiLine", "true").schema(_DOC_SCHEMA).json(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "io08_binaryfile_ingest",
     oracle="""
     SELECT lang,

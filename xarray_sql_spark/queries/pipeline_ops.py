@@ -3032,3 +3032,81 @@ def ev21_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# --- ts17: readability scoring ----------------------------------------------------
+@query(
+    "ts17_readability",
+    oracle="""
+    WITH m AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS sentences,
+               greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                   AS syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, words, sentences, syllables,
+               CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (words / CAST(sentences AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE)
+                   * (syllables / CAST(words AS DOUBLE)) AS flesch
+        FROM m
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(words / CAST(sentences AS DOUBLE)), 6)
+               AS avg_words_per_sentence,
+           round(avg(syllables / CAST(words AS DOUBLE)), 6)
+               AS avg_syllables_per_word,
+           round(avg(flesch), 6) AS mean_flesch
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "readability", "quality", "pipeline"),
+)
+def ts17_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per language — the grade-level proxy
+    quality pipelines bucket corpora by (very low reading ease flags
+    boilerplate/legalese; impossibly high flags word salad): words from
+    the whitespace split, sentences as terminal-punctuation runs,
+    syllables as vowel GROUPS (the standard dictionary-free heuristic),
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    with the identical operation order on both engines. Punctuation-free
+    and vowel-free degenerate docs clamp their denominators to 1 on both
+    sides.
+
+    Scale: pure zero-shuffle JVM regexes feeding one map-side-combined
+    rollup — the same single-scan shape as ts01; no token explode at
+    all (counts come from regexp_extract_all lengths)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    m = d.select(
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    wps = F.col("words") / F.col("sentences").cast("double")
+    spw = F.col("syllables") / F.col("words").cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    scored = m.select("lang", wps.alias("wps"), spw.alias("spw"), flesch.alias("flesch"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("wps"), 6).alias("avg_words_per_sentence"),
+            F.round(F.avg("spw"), 6).alias("avg_syllables_per_word"),
+            F.round(F.avg("flesch"), 6).alias("mean_flesch"),
+        )
+        .orderBy("lang")
+    )
