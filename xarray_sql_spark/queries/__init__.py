@@ -94,7 +94,8 @@ _PRIORITY = (
 # gq39_grid_where_clip_fill, mm08_mp3_census, gr03_cluster_size_dist,
 # ts16_zipf_fit, ss13_ann_recall, dd12_lsh_band_sweep,
 # ev20_activity_streaks, io09_gzip_jsonl_roundtrip, ev21_rfm_segments,
-# ts17_readability, io10_multiline_json_roundtrip. Rotate
+# ts17_readability, io10_multiline_json_roundtrip,
+# pl14_quality_calibration. Rotate
 # these into the first 50 next round, displacing this round's re-proof
 # entries.
 

@@ -3110,3 +3110,78 @@ def ts17_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- pl14: quality-decile calibration ----------------------------------------------
+@query(
+    "pl14_quality_calibration",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               round(len(list_distinct(string_split(text, ' ')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                   AS diversity,
+               len(string_split(text, ' ')) AS toks,
+               md5(text) AS h
+        FROM documents
+    ),
+    deciled AS (
+        SELECT ntile(10) OVER (ORDER BY diversity, doc_id) AS decile,
+               toks, h
+        FROM base
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_excess,
+           CAST(sum(toks) AS BIGINT) AS sum_tokens
+    FROM deciled GROUP BY decile ORDER BY decile
+    """,
+    tags=("pipeline", "quality", "calibration", "diagnostics"),
+    # calibration diagnostic (ss13/dd12's rule): the exact global NTILE
+    # is a corpus-sized single-partition window — the docstring's
+    # two-pass decile boundaries are the bench/scale path
+    bench=False,
+)
+def pl14_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal calibration against duplication — the sanity check
+    run before trusting a quality score as a filter: decile the corpus
+    by lexical diversity (distinct/total words, the Gopher-rule signal;
+    PRE-ROUNDED so both engines rank identical numbers, doc_id
+    tie-break), then per decile count the exact-duplicate excess and
+    token volume. Template spam concentrates in the low-diversity
+    deciles if — and only if — the signal is actually discriminative;
+    a flat dup-rate curve means the score is noise for this corpus.
+
+    Scale: one scan computes the per-doc signals; the NTILE runs over
+    (diversity, doc_id) pairs only — at 100 TB swap it for q23's
+    two-pass histogram decile boundaries, same output contract; the
+    distinct-digest count shuffles (decile, md5) pairs with map-side
+    combine."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("diversity"),
+        F.size(toks).alias("toks"),
+        F.md5("text").alias("h"),
+    )
+    deciled = base.select(
+        "toks",
+        "h",
+        F.ntile(10)
+        .over(W.orderBy(F.asc("diversity"), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.count("*") - F.countDistinct("h"))
+            .cast("bigint")
+            .alias("n_dup_excess"),
+            F.sum("toks").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("decile")
+    )
