@@ -645,14 +645,17 @@ def test_heavy_hitters_exact_when_capacity_suffices(spark, batch_events):
         "t_hh_exact",
         output_mode="update",
     )
-    # update mode: keep the LAST emission per (shard, entity)
-    got = {}
-    for r in out.collect():
-        got[(r["shard"], r["entity"])] = (r["cnt"], r["err"])
+    # current table per shard = the rows carrying that shard's MAX ver
+    rows = out.collect()
+    max_ver = {}
+    for r in rows:
+        max_ver[r["shard"]] = max(max_ver.get(r["shard"], 0), r["ver"])
     merged = {}
-    for (_s, e), (c, err) in got.items():
-        assert err == 0  # no evictions -> exact
-        merged[e] = merged.get(e, 0) + c
+    for r in rows:
+        if r["ver"] != max_ver[r["shard"]]:
+            continue  # stale snapshot from an earlier micro-batch
+        assert r["err"] == 0  # no evictions -> exact
+        merged[r["entity"]] = merged.get(r["entity"], 0) + r["cnt"]
     expect = {
         str(r["user_id"]): r["n"]
         for r in batch_events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
@@ -674,9 +677,17 @@ def test_heavy_hitters_guarantee_under_eviction(spark, batch_events):
         "t_hh_approx",
         output_mode="update",
     )
-    table = {}
-    for r in out.collect():
-        table[(r["shard"], r["entity"])] = (r["cnt"], r["err"])
+    # only the FINAL snapshot per shard obeys the full-stream bounds (an
+    # entity evicted after an earlier emission has a stale smaller cnt)
+    rows = out.collect()
+    max_ver = {}
+    for r in rows:
+        max_ver[r["shard"]] = max(max_ver.get(r["shard"], 0), r["ver"])
+    table = {
+        (r["shard"], r["entity"]): (r["cnt"], r["err"])
+        for r in rows
+        if r["ver"] == max_ver[r["shard"]]
+    }
 
     truth = {
         str(r["user_id"]): r["n"]

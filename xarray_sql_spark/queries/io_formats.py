@@ -71,6 +71,12 @@ def _roundtrip(
         .schema(_DOC_SCHEMA)
         .load(path)
     )
+    return _lang_rollup(back)
+
+
+def _lang_rollup(back: DataFrame) -> DataFrame:
+    """The readback rollup matching _IO_ORACLE — one definition for every
+    roundtrip variant, so a contract change cannot drift between them."""
     return (
         back.groupBy("lang")
         .agg(
@@ -395,15 +401,17 @@ def io10_multiline_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def _dump(batches):
         import json as _json
+        import uuid
 
         import pandas as pd
 
         n = 0
-        for i, pdf in enumerate(batches):
+        for pdf in batches:
             rows = pdf.to_dict(orient="records")
-            fname = os.path.join(
-                path, f"chunk-{os.getpid()}-{i}-{len(rows)}.json"
-            )
+            # uuid per file: pid+index is NOT unique across tasks (reused
+            # Python workers restart the index and can clobber another
+            # partition's file — review finding)
+            fname = os.path.join(path, f"chunk-{uuid.uuid4().hex}.json")
             with open(fname, "w", encoding="utf-8") as f:
                 _json.dump(rows, f, ensure_ascii=False, indent=2)
             n += len(rows)
@@ -413,18 +421,7 @@ def io10_multiline_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     back = (
         spark.read.option("multiLine", "true").schema(_DOC_SCHEMA).json(path)
     )
-    return (
-        back.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("source").cast("bigint").alias("n_sources"),
-            F.sum("n_chars").cast("bigint").alias("sum_chars"),
-            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
-            F.min("doc_id").cast("bigint").alias("min_doc"),
-            F.max("doc_id").cast("bigint").alias("max_doc"),
-        )
-        .orderBy("lang")
-    )
+    return _lang_rollup(back)
 
 
 @query(

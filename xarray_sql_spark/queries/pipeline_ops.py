@@ -3123,7 +3123,7 @@ def ts17_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS diversity,
                len(string_split(text, ' ')) AS toks,
                md5(text) AS h
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     deciled AS (
         SELECT ntile(10) OVER (ORDER BY diversity, doc_id) AS decile,
@@ -3157,7 +3157,9 @@ def pl14_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass histogram decile boundaries, same output contract; the
     distinct-digest count shuffles (decile, md5) pairs with map-side
     combine."""
-    d = table(spark, sf_dir, "documents")
+    # NULL text would rank NULLS FIRST on Spark but NULLS LAST in DuckDB
+    # (pl11's rule) — exclude it from the decile ordering on both sides
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     base = d.select(
         "doc_id",

@@ -657,6 +657,7 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
 _HH_OUT_SCHEMA = StructType(
     [
         StructField("shard", IntegerType()),
+        StructField("ver", LongType()),
         StructField("entity", StringType()),
         StructField("cnt", LongType()),
         StructField("err", LongType()),
@@ -664,6 +665,7 @@ _HH_OUT_SCHEMA = StructType(
 )
 _HH_STATE_SCHEMA = StructType(
     [
+        StructField("ver", LongType()),
         StructField("keys", ArrayType(StringType())),
         StructField("counts", ArrayType(LongType())),
         StructField("errs", ArrayType(LongType())),
@@ -676,12 +678,13 @@ def _hh_fn_factory(capacity: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            keys, counts, errs = state.get
+            ver, keys, counts, errs = state.get
             table = {
                 k: [c, e] for k, c, e in zip(keys, counts, errs)
             }
         else:
-            table = {}
+            ver, table = 0, {}
+        ver += 1  # snapshot version: consumers keep each shard's MAX
         for pdf in pdfs:
             for entity in pdf["entity"]:
                 entity = str(entity)
@@ -699,6 +702,7 @@ def _hh_fn_factory(capacity: int):
         items = sorted(table.items())
         state.update(
             (
+                ver,
                 [k for k, _ in items],
                 [v[0] for _, v in items],
                 [v[1] for _, v in items],
@@ -707,6 +711,7 @@ def _hh_fn_factory(capacity: int):
         yield pd.DataFrame(
             {
                 "shard": [key[0]] * len(items),
+                "ver": [ver] * len(items),
                 "entity": [k for k, _ in items],
                 "cnt": [v[0] for _, v in items],
                 "err": [v[1] for _, v in items],
@@ -734,8 +739,10 @@ def heavy_hitters_stream(
 
     Scale: state is O(shards x capacity) regardless of stream length;
     each micro-batch touches only the shards with new events. Emissions
-    are update-mode snapshots — the LAST row set per shard is the
-    current table."""
+    are update-mode snapshots stamped with a per-shard ``ver`` counter —
+    the rows with each shard's MAX ver are the current table (earlier
+    snapshots of an entity later evicted are stale and must not be mixed
+    in)."""
     sharded = stream.select(
         F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(shards))
         .cast("int")
