@@ -298,3 +298,58 @@ def test_v2_filter_read_fuzz(case):
 
     got = open_zarr(path).data_vars["v"].values()
     np.testing.assert_array_equal(got, data)
+
+
+# --- space-saving kernel differential ----------------------------------------
+@settings(max_examples=60, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    capacity=st.integers(min_value=2, max_value=12),
+    n_chunks=st.integers(min_value=1, max_value=5),
+)
+def test_space_saving_kernel_guarantees(stream, capacity, n_chunks):
+    """Differential fuzz of the heavy-hitters kernel against exact counts,
+    fed in 1-5 'micro-batches' through the real stateful function: after
+    the final batch (state carried between calls), space-saving's
+    invariants must hold for ANY stream — true <= cnt <= true + err for
+    every surviving entity, table size <= capacity, and every entity
+    whose true count exceeds len(stream)/capacity is present."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from xarray_sql_spark.streaming.events import _hh_fn_factory
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _hh_fn_factory(capacity)
+    state = FakeState()
+    chunk = max(1, len(stream) // n_chunks)
+    out = None
+    for i in range(0, len(stream), chunk):
+        pdf = pd.DataFrame({"entity": [str(x) for x in stream[i : i + chunk]]})
+        out = list(fn((0,), iter([pdf]), state))[-1]
+
+    truth = Counter(str(x) for x in stream)
+    table = {
+        e: (c, err)
+        for e, c, err in zip(out["entity"], out["cnt"], out["err"])
+    }
+    assert len(table) <= capacity
+    for e, (cnt, err) in table.items():
+        assert truth[e] <= cnt <= truth[e] + err, (e, cnt, err, truth[e])
+    bound = len(stream) / capacity
+    for e, true in truth.items():
+        if true > bound:
+            assert e in table, (e, true, bound)
