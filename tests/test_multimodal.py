@@ -269,3 +269,70 @@ def test_mp3_header_roundtrip_and_guards():
     # JPEG SOI is not an MP3 frame (version/layer bits fail)
     j = mm.parse_container(mm.jpeg_header(320, 240) + b"x")
     assert j is not None and j["format"] == "jpeg"
+
+
+def test_mp4_header_roundtrip_and_guards():
+    """mm09's ISO-BMFF walk: planted box bytes -> parsed fields roundtrip;
+    every prefix truncation degrades to None (never an exception); the
+    64-bit largesize variant and v1 full boxes parse; other containers'
+    magics never reach the ftyp branch."""
+    import struct
+
+    body = b"clip body bytes" * 7
+    for brand in mm.MP4_BRANDS:
+        for ts in mm.MP4_TIMESCALES:
+            h = mm.mp4_header(brand, ts, 4321, 1280, 720)
+            p = h + struct.pack(">I", 8 + len(body)) + b"mdat" + body
+            info = mm.parse_container(p)
+            assert info is not None and info["format"] == "mp4"
+            assert info["brand"] == brand
+            assert info["timescale"] == ts
+            assert info["duration_units"] == 4321
+            assert (info["width"], info["height"]) == (1280, 720)
+            assert info["data_len"] == len(body)
+            assert info["header_len"] == len(h) + 8
+            assert len(p) == len(body) + mm.MP4_FIXED_OVERHEAD
+    # every truncation point: None, never a crash
+    full = mm.mp4_header("isom", 600, 99, 64, 48)
+    for cut in range(len(full)):
+        assert mm._parse_mp4(full[:cut]) is None, cut
+    # v1 mvhd (64-bit times) + v1 tkhd parse through the version branch
+    mvhd1 = (
+        struct.pack(">I", 40) + b"mvhd" + struct.pack(">Bxxx", 1)
+        + struct.pack(">QQIQ", 0, 0, 1000, 5000)
+    )
+    tkhd1 = (
+        struct.pack(">I", 104) + b"tkhd" + struct.pack(">Bxxx", 1)
+        + struct.pack(">QQIxxxxQ", 0, 0, 1, 5000)
+        + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+        + struct.pack(">II", 320 << 16, 240 << 16)
+    )
+    trak = struct.pack(">I", 8 + len(tkhd1)) + b"trak" + tkhd1
+    moov = struct.pack(">I", 8 + len(mvhd1) + len(trak)) + b"moov" + mvhd1 + trak
+    ftyp = (
+        struct.pack(">I", 24) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+        + b"isommp42"
+    )
+    r = mm._parse_mp4(ftyp + moov)
+    assert r == {
+        "format": "mp4", "header_len": len(ftyp + moov), "brand": "isom",
+        "timescale": 1000, "duration_units": 5000, "width": 320,
+        "height": 240, "data_len": 0,
+    }
+    # 64-bit largesize mdat: size field 1 + 8-byte size after the type
+    big = ftyp + moov + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 5) + b"hello"
+    r2 = mm._parse_mp4(big)
+    assert r2 is not None and r2["data_len"] == 5
+    # a zero-size box (malformed) stops the walk instead of looping
+    assert mm._parse_mp4(struct.pack(">I", 0) + b"ftypisom") is None
+    # other magics keep their branch: WAV's RIFF at 0..4 has no ftyp at 4..8
+    w = mm.parse_container(mm.wav_header(32000, 4) + b"\x00" * 4)
+    assert w is not None and w["format"] == "wav"
+
+
+def test_mp4_census_matches_oracle(spark):
+    from tests.oracle_harness import compare
+    from xarray_sql_spark.queries import REGISTRY
+
+    spec = REGISTRY["mm09_mp4_census"]
+    compare(spec.fn(spark, SF_SMALL), spec.oracle, SF_SMALL)

@@ -186,6 +186,146 @@ def mp3_header(bitrate_idx: int, sr_idx: int, mode: int) -> bytes:
     )
 
 
+# ISO base media file format (ISO/IEC 14496-12): the MP4 family. Planted
+# brands / timescales used by the mm09 fixture.
+MP4_BRANDS = ("isom", "mp42", "avc1")
+MP4_TIMESCALES = (600, 1000, 90000)
+
+
+def mp4_header(
+    brand: str,
+    timescale: int,
+    duration_units: int,
+    width: int,
+    height: int,
+) -> bytes:
+    """ISO-BMFF `ftyp` + `moov(mvhd + trak(tkhd))` prefix — the real box
+    layout (ISO/IEC 14496-12 §4.3, §8.2.2, §8.3.2): 32-bit big-endian
+    box sizes, version-0 full boxes, movie duration in `timescale` units
+    in mvhd, track dims as 16.16 fixed-point in tkhd. The caller appends
+    an `mdat` box with the payload body."""
+    import struct
+
+    ftyp = struct.pack(">I", 24) + b"ftyp" + brand.encode("ascii") + struct.pack(
+        ">I", 0
+    ) + b"isommp42"[:8]
+    # mvhd v0: ver/flags(4) creation(4) modification(4) timescale(4)
+    # duration(4) rate(4) volume(2) reserved(10) matrix(36) predefined(24)
+    # next_track_ID(4) = 100 payload bytes, 108 with the box header
+    mvhd = (
+        struct.pack(">I", 108)
+        + b"mvhd"
+        + struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration_units)
+        + struct.pack(">IHxxxxxxxxxx", 0x00010000, 0x0100)
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2)
+    )
+    # tkhd v0: ver/flags(4) creation(4) modification(4) track_ID(4)
+    # reserved(4) duration(4) reserved(8) layer(2) alt_group(2) volume(2)
+    # reserved(2) matrix(36) width(4, 16.16) height(4, 16.16) = 92 total
+    tkhd = (
+        struct.pack(">I", 92)
+        + b"tkhd"
+        + struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, duration_units)
+        + b"\x00" * 8
+        + struct.pack(">HHHxx", 0, 0, 0)
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    return ftyp + moov
+
+
+_MP4_UNITY_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 12 + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+)
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) walking sibling boxes in
+    payload[start:end]; bails (stops yielding) on a malformed size so a
+    truncated tail degrades to 'fields not found', never an exception."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize variant
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            if size < 16 or pos + size > end:
+                return
+            yield typ, pos + 16, pos + size
+        else:
+            if size < 8 or pos + size > end:
+                return
+            yield typ, pos + 8, pos + size
+        pos += size
+
+
+def _parse_mp4(payload: bytes) -> dict[str, Any] | None:
+    """Box-walk an ISO-BMFF prefix: major brand from ftyp, movie
+    timescale + duration from moov/mvhd (v0 and v1 layouts), first
+    track's pixel dims from moov/trak/tkhd's 16.16 fixed-point fields,
+    mdat payload length. Any missing/truncated box -> None (fall back to
+    the opaque-payload path, never crash the task)."""
+    import struct
+
+    brand = timescale = duration = width = height = None
+    data_len = 0
+    header_len = len(payload)
+    for typ, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if typ == b"ftyp" and b1 - b0 >= 4:
+            brand = payload[b0 : b0 + 4].decode("ascii", "replace")
+        elif typ == b"moov":
+            for ityp, i0, i1 in _mp4_boxes(payload, b0, b1):
+                if ityp == b"mvhd" and i1 - i0 >= 20:
+                    ver = payload[i0]
+                    if ver == 0 and i1 - i0 >= 20:
+                        timescale, duration = struct.unpack(
+                            ">II", payload[i0 + 12 : i0 + 20]
+                        )
+                    elif ver == 1 and i1 - i0 >= 32:
+                        (timescale,) = struct.unpack(
+                            ">I", payload[i0 + 20 : i0 + 24]
+                        )
+                        (duration,) = struct.unpack(
+                            ">Q", payload[i0 + 24 : i0 + 32]
+                        )
+                elif ityp == b"trak" and width is None:
+                    for ttyp, t0, t1 in _mp4_boxes(payload, i0, i1):
+                        if ttyp != b"tkhd":
+                            continue
+                        ver = payload[t0]
+                        off = t0 + (84 if ver == 0 else 96) - 8
+                        if t1 - off >= 8:
+                            w_fx, h_fx = struct.unpack(
+                                ">II", payload[off : off + 8]
+                            )
+                            width, height = w_fx >> 16, h_fx >> 16
+                        break
+        elif typ == b"mdat":
+            data_len = b1 - b0
+            header_len = b0
+    if brand is None or timescale is None or not timescale or width is None:
+        return None
+    return {
+        "format": "mp4",
+        "header_len": header_len,
+        "brand": brand,
+        "timescale": int(timescale),
+        "duration_units": int(duration),
+        "width": int(width),
+        "height": int(height),
+        "data_len": int(data_len),
+    }
+
+
 def parse_container(payload: bytes) -> dict[str, Any] | None:
     """Sniff + struct-parse a media container header. Returns format,
     header_len and the typed fields the header carries, or None for
@@ -197,6 +337,10 @@ def parse_container(payload: bytes) -> dict[str, Any] | None:
     import struct
     import zlib
 
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO-BMFF (MP4 family): the magic is the ftyp box TYPE at
+        # offset 4, not a leading signature (ISO/IEC 14496-12 §4.3)
+        return _parse_mp4(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
         (length,) = struct.unpack(">I", payload[8:12])
         if length < 8 or len(payload) < 20 + length:
@@ -1062,3 +1206,138 @@ def mm08_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bitrate_kbps", "sample_rate")
     )
+
+
+# --- mm09: MP4 track census ---------------------------------------------------
+MP4_FIXED_OVERHEAD = 248  # ftyp(24) + moov(216) + mdat header(8)
+
+MP4_DECODED_SCHEMA = (
+    "doc_id bigint, brand string, timescale int, dur_ms bigint, "
+    "width int, height int, n_frames int, n_sampled int, n_bytes bigint"
+)
+
+
+def mp4_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video documents re-encoded as ISO-BMFF (MP4) payloads: a REAL
+    ftyp/moov(mvhd+trak(tkhd))/mdat box layout in front of the document
+    body, with brand / timescale / duration / track dims planted by
+    doc_id arithmetic so the DuckDB oracle can regenerate them without
+    parsing bytes. Separate fixture from ``encoded_media_table`` (same
+    rule as mm08's MP3 table) so mm01-mm07's planted values are
+    untouched."""
+    import struct
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if doc_id % 3 != 2:  # media_table's video assignment
+                    continue
+                body = str(text).encode("utf-8")
+                head = mp4_header(
+                    MP4_BRANDS[(doc_id // 3) % 3],
+                    MP4_TIMESCALES[(doc_id // 9) % 3],
+                    1 + (doc_id * 7) % 100000,
+                    128 + (doc_id * 41) % 1792,
+                    72 + (doc_id * 59) % 1008,
+                )
+                payload = head + struct.pack(">I", 8 + len(body)) + b"mdat" + body
+                rows.append((doc_id, payload, "video"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type"]
+            )
+
+    return d.mapInPandas(
+        _encode, "doc_id long, content binary, media_type string"
+    )
+
+
+def _mp4_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, content, media_type in zip(
+            pdf["doc_id"], pdf["content"], pdf["media_type"]
+        ):
+            if media_type != "video":  # sniff gated on declared type
+                continue
+            payload = bytes(content)
+            info = parse_container(payload)
+            if info is None or info["format"] != "mp4":
+                continue
+            ts, du = info["timescale"], info["duration_units"]
+            # exact integer arithmetic only (hash gate): CBR-style
+            # identities — ms = units*1000/timescale, nominal 24 fps
+            n_frames = max(du * 24 // ts, 1)
+            rows.append(
+                (
+                    int(doc_id),
+                    info["brand"],
+                    ts,
+                    du * 1000 // ts,
+                    info["width"],
+                    info["height"],
+                    n_frames,
+                    (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE,
+                    len(payload),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "brand", "timescale", "dur_ms",
+                "width", "height", "n_frames", "n_sampled", "n_bytes",
+            ],
+        )
+
+
+@query(
+    "mm09_mp4_census",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id, strlen(text) AS body_n,
+               (['{"', '".join(MP4_BRANDS)}'])[1 + (doc_id // 3) % 3] AS brand,
+               ([{", ".join(str(t) for t in MP4_TIMESCALES)}])[1 + (doc_id // 9) % 3] AS ts,
+               1 + (doc_id * 7) % 100000 AS du,
+               128 + (doc_id * 41) % 1792 AS w,
+               72 + (doc_id * 59) % 1008 AS h
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, brand,
+           CAST(ts AS INT) AS timescale,
+           CAST(du * 1000 // ts AS BIGINT) AS dur_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(greatest(du * 24 // ts, 1) AS INT) AS n_frames,
+           CAST((greatest(du * 24 // ts, 1) + {FRAME_STRIDE - 1}) // {FRAME_STRIDE}
+                AS INT) AS n_sampled,
+           CAST(body_n + {MP4_FIXED_OVERHEAD} AS BIGINT) AS n_bytes
+    FROM v ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "mp4", "pipeline"),
+    bench=False,  # fixture-encode dominates; decode shape == mm01 (benched)
+)
+def mm09_mp4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-track MP4 metadata from a REAL ISO-BMFF box walk — video
+    joins the parsed-for-real container family (PNG/GIF/BMP/WAV/JPEG/
+    MP3, reference has none of this; beyond-reference scope): major
+    brand from ftyp, movie timescale + duration from moov/mvhd,
+    pixel dims from the 16.16 fixed-point fields of moov/trak/tkhd,
+    and the frame-sampling plan (nominal 24 fps, every
+    {FRAME_STRIDE}th frame) derived from the PARSED duration — the
+    real version of mm02's stub. The fixture plants the values by
+    doc_id arithmetic; the kernel recovers them ONLY from the box
+    bytes; the oracle regenerates them from the rule — a hash match
+    proves the box walk, the v0 full-box offsets, and the fixed-point
+    unpack.
+
+    Scale: zero-shuffle Arrow-batched mapInPandas over the scan
+    partitioning, identical to mm01/mm08; the final ORDER BY is the
+    comparator's, not the operator's."""
+    decoded = mp4_media_table(spark, sf_dir).mapInPandas(
+        _mp4_decode_batches, schema=MP4_DECODED_SCHEMA
+    )
+    return decoded.orderBy("doc_id")

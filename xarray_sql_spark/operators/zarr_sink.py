@@ -146,6 +146,11 @@ def rechunk_zarr(
             f"would re-encode them in the decoded (float) domain and drop "
             f"the packing — not supported"
         )
+    if not ds.data_vars:
+        raise ValueError(
+            f"rechunk_zarr: store at {src!r} has no data variables — "
+            "nothing to rechunk"
+        )
     xs = XarraySession(spark)
     name = f"__rechunk_{uuid.uuid4().hex[:12]}"
     # register with the SOURCE chunk grid so reads parallelize over the
@@ -323,6 +328,14 @@ def write_zarr_region(
             else:
                 if dt.kind == "f":  # NULL -> fill (matches absent cells)
                     vals = pd.to_numeric(pdf[v], errors="coerce").to_numpy()
+                    # coercion yields NaN for NULL; map those cells to the
+                    # store's fill_value so a non-NaN fill (0, -9999) reads
+                    # back as "absent", not as a spurious NaN (r7 ADVICE)
+                    fv = za.fill_value
+                    if fv is not None and not (
+                        isinstance(fv, float) and np.isnan(fv)
+                    ):
+                        vals = np.where(np.isnan(vals), fv, vals)
                 block[locs] = vals.astype(dt)
                 raw = np.ascontiguousarray(block).tobytes()
                 ts = dt.itemsize

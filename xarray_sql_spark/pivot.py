@@ -59,7 +59,7 @@ def _coord_nullable(arr: np.ndarray) -> bool:
     values (NaT/NaN/None), which pivot to Arrow nulls — declaring those
     fields non-nullable makes Spark's vectorized reader throw
     ``Value at index is null`` at scan time."""
-    if arr.dtype.kind == "M":
+    if arr.dtype.kind in "Mm":  # datetime64 NaT AND timedelta64 NaT
         return bool(np.isnat(arr).any())
     if arr.dtype.kind == "f":
         return bool(np.isnan(arr).any())

@@ -1808,14 +1808,17 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
     v = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    # Memo key includes the parquet's (mtime, size) so an in-process
-    # rewrite of the same path (the scale probe rebuilds its replica)
-    # retrains instead of serving a stale codebook.
+    # Memo key is the dataset's content signature (session._file_sig:
+    # for a directory of part files it aggregates part count/size/mtime,
+    # because the directory's own stat does NOT change when a part is
+    # rewritten in place — r7 ADVICE) so an in-process rewrite of the
+    # same path retrains instead of serving a stale codebook.
     import os as _os
 
+    from xarray_sql_spark.session import _file_sig
+
     fp = _os.path.join(sf_dir, "embeddings.parquet")
-    st = _os.stat(fp)
-    cache_key = (sf_dir, st.st_mtime_ns, st.st_size)
+    cache_key = (sf_dir, _file_sig(fp))
     if cache_key in _PQ_TRAIN_CACHE:
         cbf, dtab = _PQ_TRAIN_CACHE[cache_key]
         return v, _pq_serve(v, cbf, dtab)

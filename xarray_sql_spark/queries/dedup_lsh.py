@@ -867,14 +867,22 @@ def dd08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a fixed count is exempt from AQE coalescing, and its
     # hashpartitioning on the dedup keys satisfies the aggregate's
     # clustering requirement, so no second exchange appears.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    index_keys = (
-        bands.filter(F.col("doc_id") % 5 != 0)
-        .select("band_idx", "band_hash")
-        .repartition(n_part, "band_idx", "band_hash")
-        .dropDuplicates()
-        .withColumn("hit", F.lit(1))
+    # ...but the fixed-count exchange costs ~0.4 s of shuffle setup that a
+    # tiny input cannot amortize (r7 bench: dd08 0.73 -> 1.10 s at sf0.1).
+    # Gate it on the corpus row count from the parquet footer (zero jobs):
+    # small corpora let AQE coalesce freely; at probe/production scale —
+    # or when the footer is unreadable (directory of parts) — keep the
+    # explicit width.
+    from xarray_sql_spark.queries.advanced_ops import _parquet_footer_rows
+
+    n_docs = _parquet_footer_rows(sf_dir, "documents")
+    index_keys = bands.filter(F.col("doc_id") % 5 != 0).select(
+        "band_idx", "band_hash"
     )
+    if n_docs is None or n_docs >= 20_000:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        index_keys = index_keys.repartition(n_part, "band_idx", "band_hash")
+    index_keys = index_keys.dropDuplicates().withColumn("hit", F.lit(1))
     batch = bands.filter(F.col("doc_id") % 5 == 0)
     joined = batch.join(index_keys, ["band_idx", "band_hash"], "left")
     return (

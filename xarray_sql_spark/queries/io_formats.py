@@ -30,7 +30,10 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from xarray_sql_spark.queries.registry import query
 from xarray_sql_spark.session import table
 
-_IO_DIR = "/tmp/xss_io_formats"
+# Per-process fixture root: two concurrent runs against the same sf_dir
+# (parallel pytest sessions, bench + driver) must not overwrite each
+# other's fixture dirs mid-read (r7 ADVICE).
+_IO_DIR = f"/tmp/xss_io_formats_{os.getpid()}"
 
 _DOC_SCHEMA = StructType(
     [

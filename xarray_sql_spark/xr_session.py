@@ -432,7 +432,7 @@ class XarraySession:
             if op == "notnull":
                 # Dim coords are non-null EXCEPT NaT/NaN axis values, which
                 # pivot to SQL NULL — mask those out instead of skipping.
-                if coords.dtype.kind == "M":
+                if coords.dtype.kind in "Mm":
                     np.logical_and(mask, ~np.isnat(coords), out=mask)
                 elif coords.dtype.kind == "f":
                     np.logical_and(mask, ~np.isnan(coords), out=mask)
@@ -458,7 +458,7 @@ class XarraySession:
                 # (and filter-masked) count, other axes their masked counts.
                 cc = np.asarray(ds.coords[col]) if col in ds.coords else None
                 nn = None
-                if cc is not None and cc.dtype.kind == "M":
+                if cc is not None and cc.dtype.kind in "Mm":
                     nn = ~np.isnat(cc)
                 elif cc is not None and cc.dtype.kind == "f":
                     nn = ~np.isnan(cc)
