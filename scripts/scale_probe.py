@@ -52,21 +52,26 @@ ID_COLS = {"lineitem": ["l_orderkey"], "embeddings": ["vec_id"],
            "events": ["event_id", "user_id"]}
 
 
-def build_replica() -> None:
+def build_replica(
+    src: str = SRC_SF,
+    dst_dir: str = DST,
+    copies: int = COPIES,
+    tables: tuple = TABLES,
+) -> None:
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    os.makedirs(DST, exist_ok=True)
-    for name in TABLES:
-        dst = os.path.join(DST, f"{name}.parquet")
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in tables:
+        dst = os.path.join(dst_dir, f"{name}.parquet")
         if os.path.exists(dst):
             continue
-        t = pq.read_table(os.path.join(SRC_SF, f"{name}.parquet"))
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         id_cols = ID_COLS[name]
         spans = {c: pc.max(t[c]).as_py() + 1 for c in id_cols}
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             ti = t
             if i:
                 for c in id_cols:

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""sf0.1 -> sf10 (100x) scale probe for the heaviest pipeline families.
+
+The per-round 10x probe (scripts/scale_probe.py) shows sub-linear ratios,
+but 10x can still hide super-linear behavior that only bites two orders of
+magnitude up. This probe replicates the THREE heaviest families' input
+tables (documents, events, embeddings) 100x — ~10M events / 500k docs —
+with the same id-shift + text-perturbation rules as the 10x replica, and
+times a representative heavy query per family at sf0.1 and sf10.
+
+Interpretation: on a fully-parallel 32-core box a perfectly linear
+operator shows ratio <= 100 (well under it while sf0.1 under-subscribes
+the cores); a ratio blowing past ~2x of (10x-probe-ratio)^2 signals a
+super-linear stage. Task counts confirm the dense stages stay wide.
+
+Usage: python scripts/scale_probe_100x.py  [SPARK_GRAFT_PROBE_REPS=1]
+Replica cached at /tmp/xss_sf10_synth; delete to rebuild.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.scale_probe import SRC_SF, build_replica  # noqa: E402
+
+DST100 = "/tmp/xss_sf10_synth"
+COPIES = 100
+TABLES = ("documents", "events", "embeddings")
+
+# one representative heavy query per family (all touch ONLY the replicated
+# tables): text LM scoring, incremental dedup, PQ serving + re-rank,
+# events VARIANT extraction, rollup maintenance, sequence packing
+PROBE_QUERIES = [
+    "ts15_bigram_surprisal",
+    "dd08_incremental_dedup",
+    "ss10_pq_rerank",
+    "ev18_variant_props",
+    "ev19_incremental_rollup",
+    "pl08_sequence_packing",
+]
+
+
+def main() -> None:
+    build_replica(SRC_SF, DST100, COPIES, TABLES)
+
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.session import get_spark
+
+    spark = get_spark("xarray-sql-spark-scale-probe-100x")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "1"))
+    st = spark.sparkContext.statusTracker()
+
+    def densest(group: str) -> int:
+        best = 0
+        for jid in st.getJobIdsForGroup(group):
+            job = st.getJobInfo(jid)
+            for sid in job.stageIds if job else []:
+                stage = st.getStageInfo(sid)
+                if stage is not None:
+                    best = max(best, stage.numTasks)
+        return best
+
+    results: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        spec = REGISTRY[name]
+        row: dict[str, float | int] = {}
+        for label, sf_dir in (("sf0.1", SRC_SF), ("sf10", DST100)):
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.sparkContext._jvm.System.gc()
+            group = f"probe100:{name}:{label}"
+            spark.sparkContext.setJobGroup(group, group)
+            samples = []
+            try:
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    spec.fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    samples.append(time.perf_counter() - t0)
+            finally:
+                spark.sparkContext.setJobGroup("", "")
+            row[label] = round(statistics.median(samples), 3)
+            row[f"{label}_tasks"] = densest(group)
+        row["ratio"] = round(row["sf10"] / row["sf0.1"], 2)
+        results[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_sf01_vs_sf10",
+                "copies": COPIES,
+                "reps": reps,
+                "queries": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

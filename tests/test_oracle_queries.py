@@ -37,3 +37,19 @@ def test_entry_contract(spark):
     osql = entry_mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_priority_window_is_exactly_50_and_short_keys_unique():
+    """The driver hashes only the FIRST 50 registry entries, and bench.py's
+    archived-tail 'qc' map keys every benched query by its short prefix —
+    both contracts break silently if a rename collides or the window
+    over/underfills."""
+    import xarray_sql_spark.queries as q
+
+    assert len(q._PRIORITY) == 50
+    assert len(set(q._PRIORITY)) == 50
+    window = list(REGISTRY)[:50]
+    assert window == [n for n in q._PRIORITY if n in REGISTRY]
+    benched = [n for n, s in REGISTRY.items() if s.bench]
+    prefixes = [n.split("_")[0] for n in benched]
+    assert len(prefixes) == len(set(prefixes))

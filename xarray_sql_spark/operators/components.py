@@ -42,7 +42,7 @@ cluster assignment contract (pairs in, per-doc keeper out).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xarray_sql_spark.queries.registry import query
@@ -656,4 +656,203 @@ def gr03_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs"),
         )
         .orderBy("cluster_size")
+    )
+
+
+# --- pl15: the full production pipeline, composed end-to-end -----------------
+def _pl15_oracle() -> str:
+    """Six-stage closed form: every stage's CTE is the SAME fragment its
+    standalone query uses (ts09's rule arithmetic, dd01's min-per-md5,
+    cc01's recursive closure over the dd04 graph, pl03's 5-gram overlap,
+    pl07's alpha-sampling quota, pl02's md5 bucket), so the composition
+    is provably the conjunction of the proven parts."""
+    from xarray_sql_spark.queries.pipeline_ops import _SW_SQL
+
+    return f"""
+    WITH RECURSIVE lsh AS ({_minhash_oracle()}),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM lsh
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM lsh
+    ),
+    reach(id, node) AS (
+        SELECT src, src FROM sym GROUP BY src
+        UNION
+        SELECT r.id, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT id, min(node) AS comp FROM reach GROUP BY id),
+    t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+    gop AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, len(w) AS n_words,
+                   round((n_chars - len(w) + 1) / CAST(len(w) AS DOUBLE), 6)
+                       AS mwl,
+                   len(list_filter(w, x -> list_contains([{_SW_SQL}], x)))
+                       AS stop_hits,
+                   round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+                       AS dr
+            FROM t
+        )
+        WHERE n_words BETWEEN 30 AND 100000 AND mwl >= 3 AND mwl <= 10
+          AND stop_hits >= 2 AND dr >= 0.2
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4])) AS shingles
+        FROM t
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id < 20
+    ),
+    contam AS (
+        SELECT c.doc_id
+        FROM (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+              FROM sh WHERE doc_id >= 20) c
+        JOIN eval_sh e ON c.shingle = e.shingle
+        GROUP BY c.doc_id, c.n_sh
+        HAVING CAST(count(*) AS DOUBLE) / n_sh >= 0.2
+    ),
+    surv AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 100 < 80
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM documents d
+        JOIN gop g ON g.doc_id = d.doc_id
+        JOIN ex x ON x.doc_id = d.doc_id
+        LEFT JOIN comp c ON c.id = d.doc_id
+        LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+        WHERE coalesce(c.comp, d.doc_id) = d.doc_id
+          AND ct.doc_id IS NULL
+          AND d.doc_id >= 20
+    ),
+    agg AS (
+        SELECT source,
+               sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+               sum(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS n_holdout,
+               sum(CASE WHEN split = 'train' THEN n_chars ELSE 0 END) AS train_chars
+        FROM surv GROUP BY source
+    ),
+    wq AS (
+        SELECT source, n_train, n_holdout, train_chars,
+               CAST(floor(sqrt(CAST(n_train AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS weight
+        FROM agg
+    ),
+    tot AS (SELECT sum(weight) AS total_w FROM wq)
+    SELECT source,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_holdout AS BIGINT) AS n_holdout,
+           CAST(train_chars AS BIGINT) AS train_chars,
+           weight,
+           CAST((100000 * weight) // total_w AS BIGINT) AS quota
+    FROM wq, tot ORDER BY source
+    """
+
+
+@query(
+    "pl15_full_pipeline",
+    oracle=_pl15_oracle(),
+    tags=("pipeline", "composition", "dedup", "components", "beyond-reference"),
+    bench=False,  # rides the dd04 pair graph (synthetic-corpus quadratic artifact)
+)
+def pl15_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production training-data pipeline composed END-TO-END, in the
+    order a real pretraining corpus is built — each stage is the exact
+    builder its standalone driver-proven query uses, so this single row
+    proves the operators COMPOSE, not just coexist:
+
+      1. Gopher rule gate (ts09): hard quality filter.
+      2. Exact dedup (dd01's rule): keep min doc_id per content hash.
+      3. Near-dup purge (cc01): MinHash-LSH pairs -> connected
+         components -> drop non-keepers.
+      4. Decontamination (pl03): drop docs with >= 20% word-5-gram
+         overlap against the eval set, and the eval docs themselves.
+      5. Quality-weighted mixture quota (pl07's alpha-sampling rule,
+         alpha = 0.5) over the surviving TRAIN counts per source.
+      6. Deterministic split (pl02's md5 bucket rule, 80/20).
+
+    Output: one row per source with surviving train/holdout counts,
+    train character mass, the integer sampling weight, and the quota
+    share of a 100k-example budget.
+
+    Scale: stages 1-2 ride the scan (rule arithmetic + one hash-agg);
+    stage 3 is the skew-hardened fixpoint on the pair graph (label
+    table ~ doc ids, a fraction of corpus bytes); stage 4 is one
+    broadcast semi-join (eval shingles are KBs at any corpus size);
+    stages 5-6 run on the |sources|-row aggregate. Every inter-stage
+    hand-off is a doc_id-keyed semi/anti join — no stage rematerializes
+    text, and the final report is a bounded rollup."""
+    from xarray_sql_spark.queries.pipeline_ops import (
+        pl03_decontaminate,
+        ts09_gopher_rules,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "n_chars", "text"
+    )
+    # 1. Gopher gate
+    gop = (
+        ts09_gopher_rules(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    # 2. exact-dedup keepers
+    ex = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # 3. near-dup component keepers
+    pairs = dd04_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+    assign = dedup_assignment(pairs)
+    # 4. contaminated docs (already restricted to the corpus side)
+    contam = pl03_decontaminate(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    surv = (
+        d.select("doc_id", "source", "n_chars")
+        .join(gop, "doc_id")
+        .join(ex, "doc_id")
+        .join(assign, "doc_id", "left")
+        .filter(
+            F.coalesce("keeper_doc_id", F.col("doc_id")) == F.col("doc_id")
+        )
+        .join(contam, "doc_id", "left_anti")
+        .filter(F.col("doc_id") >= 20)
+        .withColumn(
+            "split",
+            F.when(bucket < 80, F.lit("train")).otherwise(F.lit("holdout")),
+        )
+    )
+    is_train = (F.col("split") == "train").cast("long")
+    agg = surv.groupBy("source").agg(
+        F.sum(is_train).alias("n_train"),
+        F.sum(1 - is_train).alias("n_holdout"),
+        F.sum(F.when(F.col("split") == "train", F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("train_chars"),
+    )
+    wq = agg.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("n_train").cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    ).withColumn("total_w", F.sum("weight").over(Window.partitionBy()))
+    return (
+        wq.select(
+            "source",
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_holdout").cast("long").alias("n_holdout"),
+            "train_chars",
+            "weight",
+            F.expr("(100000 * weight) DIV total_w").alias("quota"),
+        )
+        .orderBy("source")
     )

@@ -22,82 +22,47 @@ from xarray_sql_spark.operators import skew  # noqa: F401,E402
 from xarray_sql_spark.operators import components  # noqa: F401,E402
 
 # The driver's correctness gate records only the FIRST 50 registry entries
-# (dict order). Round-7 window priority (round-6 VERDICT item 1):
-#   1. The 9 registry entries that have NEVER had a driver CORRECTNESS
-#      row (local-oracle green since they landed, but the driver gate is
-#      the hard signal).
-#   2. NEW or CHANGED this round, re-prove: cc01 (recursive-CTE oracle —
-#      first ever value-level driver check of the fixpoint — plus the
-#      skew-hardened propagation path), cc02 (same file), mm01/mm04
-#      (JPEG is now the 4th planted container — values changed),
-#      dd08 (explicit-width index dedup), gq14 (sink axes now come from
-#      source metadata on pure scans), gq17 (blosclz truncation guards),
-#      gq18 (CF decode gained _Unsigned; the fixture plants a signed-
-#      stored unsigned variable), gq02/gq15 (pruning gained the
-#      collation gate), gq23 (NEW: bz2/lzma/Shuffle/PackBits store —
-#      takes q35_unpivot's slot; a new operator's first driver row
-#      outranks a re-proof of an r5-green shape), gq24 (NEW: in-place
-#      region-overwrite roundtrip — takes q34's slot, same rule), ss09
-#      (NEW: product-quantization ADC top-k — takes q33's slot).
-#   3. Oldest-proof entries: q07/q08 (last green r3), then the r4 batch
-#      (q02-q06, q09, q10, q25), then the oldest r5 relational block
-#      (q11-q35 numerics). Everything displaced was green in r5/r6 on
-#      unchanged code paths and is re-proven locally by the 118-query
-#      pytest sweep.
+# (dict order). Round-8 window (round-7 VERDICT item 1 — the
+# proof-consolidation round): this is deliberately NOT a growth round.
+#   1. The 40 registry entries that have NEVER had a driver CORRECTNESS
+#      row (local-oracle green since they landed; the driver gate is the
+#      hard signal). This clears the entire backlog in one window.
+#   2. NEW this round — the only three additions, each mandated by the
+#      r7 verdict: mm09 (real ISO-BMFF/MP4 box walk, finishing the
+#      container family), hh01 (space-saving heavy hitters, the batch
+#      twin of the streaming kernel), pl15 (the six-stage pipeline
+#      composition row proving the operators compose).
+#   3. Re-proofs for every code path CHANGED this round: dd08 (row-count
+#      gate on the index repartition), ss09/ss10 (PQ codebook memo now
+#      keys on part-aware file signatures), gq24 (region write now maps
+#      NULL floats to the store fill_value), mm01/mm04 (parse_container
+#      gained the ftyp sniff branch ahead of their formats), cc01
+#      (pl15 composes through its helpers — keep the fixpoint proof
+#      fresh alongside).
+# Everything displaced was hash-green in r7 on code paths unchanged this
+# round and stays covered by the local full-registry pytest sweep.
 _PRIORITY = (
-    # 1. never driver-checked
-    "dd09_sketch_accuracy gq19_grid_rolling_mean gq20_grid_resample_daily "
-    "gq21_grid_coarsen gq22_grid_weighted_mean q43_set_ops_all q44_cube "
-    "ev10_first_touch_attribution pl08_sequence_packing "
-    # 2. new / changed this round
-    "cc01_neardup_purge cc02_twohop_components "
-    "mm01_decode_meta mm04_resize dd08_incremental_dedup "
-    "gq14_zarr_roundtrip gq17_blosclz_bitshuffle_store gq18_cf_decoded_store "
-    "gq02_grid_pruned_slice gq15_filtered_store gq23_longtail_codec_store "
-    "gq24_region_write_roundtrip ss09_pq_adc_topk "
-    # 2b. NEW this round, second wave — first driver rows: xarray-parity
-    # grid ops (interp/ffill/differentiate/argmax/value-bins), the Gopher
-    # rule gate, unigram-LM surprisal, shared-span dedup pairs, and the
-    # PQ re-rank second stage
-    "gq25_grid_interp gq26_grid_ffill gq27_grid_differentiate "
-    "gq28_grid_argmax gq29_grid_value_bins ts09_gopher_rules "
-    "ts10_unigram_surprisal dd10_shared_span_pairs ss10_pq_rerank "
-    "ts11_bpe_pair_stats pl09_leakage_free_split ts12_memorization_score "
-    "mm06_audio_rollup gq30_grid_cumsum ev11_user_value_quartiles "
-    # 2c. NEW this round, third wave — first driver rows: funnel, JSON
-    # props, PIVOT, the aperiodic-fixture xarray verbs (diff/rank/trend/
-    # integrate), cross-source dup matrix, fractional-epoch mixing, and
-    # the token-budget planner
-    "ev12_funnel_conversion ev13_json_props q45_pivot gq31_grid_shift_diff "
-    "gq32_grid_rank gq33_grid_trend gq34_grid_integrate "
-    "dd11_cross_source_dup_matrix pl10_repetition_mixing "
-    "ts13_token_budget_fill gq35_grid_corr_cov gq36_grid_quantiles "
-    # 3. oldest proof (r3); the displaced r3-r5 relational block
-    # (q02-q14, q25) was green on unchanged code paths and stays covered
-    # by the local full-registry pytest sweep
-    "q07_cross_join"
+    # 1. the never-driver-checked backlog (all 40)
+    "ev14_gap_fill gq37_grid_rolling_std gq38_grid_upsample q46_range_frame "
+    "q47_anti_join io01_jsonl_roundtrip io02_csv_roundtrip mm07_image_rollup "
+    "ss11_mmr_diversify ts14_vocab_growth ev15_transition_matrix "
+    "sk03_bloom_prefilter_join io03_corrupt_record_quarantine "
+    "gr01_dup_graph_pagerank io04_schema_evolution ev16_conversion_delays "
+    "io05_orc_roundtrip io06_partitioned_prune pl11_rag_chunking "
+    "ev17_cdc_latest_state gr02_triangle_count io07_xml_roundtrip "
+    "io08_binaryfile_ingest ev18_variant_props pl12_dataset_card "
+    "ts15_bigram_surprisal ev19_incremental_rollup ss12_radius_search "
+    "gq39_grid_where_clip_fill mm08_mp3_census gr03_cluster_size_dist "
+    "ts16_zipf_fit ss13_ann_recall dd12_lsh_band_sweep ev20_activity_streaks "
+    "io09_gzip_jsonl_roundtrip ev21_rfm_segments ts17_readability "
+    "io10_multiline_json_roundtrip pl14_quality_calibration "
+    # 2. new this round (verdict-mandated)
+    "mm09_mp4_census hh01_heavy_hitters pl15_full_pipeline "
+    # 3. re-proofs of changed code paths
+    "dd08_incremental_dedup ss09_pq_adc_topk ss10_pq_rerank "
+    "gq24_region_write_roundtrip mm01_decode_meta mm04_resize "
+    "cc01_neardup_purge"
 ).split()
-
-# ROUND-8 ROTATION NOTE: queries that landed after this round's window
-# filled and therefore have never had a driver CORRECTNESS row (all
-# local-oracle green, full-window sim 50/50): ev14_gap_fill,
-# gq37_grid_rolling_std, gq38_grid_upsample, q46_range_frame,
-# q47_anti_join, io01_jsonl_roundtrip, io02_csv_roundtrip,
-# mm07_image_rollup, ss11_mmr_diversify, ts14_vocab_growth,
-# ev15_transition_matrix, sk03_bloom_prefilter_join,
-# io03_corrupt_record_quarantine, gr01_dup_graph_pagerank,
-# io04_schema_evolution, ev16_conversion_delays,
-# io05_orc_roundtrip, io06_partitioned_prune, pl11_rag_chunking,
-# ev17_cdc_latest_state, gr02_triangle_count, io07_xml_roundtrip,
-# io08_binaryfile_ingest, ev18_variant_props, pl12_dataset_card,
-# ts15_bigram_surprisal, ev19_incremental_rollup, ss12_radius_search,
-# gq39_grid_where_clip_fill, mm08_mp3_census, gr03_cluster_size_dist,
-# ts16_zipf_fit, ss13_ann_recall, dd12_lsh_band_sweep,
-# ev20_activity_streaks, io09_gzip_jsonl_roundtrip, ev21_rfm_segments,
-# ts17_readability, io10_multiline_json_roundtrip,
-# pl14_quality_calibration. Rotate
-# these into the first 50 next round, displacing this round's re-proof
-# entries.
 
 _front = [n for n in _PRIORITY if n in REGISTRY]
 _rest = {n: s for n, s in REGISTRY.items() if n not in _front}

@@ -2358,3 +2358,97 @@ def q47_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --- hh01: heavy hitters (batch twin of the streaming space-saving kernel) ----
+_HH_SHARDS = 32
+_HH_CAPACITY = 4096
+_HH_TOPK = 20
+
+
+@query(
+    "hh01_heavy_hitters",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(user_id % {_HH_SHARDS} AS INT) AS shard,
+               CAST(user_id AS VARCHAR) AS entity,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT shard, entity, cnt, CAST(0 AS BIGINT) AS err
+    FROM c ORDER BY cnt DESC, entity LIMIT {_HH_TOPK}
+    """,
+    tags=("events", "sketch", "heavy-hitters", "pipeline"),
+)
+def hh01_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_HH_TOPK} heavy hitters via the space-saving sketch — the
+    BATCH twin of ``streaming.events.heavy_hitters_stream``, running the
+    IDENTICAL counter-update state machine
+    (``streaming.events.space_saving_update``; Metwally et al. 2005)
+    per shard under ``applyInPandas``. Each of the {_HH_SHARDS} shards
+    (entity-hash partitioned, so an entity lives in exactly one shard
+    and shard tables merge by plain union) keeps at most
+    {_HH_CAPACITY} counters; with capacity >= distinct entities per
+    shard the sketch is in its EXACT regime (err = 0 for every entry),
+    which is what makes a value-level DuckDB oracle possible — the
+    eviction/overestimate regime is pinned separately by the Hypothesis
+    differential (tests/test_properties.py). A hash match here proves
+    the sharding, the kernel plumbing, and the exact-regime claim
+    end-to-end.
+
+    Scale: two-level, so NOTHING ever materializes a raw-event group —
+    (1) each scan partition folds its rows into per-shard sketch
+    tables streamed batch-by-batch through ``mapInPandas`` (memory
+    O(shards x capacity) per task, exactly like the streaming state
+    store); (2) only the partial SKETCH ROWS (<= partitions x capacity
+    per shard, data-size-independent) shuffle on shard for the merge,
+    which sums counts/errs and truncates back to capacity. The merge
+    preserves cnt >= true_count always and is lossless in the exact
+    regime; the final global top-k is a TakeOrderedAndProject over
+    <= shards x capacity merged rows, never over raw events."""
+    import pandas as pd
+
+    from xarray_sql_spark.streaming.events import space_saving_update
+
+    ev = table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(_HH_SHARDS)).cast("int").alias("shard"),
+        F.col("user_id").cast("string").alias("entity"),
+    )
+
+    def _partial(batches):
+        # one bounded table per shard, carried ACROSS the partition's
+        # Arrow batches — the batch mirror of the streaming state store
+        tables: dict[int, dict] = {}
+        for pdf in batches:
+            for shard, ent in zip(pdf["shard"], pdf["entity"]):
+                space_saving_update(
+                    tables.setdefault(int(shard), {}), (ent,), _HH_CAPACITY
+                )
+        rows = [
+            (s, k, v[0], v[1])
+            for s, tbl in tables.items()
+            for k, v in tbl.items()
+        ]
+        yield pd.DataFrame(
+            rows, columns=["shard", "entity", "cnt", "err"]
+        )
+
+    def _merge(pdf):
+        # input is partial-sketch rows only: <= n_partitions x capacity
+        g = (
+            pdf.groupby("entity", as_index=False)[["cnt", "err"]]
+            .sum()
+            .sort_values(["cnt", "entity"], ascending=[False, True])
+            .head(_HH_CAPACITY)
+            .sort_values("entity")
+        )
+        g.insert(0, "shard", int(pdf["shard"].iloc[0]))
+        return g
+
+    partials = ev.mapInPandas(
+        _partial, "shard int, entity string, cnt long, err long"
+    )
+    sketched = partials.groupBy("shard").applyInPandas(
+        _merge, "shard int, entity string, cnt long, err long"
+    )
+    return sketched.orderBy(F.desc("cnt"), "entity").limit(_HH_TOPK)

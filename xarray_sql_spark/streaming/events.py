@@ -673,6 +673,26 @@ _HH_STATE_SCHEMA = StructType(
 )
 
 
+def space_saving_update(table: dict, entities, capacity: int) -> None:
+    """The space-saving counter update (Metwally et al. 2005), shared by
+    the streaming kernel and the batch twin (hh01) so the state machine
+    exists exactly once: increment a present entity; admit while under
+    capacity; otherwise evict the min-count entry and let the newcomer
+    inherit its count as the documented overestimate bound (``err``).
+    ``table`` maps entity -> [cnt, err] and is mutated in place."""
+    for entity in entities:
+        entity = str(entity)
+        if entity in table:
+            table[entity][0] += 1
+        elif len(table) < capacity:
+            table[entity] = [1, 0]
+        else:
+            victim = min(table, key=lambda k: (table[k][0], k))
+            vcnt = table[victim][0]
+            del table[victim]
+            table[entity] = [vcnt + 1, vcnt]
+
+
 def _hh_fn_factory(capacity: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -686,19 +706,7 @@ def _hh_fn_factory(capacity: int):
             ver, table = 0, {}
         ver += 1  # snapshot version: consumers keep each shard's MAX
         for pdf in pdfs:
-            for entity in pdf["entity"]:
-                entity = str(entity)
-                if entity in table:
-                    table[entity][0] += 1
-                elif len(table) < capacity:
-                    table[entity] = [1, 0]
-                else:
-                    # evict the min-count entry; the newcomer inherits its
-                    # count as the overestimation bound (space-saving)
-                    victim = min(table, key=lambda k: (table[k][0], k))
-                    vcnt = table[victim][0]
-                    del table[victim]
-                    table[entity] = [vcnt + 1, vcnt]
+            space_saving_update(table, pdf["entity"], capacity)
         items = sorted(table.items())
         state.update(
             (
