@@ -10,7 +10,6 @@ from tests.oracle_harness import compare
 from tests.conftest import SF_MED
 
 ORACLED = [name for name, spec in REGISTRY.items() if spec.oracle is not None]
-ROWS_ONLY = [name for name, spec in REGISTRY.items() if spec.oracle is None]
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -20,12 +19,12 @@ def test_query_matches_oracle(spark, name):
     compare(df, spec.oracle, SF_MED)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(spark, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF_MED)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_is_value_oracled():
+    """Since cc01 gained its recursive-CTE closure oracle (round 7) every
+    registry entry carries DuckDB oracle SQL; a new rows-only entry would
+    silently weaken the driver's correctness gate, so adding one must be
+    a deliberate decision made here."""
+    assert [n for n, s in REGISTRY.items() if s.oracle is None] == []
 
 
 def test_entry_contract(spark):
@@ -53,3 +52,40 @@ def test_priority_window_is_exactly_50_and_short_keys_unique():
     benched = [n for n, s in REGISTRY.items() if s.bench]
     prefixes = [n.split("_")[0] for n in benched]
     assert len(prefixes) == len(set(prefixes))
+
+
+@pytest.mark.parametrize(
+    "first_import",
+    [
+        "xarray_sql_spark.operators.multimodal",
+        "xarray_sql_spark.operators.components",
+        "xarray_sql_spark.operators.skew",
+    ],
+)
+def test_priority_window_is_import_order_independent(first_import):
+    """Operator modules OUTSIDE the queries package register queries too;
+    when one of them was a process's FIRST import, the old
+    queries.registry location made queries/__init__'s circular
+    ``from operators import <mod>`` return the partially-initialized
+    module, so the first-50 reorder ran BEFORE that module's
+    registrations — silently dropping its entries from the driver
+    window. Pin, in a fresh interpreter per adversarial first-import,
+    that the window still equals the priority list."""
+    import subprocess
+    import sys
+
+    code = (
+        f"import {first_import}\n"
+        "import xarray_sql_spark.queries as q\n"
+        "from xarray_sql_spark.queries import REGISTRY\n"
+        "assert list(REGISTRY)[:50] == [n for n in q._PRIORITY"
+        " if n in REGISTRY], 'window corrupted'\n"
+        "assert len(REGISTRY) >= 191\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]

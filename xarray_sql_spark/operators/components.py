@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.registry import query
 from xarray_sql_spark.queries.dedup_lsh import (
     _dup_edges_cte,
     _minhash_oracle,
@@ -856,3 +856,11 @@ def pl15_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# This module registers queries but lives OUTSIDE the queries package;
+# re-apply the driver-window order in case the package's reorder ran
+# mid-way through this module's import (see registry.apply_window_order).
+from xarray_sql_spark.registry import apply_window_order as _apply_window_order  # noqa: E402
+
+_apply_window_order()

@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.registry import query
 from xarray_sql_spark.session import table
 
 MEDIA_TYPES = ("image", "audio", "video")
@@ -1341,3 +1341,11 @@ def mm09_mp4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp4_decode_batches, schema=MP4_DECODED_SCHEMA
     )
     return decoded.orderBy("doc_id")
+
+
+# This module registers queries but lives OUTSIDE the queries package;
+# re-apply the driver-window order in case the package's reorder ran
+# mid-way through this module's import (see registry.apply_window_order).
+from xarray_sql_spark.registry import apply_window_order as _apply_window_order  # noqa: E402
+
+_apply_window_order()

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.registry import query
 from xarray_sql_spark.session import table
 
 DEFAULT_SALTS = 16
@@ -241,3 +241,11 @@ def sk03_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# This module registers queries but lives OUTSIDE the queries package;
+# re-apply the driver-window order in case the package's reorder ran
+# mid-way through this module's import (see registry.apply_window_order).
+from xarray_sql_spark.registry import apply_window_order as _apply_window_order  # noqa: E402
+
+_apply_window_order()

@@ -8,7 +8,7 @@ equivalent DuckDB oracle SQL string run by the driver on the same parquet.
 Import side effects populate the registry.
 """
 
-from xarray_sql_spark.queries.registry import REGISTRY, QuerySpec, query
+from xarray_sql_spark.registry import REGISTRY, QuerySpec, query
 
 # Populate the registry.
 from xarray_sql_spark.queries import relational  # noqa: F401,E402
@@ -64,10 +64,9 @@ _PRIORITY = (
     "cc01_neardup_purge"
 ).split()
 
-_front = [n for n in _PRIORITY if n in REGISTRY]
-_rest = {n: s for n, s in REGISTRY.items() if n not in _front}
-_reordered = {**{n: REGISTRY[n] for n in _front}, **_rest}
-REGISTRY.clear()
-REGISTRY.update(_reordered)
+from xarray_sql_spark import registry as _registry  # noqa: E402
+
+_registry._PRIORITY = tuple(_PRIORITY)
+_registry.apply_window_order()
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -29,7 +29,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.registry import query
 from xarray_sql_spark.session import table
 
 MERSENNE31 = 2147483647  # permutations work mod this prime; a*h < 2^62 fits int64

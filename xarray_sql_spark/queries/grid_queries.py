@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from xarray_sql_spark.dataset import Dataset, Variable
 from xarray_sql_spark.operators.layout import zorder_sql_4bit
-from xarray_sql_spark.queries.registry import query
+from xarray_sql_spark.registry import query
 from xarray_sql_spark.xr_session import XarraySession
 
 N_T, N_Y, N_X = 240, 16, 16  # 10 days hourly x 16 x 16 = 61,440 cells

@@ -1,45 +1,18 @@
-"""Registry mapping query names to (spark builder, duckdb oracle) pairs.
+"""Back-compat shim: the registry moved to ``xarray_sql_spark.registry``.
 
-Cross-engine determinism conventions (the driver hash-compares values):
-- Alias every computed column identically in Spark and oracle SQL.
-- Averages / ratios: ``round(x, 6)`` — relative fp error is ~1e-11, far from
-  the rounding boundary, so both engines round identically.
-- Large multi-row double sums: ``round(x, 0)`` — summation order differs
-  between engines (error ~1e-5 on 1e9-scale sums), integer rounding keeps the
-  flip probability negligible.
-- Counts: Spark emits BIGINT; oracle SQL casts DuckDB's HUGEINT sums /
-  counts to BIGINT explicitly.
-- Any ORDER BY ... LIMIT ends with a unique tiebreak key.
+It lived here originally, but modules OUTSIDE the ``queries`` package
+(operators/multimodal, operators/components, operators/skew) also register
+queries, and importing ``xarray_sql_spark.queries.registry`` from one of
+them runs ``queries/__init__`` first — whose circular
+``from xarray_sql_spark.operators import multimodal`` then returns the
+partially-initialized module, so the window reorder ran BEFORE those
+modules' registrations when an operators module was the process's first
+import (order-dependent first-50 corruption, caught by
+tests/test_oracle_queries.py::test_priority_window_is_exactly_50_and_short_keys_unique).
+The top-level module has no parent-package side effects, so registration
+order is import-order independent. This shim keeps old import paths alive.
 """
 
-from __future__ import annotations
+from xarray_sql_spark.registry import REGISTRY, QuerySpec, query
 
-from collections.abc import Callable
-from dataclasses import dataclass, field
-
-from pyspark.sql import DataFrame, SparkSession
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    tags: tuple[str, ...] = ()
-    doc: str = ""
-    bench: bool = True  # include in bench.py headline set
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = True):
-    """Decorator registering a query builder with its DuckDB oracle SQL."""
-
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "", bench=bench
-        )
-        return fn
-
-    return deco
+__all__ = ["REGISTRY", "QuerySpec", "query"]

