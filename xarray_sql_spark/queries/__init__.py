@@ -41,6 +41,17 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      fresh alongside).
 # Everything displaced was hash-green in r7 on code paths unchanged this
 # round and stays covered by the local full-registry pytest sweep.
+#
+# ROUND-9 ROTATION NOTE: once this window's CORRECTNESS_r08 lands, every
+# one of the 191 registry queries has had at least one driver row — the
+# never-checked backlog is ZERO for the first time. From round 9 on the
+# window is pure freshness rotation: (1) any query whose code path
+# changes that round, (2) any NEW query (splice in the round it lands —
+# never let a backlog re-form), (3) fill the rest with the oldest
+# latest-proof entries, which entering round 9 are q08 (last green r3),
+# the r4 block (q02-q06, q09, q10, q25), then the r5 relational/dd/ev/gq
+# block (dd01-dd03, ev08, ev09, gq08, ...) — recompute from the
+# CORRECTNESS_r*.json files rather than trusting this comment.
 _PRIORITY = (
     # 1. the never-driver-checked backlog (all 40)
     "ev14_gap_fill gq37_grid_rolling_std gq38_grid_upsample q46_range_frame "
