@@ -719,3 +719,39 @@ def test_heavy_hitters_guarantee_under_eviction(spark, batch_events):
         sh = shard_of[e]
         if true > shard_len[sh] / CAP:  # the space-saving presence bound
             assert (sh, e) in table, (e, true, shard_len[sh])
+
+
+def test_heavy_hitters_batch_twin_hh01_matches_stream(spark):
+    """hh01 (batch) and heavy_hitters_stream share the SAME counter-update
+    kernel but different shard assignments (user_id % 32 vs
+    xxhash64 % shards) — sharding only partitions the work, so in the
+    exact regime (capacity >= distinct entities per shard) the global
+    (entity, cnt, err) top-k must be identical. This is the direct
+    batch-vs-streaming twin pin; the kernel itself is pinned by the
+    Hypothesis differential in test_properties.py."""
+    from xarray_sql_spark.queries import REGISTRY
+
+    batch_top = [
+        (r["entity"], r["cnt"], r["err"])
+        for r in REGISTRY["hh01_heavy_hitters"].fn(spark, SF_SMALL).collect()
+    ]
+    out = se.run_to_memory(
+        se.heavy_hitters_stream(
+            se.events_stream(spark, SF_SMALL), capacity=4096, shards=4
+        ),
+        "t_hh_twin",
+        output_mode="update",
+    )
+    rows = out.collect()
+    max_ver = {}
+    for r in rows:
+        max_ver[r["shard"]] = max(max_ver.get(r["shard"], 0), r["ver"])
+    merged = {}
+    for r in rows:
+        if r["ver"] == max_ver[r["shard"]]:
+            assert r["err"] == 0  # exact regime on both sides
+            merged[r["entity"]] = merged.get(r["entity"], 0) + r["cnt"]
+    stream_top = sorted(
+        ((e, c, 0) for e, c in merged.items()), key=lambda t: (-t[1], t[0])
+    )[: len(batch_top)]
+    assert stream_top == batch_top
