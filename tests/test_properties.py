@@ -353,3 +353,76 @@ def test_space_saving_kernel_guarantees(stream, capacity, n_chunks):
     for e, true in truth.items():
         if true > bound:
             assert e in table, (e, true, bound)
+
+
+# --- ISO-BMFF box-walk fuzz ---------------------------------------------------
+# mm09's parser must recover the planted mvhd/tkhd fields from ANY
+# well-formed box stream — unknown sibling boxes (free/skip/udta) before,
+# between and after the known ones, extra traks, and arbitrary trailing
+# garbage after mdat — and must never raise on any byte prefix.
+import struct as _struct
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return _struct.pack(">I", 8 + len(body)) + typ + body
+
+
+_junk_st = st.binary(min_size=0, max_size=32)
+
+
+@given(
+    brand=st.sampled_from(["isom", "mp42", "avc1"]),
+    timescale=st.integers(min_value=1, max_value=1_000_000),
+    duration=st.integers(min_value=0, max_value=2**31 - 1),
+    w=st.integers(min_value=1, max_value=8192),
+    h=st.integers(min_value=1, max_value=8192),
+    pre_junk=_junk_st,
+    mid_junk=_junk_st,
+    extra_trak_first=st.booleans(),
+    body=st.binary(min_size=0, max_size=64),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_walk_recovers_fields_through_unknown_boxes(
+    brand, timescale, duration, w, h, pre_junk, mid_junk,
+    extra_trak_first, body, data,
+):
+    from xarray_sql_spark.operators import multimodal as mm
+
+    ref = mm.mp4_header(brand, timescale, duration, w, h)
+    # dissect the reference header into its boxes to re-assemble with junk
+    ftyp_len = _struct.unpack(">I", ref[:4])[0]
+    ftyp = ref[:ftyp_len]
+    moov_body = ref[ftyp_len + 8 :]
+    mvhd_len = _struct.unpack(">I", moov_body[:4])[0]
+    mvhd, trak = moov_body[:mvhd_len], moov_body[mvhd_len:]
+    # a decoy trak with NO tkhd (parser must keep looking) or junk boxes
+    decoy = _box(b"trak", _box(b"free", b"\x00" * 12)) if extra_trak_first else b""
+    rebuilt_moov = _box(
+        b"moov",
+        _box(b"free", pre_junk) + mvhd + decoy + _box(b"udta", mid_junk) + trak,
+    )
+    payload = (
+        ftyp
+        + _box(b"skip", pre_junk)
+        + rebuilt_moov
+        + _box(b"mdat", body)
+        # zero-size box: provably terminates the sibling walk, so the
+        # arbitrary garbage after it can never alias a real box and
+        # perturb the parsed fields — the walk's malformed-size bail IS
+        # part of the contract being fuzzed
+        + b"\x00\x00\x00\x00"
+        + data.draw(_junk_st)
+    )
+    info = mm.parse_container(payload)
+    assert info is not None and info["format"] == "mp4"
+    assert info["brand"] == brand
+    assert info["timescale"] == timescale
+    assert info["duration_units"] == duration
+    assert (info["width"], info["height"]) == (w, h)
+    assert info["data_len"] == len(body)
+    # and NO prefix of any payload may ever raise
+    for cut in data.draw(
+        st.lists(st.integers(min_value=0, max_value=len(payload)), max_size=8)
+    ):
+        mm._parse_mp4(payload[:cut])  # must not raise; value unconstrained
