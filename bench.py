@@ -160,8 +160,13 @@ def main() -> None:
     # r7 tail kept just 67/122 per-query entries. "qc" is the compact
     # full record — every benched query under its (unique, test-pinned)
     # short prefix — emitted as the FINAL key so the archived tail always
-    # reconstructs the complete per-query timing set.
-    out["qc"] = {n.split("_")[0]: t for n, t in sorted(timings.items())}
+    # reconstructs the complete per-query timing set. 2-decimal values:
+    # at 123 queries the 4-decimal map was 1917 of the 2000 chars —
+    # 10 ms archival precision buys ~35 queries of headroom (full
+    # precision stays in the "queries" map for a local reader).
+    out["qc"] = {
+        n.split("_")[0]: round(t, 2) for n, t in sorted(timings.items())
+    }
     print(json.dumps(out))
 
 

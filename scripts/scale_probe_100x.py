@@ -35,7 +35,12 @@ TABLES = ("documents", "events", "embeddings")
 
 # one representative heavy query per family (all touch ONLY the replicated
 # tables): text LM scoring, incremental dedup, PQ serving + re-rank,
-# events VARIANT extraction, rollup maintenance, sequence packing
+# events VARIANT extraction, rollup maintenance, sequence packing,
+# sketch-based heavy hitters. The near-dup graph family (cc01) is
+# deliberately ABSENT: the replica's " r{i}" text perturbation keeps all
+# 100 copies of a document near-dups of each other, so candidate-pair
+# cardinality grows ~10^4x for 100x data — quadratic INPUT growth that is
+# a property of the synthetic corpus, not of the operator (SURVEY §8).
 PROBE_QUERIES = [
     "ts15_bigram_surprisal",
     "dd08_incremental_dedup",
@@ -43,6 +48,7 @@ PROBE_QUERIES = [
     "ev18_variant_props",
     "ev19_incremental_rollup",
     "pl08_sequence_packing",
+    "hh01_heavy_hitters",
 ]
 
 
