@@ -336,3 +336,31 @@ def test_mp4_census_matches_oracle(spark):
 
     spec = REGISTRY["mm09_mp4_census"]
     compare(spec.fn(spark, SF_SMALL), spec.oracle, SF_SMALL)
+
+
+def test_every_container_parser_survives_every_byte_prefix():
+    """Uniform no-crash net across the WHOLE container family: every byte
+    prefix of every planted header+body must return None or a dict —
+    never raise — because one malformed blob must never kill an entire
+    mapInPandas task (the per-format hand-picked truncations above each
+    cover one failure mode; this sweep covers all of them exhaustively).
+    The full payload must still sniff as its own format."""
+    import struct
+
+    body = b"payload-bytes" * 3
+    payloads = {
+        "png": mm.png_header(320, 200) + body,
+        "gif": mm.gif_header(64, 48) + body,
+        "jpeg": mm.jpeg_header(640, 480) + body,
+        "bmp": mm.bmp_header(32, 16, len(body)) + body,
+        "wav": mm.wav_header(44100, len(body)) + body,
+        "mp3": mm.mp3_header(5, 1, 1) + body,
+        "mp4": mm.mp4_header("isom", 600, 777, 320, 240)
+        + struct.pack(">I", 8 + len(body)) + b"mdat" + body,
+    }
+    for fmt, payload in payloads.items():
+        full = mm.parse_container(payload)
+        assert full is not None and full["format"] == fmt, fmt
+        for cut in range(len(payload)):
+            r = mm.parse_container(payload[:cut])  # must not raise
+            assert r is None or isinstance(r, dict), (fmt, cut)
