@@ -89,3 +89,44 @@ def test_priority_window_is_import_order_independent(first_import):
         timeout=120,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_next_window_planner_contract():
+    """scripts/next_window.py is how round 9+ windows get computed; pin
+    that it emits exactly 50 unique registered names, leads with the
+    never-driver-checked set, honors CLI-named changed queries, and
+    rejects unknown names."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/next_window.py", "q01_pricing_summary"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    lines = [l for l in r.stdout.splitlines() if "(last driver row" in l]
+    names = [l.split()[0] for l in lines]
+    assert len(names) == 50 and len(set(names)) == 50
+    assert all(n in REGISTRY for n in names)
+    assert "q01_pricing_summary" in names  # CLI-named query made the window
+    # never-checked entries (no driver row in any CORRECTNESS file) come first
+    import glob
+    import json
+
+    seen = set()
+    for fp in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(fp) as f:
+            seen.update(k for k, v in json.load(f).items() if isinstance(v, dict))
+    never = [n for n in REGISTRY if n not in seen]
+    assert names[: len(never)] == never[:50]
+    bad = subprocess.run(
+        [sys.executable, "scripts/next_window.py", "no_such_query"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert bad.returncode != 0 and "no_such_query" in bad.stderr + bad.stdout
