@@ -877,3 +877,61 @@ def test_zarr3_shard_spec_default_index_codecs(tmp_path):
     np.testing.assert_allclose(
         back.data_vars["air"].values(), ds.data_vars["air"].values()
     )
+
+
+def test_timedelta_axis_end_to_end(xs, spark):
+    """timedelta64 axes (forecast lead-time / "step" dims, the ERA5/GRIB
+    pattern) register as DayTimeIntervalType columns: duration(us) Arrow
+    batches through the DataSource, interval-literal SQL filters, the A4
+    metadata-aggregate shortcut, scan_stats bounds, reverse pivot back to
+    a timedelta64 axis, and NaT axis values -> SQL NULL (which is what
+    makes the _coord_nullable 'm'-kind branch reachable end-to-end)."""
+    step = np.array([0, 6, 12, 18], dtype="timedelta64[h]")
+    lat = np.arange(3, dtype=np.int64)
+    skill = (np.arange(12, dtype=np.float64) / 4).reshape(4, 3)
+    ds = Dataset(
+        {"skill": Variable(("step", "lat"), skill)},
+        {"step": step, "lat": lat},
+    )
+    xs.from_dataset("fc_td", ds, chunks={"step": 2})
+
+    rows = spark.sql(
+        "SELECT step, round(avg(skill), 6) AS m FROM fc_td "
+        "WHERE step >= INTERVAL '6' HOUR GROUP BY step ORDER BY step"
+    ).collect()
+    assert [(str(r["step"]), r["m"]) for r in rows] == [
+        ("6:00:00", 1.0),
+        ("12:00:00", 1.75),
+        ("18:00:00", 2.5),
+    ]
+    n = spark.sql(
+        "SELECT count(*) AS n FROM fc_td WHERE step <= INTERVAL '6' HOUR"
+    ).collect()[0]["n"]
+    assert n == 6
+
+    # A4 metadata shortcut + engine stats see interval bounds
+    agg = spark.sql(
+        "SELECT min(step) AS lo, max(step) AS hi, count(*) AS n FROM fc_td"
+    ).collect()[0]
+    assert (str(agg["lo"]), str(agg["hi"]), agg["n"]) == ("0:00:00", "18:00:00", 12)
+    st = xs.scan_stats("fc_td")
+    import datetime
+
+    assert st["dim_bounds"]["step"] == (
+        datetime.timedelta(0),
+        datetime.timedelta(hours=18),
+    )
+
+    # reverse pivot: axis comes back as timedelta64, values dense-exact
+    back = xs.sql("SELECT step, lat, skill FROM fc_td").to_dataset(
+        dims=("step", "lat")
+    )
+    assert np.asarray(back.coords["step"]).dtype.kind == "m"
+    assert np.allclose(np.asarray(back.data_vars["skill"].data), skill)
+
+    # NaT axis value -> nullable field -> SQL NULL row
+    step2 = np.array([0, 6, "NaT", 18], dtype="timedelta64[h]")
+    ds2 = Dataset({"v": Variable(("step",), np.arange(4.0))}, {"step": step2})
+    xs.from_dataset("fc_td_nat", ds2)
+    nat = spark.sql("SELECT v FROM fc_td_nat WHERE step IS NULL").collect()
+    assert [r["v"] for r in nat] == [2.0]

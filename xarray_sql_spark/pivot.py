@@ -28,6 +28,11 @@ def arrow_type_for(dtype: np.dtype) -> pa.DataType:
     dtype = np.dtype(dtype)
     if dtype.kind == "M":  # datetime64[*] -> µs timestamps (Spark-native)
         return pa.timestamp("us")
+    if dtype.kind == "m":
+        # timedelta64[*] -> µs durations; Spark's Arrow bridge maps
+        # duration(us) <-> DayTimeIntervalType, so forecast lead-time
+        # ("step") axes register as real interval columns. NaT -> null.
+        return pa.duration("us")
     if dtype.kind in ("U", "S", "O"):
         return pa.string()
     if dtype.kind == "b":
@@ -98,6 +103,8 @@ def infer_schema(
 def _to_arrow_array(values: np.ndarray, typ: pa.DataType) -> pa.Array:
     if values.dtype.kind == "M":
         values = values.astype("datetime64[us]")
+    if values.dtype.kind == "m":
+        values = values.astype("timedelta64[us]")  # NaT -> arrow null
     if values.dtype.kind in ("U", "S"):
         values = values.astype(object)
     if values.dtype.kind == "f":

@@ -75,6 +75,10 @@ def _spark_type_for(arrow_type: pa.DataType):
 
     if pa.types.is_timestamp(arrow_type):
         return T.TimestampNTZType()
+    if pa.types.is_duration(arrow_type):
+        # timedelta64 axes/vars (forecast lead time etc.): Spark's Arrow
+        # bridge pairs duration(us) with DayTimeIntervalType
+        return T.DayTimeIntervalType()
     mapping = {
         pa.float16(): T.FloatType(),
         pa.float32(): T.FloatType(),

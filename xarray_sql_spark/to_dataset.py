@@ -159,7 +159,11 @@ class XarrayDataFrame:
                 fv = (
                     np.nan
                     if dtype.kind == "f"
-                    else (np.datetime64("NaT") if dtype.kind == "M" else None)
+                    else (
+                        np.datetime64("NaT")
+                        if dtype.kind == "M"
+                        else (np.timedelta64("NaT") if dtype.kind == "m" else None)
+                    )
                 )
             dense = np.full(shape, fv, dtype=dtype if fv is not None else object)
             if fv is None:
