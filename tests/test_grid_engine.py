@@ -935,3 +935,29 @@ def test_timedelta_axis_end_to_end(xs, spark):
     xs.from_dataset("fc_td_nat", ds2)
     nat = spark.sql("SELECT v FROM fc_td_nat WHERE step IS NULL").collect()
     assert [r["v"] for r in nat] == [2.0]
+
+
+def test_timedelta_zarr_store_to_sql(xs, spark, tmp_path):
+    """Close the loop for timedelta64: a Zarr v2 store whose variable is
+    '<m8[ns]' opens (dtype + values exact, test_zarr_codecs pins the NaT
+    fill), REGISTERS as a grid table (the round-8 duration support), and
+    interval SQL runs over it."""
+    from xarray_sql_spark.zarr_store import write_zarr
+
+    lead = np.array([0, 6, 12, 18], dtype="timedelta64[h]").astype(
+        "timedelta64[ns]"
+    )
+    src = Dataset(
+        {"lead": Variable(("i",), lead)}, {"i": np.arange(4, dtype=np.int64)}
+    )
+    path = write_zarr(src, str(tmp_path / "lead.zarr"))
+    back = Dataset.open_store(path)
+    arr = np.asarray(back.data_vars["lead"].values())
+    assert arr.dtype.kind == "m" and (arr == lead).all()
+
+    xs.from_dataset("lead_store", back)
+    n = spark.sql(
+        "SELECT count(*) AS n FROM lead_store "
+        "WHERE lead >= INTERVAL '6' HOUR"
+    ).collect()[0]["n"]
+    assert n == 3
