@@ -325,6 +325,15 @@ def test_mp4_header_roundtrip_and_guards():
     assert r2 is not None and r2["data_len"] == 5
     # a zero-size box (malformed) stops the walk instead of looping
     assert mm._parse_mp4(struct.pack(">I", 0) + b"ftypisom") is None
+    # empty-declared tkhd (size 8, zero body): no version byte to read —
+    # must skip the track, not IndexError (round-8 ADVICE repro)
+    empty_tkhd = struct.pack(">I", 8) + b"tkhd"
+    trak_e = struct.pack(">I", 8 + len(empty_tkhd)) + b"trak" + empty_tkhd
+    moov_e = (
+        struct.pack(">I", 8 + len(mvhd1) + len(trak_e)) + b"moov"
+        + mvhd1 + trak_e
+    )
+    assert mm._parse_mp4(ftyp + moov_e) is None  # dims missing -> fallback
     # other magics keep their branch: WAV's RIFF at 0..4 has no ftyp at 4..8
     w = mm.parse_container(mm.wav_header(32000, 4) + b"\x00" * 4)
     assert w is not None and w["format"] == "wav"

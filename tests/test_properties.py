@@ -396,8 +396,16 @@ def test_mp4_walk_recovers_fields_through_unknown_boxes(
     moov_body = ref[ftyp_len + 8 :]
     mvhd_len = _struct.unpack(">I", moov_body[:4])[0]
     mvhd, trak = moov_body[:mvhd_len], moov_body[mvhd_len:]
-    # a decoy trak with NO tkhd (parser must keep looking) or junk boxes
-    decoy = _box(b"trak", _box(b"free", b"\x00" * 12)) if extra_trak_first else b""
+    # a decoy trak with NO tkhd, or with an EMPTY-declared tkhd (size 8,
+    # zero body — the round-8 ADVICE IndexError repro): the parser must
+    # skip it without reading a version byte and keep looking
+    decoy = (
+        _box(b"trak", data.draw(st.sampled_from(
+            [_box(b"free", b"\x00" * 12), _box(b"tkhd", b"")]
+        )))
+        if extra_trak_first
+        else b""
+    )
     rebuilt_moov = _box(
         b"moov",
         _box(b"free", pre_junk) + mvhd + decoy + _box(b"udta", mid_junk) + trak,

@@ -301,6 +301,10 @@ def _parse_mp4(payload: bytes) -> dict[str, Any] | None:
                     for ttyp, t0, t1 in _mp4_boxes(payload, i0, i1):
                         if ttyp != b"tkhd":
                             continue
+                        if t0 >= t1:
+                            # empty-declared tkhd (size 8): no version byte
+                            # to read — skip, keep the never-crash contract
+                            break
                         ver = payload[t0]
                         off = t0 + (84 if ver == 0 else 96) - 8
                         if t1 - off >= 8:

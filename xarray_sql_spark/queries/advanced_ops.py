@@ -2370,7 +2370,9 @@ _HH_TOPK = 20
     "hh01_heavy_hitters",
     oracle=f"""
     WITH c AS (
-        SELECT CAST(user_id % {_HH_SHARDS} AS INT) AS shard,
+        -- double-mod = Spark pmod semantics (DuckDB % is sign-preserving,
+        -- so a negative user_id would otherwise silently diverge)
+        SELECT CAST(((user_id % {_HH_SHARDS}) + {_HH_SHARDS}) % {_HH_SHARDS} AS INT) AS shard,
                CAST(user_id AS VARCHAR) AS entity,
                CAST(count(*) AS BIGINT) AS cnt
         FROM events GROUP BY 1, 2

@@ -32,8 +32,35 @@ from xarray_sql_spark.session import table
 
 # Per-process fixture root: two concurrent runs against the same sf_dir
 # (parallel pytest sessions, bench + driver) must not overwrite each
-# other's fixture dirs mid-read (r7 ADVICE).
+# other's fixture dirs mid-read (r7 ADVICE). atexit-removed so repeated
+# runs on a long-lived host don't accumulate orphans (r8 ADVICE); stale
+# trees from crashed siblings are swept here too — a live PID guard keeps
+# concurrent runs safe.
 _IO_DIR = f"/tmp/xss_io_formats_{os.getpid()}"
+
+
+def _cleanup_io_dirs() -> None:
+    import glob
+    import shutil
+
+    shutil.rmtree(_IO_DIR, ignore_errors=True)
+    for stale in glob.glob("/tmp/xss_io_formats_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+        except ValueError:
+            continue  # unparseable suffix: not ours, leave it
+        try:
+            os.kill(pid, 0)  # probe liveness without signalling
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)  # dead -> orphan
+        except PermissionError:
+            pass  # alive under another user: keep
+
+
+import atexit
+
+atexit.register(_cleanup_io_dirs)
+_cleanup_io_dirs()  # sweep orphans from crashed prior runs at import
 
 _DOC_SCHEMA = StructType(
     [
