@@ -434,3 +434,47 @@ def test_mp4_walk_recovers_fields_through_unknown_boxes(
         st.lists(st.integers(min_value=0, max_value=len(payload)), max_size=8)
     ):
         mm._parse_mp4(payload[:cut])  # must not raise; value unconstrained
+
+
+# --- hh02 HLL estimate-regime differential ------------------------------------
+# The driver gate proves Spark == DuckDB on the fixed events table; this
+# property pins the ESTIMATE REGIME itself (n >> 2.5m, where the raw
+# HLL formula is unbiased): for arbitrary distinct-int populations the
+# md5-register estimate must stay within a 5-sigma band of truth
+# (sigma = 1.04/sqrt(1024) ~ 3.25%). A systematic bug (wrong scale
+# power, off-by-one rho — the round-9 2x bug class) lands ~50% off and
+# can't hide inside the band.
+
+
+@given(
+    n=st.integers(min_value=3000, max_value=9000),
+    offset=st.integers(min_value=0, max_value=2**40),
+    stride=st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=15, deadline=None)
+def test_hll_register_math_estimates_within_band(n, offset, stride):
+    from tests.test_sketches import _py_hll_state
+    from xarray_sql_spark.queries.advanced_ops import _HLL_ALPHA_NUM
+
+    est = _HLL_ALPHA_NUM / _py_hll_state(
+        offset + i * stride for i in range(n)
+    )
+    assert abs(est - n) / n < 5 * 1.04 / 32
+
+
+# --- qs01 log-linear bucket properties -----------------------------------------
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**50), min_size=1, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_qs_bucket_monotone_and_bounded(vals):
+    """The top-5-significant-bit truncation is monotone (so histogram
+    rank == value rank) and within the 2^-4 relative bound for EVERY
+    value — the two facts qs01's rank selection rests on."""
+    from tests.test_sketches import _py_qs_bucket
+
+    svals = sorted(vals)
+    buckets = [_py_qs_bucket(v) for v in svals]
+    assert buckets == sorted(buckets)
+    for v, b in zip(svals, buckets):
+        assert b <= v and (v - b) / v < 2 ** -4

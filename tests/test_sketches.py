@@ -53,3 +53,69 @@ def test_word_ngrams_short_docs_yield_empty(spark):
     ).select(F.split("text", " ").alias("w"))
     rows = df.select(_word_ngrams(3).alias("sh")).collect()
     assert [r["sh"] for r in rows] == [["a b c", "b c d"], [], [], []]
+
+
+# --- hh02/qs01: the oracled expression-level sketches -------------------------
+
+
+def _py_hll_state(values):
+    """Independent pure-Python mirror of hh02's register math: md5-60bit
+    hash, low-10-bit register index, rho = leading-zero rank of the top
+    50 bits, integer fold S = sum(2^(51-rho))."""
+    import hashlib
+
+    regs = [0] * 1024
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg, w = h % 1024, h // 1024
+        regs[reg] = max(regs[reg], 51 - w.bit_length())
+    return sum(1 << (51 - r) for r in regs)
+
+
+def test_hh02_spark_matches_python_differential(spark):
+    """The Spark expression pipeline (conv/md5/bin/shiftleft) computes the
+    IDENTICAL register fold as an independent Python int implementation —
+    on the real events table, not a toy."""
+    import pyarrow.parquet as pq
+
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.queries.advanced_ops import _HLL_ALPHA_NUM
+
+    ids = pq.read_table(f"{SF_MED}/events.parquet", columns=["event_id"])[
+        "event_id"
+    ].to_pylist()
+    s_py = _py_hll_state(ids)
+    row = REGISTRY["hh02_hll_distinct"].fn(spark, SF_MED).collect()[0]
+    assert row["s_sum"] == s_py
+    assert row["est_hll"] == round(_HLL_ALPHA_NUM / s_py, 3)
+    # and the estimate actually estimates: the sf0.01 events table is in
+    # the HLL estimate regime (n >> 2.5m), where the bound is ~3*1.04/32
+    assert abs(row["est_hll"] - row["n_exact"]) / row["n_exact"] < 0.10
+
+
+def _py_qs_bucket(v: int, sig: int = 5) -> int:
+    shift = max(v.bit_length() - sig, 0)
+    return (v >> shift) << shift
+
+
+def test_qs01_sketch_answers_match_rank_values(spark):
+    """qs01's sketch answer for each q must be the BUCKET of the true
+    rank-ceil(q*n) element (monotone bucketing makes histogram rank ==
+    value rank), hence within the 2^-(sig-1) relative bound of the exact
+    percentile it stands in for."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from xarray_sql_spark.queries import REGISTRY
+
+    prices = pq.read_table(
+        f"{SF_MED}/lineitem.parquet", columns=["l_extendedprice"]
+    )["l_extendedprice"].to_pylist()
+    vals = sorted(int(math.floor(p * 100 + 0.5)) for p in prices)
+    for row in REGISTRY["qs01_quantile_sketch"].fn(spark, SF_MED).collect():
+        x_r = vals[math.ceil(row["q"] * len(vals)) - 1]
+        assert row["n_rows"] == len(vals)
+        assert row["est_lb"] == _py_qs_bucket(x_r)
+        assert 0 <= (x_r - row["est_lb"]) / x_r < 2 ** -4
+        assert abs(row["rel_err"]) < 2 ** -4 + 0.01  # vs interpolated exact

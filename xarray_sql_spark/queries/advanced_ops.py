@@ -2454,3 +2454,263 @@ def hh01_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _merge, "shard int, entity string, cnt long, err long"
     )
     return sketched.orderBy(F.desc("cnt"), "entity").limit(_HH_TOPK)
+
+
+# --- hh02: HyperLogLog-style approximate distinct count -----------------------
+_HLL_P = 10                      # 2^10 = 1024 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 60 - _HLL_P         # md5-60bit hash minus the register index
+# the integer register fold stores 2^(WBITS+1-rho) per register (rho in
+# 1..WBITS+1, so the smallest term is exactly 1; empty registers
+# contribute 2^(WBITS+1) for rho=0), i.e. S = 2^(WBITS+1) * sum(2^-rho)
+_HLL_SCALE = 1 << (_HLL_WBITS + 1)
+# alpha_m * m^2 * 2^(WBITS+1) folded into ONE double literal so the final
+# estimate is a single integer-by-double division on both engines
+_HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(
+    _HLL_SCALE
+)
+
+
+@query(
+    "hh02_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT hv % {_HLL_M} AS reg,
+               {_HLL_WBITS + 1} - (CASE WHEN hv // {_HLL_M} = 0 THEN 0
+                          ELSE length(bin(hv // {_HLL_M})) END) AS rho
+        FROM h
+    ),
+    regs AS (SELECT reg, max(rho) AS mx FROM r GROUP BY reg),
+    agg AS (
+        SELECT count(*) AS n_filled,
+               CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_WBITS + 1} - mx AS INT))
+                    AS BIGINT) AS sum_pow
+        FROM regs
+    ),
+    ex AS (SELECT count(DISTINCT event_id) AS n_exact FROM events)
+    SELECT CAST({_HLL_M} AS INT) AS m,
+           CAST({_HLL_M} - n_filled AS BIGINT) AS n_zero,
+           CAST(sum_pow + ({_HLL_M} - n_filled)
+                * {_HLL_SCALE} AS BIGINT) AS s_sum,
+           round({_HLL_ALPHA_NUM!r} / (sum_pow + ({_HLL_M} - n_filled)
+                * {_HLL_SCALE}), 3) AS est_hll,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round(({_HLL_ALPHA_NUM!r} / (sum_pow + ({_HLL_M} - n_filled)
+                * {_HLL_SCALE}) - n_exact)
+                * 100.0 / n_exact, 3) AS err_pct
+    FROM agg, ex
+    """,
+    tags=("events", "sketch", "cardinality", "pipeline"),
+)
+def hh02_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT DISTINCT via a HyperLogLog-style register sketch
+    (Flajolet et al. 2007) built ENTIRELY from engine expressions — the
+    cardinality companion to hh01's frequency sketch (reference has
+    neither; a 100-TB pipeline counts distinct users/docs constantly).
+    The hash is the repo's canonical md5-60bit (both engines agree on
+    md5); register index = low {_HLL_P} bits, rho = leading-zero rank of
+    the remaining {_HLL_WBITS} bits computed EXACTLY via length(bin(w))
+    (Spark bin == DuckDB bin, '0' for zero on both). The estimate keeps
+    the classic alpha_m * m^2 / sum(2^-rho) form but scales by
+    2^{_HLL_WBITS} so the register fold is an exact BIGINT sum
+    (empty registers contribute 2^{_HLL_WBITS}); the only float op is
+    ONE constant-by-integer division — bit-identical cross-engine, so
+    the sketch itself sits under the hash gate. n_exact rides along so
+    the row also WITNESSES the estimate error (err_pct; the
+    estimate-regime error bound is pinned by the Hypothesis
+    differential in tests/test_properties.py).
+
+    Scale: the sketch is the aggregation — map-side partial max(rho)
+    per register means at most {_HLL_M} rows per scan partition reach
+    the shuffle regardless of data size (the same rows-shuffled
+    invariant as hh01), and the final fold is over {_HLL_M} rows. At
+    1000 executors the shuffle moves ~{_HLL_M} x partitions tiny rows;
+    the raw event stream never re-partitions. The exact-distinct leg is
+    a diagnostic passenger for the gate, not part of the sketch path —
+    production drops it (it's the thing the sketch replaces)."""
+    m = _HLL_M
+    wbits = _HLL_WBITS
+    ev = table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv")
+    )
+    r = ev.select(
+        (F.col("hv") % m).alias("reg"),
+        F.expr(
+            f"{wbits + 1} - (CASE WHEN hv DIV {m} = 0 THEN 0"
+            f" ELSE length(bin(hv DIV {m})) END)"
+        ).alias("rho"),
+    )
+    regs = r.groupBy("reg").agg(F.max("rho").alias("mx"))
+    agg = regs.agg(
+        F.count("*").alias("n_filled"),
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), CAST({wbits + 1} - mx AS INT)))"
+        ).alias("sum_pow"),
+    )
+    ex = table(spark, sf_dir, "events").agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    s_sum = F.col("sum_pow") + (F.lit(m) - F.col("n_filled")) * F.lit(
+        _HLL_SCALE
+    ).cast("bigint")
+    est = F.lit(_HLL_ALPHA_NUM) / s_sum
+    return agg.crossJoin(ex).select(
+        F.lit(m).cast("int").alias("m"),
+        (F.lit(m) - F.col("n_filled")).cast("bigint").alias("n_zero"),
+        s_sum.cast("bigint").alias("s_sum"),
+        F.round(est, 3).alias("est_hll"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round((est - F.col("n_exact")) * 100.0 / F.col("n_exact"), 3).alias(
+            "err_pct"
+        ),
+    )
+
+
+# --- qs01: log-linear quantile sketch vs exact percentile ----------------------
+_QS_SIGBITS = 5          # buckets keep the top 5 significant bits
+_QS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "qs01_quantile_sketch",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    sk AS (
+        SELECT (v >> greatest(length(bin(v)) - {_QS_SIGBITS}, 0))
+               << greatest(length(bin(v)) - {_QS_SIGBITS}, 0) AS bucket,
+               count(*) AS cnt
+        FROM v GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket, cnt,
+               sum(cnt) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(cnt) OVER () AS n_total
+        FROM sk
+    ),
+    qq AS (SELECT CAST(unnest([{", ".join(map(str, _QS_QUANTILES))}]) AS DOUBLE) AS q),
+    est AS (
+        SELECT qq.q, c.bucket AS est_lb, c.n_total
+        FROM qq, c
+        WHERE ceil(qq.q * c.n_total) > c.cum - c.cnt
+          AND ceil(qq.q * c.n_total) <= c.cum
+    ),
+    ex AS (
+        SELECT CAST(unnest([{", ".join(map(str, _QS_QUANTILES))}]) AS DOUBLE) AS q,
+               unnest(quantile_cont(CAST(v AS DOUBLE),
+                      [{", ".join(map(str, _QS_QUANTILES))}])) AS exact_v
+        FROM v
+    )
+    SELECT est.q, CAST(est.n_total AS BIGINT) AS n_rows,
+           CAST(est.est_lb AS BIGINT) AS est_lb,
+           round(ex.exact_v, 6) AS exact_v,
+           round((ex.exact_v - est.est_lb) / ex.exact_v, 4) AS rel_err
+    FROM est JOIN ex USING (q) ORDER BY q
+    """,
+    tags=("lineitem", "sketch", "quantile", "pipeline"),
+)
+def qs01_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mergeable quantile sketch: a LOG-LINEAR histogram in the
+    DDSketch family (Masson et al., VLDB 2019) with buckets = values
+    truncated to their top {_QS_SIGBITS} significant bits — i.e. a
+    relative-error guarantee of 2^-{_QS_SIGBITS - 1} (<{2 ** -(_QS_SIGBITS - 1) * 100:.2f}%)
+    — built from pure integer engine expressions (length(bin(v)) is the
+    exact bit-length on both engines), so unlike percentile_approx the
+    sketch itself is deterministic and sits under the hash gate. Input
+    is l_extendedprice on an exact integer cent grid via floor(x*100+.5)
+    (IEEE-identical cross-engine). Each output row carries the sketch
+    answer (bucket lower bound at the ceil(q*n) rank), the EXACT type-7
+    percentile as ground truth (Spark percentile == DuckDB
+    quantile_cont, q23's proven parity), and the realized relative
+    error — the bound itself is asserted by tests and the Hypothesis
+    property.
+
+    Scale: the sketch is one map-side-combined groupBy over <=
+    {_QS_SIGBITS}-bit x 64-octave buckets (~a few hundred rows
+    data-size-independent, same invariant as hh01/hh02); rank selection
+    is an array-filter over the tiny cumulated sketch — no theta join,
+    no driver collect. Sketches from different partitions/days merge by
+    adding counts per bucket (the production rollup path). The exact
+    percentile is the expensive passenger the sketch replaces at 100 TB
+    — here it's the in-row ground truth for the gate."""
+    qlist = list(_QS_QUANTILES)
+    sig = _QS_SIGBITS
+    li = table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("v")
+    )
+    sk = (
+        li.groupBy(
+            F.expr(
+                f"shiftleft(shiftright(v, greatest(length(bin(v)) - {sig}, 0)),"
+                f" greatest(length(bin(v)) - {sig}, 0))"
+            ).alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = sk.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    # each q lands in exactly one bucket: ceil(q*n) in (cum-cnt, cum] —
+    # an array filter over the tiny sketch, not a theta join
+    qarr = F.array(*[F.lit(q) for q in qlist])
+    est = cum.select(
+        F.explode(
+            F.filter(
+                qarr,
+                lambda q: (F.ceil(q * F.col("n_total")) > F.col("cum") - F.col("cnt"))
+                & (F.ceil(q * F.col("n_total")) <= F.col("cum")),
+            )
+        ).alias("q"),
+        F.col("bucket").alias("est_lb"),
+        "n_total",
+    )
+    ex = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("v")
+        )
+        .agg(
+            F.expr(
+                f"percentile(v, array({', '.join(map(str, qlist))}))"
+            ).alias("ep")
+        )
+        .select(
+            F.posexplode("ep").alias("qi", "exact_v"),
+        )
+        .select(
+            F.element_at(qarr, F.col("qi") + 1).alias("q"),
+            "exact_v",
+        )
+    )
+    return (
+        est.join(F.broadcast(ex), "q")
+        .select(
+            "q",
+            F.col("n_total").cast("bigint").alias("n_rows"),
+            F.col("est_lb").cast("bigint").alias("est_lb"),
+            F.round("exact_v", 6).alias("exact_v"),
+            F.round(
+                (F.col("exact_v") - F.col("est_lb")) / F.col("exact_v"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("q")
+    )
