@@ -1733,19 +1733,25 @@ def _pq_argmin_j(se_col, books):
     return F.array_sort(pairs)[0]["j"]
 
 
-def _pq_serve(v: DataFrame, cbf: dict, dtab: dict) -> DataFrame:
+def _pq_serve(
+    v: DataFrame, cbf: dict, dtab: dict, extra: dict | None = None
+) -> DataFrame:
     """PQ serving: encode + ADC as two stacked projections over the corpus
     scan — zero joins, zero shuffles; codebook and distance tables ride as
-    literals (the ss05 k-row centroid contract)."""
+    literals (the ss05 k-row centroid contract). ``extra`` columns (e.g.
+    ss14's IVF cell id) are computed in the SAME projection and carried
+    through, keeping the composed pipeline map-only."""
     sub0 = F.slice("emb", 1, _PQ_SUBDIM)
     sub1 = F.slice("emb", _PQ_SUBDIM + 1, _PQ_SUBDIM)
     seed_js = sorted({j for (_s, j) in cbf})
     queries_present = sorted({q for (q, _s, _j) in dtab})
+    extra = extra or {}
     # j values are positions in the sorted seed-id list (argmin emits the
     # literal j id); with a full seed set these coincide with 0..k-1.
     j_pos = {j: i for i, j in enumerate(seed_js)}
     codes = v.select(
         "vec_id",
+        *[c.alias(name) for name, c in extra.items()],
         _pq_argmin_j(sub0, {j: cbf[(0, j)] for j in seed_js}).alias("j0"),
         _pq_argmin_j(sub1, {j: cbf[(1, j)] for j in seed_js}).alias("j1"),
     )
@@ -1772,19 +1778,38 @@ def _pq_serve(v: DataFrame, cbf: dict, dtab: dict) -> DataFrame:
         for q in queries_present
     ]
     return codes.select(
-        "vec_id", F.explode(F.array(*per_query)).alias("qa")
+        "vec_id", *extra.keys(), F.explode(F.array(*per_query)).alias("qa")
     ).select(
-        F.col("qa.query_id").alias("query_id"), "vec_id", F.col("qa.adc").alias("adc")
+        F.col("qa.query_id").alias("query_id"),
+        "vec_id",
+        *extra.keys(),
+        F.col("qa.adc").alias("adc"),
     )
 
 
 def _pq_adc(spark: SparkSession, sf_dir: str):
-    """Shared PQ pipeline (ss09/ss10): train per-subvector codebooks
+    """ss09/ss10's serving pair: (full-vector table, ADC distance table).
+    Thin wrapper over :func:`_pq_train` + :func:`_pq_serve`; an
+    untrainable corpus (no seeds or no queries present) degrades to an
+    empty ADC table, never a KeyError."""
+    v, cbf, dtab = _pq_train(spark, sf_dir)
+    if cbf is None:
+        empty = v.limit(0).select(
+            F.col("vec_id").alias("query_id"), "vec_id", F.lit(0.0).alias("adc")
+        )
+        return v, empty
+    return v, _pq_serve(v, cbf, dtab)
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Shared PQ pipeline (ss09/ss10/ss14): train per-subvector codebooks
     (one deterministic Lloyd's iteration, seeds = first k vectors,
     means rounded 1e-4), encode the corpus to nearest-centroid codes,
     and score the query set by Asymmetric Distance Computation.
-    Returns ``(v, adc)``: the full-vector table and the per
-    (query_id, vec_id) approximate distance table.
+    Returns ``(v, cbf, dtab)``: the full-vector table, the trained
+    codebook, and the per-(query, subvector, code) distance entries —
+    the literal tables :func:`_pq_serve` folds into its projection.
+    ``(v, None, None)`` when the corpus has no seeds or no queries.
 
     Scale shape: PQ encode and ADC scoring are MAP-ONLY — the trained
     codebook (m x k = 8 rows) and the per-query distance tables
@@ -1821,7 +1846,7 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
     cache_key = (sf_dir, _file_sig(fp))
     if cache_key in _PQ_TRAIN_CACHE:
         cbf, dtab = _PQ_TRAIN_CACHE[cache_key]
-        return v, _pq_serve(v, cbf, dtab)
+        return v, cbf, dtab
 
     # One tiny job: seed + query vectors off the corpus (k + nq rows).
     picked = {
@@ -1840,12 +1865,7 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
     seed_js = [j for j in range(_PQ_K) if j in picked]
     queries_present = [q for q in _PQ_QUERIES if q in picked]
     if not seed_js or not queries_present:
-        empty = v.limit(0).select(
-            F.col("vec_id").alias("query_id"),
-            "vec_id",
-            F.lit(0.0).alias("adc"),
-        )
-        return v, empty
+        return v, None, None
     seed_books = {
         s: {j: half(picked[j], s) for j in seed_js} for s in (0, 1)
     }
@@ -1915,7 +1935,7 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
         ).collect()
     }
     _PQ_TRAIN_CACHE[cache_key] = (cbf, dtab)
-    return v, _pq_serve(v, cbf, dtab)
+    return v, cbf, dtab
 
 
 @query(
@@ -2045,6 +2065,164 @@ def ss10_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.withColumn("rn", F.row_number().over(rw))
         .filter(F.col("rn") <= 3)
         .select("query_id", "vec_id", "d2", "adc")
+        .orderBy("query_id", "vec_id")
+    )
+
+
+# --- ss14: IVF x PQ — the full IVFADC serving path ----------------------------
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+_IVF_D2 = _PQ_D2_SQL.format(n=2 * _PQ_SUBDIM, a="{a}", b="{b}")
+
+
+@query(
+    "ss14_ivfpq_search",
+    oracle=_PQ_CTES + f""",
+    cent AS (SELECT vec_id AS cell, emb AS cemb FROM v
+             WHERE vec_id < {_IVF_CELLS}),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_IVF_D2.format(a="v.emb", b="cent.cemb")},
+                                cent.cell
+                   ) AS rn
+            FROM v CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT v.vec_id AS query_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_IVF_D2.format(a="v.emb", b="cent.cemb")},
+                                cent.cell
+                   ) AS rn
+            FROM v CROSS JOIN cent WHERE v.vec_id IN {_PQ_QUERIES}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT a.query_id, a.vec_id, asg.cell, a.adc,
+               row_number() OVER (PARTITION BY a.query_id
+                                  ORDER BY a.adc, a.vec_id) AS rn
+        FROM adc a
+        JOIN assign asg ON asg.vec_id = a.vec_id
+        JOIN probes p ON p.query_id = a.query_id AND p.cell = asg.cell
+    ),
+    qv2 AS (SELECT vec_id AS query_id, emb AS qe FROM v
+            WHERE vec_id IN {_PQ_QUERIES}),
+    rer AS (
+        SELECT c.query_id, c.vec_id, c.cell, c.adc,
+               round({_IVF_D2.format(a="qv2.qe", b="cv.emb")}, 6) AS d2
+        FROM cand c
+        JOIN v cv ON cv.vec_id = c.vec_id
+        JOIN qv2 ON qv2.query_id = c.query_id
+        WHERE c.rn <= {_PQ_SHORTLIST}
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cell AS BIGINT) AS cell, d2, adc
+    FROM (
+        SELECT query_id, vec_id, cell, adc, d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, vec_id) AS rn
+        FROM rer
+    ) WHERE rn <= 3 ORDER BY query_id, vec_id
+    """,
+    tags=("similarity", "quantization", "ivf", "ann", "pipeline"),
+)
+def ss14_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE IVFADC serving path (Jégou et al. 2011: inverted
+    file + asymmetric distance + exact re-rank) — the production ANN
+    index, composed from the individually-proven pieces: ss04's coarse
+    quantizer (cells = nearest of {_IVF_CELLS} centroid vectors, here
+    by squared L2 to match the PQ metric), queries probe their
+    {_IVF_NPROBE} nearest cells, candidates inside probed cells are
+    scored by ss09's PQ/ADC code arithmetic, and the
+    {_PQ_SHORTLIST}-deep ADC shortlist fetches full vectors for ss10's
+    exact re-rank to top-3.
+
+    Scale shape — this is the part that matters at 100 TB: cell
+    assignment, PQ encoding, and per-query ADC are ONE map-only
+    projection over the corpus scan (centroids, codebooks and distance
+    tables are all literal tables; the embedding column never
+    shuffles); the IVF restriction is a BROADCAST semi-join against the
+    {len(_PQ_QUERIES)} x {_IVF_NPROBE}-row probe table, so non-probed
+    cells' rows are dropped before any exchange; the only shuffled rows
+    are probed-cell candidates (corpus/cells x nprobe) into the
+    shortlist window, and the re-rank join touches full vectors for
+    queries x {_PQ_SHORTLIST} rows only. The plan is pinned map-only
+    up to the shortlist by tests/test_scalelint.py."""
+    v, cbf, dtab = _pq_train(spark, sf_dir)
+    if cbf is None:
+        return v.limit(0).select(
+            F.col("vec_id").alias("query_id"),
+            "vec_id",
+            F.col("vec_id").alias("cell"),
+            F.lit(0.0).alias("d2"),
+            F.lit(0.0).alias("adc"),
+        )
+    # coarse centroids as literals: one constant-bounded collect
+    # (k = {_IVF_CELLS} rows), the ss05/kmeans contract
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["emb"]]
+        for r in v.filter(F.col("vec_id") < _IVF_CELLS).collect()
+    }
+    if not cents:
+        return v.limit(0).select(
+            F.col("vec_id").alias("query_id"),
+            "vec_id",
+            F.col("vec_id").alias("cell"),
+            F.lit(0.0).alias("d2"),
+            F.lit(0.0).alias("adc"),
+        )
+    cell_col = _pq_argmin_j(F.col("emb"), cents)
+    # encode + ADC + cell id in one projection; probe-restrict broadcast
+    adc2 = _pq_serve(v, cbf, dtab, extra={"cell": cell_col})
+    qv = v.filter(F.col("vec_id").isin(*_PQ_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    probe_pairs = F.array(
+        *[
+            F.struct(
+                _pq_d2_lit(F.col("qe"), ce).alias("d"),
+                F.lit(cell).cast("long").alias("j"),
+            )
+            for cell, ce in sorted(cents.items())
+        ]
+    )
+    probes = qv.select(
+        "query_id",
+        F.explode(
+            F.slice(F.array_sort(probe_pairs), 1, _IVF_NPROBE)
+        ).alias("pc"),
+    ).select("query_id", F.col("pc.j").alias("cell"))
+    cand = adc2.join(F.broadcast(probes), ["query_id", "cell"])
+    w_short = W.partitionBy("query_id").orderBy("adc", "vec_id")
+    short = (
+        cand.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "vec_id", "cell", "adc")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("emb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    rer = (
+        short.join(v, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", "cell", "adc", d2.alias("d2"))
+    )
+    w_top = W.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cell", "d2", "adc")
         .orderBy("query_id", "vec_id")
     )
 

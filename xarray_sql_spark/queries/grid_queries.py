@@ -2181,3 +2181,113 @@ def gq39_grid_where_clip_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.greatest(F.col("v"), F.lit(4.0)), F.lit(20.0)).alias("clipped"),
         F.coalesce(masked, F.lit(0.0)).alias("filled"),
     ).orderBy("ti", "y", "x")
+
+
+# --- third fixture: aperiodic in SPACE too (for 2-D stencils) ------------------
+# The _sq fixture is aperiodic in time but LINEAR in y and x, which makes
+# any spatial second difference a constant. This variant squares the
+# spatial indices as well — still exact binary quarters/halves, so
+# stencil arithmetic is bit-identical cross-engine with no rounding.
+_SQ2_EXPR_DUCK = (
+    "((t.i * t.i) % 32) * 0.25 + ((y.i * y.i) % 16) * 0.5"
+    " + ((x.i * x.i) % 16) * 0.25"
+)
+
+
+def _fixture_dataset_sq2() -> Dataset:
+    t = np.arange("2024-01-01T00", "2024-01-11T00", dtype="datetime64[h]").astype(
+        "datetime64[ns]"
+    )
+    y = np.arange(N_Y, dtype=np.int64)
+    x = np.arange(N_X, dtype=np.int64)
+    ti = np.arange(N_T, dtype=np.int64)
+    v = (
+        ((ti * ti) % 32)[:, None, None] * 0.25
+        + ((y * y) % 16)[None, :, None] * 0.5
+        + ((x * x) % 16)[None, None, :] * 0.25
+    )
+    return Dataset({"v": Variable(("time", "y", "x"), v)}, {"time": t, "y": y, "x": x})
+
+
+@query(
+    "gq40_grid_stencil",
+    oracle=f"""
+    WITH cells AS (
+        SELECT t.i AS ti, y.i AS yi, x.i AS xi,
+               {_SQ2_EXPR_DUCK} AS v
+        FROM (SELECT unnest(range({N_T})) AS i) t,
+             (SELECT unnest(range({N_Y})) AS i) y,
+             (SELECT unnest(range({N_X})) AS i) x
+        WHERE t.i % 24 = 0
+    ),
+    n AS (
+        SELECT ti, yi, xi, v,
+               lag(v)  OVER (PARTITION BY ti, yi ORDER BY xi) AS vxm,
+               lead(v) OVER (PARTITION BY ti, yi ORDER BY xi) AS vxp,
+               lag(v)  OVER (PARTITION BY ti, xi ORDER BY yi) AS vym,
+               lead(v) OVER (PARTITION BY ti, xi ORDER BY yi) AS vyp
+        FROM cells
+    )
+    SELECT CAST(ti AS BIGINT) AS ti,
+           CAST(yi AS BIGINT) AS y, CAST(xi AS BIGINT) AS x,
+           vxp + vxm + vyp + vym - 4 * v AS lap
+    FROM n
+    WHERE vxm IS NOT NULL AND vxp IS NOT NULL
+      AND vym IS NOT NULL AND vyp IS NOT NULL
+    ORDER BY ti, y, x
+    """,
+    tags=("grid", "datasource", "stencil", "window"),
+    bench=False,
+)
+def gq40_grid_stencil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D spatial stencil over the grid DataSource — the 5-point
+    Laplacian v[y+1,x] + v[y-1,x] + v[y,x+1] + v[y,x-1] - 4v (xarray
+    users spell this with ``map_blocks`` or shifted-array arithmetic;
+    this is the SQL-native form), at daily time slices, interior cells
+    only (edge cells lack a neighbor and are dropped, matching the
+    valid-region semantics of an unpadded stencil). Neighbor access is
+    lag/lead along x within a (t, y) row and along y within a (t, x)
+    column — no self-join of the grid against shifted copies of
+    itself. All arithmetic is exact binary fractions on the spatially
+    aperiodic fixture, so the hash needs no rounding.
+
+    Scale: two exchanges (one per axis ordering) of only the selected
+    time slices — the hour-0 filter rides the scan. For chunked grids
+    the production variant keys the window by chunk with a halo
+    exchange; the verb and the arithmetic are what's pinned here."""
+    xs = XarraySession(spark)
+    xs.from_dataset("gq_grid40", _fixture_dataset_sq2(), chunks={"time": 24})
+    df = xs.sql(
+        "SELECT (dayofyear(time) - 1) * 24 + hour(time) AS ti, y, x, v "
+        "FROM gq_grid40 WHERE hour(time) = 0"
+    ).df
+    wx = W.partitionBy("ti", "y").orderBy("x")
+    wy = W.partitionBy("ti", "x").orderBy("y")
+    n = df.select(
+        F.col("ti").cast("long").alias("ti"),
+        "y",
+        "x",
+        "v",
+        F.lag("v").over(wx).alias("vxm"),
+        F.lead("v").over(wx).alias("vxp"),
+        F.lag("v").over(wy).alias("vym"),
+        F.lead("v").over(wy).alias("vyp"),
+    )
+    return (
+        n.filter(
+            F.col("vxm").isNotNull()
+            & F.col("vxp").isNotNull()
+            & F.col("vym").isNotNull()
+            & F.col("vyp").isNotNull()
+        )
+        .select(
+            "ti",
+            "y",
+            "x",
+            (
+                F.col("vxp") + F.col("vxm") + F.col("vyp") + F.col("vym")
+                - 4 * F.col("v")
+            ).alias("lap"),
+        )
+        .orderBy("ti", "y", "x")
+    )

@@ -3187,3 +3187,100 @@ def pl14_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- ev22: SCD2 CDC merge — apply a delta, prove merge == rebuild --------------
+@query(
+    "ev22_scd2_merge",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+    ),
+    dim AS (
+        SELECT user_id, ts AS valid_from, value,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts)) AS valid_to
+        FROM versions WHERE rn = 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           round(value, 6) AS version_value
+    FROM dim ORDER BY user_id, valid_from
+    """,
+    tags=("events", "cdc", "scd2", "merge", "pipeline"),
+)
+def ev22_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MAINTENANCE — apply a CDC delta batch to an existing type-2
+    dimension in one pass: close each key's open interval at the key's
+    first delta version and append the delta's versions (ev17's change
+    feed meeting q38's dimension build — the warehouse MERGE INTO verb,
+    composed from driver-proven pieces). The Spark side actually RUNS
+    the incremental path — the feed is split at a deterministic 90%
+    time cutoff into the pre-existing dimension and the new delta, and
+    the two are merged — while the oracle is the FULL REBUILD over the
+    whole feed; hash equality is the merge == rebuild proof (the ev19
+    incremental-rollup pattern). Emits the maintained dimension itself
+    (open rows keep NULL valid_to), not a rollup, so any drifted
+    interval fails the gate.
+
+    Scale: the merge path is the point at 100 TB — the delta is one
+    day's partition, so the rebuild's full-history window is replaced
+    by (a) an SCD2 build over ONLY the delta, (b) a per-key first-
+    version aggregate of the delta (tiny, broadcastable), and (c) one
+    left join that touches existing OPEN rows only; closed history is
+    untouched (here it flows through for the comparator, in production
+    it's the unrewritten parquet partition). Both window stages and
+    the join share the user_id partitioning."""
+    e = table(spark, sf_dir, "events", spread=True)
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value", F.unix_micros("ts").alias("us")
+    )
+    # deterministic cutoff: min + 90% of the observed µs span (the ev14
+    # 1-row min/max broadcast shape); any cutoff must satisfy the oracle
+    bounds = views.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).select(F.expr("mn + (mx - mn) * 9 DIV 10").alias("cutoff_us"))
+    flagged = views.crossJoin(F.broadcast(bounds))
+    hist = flagged.filter(F.col("us") < F.col("cutoff_us"))
+    delta = flagged.filter(F.col("us") >= F.col("cutoff_us"))
+
+    def scd2(part: DataFrame) -> DataFrame:
+        # q38's single-shuffle build: (ts, event_id DESC) sort makes the
+        # first row of each ts run the max-event_id duplicate survivor,
+        # and lead() reuses the same user partitioning
+        w_sort = W.partitionBy("user_id").orderBy("us", F.desc("event_id"))
+        prev_us = F.lag("us").over(w_sort)
+        vers = part.withColumn(
+            "is_first", prev_us.isNull() | (prev_us != F.col("us"))
+        ).filter(F.col("is_first"))
+        return vers.select(
+            "user_id", F.col("ts").alias("valid_from"), "us", "value"
+        ).withColumn(
+            "valid_to",
+            F.lead("valid_from").over(W.partitionBy("user_id").orderBy("us")),
+        )
+    dim_old = scd2(hist)
+    dim_new = scd2(delta)
+    # each key's first delta version closes that key's open interval
+    first_new = dim_new.groupBy("user_id").agg(
+        F.min("valid_from").alias("first_new_from")
+    )
+    closed = dim_old.join(F.broadcast(first_new), "user_id", "left").select(
+        "user_id",
+        "valid_from",
+        F.coalesce("valid_to", "first_new_from").alias("valid_to"),
+        "value",
+    )
+    merged = closed.unionByName(
+        dim_new.select("user_id", "valid_from", "valid_to", "value")
+    )
+    return merged.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.round("value", 6).alias("version_value"),
+    ).orderBy("user_id", "valid_from")
