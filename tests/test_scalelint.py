@@ -47,6 +47,14 @@ BNLJ_ALLOWED = {
     "sides single-row aggregates)",
     "ev21_rfm_segments": "1-row corpus-max-day anchor broadcast (the "
     "recency reference point)",
+    "hh02_hll_distinct": "1-row register-fold x 1-row exact-count cross "
+    "(both sides single-row aggregates; the exact leg is the gate's "
+    "diagnostic passenger)",
+    "ev22_scd2_merge": "1-row min/max cutoff broadcast splitting the feed "
+    "into dimension + delta (ev19's contract; in production the cutoff "
+    "is the partition boundary literal)",
+    "sk04_bloom_fp_rate": "1-row residue-count broadcast joined to the "
+    "1-row measurement aggregate",
 }
 
 

@@ -58,10 +58,10 @@ def test_word_ngrams_short_docs_yield_empty(spark):
 # --- hh02/qs01: the oracled expression-level sketches -------------------------
 
 
-def _py_hll_state(values):
+def _py_hll_regs(values):
     """Independent pure-Python mirror of hh02's register math: md5-60bit
     hash, low-10-bit register index, rho = leading-zero rank of the top
-    50 bits, integer fold S = sum(2^(51-rho))."""
+    50 bits."""
     import hashlib
 
     regs = [0] * 1024
@@ -69,7 +69,35 @@ def _py_hll_state(values):
         h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
         reg, w = h % 1024, h // 1024
         regs[reg] = max(regs[reg], 51 - w.bit_length())
-    return sum(1 << (51 - r) for r in regs)
+    return regs
+
+
+def _py_hll_state(values):
+    """hh02's integer register fold S = sum(2^(51-rho))."""
+    return sum(1 << (51 - r) for r in _py_hll_regs(values))
+
+
+def test_hll_registers_merge_by_max():
+    """The property that makes the sketch distributed: per-partition
+    register tables merge by elementwise max into EXACTLY the whole-data
+    table (what hh02's groupBy(reg).max(rho) computes when partitions'
+    partial aggregates combine) — so only register rows ever shuffle."""
+    a = [f"a{i}" for i in range(4000)]
+    b = [f"b{i}" for i in range(3000)] + a[:500]  # overlapping halves
+    merged = [max(x, y) for x, y in zip(_py_hll_regs(a), _py_hll_regs(b))]
+    assert merged == _py_hll_regs(a + b)
+
+
+def test_qs_sketch_merges_by_count_addition():
+    """qs01's rollup path: per-partition/day bucket histograms merge by
+    ADDING counts per bucket — the union's sketch exactly."""
+    from collections import Counter
+
+    a = [(i * 37) % 10_000 + 1 for i in range(5000)]
+    b = [(i * 101) % 70_000 + 1 for i in range(3000)]
+    ca = Counter(_py_qs_bucket(v) for v in a)
+    cb = Counter(_py_qs_bucket(v) for v in b)
+    assert ca + cb == Counter(_py_qs_bucket(v) for v in a + b)
 
 
 def test_hh02_spark_matches_python_differential(spark):

@@ -3284,3 +3284,132 @@ def ev22_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.round("value", 6).alias("version_value"),
     ).orderBy("user_id", "valid_from")
+
+
+# --- dd13: duplicate-token spans — the remove-the-span production form ---------
+@query(
+    "dd13_dup_token_spans",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               ('0x' || substring(md5(
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                   || ' ' || w[i+7]), 1, 15))::BIGINT AS gh
+        FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+    ),
+    freq AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh),
+    d AS (
+        SELECT g.doc_id, g.pos FROM g JOIN freq USING (gh)
+        WHERE freq.cnt >= 2
+    ),
+    flg AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM d
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM flg
+    ),
+    sp AS (
+        SELECT doc_id, island,
+               min(pos) AS tok_start, max(pos) + 8 AS tok_end,
+               count(*) AS n_grams
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT CAST(sp.doc_id AS BIGINT) AS doc_id,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_end AS BIGINT) AS tok_end,
+           CAST(tok_end - tok_start AS BIGINT) AS n_tokens,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(CASE WHEN tok_start = 0 THEN 0
+                ELSE strlen(array_to_string(w[1:CAST(tok_start AS INT)], ' ')) + 1
+                END AS BIGINT) AS char_start,
+           CAST(strlen(array_to_string(w[1:CAST(tok_end AS INT)], ' '))
+                AS BIGINT) AS char_end
+    FROM sp JOIN words ON words.doc_id = sp.doc_id
+    ORDER BY doc_id, tok_start
+    """,
+    tags=("dedup", "text", "span", "pipeline"),
+)
+def dd13_dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN extraction — dd10's pair mining taken to its
+    production conclusion (Lee et al. 2022: remove the repeated SPAN,
+    not the document): for every document, the maximal token ranges
+    covered by word-8-grams that occur more than once in the corpus,
+    with both token and character offsets so a downstream pass can
+    splice the text directly. Adjacent/overlapping duplicate grams
+    merge by the gaps-and-islands rule (a new span starts when the next
+    duplicate gram begins more than 8 tokens after the previous one);
+    span end = last gram start + 8. Character offsets are exact integer
+    prefix arithmetic over the SAME whitespace split both engines use —
+    char_start points at the span's first character, char_end one past
+    its last.
+
+    Scale: occurrence counts are one map-side-combined groupBy on the
+    60-bit gram key; the duplicate filter is an equi-join of the
+    positional gram stream against that (never a pair join — per-doc
+    span work is independent of how many OTHER docs share the gram, the
+    property that makes this linear where dd10's pair form needs the
+    df cap); islands are one doc-keyed window; the char-offset join
+    touches only span rows. Four exchanges, all keyed, no explosion."""
+    d = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    g = d.select(
+        "doc_id", F.posexplode(_word_ngrams(8)).alias("pos", "gram")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("gh"),
+    )
+    freq = g.groupBy("gh").agg(F.count("*").alias("cnt"))
+    dup = g.join(freq.filter(F.col("cnt") >= 2), "gh").select("doc_id", "pos")
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    flg = dup.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) > 8, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = flg.select(
+        "doc_id",
+        "pos",
+        F.sum("brk")
+        .over(w_doc.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("tok_start"),
+        (F.max("pos") + 8).alias("tok_end"),
+        F.count("*").alias("n_grams"),
+    )
+    joined = sp.join(d, "doc_id")
+    char_start = F.when(F.col("tok_start") == 0, F.lit(0)).otherwise(
+        F.length(
+            F.array_join(F.expr("slice(w, 1, CAST(tok_start AS INT))"), " ")
+        )
+        + 1
+    )
+    char_end = F.length(
+        F.array_join(F.expr("slice(w, 1, CAST(tok_end AS INT))"), " ")
+    )
+    return joined.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("tok_start").cast("bigint").alias("tok_start"),
+        F.col("tok_end").cast("bigint").alias("tok_end"),
+        (F.col("tok_end") - F.col("tok_start")).cast("bigint").alias("n_tokens"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        char_start.cast("bigint").alias("char_start"),
+        char_end.cast("bigint").alias("char_end"),
+    ).orderBy("doc_id", "tok_start")
