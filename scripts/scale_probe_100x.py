@@ -49,6 +49,12 @@ PROBE_QUERIES = [
     "ev19_incremental_rollup",
     "pl08_sequence_packing",
     "hh01_heavy_hitters",
+    # round-9: HLL cardinality (register-rows-only shuffle), duplicate
+    # token spans (linear despite 100x gram occurrence counts — the
+    # no-pair-join claim under its worst case), IVFxPQ serving
+    "hh02_hll_distinct",
+    "dd13_dup_token_spans",
+    "ss14_ivfpq_search",
 ]
 
 

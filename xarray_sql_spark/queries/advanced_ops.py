@@ -2153,7 +2153,14 @@ def ss14_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     are probed-cell candidates (corpus/cells x nprobe) into the
     shortlist window, and the re-rank join touches full vectors for
     queries x {_PQ_SHORTLIST} rows only. The plan is pinned map-only
-    up to the shortlist by tests/test_scalelint.py."""
+    up to the shortlist by tests/test_scalelint.py.
+
+    Bench note: ~2.5 s warm at sf0.1 is the 9-exchange pipeline's fixed
+    stage floor plus the coarse-argmin projection (8 centroids x 64-dim
+    literal folds per row — JVM-side, embarrassingly parallel; measured
+    ~0.7 s over the 5000-row corpus, i.e. per-row expression overhead,
+    not a shuffle or a skew). Per-stage data volume is what grows at
+    100 TB; the stage count is constant."""
     v, cbf, dtab = _pq_train(spark, sf_dir)
     if cbf is None:
         return v.limit(0).select(
