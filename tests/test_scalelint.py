@@ -55,6 +55,8 @@ BNLJ_ALLOWED = {
     "is the partition boundary literal)",
     "sk04_bloom_fp_rate": "1-row residue-count broadcast joined to the "
     "1-row measurement aggregate",
+    "ts18_bm25_retrieval": "1-row corpus-stats broadcast (N/avgdl/df — "
+    "the ts10 LM-normalizer contract)",
 }
 
 

@@ -755,3 +755,38 @@ def test_heavy_hitters_batch_twin_hh01_matches_stream(spark):
         ((e, c, 0) for e, c in merged.items()), key=lambda t: (-t[1], t[0])
     )[: len(batch_top)]
     assert stream_top == batch_top
+
+
+def test_hll_batch_twin_hh02_matches_stream(spark):
+    """hh02 (expression-level batch HLL) and hll_distinct_stream (Python
+    state kernel) must build the IDENTICAL register table: same md5-60bit
+    hash, same register split, same rho — so the integer fold s_sum and
+    the rounded estimate agree exactly. Register sharding only partitions
+    the table (a register lives in one shard), so max-ver shard snapshots
+    union into the global table."""
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.queries.advanced_ops import _HLL_ALPHA_NUM
+    from xarray_sql_spark.streaming.events import HLL_M, HLL_WBITS
+
+    batch = REGISTRY["hh02_hll_distinct"].fn(spark, SF_SMALL).collect()[0]
+    out = se.run_to_memory(
+        se.hll_distinct_stream(
+            se.events_stream(spark, SF_SMALL), shards=4, entity_col="event_id"
+        ),
+        "t_hll_twin",
+        output_mode="update",
+    )
+    rows = out.collect()
+    max_ver = {}
+    for r in rows:
+        max_ver[r["shard"]] = max(max_ver.get(r["shard"], 0), r["ver"])
+    regs = {}
+    for r in rows:
+        if r["ver"] == max_ver[r["shard"]]:
+            assert r["reg"] not in regs  # registers never straddle shards
+            regs[r["reg"]] = r["rho"]
+    s_sum = sum(1 << (HLL_WBITS + 1 - rho) for rho in regs.values()) + (
+        HLL_M - len(regs)
+    ) * (1 << (HLL_WBITS + 1))
+    assert s_sum == batch["s_sum"]
+    assert round(_HLL_ALPHA_NUM / s_sum, 3) == batch["est_hll"]

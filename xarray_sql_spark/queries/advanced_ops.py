@@ -2899,3 +2899,115 @@ def qs01_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# --- hh03: count-min sketch — point frequency estimates -------------------------
+_CMS_D = 4    # depth: independent salted hash rows
+_CMS_W = 512  # width: counters per row
+_CMS_TOPK = 20
+
+
+@query(
+    "hh03_countmin",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT t.r,
+               ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % {_CMS_W} AS c
+        FROM events, LATERAL (SELECT unnest(range({_CMS_D})) AS r) t
+    ),
+    sketch AS (SELECT r, c, count(*) AS cnt FROM rows_ GROUP BY r, c),
+    truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id),
+    top AS (SELECT user_id, true_cnt FROM truth
+            ORDER BY true_cnt DESC, user_id LIMIT {_CMS_TOPK}),
+    keys AS (
+        SELECT top.user_id, top.true_cnt, t.r,
+               ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|'
+                    || CAST(top.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % {_CMS_W} AS c
+        FROM top, LATERAL (SELECT unnest(range({_CMS_D})) AS r) t
+    ),
+    est AS (
+        SELECT k.user_id, k.true_cnt, min(s.cnt) AS est_cnt
+        FROM keys k JOIN sketch s ON s.r = k.r AND s.c = k.c
+        GROUP BY 1, 2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overestimate
+    FROM est ORDER BY true_cnt DESC, user_id
+    """,
+    tags=("events", "sketch", "frequency", "pipeline"),
+)
+def hh03_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — POINT frequency
+    estimates completing the sketch triple (hh01 top-k, hh02
+    cardinality, hh03 per-key counts): {_CMS_D} salted md5 hash rows x
+    {_CMS_W} counters, estimate = min over the key's {_CMS_D} counters.
+    Both engines derive the identical salted-hash placements, so the
+    whole sketch — including its collision OVERESTIMATES — is
+    reproduced exactly and hash-gated; the row carries the true count
+    and the overestimate (>= 0 ALWAYS, the CMS one-sided-error
+    invariant the gate witnesses on every probed key; the eviction-free
+    additive structure is what lets deletions/decay work at 100 TB
+    where hh01's counter table can't subtract).
+
+    Scale: the sketch build is one map-side-combined groupBy capped at
+    {_CMS_D} x {_CMS_W} = {_CMS_D * _CMS_W} rows per partition
+    regardless of data size (hh01/hh02's rows-shuffled invariant);
+    counters merge across partitions/streams by ADDITION (pure
+    counts, test-pinned for qs01's histogram — same property). The
+    probe side joins {_CMS_TOPK} x {_CMS_D} key rows against the
+    BROADCAST sketch; truth is a diagnostic passenger (it's what the
+    sketch replaces in production)."""
+    w, d = _CMS_W, _CMS_D
+
+    def hcol(r_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", r_col.cast("string"), key_col.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % w
+        )
+
+    depth = F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r")
+    ev = table(spark, sf_dir, "events").select("user_id")
+    sketch = (
+        ev.select("user_id", depth)
+        .select("r", hcol(F.col("r"), F.col("user_id")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    w_top = W.orderBy(F.desc("true_cnt"), F.asc("user_id"))
+    top = (
+        truth.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _CMS_TOPK)
+        .select("user_id", "true_cnt")
+    )
+    keys = top.select("user_id", "true_cnt", depth).select(
+        "user_id", "true_cnt", "r", hcol(F.col("r"), F.col("user_id")).alias("c")
+    )
+    est = (
+        keys.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        F.col("est_cnt").cast("bigint").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.desc("true_cnt"), "user_id")

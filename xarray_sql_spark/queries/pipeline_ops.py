@@ -3413,3 +3413,143 @@ def dd13_dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_start.cast("bigint").alias("char_start"),
         char_end.cast("bigint").alias("char_end"),
     ).orderBy("doc_id", "tok_start")
+
+
+# --- ts18: BM25 ranked retrieval ------------------------------------------------
+_BM25_QUERIES = {1: ("hash", "join"), 2: ("vector", "scan", "batch"), 3: ("slow", "filter")}
+_BM25_TERMS = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+# k1/b chosen exactly representable in binary so every constant fold is
+# bit-identical cross-engine (registry arithmetic rules): k1=1.25, b=0.75
+_BM25_TOPK = 10
+
+
+def _bm25_score_sql(terms: tuple) -> str:
+    """One BM25 sum, DuckDB spelling — structurally IDENTICAL to the
+    Spark expression (same literal constants, same operator order) so
+    every intermediate double matches bit-for-bit."""
+    parts = [
+        f"ln(1.0 + (CAST(n AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * 2.25)"
+        f" / (tf_{t} + 1.25 * (0.25 + 0.75 * dl / avgdl))"
+        for t in terms
+    ]
+    return " + ".join(parts)
+
+
+@query(
+    "ts18_bm25_retrieval",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl,
+               {", ".join(f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS)}
+        FROM d
+    ),
+    st AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+        FROM tf
+    ),
+    sc AS (
+        {" UNION ALL ".join(
+            f"SELECT {qid} AS query_id, doc_id, round({_bm25_score_sql(ts)}, 6) AS score FROM tf, st"
+            for qid, ts in _BM25_QUERIES.items())}
+    ),
+    rk AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM sc WHERE score > 0
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rank AS INT) AS rank, score
+    FROM rk WHERE rank <= {_BM25_TOPK} ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "bm25", "pipeline"),
+)
+def ts18_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones; k1=1.25, b=0.75 —
+    chosen exactly binary-representable so constant folds are
+    bit-identical cross-engine) over the documents table for a fixed
+    query set — the retrieval scorer a training pipeline uses for
+    decontamination lookups and RAG-corpus indexing. Term frequencies
+    are array-filter sizes over the whitespace split (no explode, no
+    per-term join: every tf is one projection column); document
+    frequencies, N and avgdl come from ONE corpus aggregate broadcast
+    back as a 1-row spec; the per-(doc, query) score is a pure
+    projection; ranking cuts top-{_BM25_TOPK} per query on the ROUNDED
+    score with a doc_id tie-break (both engines rank the identical
+    rounded values). ln() parity follows the ts10/ts15 surprisal
+    precedent; every other operand is exact.
+
+    Scale: corpus-size work is two passes (the stats aggregate + the
+    scoring projection) with zero data-size-dependent shuffles; the
+    top-k window partitions by query_id ({len(_BM25_QUERIES)}
+    partitions of corpus-size input — at a larger query set,
+    TakeOrderedAndProject per query or a per-query threshold prefilter
+    keeps the exchange bounded)."""
+    d = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("dl"))
+    def tf_col(term: str):
+        # one-arg lambda: a (x, t=...) default would make pyspark treat
+        # it as the (element, index) two-arg form and bind the index
+        return F.size(F.filter("w", lambda x: x == F.lit(term))).alias(
+            f"tf_{term}"
+        )
+
+    tf = d.select("doc_id", "dl", *[tf_col(t) for t in _BM25_TERMS])
+    st = tf.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(st))
+
+    def term_score(t: str):
+        idf = F.log(
+            1.0
+            + (F.col("n").cast("double") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+        )
+        return (
+            idf
+            * (F.col(f"tf_{t}") * 2.25)
+            / (F.col(f"tf_{t}") + 1.25 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+        )
+
+    from functools import reduce
+    from operator import add
+
+    per_query = [
+        F.struct(
+            F.lit(qid).cast("int").alias("query_id"),
+            # left-assoc sum, same structure as the oracle's t1 + t2 + ...
+            F.round(reduce(add, (term_score(t) for t in ts)), 6).alias("score"),
+        )
+        for qid, ts in _BM25_QUERIES.items()
+    ]
+    sc = scored.select(
+        "doc_id", F.explode(F.array(*per_query)).alias("qs")
+    ).select("doc_id", F.col("qs.query_id").alias("query_id"), F.col("qs.score").alias("score"))
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        sc.filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+        .orderBy("query_id", "rank")
+    )

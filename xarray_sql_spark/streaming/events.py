@@ -764,3 +764,100 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming HLL cardinality (hh02's twin) ------------------------------------
+# Constants mirror queries/advanced_ops.py's hh02; the equivalence of the
+# two implementations (expression-level batch vs Python state kernel) is
+# pinned by test_streaming.test_hll_batch_twin_hh02_matches_stream.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+HLL_WBITS = 60 - HLL_P
+
+
+def hll_register_update(regs: dict, values) -> None:
+    """The HLL register update shared semantics with hh02's expression
+    pipeline: md5-60bit hash, low-HLL_P-bit register index, rho =
+    leading-zero rank of the remaining HLL_WBITS bits. ``regs`` maps
+    register -> max rho and is mutated in place. Registers merge across
+    shards/streams by elementwise max (test-pinned), which is what makes
+    per-shard state tables unionable without re-reading history."""
+    import hashlib
+
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg, w = h % HLL_M, h // HLL_M
+        rho = HLL_WBITS + 1 - w.bit_length()
+        if rho > regs.get(reg, 0):
+            regs[reg] = rho
+
+
+_HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("ver", LongType()),
+        StructField("reg", LongType()),
+        StructField("rho", LongType()),
+    ]
+)
+_HLL_STATE_SCHEMA = StructType(
+    [
+        StructField("ver", LongType()),
+        StructField("regs", ArrayType(LongType())),
+        StructField("rhos", ArrayType(LongType())),
+    ]
+)
+
+
+def _hll_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ver, regs_l, rhos_l = state.get
+        regs = dict(zip(regs_l, rhos_l))
+    else:
+        ver, regs = 0, {}
+    ver += 1  # snapshot version: consumers keep each shard's MAX
+    for pdf in pdfs:
+        hll_register_update(regs, pdf["entity"])
+    items = sorted(regs.items())
+    state.update((ver, [r for r, _ in items], [x for _, x in items]))
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(items),
+            "ver": [ver] * len(items),
+            "reg": [r for r, _ in items],
+            "rho": [x for _, x in items],
+        }
+    )
+
+
+def hll_distinct_stream(
+    stream: DataFrame, *, shards: int = 8, entity_col: str = "user_id"
+) -> DataFrame:
+    """Streaming approximate COUNT DISTINCT — hh02's register sketch as
+    applyInPandasWithState state: entities shard by register index (a
+    register lives in EXACTLY one shard, so shard tables union into the
+    global register table with no overlap), each shard's state is its
+    registers' running max-rho — O(HLL_M) TOTAL state regardless of
+    stream length or cardinality, the whole point of HLL on a firehose.
+    Emissions are update-mode snapshots stamped with a per-shard ``ver``;
+    rows with each shard's MAX ver form the current register table, from
+    which the estimate is sum(2^(WBITS+1-rho)) folded into hh02's
+    alpha-scaled division (the batch twin computes the identical
+    registers with engine expressions — equivalence test-pinned)."""
+    # shard by the REGISTER the entity updates: pmod(md5-60bit % M, shards)
+    h = F.conv(
+        F.substring(F.md5(F.col(entity_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    sharded = stream.select(
+        F.pmod(h % HLL_M, F.lit(shards)).cast("int").alias("shard"),
+        F.col(entity_col).cast("string").alias("entity"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _hll_fn,
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
