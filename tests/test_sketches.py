@@ -147,3 +147,96 @@ def test_qs01_sketch_answers_match_rank_values(spark):
         assert row["est_lb"] == _py_qs_bucket(x_r)
         assert 0 <= (x_r - row["est_lb"]) / x_r < 2 ** -4
         assert abs(row["rel_err"]) < 2 ** -4 + 0.01  # vs interpolated exact
+
+
+def _py_cms(values, d=4, w=512):
+    """Independent mirror of hh03's salted-md5 count-min placement."""
+    import hashlib
+    from collections import Counter
+
+    sketch = Counter()
+    for v in values:
+        for r in range(d):
+            h = int(hashlib.md5(f"{r}|{v}".encode()).hexdigest()[:15], 16)
+            sketch[(r, h % w)] += 1
+    return sketch
+
+
+def test_hh03_spark_matches_python_and_is_one_sided(spark):
+    """hh03's engine-expression sketch equals the independent Python
+    placement on the real events table, and every probed estimate obeys
+    the CMS one-sided bound: true <= est <= true + total/w (the
+    per-row expected-collision bound, loose but a hard invariant with
+    d independent rows would be probabilistic — the >= side is the
+    hard one)."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.queries.advanced_ops import _CMS_D, _CMS_W
+
+    ids = pq.read_table(f"{SF_MED}/events.parquet", columns=["user_id"])[
+        "user_id"
+    ].to_pylist()
+    sketch = _py_cms(ids, _CMS_D, _CMS_W)
+    truth = Counter(ids)
+    rows = REGISTRY["hh03_countmin"].fn(spark, SF_MED).collect()
+    assert len(rows) > 0
+    for r in rows:
+        est_py = min(
+            sketch[(d, int(__import__("hashlib").md5(
+                f"{d}|{r['user_id']}".encode()
+            ).hexdigest()[:15], 16) % _CMS_W)]
+            for d in range(_CMS_D)
+        )
+        assert r["est_cnt"] == est_py
+        assert r["true_cnt"] == truth[r["user_id"]]
+        assert r["overestimate"] >= 0  # CMS never undercounts
+
+
+def _py_bm25(docs, queries, k1=1.25, b=0.75):
+    """Independent BM25 (Robertson) over whitespace tokens — the formula
+    transcription check for ts18 (both engines share ts18's expression,
+    so the oracle gate alone can't catch a both-sides-wrong formula)."""
+    import math
+
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    out = {}
+    for qid, terms in queries.items():
+        df = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+        for i, w in toks.items():
+            s = 0.0
+            for t in terms:
+                tf = w.count(t)
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s = s + idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(w) / avgdl)
+                )
+            if round(s, 6) > 0:
+                out[(qid, i)] = round(s, 6)
+    return out
+
+
+def test_ts18_matches_python_bm25(spark):
+    """Every (query, doc) ts18 ranks must carry exactly the score an
+    independent Python BM25 computes, and the per-query ordering must be
+    the rounded-score-then-doc_id order."""
+    import pyarrow.parquet as pq
+
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.queries.pipeline_ops import _BM25_QUERIES
+
+    t = pq.read_table(f"{SF_MED}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    py = _py_bm25(docs, _BM25_QUERIES)
+    rows = REGISTRY["ts18_bm25_retrieval"].fn(spark, SF_MED).collect()
+    assert len(rows) == 3 * 10
+    for qid in _BM25_QUERIES:
+        got = [(r["doc_id"], r["score"]) for r in rows if r["query_id"] == qid]
+        want = sorted(
+            ((i, s) for (q, i), s in py.items() if q == qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        assert got == want, qid
