@@ -373,3 +373,48 @@ def test_every_container_parser_survives_every_byte_prefix():
         for cut in range(len(payload)):
             r = mm.parse_container(payload[:cut])  # must not raise
             assert r is None or isinstance(r, dict), (fmt, cut)
+
+
+def test_exif_walk_roundtrip_and_guards():
+    """mm10's TIFF IFD walk: planted APP1 bytes -> parsed fields
+    roundtrip in BOTH byte orders; every byte prefix degrades to None
+    (never an exception); a JPEG without APP1 parses as a plain
+    container but yields no EXIF."""
+    for bo in ("II", "MM"):
+        for orient in (1, 5, 8):
+            app1 = mm.exif_app1(bo, orient, 300, "2024:01:05 06:07:08")
+            p = b"\xff\xd8" + app1 + mm.jpeg_header(640, 480)[2:] + b"body"
+            exif = mm._parse_exif(p)
+            assert exif == {
+                "byte_order": bo, "orientation": orient,
+                "xres_num": 300, "xres_den": 1,
+                "exif_datetime": "2024:01:05 06:07:08",
+            }
+            # the ordinary container sniff still sees the JPEG dims
+            info = mm.parse_container(p)
+            assert (info["format"], info["width"], info["height"]) == (
+                "jpeg", 640, 480,
+            )
+            assert len(p) == 4 + mm.EXIF_HEADER_LEN
+    # never-crash: every truncation point of a full EXIF JPEG
+    full = b"\xff\xd8" + mm.exif_app1("MM", 3, 72, "2024:01:01 00:00:00") \
+        + mm.jpeg_header(32, 16)[2:]
+    for cut in range(len(full)):
+        r = mm._parse_exif(full[:cut])
+        assert r is None or isinstance(r, dict), cut
+    # plain JPEG (no APP1): container yes, EXIF no
+    plain = mm.jpeg_header(100, 50) + b"x"
+    assert mm.parse_container(plain)["format"] == "jpeg"
+    assert mm._parse_exif(plain) is None
+    # APP1 that is XMP, not Exif: skipped, walk continues to SOS/None
+    import struct
+    xmp = b"\xff\xe1" + struct.pack(">H", 12) + b"http://ns.x"
+    assert mm._parse_exif(b"\xff\xd8" + xmp + b"\xff\xd9") is None
+
+
+def test_exif_census_matches_oracle(spark):
+    from tests.oracle_harness import compare
+    from xarray_sql_spark.queries import REGISTRY
+
+    spec = REGISTRY["mm10_exif_census"]
+    compare(spec.fn(spark, SF_SMALL), spec.oracle, SF_SMALL)

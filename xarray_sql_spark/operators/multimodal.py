@@ -1399,6 +1399,248 @@ def mm09_mp4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.orderBy("doc_id")
 
 
+# --- mm10: EXIF/TIFF IFD walk ----------------------------------------------------
+EXIF_TIFF_LEN = 78  # header(8) + IFD0(2 + 3*12 + 4) + rational(8) + ascii(20)
+EXIF_HEADER_LEN = 2 + (2 + 2 + 6 + EXIF_TIFF_LEN) + 18 + 19  # SOI+APP1+APP0+SOF0
+
+
+def exif_app1(
+    byte_order: str, orientation: int, xres_num: int, datetime_str: str
+) -> bytes:
+    """A real APP1/EXIF segment (TIFF 6.0 layout): II or MM byte order,
+    IFD0 with Orientation (SHORT, value INLINE left-justified in the
+    4-byte field), XResolution (RATIONAL via value-OFFSET indirection)
+    and DateTime (ASCII 20 via offset) — the two value-encoding regimes
+    a real EXIF reader must handle."""
+    import struct
+
+    e = "<" if byte_order == "II" else ">"
+    ifd0_off, n = 8, 3
+    data_off = ifd0_off + 2 + n * 12 + 4  # rational lands here, ascii after
+    ent = b""
+    # entries must be ascending by tag (TIFF 6.0 §2)
+    ent += struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(e + "H", orientation) + b"\x00\x00"
+    ent += struct.pack(e + "HHI", 0x011A, 5, 1) + struct.pack(e + "I", data_off)
+    ent += struct.pack(e + "HHI", 0x0132, 2, 20) + struct.pack(e + "I", data_off + 8)
+    tiff = (
+        byte_order.encode("ascii")
+        + struct.pack(e + "H", 0x2A)
+        + struct.pack(e + "I", ifd0_off)
+        + struct.pack(e + "H", n)
+        + ent
+        + struct.pack(e + "I", 0)  # no IFD1
+        + struct.pack(e + "II", xres_num, 1)
+        + datetime_str.encode("ascii")[:19].ljust(19, b"\x00")
+        + b"\x00"
+    )
+    assert len(tiff) == EXIF_TIFF_LEN
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def exif_jpeg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image documents re-encoded as EXIF-bearing JPEGs: SOI, then a real
+    APP1/TIFF block (byte order, orientation, resolution, timestamp all
+    planted by doc_id arithmetic — II/MM alternates by parity so BOTH
+    endianness branches are exercised on every run), then the standard
+    JFIF APP0 + SOF0 markers. Separate fixture from encoded_media_table
+    (mm08/mm09's rule) so mm01-mm07's planted values are untouched."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if doc_id % 3 != 0:  # media_table's image assignment
+                    continue
+                body = str(text).encode("utf-8")
+                w = 160 + (doc_id * 37) % 1760
+                h = 90 + (doc_id * 53) % 990
+                dt = (
+                    f"2024:01:{1 + doc_id % 28:02d} "
+                    f"{doc_id % 24:02d}:{doc_id % 60:02d}:{(doc_id * 7) % 60:02d}"
+                )
+                app1 = exif_app1(
+                    "II" if doc_id % 2 == 0 else "MM",
+                    1 + doc_id % 8,
+                    72 + (doc_id * 31) % 228,
+                    dt,
+                )
+                payload = b"\xff\xd8" + app1 + jpeg_header(w, h)[2:] + body
+                rows.append((doc_id, payload, "image"))
+            yield pd.DataFrame(rows, columns=["doc_id", "content", "media_type"])
+
+    return d.mapInPandas(
+        _encode, "doc_id long, content binary, media_type string"
+    )
+
+
+def _parse_exif(payload: bytes) -> dict[str, Any] | None:
+    """Walk the JPEG marker stream to APP1, then the TIFF structure
+    inside it: byte order (II/MM), IFD0 entries with both value
+    regimes — inline (left-justified in the 4-byte field) and
+    offset-indirect (RATIONAL, ASCII). Any truncation/malformation ->
+    None (the container family's never-crash contract)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(payload):
+            return None
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            t0 = pos + 10  # TIFF origin: all offsets are relative to here
+            t1 = pos + 2 + seglen
+            return _parse_tiff_ifd0(payload, t0, t1)
+        if marker == 0xDA:
+            return None  # entered entropy-coded data without an APP1
+        pos += 2 + seglen
+    return None
+
+
+def _parse_tiff_ifd0(payload: bytes, t0: int, t1: int) -> dict[str, Any] | None:
+    import struct
+
+    if t1 - t0 < 8:
+        return None
+    bo = payload[t0 : t0 + 2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        return None
+    (magic,) = struct.unpack(e + "H", payload[t0 + 2 : t0 + 4])
+    if magic != 0x2A:
+        return None
+    (ifd_off,) = struct.unpack(e + "I", payload[t0 + 4 : t0 + 8])
+    p = t0 + ifd_off
+    if p + 2 > t1:
+        return None
+    (n,) = struct.unpack(e + "H", payload[p : p + 2])
+    p += 2
+    out: dict[str, Any] = {"byte_order": bo.decode("ascii")}
+    for _ in range(n):
+        if p + 12 > t1:
+            return None
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[p : p + 8])
+        val = payload[p + 8 : p + 12]
+        if tag == 0x0112 and typ == 3 and cnt == 1:
+            # SHORT fits inline, LEFT-justified in the 4-byte field
+            out["orientation"] = struct.unpack(e + "H", val[:2])[0]
+        elif tag == 0x011A and typ == 5 and cnt == 1:
+            (off,) = struct.unpack(e + "I", val)
+            if t0 + off + 8 > t1:
+                return None
+            num, den = struct.unpack(e + "II", payload[t0 + off : t0 + off + 8])
+            out["xres_num"], out["xres_den"] = num, den
+        elif tag == 0x0132 and typ == 2:
+            (off,) = struct.unpack(e + "I", val)
+            if t0 + off + cnt > t1:
+                return None
+            raw = payload[t0 + off : t0 + off + cnt]
+            out["exif_datetime"] = raw.split(b"\x00", 1)[0].decode(
+                "ascii", "replace"
+            )
+        p += 12
+    if len(out) < 5:  # all three tags must have parsed
+        return None
+    return out
+
+
+@query(
+    "mm10_exif_census",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CAST(72 + (doc_id * 31) % 228 AS BIGINT) AS xres_num,
+           CAST(1 AS BIGINT) AS xres_den,
+           '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+               || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+               AS exif_datetime,
+           CAST(160 + (doc_id * 37) % 1760 AS INT) AS width,
+           CAST(90 + (doc_id * 53) % 990 AS INT) AS height,
+           CAST(strlen(text) + {EXIF_HEADER_LEN} AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
+    """,
+    tags=("multimodal", "exif", "image", "pipeline"),
+    bench=False,  # fixture-encode dominates; decode shape == mm01 (benched)
+)
+def mm10_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image EXIF metadata from a REAL TIFF IFD walk (beyond-
+    reference; mm09's pattern one format deeper): byte order from the
+    II/MM header — BOTH endiannesses exercised every run by the
+    doc-parity plant — orientation from an INLINE left-justified SHORT,
+    resolution through RATIONAL value-offset indirection, capture
+    timestamp through ASCII offset indirection, pixel dims from the
+    SOF0 marker the ordinary container sniff already parses. The
+    fixture plants values by doc_id arithmetic; the kernel recovers
+    them ONLY from the APP1 bytes; the oracle regenerates them from
+    the rule — a hash match proves the marker walk, the endianness
+    switch, and both TIFF value regimes.
+
+    Scale: zero-shuffle Arrow-batched mapInPandas over the scan
+    partitioning (mm01/mm08/mm09's shape); the final ORDER BY is the
+    comparator's."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content, media_type in zip(
+                pdf["doc_id"], pdf["content"], pdf["media_type"]
+            ):
+                if media_type != "image":  # sniff gated on declared type
+                    continue
+                payload = bytes(content)
+                exif = _parse_exif(payload)
+                info = parse_container(payload)
+                if exif is None or info is None or info["format"] != "jpeg":
+                    continue
+                rows.append(
+                    (
+                        int(doc_id),
+                        exif["byte_order"],
+                        exif["orientation"],
+                        exif["xres_num"],
+                        exif["xres_den"],
+                        exif["exif_datetime"],
+                        info["width"],
+                        info["height"],
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_order", "orientation", "xres_num",
+                    "xres_den", "exif_datetime", "width", "height", "n_bytes",
+                ],
+            )
+
+    decoded = exif_jpeg_table(spark, sf_dir).mapInPandas(
+        _decode,
+        "doc_id bigint, byte_order string, orientation int, xres_num bigint, "
+        "xres_den bigint, exif_datetime string, width int, height int, "
+        "n_bytes bigint",
+    )
+    return decoded.orderBy("doc_id")
+
+
 # This module registers queries but lives OUTSIDE the queries package;
 # re-apply the driver-window order in case the package's reorder ran
 # mid-way through this module's import (see registry.apply_window_order).

@@ -24,9 +24,9 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (dict order). Round-9 window, COMPUTED by scripts/next_window.py (the
 # r8 discipline — never curated by hand):
-#   1. never-checked: the 9 queries NEW this round (hh02/qs01/hh03
+#   1. never-checked: the 10 queries NEW this round (hh02/qs01/hh03
 #      sketches, ss14 IVFxPQ, ev22 SCD2 merge, gq40 stencil, dd13
-#      spans, sk04 bloom FP rate, ts18 BM25 — every r9 addition
+#      spans, sk04 bloom FP rate, ts18 BM25, mm10 EXIF/TIFF walk — every r9 addition
 #      spliced the round it lands).
 #   2. changed code paths: mm02 (now rides the real MP4 parse), hh01
 #      (oracle modulo parity fix), io01 (fixture-dir lifecycle change
@@ -40,6 +40,7 @@ _PRIORITY = (
     "ev22_scd2_merge dd13_dup_token_spans gq40_grid_stencil "
     "ss14_ivfpq_search hh02_hll_distinct qs01_quantile_sketch "
     "sk04_bloom_fp_rate ts18_bm25_retrieval hh03_countmin "
+    "mm10_exif_census "
     "mm02_frame_sample hh01_heavy_hitters "
     "io01_jsonl_roundtrip q08_agg_filter q02_filter_scan "
     "q03_top_revenue q04_exists_semijoin q05_region_volume "
@@ -53,7 +54,7 @@ _PRIORITY = (
     "q32_json_extract q33_array_funcs q34_correlated_subquery "
     "q35_unpivot dd01_exact_dedup dd02_fingerprint_dedup "
     "dd03_ngram_jaccard ts01_text_quality ts02_langid "
-    "ss01_ann_topk ss04_ivf_ann ss03_lsh_ann "
+    "ss01_ann_topk ss04_ivf_ann "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402
