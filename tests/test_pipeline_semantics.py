@@ -322,3 +322,26 @@ def test_io_csv_sentinel_collision_is_a_known_format_boundary(spark, tmp_path):
     back = spark.read.options(**opts).schema("id long, t string").csv(out)
     got = {r.id: r.t for r in back.collect()}
     assert got == {0: None, 1: "x"}
+
+
+def test_ev22_merge_path_is_nontrivial(spark):
+    """The merge == rebuild proof is vacuous if the 90% cutoff puts the
+    whole feed on one side — pin that BOTH halves are populated at the
+    test SF (a nonempty pre-existing dimension AND a nonempty delta,
+    with at least one open interval actually closed by the merge:
+    some user must have versions on both sides of the cutoff)."""
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.session import table
+
+    e = table(spark, SF_SMALL, "events").filter(
+        F.col("event_type") == "view"
+    ).select("user_id", F.unix_micros("ts").alias("us"))
+    mn, mx = e.agg(F.min("us"), F.max("us")).collect()[0]
+    cutoff = mn + (mx - mn) * 9 // 10
+    hist = e.filter(F.col("us") < cutoff)
+    delta = e.filter(F.col("us") >= cutoff)
+    n_hist, n_delta = hist.count(), delta.count()
+    assert n_hist > 0 and n_delta > 0, (n_hist, n_delta)
+    straddlers = hist.select("user_id").intersect(delta.select("user_id"))
+    assert straddlers.count() > 0  # the interval-closing branch runs
