@@ -24,7 +24,7 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (dict order). Round-9 window, COMPUTED by scripts/next_window.py (the
 # r8 discipline — never curated by hand):
-#   1. never-checked: the 10 queries NEW this round (hh02/qs01/hh03
+#   1. never-checked: the 11 queries NEW this round (hh02/qs01/hh03
 #      sketches, ss14 IVFxPQ, ev22 SCD2 merge, gq40 stencil, dd13
 #      spans, sk04 bloom FP rate, ts18 BM25, mm10 EXIF/TIFF walk — every r9 addition
 #      spliced the round it lands).
@@ -40,7 +40,7 @@ _PRIORITY = (
     "ev22_scd2_merge dd13_dup_token_spans gq40_grid_stencil "
     "ss14_ivfpq_search hh02_hll_distinct qs01_quantile_sketch "
     "sk04_bloom_fp_rate ts18_bm25_retrieval hh03_countmin "
-    "mm10_exif_census "
+    "mm10_exif_census qs02_grouped_quantile_sketch "
     "mm02_frame_sample hh01_heavy_hitters "
     "io01_jsonl_roundtrip q08_agg_filter q02_filter_scan "
     "q03_top_revenue q04_exists_semijoin q05_region_volume "
@@ -54,7 +54,7 @@ _PRIORITY = (
     "q32_json_extract q33_array_funcs q34_correlated_subquery "
     "q35_unpivot dd01_exact_dedup dd02_fingerprint_dedup "
     "dd03_ngram_jaccard ts01_text_quality ts02_langid "
-    "ss01_ann_topk ss04_ivf_ann "
+    "ss01_ann_topk "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402

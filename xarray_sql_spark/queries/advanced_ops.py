@@ -3011,3 +3011,133 @@ def hh03_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_cnt").cast("bigint").alias("est_cnt"),
         (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overestimate"),
     ).orderBy(F.desc("true_cnt"), "user_id")
+
+
+# --- qs02: GROUPED quantile sketch — the production rollup shape ----------------
+_QS2_QUANTILES = (0.5, 0.9)
+
+
+@query(
+    "qs02_grouped_quantile_sketch",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderpriority AS pri,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    ),
+    sk AS (
+        SELECT pri,
+               (v >> greatest(length(bin(v)) - {_QS_SIGBITS}, 0))
+               << greatest(length(bin(v)) - {_QS_SIGBITS}, 0) AS bucket,
+               count(*) AS cnt
+        FROM v GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT pri, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY pri ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(cnt) OVER (PARTITION BY pri) AS n_total
+        FROM sk
+    ),
+    qq AS (SELECT CAST(unnest([{", ".join(map(str, _QS2_QUANTILES))}]) AS DOUBLE) AS q),
+    est AS (
+        SELECT c.pri, qq.q, c.bucket AS est_lb, c.n_total
+        FROM qq, c
+        WHERE ceil(qq.q * c.n_total) > c.cum - c.cnt
+          AND ceil(qq.q * c.n_total) <= c.cum
+    ),
+    ex AS (
+        SELECT pri,
+               CAST(unnest([{", ".join(map(str, _QS2_QUANTILES))}]) AS DOUBLE) AS q,
+               unnest(quantile_cont(CAST(v AS DOUBLE),
+                      [{", ".join(map(str, _QS2_QUANTILES))}])) AS exact_v
+        FROM v GROUP BY pri
+    )
+    SELECT est.pri AS pri, est.q AS q, CAST(est.n_total AS BIGINT) AS n_rows,
+           CAST(est.est_lb AS BIGINT) AS est_lb,
+           round(ex.exact_v, 6) AS exact_v,
+           round((ex.exact_v - est.est_lb) / ex.exact_v, 4) AS rel_err
+    FROM est JOIN ex ON ex.pri = est.pri AND ex.q = est.q
+    ORDER BY est.pri, est.q
+    """,
+    tags=("orders", "sketch", "quantile", "grouped", "pipeline"),
+)
+def qs02_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qs01's log-linear sketch in its PRODUCTION shape — per-group
+    quantiles (p50/p90 order value by priority) from one grouped
+    histogram: the per-(group, bucket) counts are the ONLY
+    data-size-dependent state, each group's rank selection runs over
+    its own tiny cumulated sketch, and adding a rollup dimension is
+    adding a groupBy column, not re-sorting values (the reason every
+    metrics warehouse stores sketches, not percentiles). Exact grouped
+    type-7 percentiles ride along as ground truth.
+
+    Scale: ONE map-side-combined groupBy on (group, bucket) — at most
+    groups x buckets rows shuffle (data-size independent); the cum
+    window and rank filter run over sketch rows only; the exact leg is
+    the diagnostic passenger the sketch replaces."""
+    qlist = list(_QS2_QUANTILES)
+    sig = _QS_SIGBITS
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+    )
+    sk = (
+        o.groupBy(
+            "pri",
+            F.expr(
+                f"shiftleft(shiftright(v, greatest(length(bin(v)) - {sig}, 0)),"
+                f" greatest(length(bin(v)) - {sig}, 0))"
+            ).alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = W.partitionBy("pri").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_all = W.partitionBy("pri")
+    cum = sk.select(
+        "pri",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    qarr = F.array(*[F.lit(q) for q in qlist])
+    est = cum.select(
+        "pri",
+        F.explode(
+            F.filter(
+                qarr,
+                lambda q: (F.ceil(q * F.col("n_total")) > F.col("cum") - F.col("cnt"))
+                & (F.ceil(q * F.col("n_total")) <= F.col("cum")),
+            )
+        ).alias("q"),
+        F.col("bucket").alias("est_lb"),
+        "n_total",
+    )
+    ex = (
+        o.groupBy("pri")
+        .agg(
+            F.expr(
+                f"percentile(v, array({', '.join(map(str, qlist))}))"
+            ).alias("ep")
+        )
+        .select("pri", F.posexplode("ep").alias("qi", "exact_v"))
+        .select("pri", F.element_at(qarr, F.col("qi") + 1).alias("q"), "exact_v")
+    )
+    return (
+        est.join(F.broadcast(ex), ["pri", "q"])
+        .select(
+            "pri",
+            "q",
+            F.col("n_total").cast("bigint").alias("n_rows"),
+            F.col("est_lb").cast("bigint").alias("est_lb"),
+            F.round("exact_v", 6).alias("exact_v"),
+            F.round(
+                (F.col("exact_v") - F.col("est_lb")) / F.col("exact_v"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("pri", "q")
+    )
