@@ -478,3 +478,79 @@ def test_qs_bucket_monotone_and_bounded(vals):
     assert buckets == sorted(buckets)
     for v, b in zip(svals, buckets):
         assert b <= v and (v - b) / v < 2 ** -4
+
+
+# --- mm10 EXIF/TIFF IFD-walk fuzz ----------------------------------------------
+# The fixture plants exactly three tags; a real camera IFD0 carries
+# dozens. The walk must recover the planted tags through ANY number of
+# unknown entries (skipped by the fixed 12-byte stride), in both byte
+# orders, and must never raise on any byte prefix.
+
+
+@given(
+    bo=st.sampled_from(["II", "MM"]),
+    orient=st.integers(min_value=1, max_value=8),
+    xres=st.integers(min_value=1, max_value=2**31 - 1),
+    extra_tags=st.lists(
+        st.tuples(
+            st.sampled_from([0x010F, 0x0110, 0x0131, 0x8769, 0x9000]),
+            st.integers(min_value=0, max_value=2**32 - 1),
+        ),
+        max_size=5,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_exif_walk_skips_unknown_tags(bo, orient, xres, extra_tags, data):
+    import struct
+
+    from xarray_sql_spark.operators import multimodal as mm
+
+    e = "<" if bo == "II" else ">"
+    dt = "2024:03:04 05:06:07"
+    # planted entries (same encodings as the fixture) + unknown LONG
+    # entries interleaved; entries stay ascending by tag where required
+    # only by spec-strictness — the walk is stride-based so ANY order
+    # must parse identically
+    n = 3 + len(extra_tags)
+    ifd0_off = 8
+    data_off = ifd0_off + 2 + n * 12 + 4
+    ent = []
+    ent.append(
+        struct.pack(e + "HHI", 0x0112, 3, 1)
+        + struct.pack(e + "H", orient) + b"\x00\x00"
+    )
+    ent.append(
+        struct.pack(e + "HHI", 0x011A, 5, 1) + struct.pack(e + "I", data_off)
+    )
+    ent.append(
+        struct.pack(e + "HHI", 0x0132, 2, 20)
+        + struct.pack(e + "I", data_off + 8)
+    )
+    for tag, val in extra_tags:
+        ent.append(struct.pack(e + "HHI", tag, 4, 1) + struct.pack(e + "I", val))
+    order = data.draw(st.permutations(range(n)))
+    tiff = (
+        bo.encode() + struct.pack(e + "H", 0x2A) + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", n)
+        + b"".join(ent[i] for i in order)
+        + struct.pack(e + "I", 0)
+        + struct.pack(e + "II", xres, 1)
+        + dt.encode().ljust(20, b"\x00")
+    )
+    payload = (
+        b"\xff\xd8" + b"\xff\xe1"
+        + struct.pack(">H", 2 + 6 + len(tiff)) + b"Exif\x00\x00" + tiff
+        + mm.jpeg_header(64, 48)[2:]
+    )
+    exif = mm._parse_exif(payload)
+    assert exif == {
+        "byte_order": bo, "orientation": orient,
+        "xres_num": xres, "xres_den": 1, "exif_datetime": dt,
+    }
+    # no prefix may raise
+    for cut in data.draw(
+        st.lists(st.integers(min_value=0, max_value=len(payload)), max_size=6)
+    ):
+        r = mm._parse_exif(payload[:cut])
+        assert r is None or isinstance(r, dict)
