@@ -790,3 +790,51 @@ def test_hll_batch_twin_hh02_matches_stream(spark):
     ) * (1 << (HLL_WBITS + 1))
     assert s_sum == batch["s_sum"]
     assert round(_HLL_ALPHA_NUM / s_sum, 3) == batch["est_hll"]
+
+
+def test_cms_batch_twin_hh03_matches_stream(spark):
+    """hh03 (expression-level batch count-min) and countmin_stream must
+    build the IDENTICAL counter table: entity sharding partitions the
+    population, so max-ver shard snapshots SUM cell-wise into the global
+    table, and every hh03 probe row's estimate must equal the min over
+    that table's d counters for the key."""
+    import hashlib
+
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.queries.advanced_ops import _CMS_D, _CMS_W
+
+    out = se.run_to_memory(
+        se.countmin_stream(
+            se.events_stream(spark, SF_SMALL), shards=4, entity_col="user_id"
+        ),
+        "t_cms_twin",
+        output_mode="update",
+    )
+    rows = out.collect()
+    max_ver = {}
+    for r in rows:
+        max_ver[r["shard"]] = max(max_ver.get(r["shard"], 0), r["ver"])
+    table = {}
+    for r in rows:
+        if r["ver"] == max_ver[r["shard"]]:
+            table[(r["r"], r["c"])] = table.get((r["r"], r["c"]), 0) + r["cnt"]
+    batch = REGISTRY["hh03_countmin"].fn(spark, SF_SMALL).collect()
+    assert len(batch) > 0
+    for b in batch:
+        est_stream = min(
+            table.get(
+                (
+                    d,
+                    int(
+                        hashlib.md5(
+                            f"{d}|{b['user_id']}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    % _CMS_W,
+                ),
+                0,
+            )
+            for d in range(_CMS_D)
+        )
+        assert est_stream == b["est_cnt"], b["user_id"]

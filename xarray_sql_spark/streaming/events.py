@@ -861,3 +861,98 @@ def hll_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming count-min (hh03's twin) ------------------------------------------
+CMS_D = 4
+CMS_W = 512
+
+
+def cms_update(sketch: dict, values) -> None:
+    """hh03's salted-md5 count-min placement as an incremental update:
+    ``sketch`` maps (row, col) -> count. Counters merge across shards,
+    partitions and micro-batches by ADDITION — the property that lets a
+    firehose maintain the same table hh03 computes in one batch pass."""
+    import hashlib
+
+    for v in values:
+        for r in range(CMS_D):
+            h = int(hashlib.md5(f"{r}|{v}".encode()).hexdigest()[:15], 16)
+            k = (r, h % CMS_W)
+            sketch[k] = sketch.get(k, 0) + 1
+
+
+_CMS_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("ver", LongType()),
+        StructField("r", LongType()),
+        StructField("c", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_CMS_STATE_SCHEMA = StructType(
+    [
+        StructField("ver", LongType()),
+        StructField("rs", ArrayType(LongType())),
+        StructField("cs", ArrayType(LongType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+
+def _cms_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ver, rs, cs, cnts = state.get
+        sketch = {(r, c): n for r, c, n in zip(rs, cs, cnts)}
+    else:
+        ver, sketch = 0, {}
+    ver += 1
+    for pdf in pdfs:
+        cms_update(sketch, pdf["entity"])
+    items = sorted(sketch.items())
+    state.update(
+        (
+            ver,
+            [r for (r, _c), _ in items],
+            [c for (_r, c), _ in items],
+            [n for _, n in items],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(items),
+            "ver": [ver] * len(items),
+            "r": [r for (r, _c), _ in items],
+            "c": [c for (_r, c), _ in items],
+            "cnt": [n for _, n in items],
+        }
+    )
+
+
+def countmin_stream(
+    stream: DataFrame, *, shards: int = 8, entity_col: str = "user_id"
+) -> DataFrame:
+    """Streaming count-min — hh03's counter table as
+    applyInPandasWithState state, ENTITY-sharded (an entity's d
+    placements all live in its shard, so per-shard sub-sketches are
+    over disjoint entity populations and the global table is their
+    cell-wise SUM — additive merge, test-pinned against the batch
+    twin). State is O(shards x d x w) regardless of stream length.
+    Emissions are update-mode ver-stamped snapshots; rows with each
+    shard's MAX ver sum into the current global table."""
+    sharded = stream.select(
+        F.pmod(F.xxhash64(F.col(entity_col).cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(entity_col).cast("string").alias("entity"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _cms_fn,
+        outputStructType=_CMS_OUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
