@@ -44,7 +44,7 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "ev19_incremental_rollup", "pl12_dataset_card",
                  # round-9 additions: expression-level sketches, span
                  # dedup (the no-pair-join linear claim), IVFxPQ serving
-                 "hh02_hll_distinct", "dd13_dup_token_spans",
+                 "hh02_hll_distinct", "hh03_countmin", "dd13_dup_token_spans",
                  "ss14_ivfpq_search"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"

@@ -53,6 +53,7 @@ PROBE_QUERIES = [
     # token spans (linear despite 100x gram occurrence counts — the
     # no-pair-join claim under its worst case), IVFxPQ serving
     "hh02_hll_distinct",
+    "hh03_countmin",
     "dd13_dup_token_spans",
     "ss14_ivfpq_search",
 ]
