@@ -345,3 +345,56 @@ def test_ev22_merge_path_is_nontrivial(spark):
     assert n_hist > 0 and n_delta > 0, (n_hist, n_delta)
     straddlers = hist.select("user_id").intersect(delta.select("user_id"))
     assert straddlers.count() > 0  # the interval-closing branch runs
+
+
+def test_ev22_no_forced_dim_broadcast(spark):
+    """first_new (the per-key first-version aggregate of the CDC delta) is
+    data-dependent — one day of a 100-TB feed has 10⁷–10⁸ distinct keys —
+    so its join must NOT carry a forced broadcast hint (r9 verdict). The
+    only hinted broadcasts allowed in ev22's plan are the 1-row min/max
+    cutoff cross joins; the interval-close join (LeftOuter on user_id)
+    must be left to AQE's size-aware planning."""
+    df = REGISTRY["ev22_scd2_merge"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "strategy=broadcast" in line:
+            assert "Join Cross" in line, (
+                f"forced broadcast outside the 1-row cutoff cross: {line}"
+            )
+
+
+def test_dd13_char_offsets_are_code_points_not_bytes(spark, tmp_path):
+    """dd13's char_start/char_end are CHARACTER offsets: on non-ASCII text
+    (multi-byte UTF-8 words) the offsets must still index code points and
+    still match the DuckDB oracle — the r9 ADVICE divergence (oracle used
+    byte-counting strlen) regressed exactly here. The planted span makes
+    the duplicate region start after a multi-byte prefix, so a byte-based
+    oracle would disagree; Python's len() (code points) is the referee."""
+    import duckdb
+
+    span = _words("répété", 9)  # one shared 9-word span -> 2 grams/doc
+    prefix = ["naïve", "café", "übermaß"]
+    doc_a = prefix + span
+    doc_b = _words("βeta", 5) + span
+    sf = _write_documents(tmp_path, [" ".join(doc_a), " ".join(doc_b)])
+    spec = REGISTRY["dd13_dup_token_spans"]
+    rows = spec.fn(spark, sf).collect()
+    assert len(rows) == 2
+    by_doc = {r.doc_id: r for r in rows}
+    # doc 0's span starts at token 3: char_start = len("naïve café übermaß")+1
+    assert by_doc[0].tok_start == 3
+    assert by_doc[0].char_start == len(" ".join(prefix)) + 1
+    assert by_doc[0].char_end == len(" ".join(doc_a))
+    # the oracle must agree on the same non-ASCII fixture
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        duck = con.execute(spec.oracle).fetchall()
+    finally:
+        con.close()
+    got = sorted((r.doc_id, r.tok_start, r.char_start, r.char_end) for r in rows)
+    want = sorted((r[0], r[1], r[5], r[6]) for r in duck)
+    assert got == want

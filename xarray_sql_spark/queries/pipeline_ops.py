@@ -3230,11 +3230,17 @@ def ev22_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the merge path is the point at 100 TB — the delta is one
     day's partition, so the rebuild's full-history window is replaced
     by (a) an SCD2 build over ONLY the delta, (b) a per-key first-
-    version aggregate of the delta (tiny, broadcastable), and (c) one
-    left join that touches existing OPEN rows only; closed history is
-    untouched (here it flows through for the comparator, in production
-    it's the unrewritten parquet partition). Both window stages and
-    the join share the user_id partitioning."""
+    version aggregate of the delta, and (c) one left join that touches
+    existing OPEN rows only; closed history is untouched (here it flows
+    through for the comparator, in production it's the unrewritten
+    parquet partition). The close join is NOT hinted: first_new's row
+    count is the delta's distinct-key count — at one day of 100 TB
+    easily 10⁷–10⁸ users, far past any safe forced broadcast (r9
+    verdict) — and both SCD2 window stages already hash-partition on
+    user_id, so the sort-merge co-partitions for free; at small deltas
+    AQE may still pick a broadcast hash join adaptively, which is the
+    correct size-aware behavior. Pinned by
+    tests/test_pipeline_semantics.py::test_ev22_no_forced_dim_broadcast."""
     e = table(spark, sf_dir, "events", spread=True)
     views = e.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", "value", F.unix_micros("ts").alias("us")
@@ -3269,7 +3275,7 @@ def ev22_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_new = dim_new.groupBy("user_id").agg(
         F.min("valid_from").alias("first_new_from")
     )
-    closed = dim_old.join(F.broadcast(first_new), "user_id", "left").select(
+    closed = dim_old.join(first_new, "user_id", "left").select(
         "user_id",
         "valid_from",
         F.coalesce("valid_to", "first_new_from").alias("valid_to"),
@@ -3330,9 +3336,9 @@ def ev22_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(tok_end - tok_start AS BIGINT) AS n_tokens,
            CAST(n_grams AS BIGINT) AS n_grams,
            CAST(CASE WHEN tok_start = 0 THEN 0
-                ELSE strlen(array_to_string(w[1:CAST(tok_start AS INT)], ' ')) + 1
+                ELSE length(array_to_string(w[1:CAST(tok_start AS INT)], ' ')) + 1
                 END AS BIGINT) AS char_start,
-           CAST(strlen(array_to_string(w[1:CAST(tok_end AS INT)], ' '))
+           CAST(length(array_to_string(w[1:CAST(tok_end AS INT)], ' '))
                 AS BIGINT) AS char_end
     FROM sp JOIN words ON words.doc_id = sp.doc_id
     ORDER BY doc_id, tok_start
@@ -3351,7 +3357,12 @@ def dd13_dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span end = last gram start + 8. Character offsets are exact integer
     prefix arithmetic over the SAME whitespace split both engines use —
     char_start points at the span's first character, char_end one past
-    its last.
+    its last. Offsets are CHARACTER (code point) positions, not bytes:
+    Spark's length() counts characters, so the oracle uses DuckDB's
+    length() (character semantics) — NOT strlen (bytes) — keeping the
+    two sides equal on non-ASCII text too (r9 ADVICE; splicing
+    downstream should use substr/[i:j] code-point slicing, not byte
+    slicing).
 
     Scale: occurrence counts are one map-side-combined groupBy on the
     60-bit gram key; the duplicate filter is an equi-join of the
