@@ -18,6 +18,7 @@ from xarray_sql_spark.operators import multimodal  # noqa: F401,E402
 from xarray_sql_spark.queries import grid_queries  # noqa: F401,E402
 from xarray_sql_spark.queries import advanced_ops  # noqa: F401,E402
 from xarray_sql_spark.queries import io_formats  # noqa: F401,E402
+from xarray_sql_spark.queries import bpe_tokenizer  # noqa: F401,E402
 from xarray_sql_spark.operators import skew  # noqa: F401,E402
 from xarray_sql_spark.operators import components  # noqa: F401,E402
 

@@ -1304,13 +1304,18 @@ def ev10_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- pl08: concat-and-chunk sequence packing --------------------------------
-@query(
-    "pl08_sequence_packing",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, source,
-               length(regexp_split_to_array(trim(text), ' +')) AS n_tok
-        FROM documents WHERE length(trim(text)) > 0
+def _pl08_oracle() -> str:
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_ctes
+
+    return f"""
+    WITH {bpe_ctes()},
+    dw AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source, CAST(sum(b.n_bpe) AS BIGINT) AS n_tok
+        FROM dw JOIN bpe b USING (word) GROUP BY 1, 2
     ), packed AS (
         SELECT source, doc_id, n_tok,
                (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
@@ -1322,7 +1327,12 @@ def ev10_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
            CAST(min(doc_id) AS BIGINT) AS first_doc
     FROM packed GROUP BY source, bin ORDER BY source, bin
-    """,
+    """
+
+
+@query(
+    "pl08_sequence_packing",
+    oracle=_pl08_oracle(),
     tags=("sampling", "packing", "pipeline"),
 )
 def pl08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,21 +1340,32 @@ def pl08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     examples are assembled from documents (concatenate in a deterministic
     order, cut every 2048 tokens): each doc's bin is its START offset in
     the per-source token stream divided by the context length, via a
-    running prefix sum. Whitespace token counts stand in for the BPE
-    count (ts03's regex tokenizer slots in identically).
+    running prefix sum. Since round 10 the counts are REAL subword
+    counts from the trained ts19 tokenizer (the r9 verdict's "re-prove
+    pl08 on real counts"), not the earlier whitespace proxy: per-doc
+    n_tok = sum of the BPE segment count over the doc's words, via the
+    shared vocabulary map (bpe_tokenizer.bpe_vocab_df — one training
+    shared with ts19 per process/sf).
 
     Scale: packing is PER SOURCE (the per-shard packing real pipelines
     do), so the prefix-sum window partitions on source — one hash
     exchange, no global serial window (contrast pl06, which demonstrates
     the fully-global distributed prefix sum when a single stream is
-    required). Integer arithmetic end to end."""
-    d = table(spark, sf_dir, "documents", spread=True).filter(
-        F.length(F.trim("text")) > 0
-    )
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tok"),
+    required). The token-count stage is the ts19 apply shape (word-key
+    equi-join against the Heaps-sublinear vocabulary map, AQE
+    broadcast). Integer arithmetic end to end; docs with no words drop
+    on both engines (no words to pack)."""
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_vocab_df
+
+    vocab = bpe_vocab_df(spark, sf_dir).select("word", "n_bpe")
+    d = table(spark, sf_dir, "documents", spread=True)
+    dw = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    toks = (
+        dw.join(vocab, "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_bpe").cast("long").alias("n_tok"))
     )
     packed = toks.withColumn(
         "bin", F.expr("(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) DIV 2048")
