@@ -398,3 +398,18 @@ def test_dd13_char_offsets_are_code_points_not_bytes(spark, tmp_path):
     got = sorted((r.doc_id, r.tok_start, r.char_start, r.char_end) for r in rows)
     want = sorted((r[0], r[1], r[5], r[6]) for r in duck)
     assert got == want
+
+
+def test_ss13_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of the single bucket's, and
+    both arms rank exact-top-k members consistently (rounded cosine,
+    neighbor_id tie-break), so per-query recall_multi >= recall_single by
+    construction — and on this fixture the probe width buys a strictly
+    positive total lift (the reason ss15 exists)."""
+    from tests.conftest import SF_MED
+
+    rows = REGISTRY["ss13_ann_recall"].fn(spark, SF_MED).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.recall_multi >= r.recall_single, r
+    assert sum(r.n_hit_multi for r in rows) > sum(r.n_hit_single for r in rows)

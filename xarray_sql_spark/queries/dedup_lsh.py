@@ -971,28 +971,160 @@ def dd11_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECALL_NQ = 10
 RECALL_K = 3
 
+# --- multi-probe LSH (ss15 + ss13's lift measurement) ----------------------------
+# Flip the 2 hyperplanes whose |projection| is smallest (the query sits
+# closest to those decision boundaries, so the flipped buckets are the
+# likeliest homes of missed neighbors — Lv et al., VLDB 2007): probe set =
+# {base, flip p1, flip p2, flip both} = 4 buckets per query.
+MULTIPROBE_FLIPS = 2
 
-def _ann_recall_oracle() -> str:
+
+def _planes_literal_spark() -> str:
+    return "array(" + ", ".join(
+        "array(" + ", ".join(repr(x) for x in PLANES[p]) + ")"
+        for p in range(N_PLANES)
+    ) + ")"
+
+
+def _planes_literal_duck_2d() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in PLANES[p]) + "]"
+        for p in range(N_PLANES)
+    )
+    return f"[{rows}]::DOUBLE[][]"
+
+
+def _probe_cte_spark(nq: int = RECALL_NQ) -> str:
+    """CTEs qp/probes (Spark SQL) over the bucketed corpus ``b``: rank
+    planes by ROUNDED |projection| (the 1e-6 grid where the Spark fold
+    equals DuckDB's list_inner_product; plane index breaks ties — the
+    same struct-sort rule on both engines), then emit the 4-bucket probe
+    set per query."""
+    dot = (
+        f"aggregate(zip_with(v, {_planes_literal_spark()}[p], (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    return f"""qp AS (
+            SELECT vec_id, v, norm, bucket,
+                   array_sort(transform(sequence(0, {N_PLANES - 1}),
+                       p -> struct(round(abs({dot}), 6) AS a, p AS p))) AS rk
+            FROM b WHERE vec_id < {nq}
+        ),
+        probes AS (
+            SELECT vec_id, v, norm, pbucket FROM qp
+            LATERAL VIEW explode(array(
+                bucket,
+                bucket ^ shiftleft(1, rk[0].p),
+                bucket ^ shiftleft(1, rk[1].p),
+                bucket ^ shiftleft(1, rk[0].p) ^ shiftleft(1, rk[1].p)
+            )) pb AS pbucket
+        )"""
+
+
+def _probe_cte_duck(nq: int = RECALL_NQ) -> str:
+    """The matching DuckDB CTEs over the oracle's ``bucketed`` corpus."""
+    dot = (
+        f"list_inner_product(v, ({_planes_literal_duck_2d()})"
+        "[CAST(p + 1 AS INT)])"
+    )
+    return f"""qp AS (
+        SELECT vec_id, v, bucket,
+               list_sort(list_transform(range(0, {N_PLANES}),
+                   p -> {{'a': round(abs({dot}), 6), 'p': p}})) AS rk
+        FROM bucketed WHERE vec_id < {nq}
+    ),
+    probes AS (
+        SELECT vec_id, v, u.pbucket
+        FROM qp, LATERAL (SELECT unnest([
+            CAST(bucket AS BIGINT),
+            xor(CAST(bucket AS BIGINT),
+                1::BIGINT << struct_extract(rk[1], 'p')),
+            xor(CAST(bucket AS BIGINT),
+                1::BIGINT << struct_extract(rk[2], 'p')),
+            xor(xor(CAST(bucket AS BIGINT),
+                    1::BIGINT << struct_extract(rk[1], 'p')),
+                1::BIGINT << struct_extract(rk[2], 'p'))
+        ]) AS pbucket) u
+    )"""
+
+
+def _multiprobe_oracle() -> str:
     bucket_terms = _bucket_terms_duck()
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
-    q AS (SELECT * FROM b WHERE vec_id < {RECALL_NQ}),
-    exact AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY round(list_cosine_similarity(q.v, c.v), 6)
-                                    DESC,
-                                c.vec_id
-                   ) AS rk
-            FROM b c JOIN q ON c.vec_id <> q.vec_id
-        ) WHERE rk <= {RECALL_K}
+    bucketed AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+    {_probe_cte_duck()},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        FROM probes q JOIN bucketed c
+          ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id
     ),
-    approx AS (
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS INT) AS rank,
+           cos AS cosine
+    FROM ranked WHERE rank <= {RECALL_K}
+    """
+
+
+@query(
+    "ss15_multiprobe_ann",
+    oracle=_multiprobe_oracle(),
+    tags=("similarity", "lsh", "multiprobe", "pipeline"),
+)
+def ss15_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007) — ss03's recall lever:
+    besides its own bucket, each query probes the buckets reached by
+    flipping the {MULTIPROBE_FLIPS} hyperplanes it sits closest to
+    (smallest rounded |projection|; plane-index tie-break), individually
+    and jointly — 4 probe buckets total. Candidates remain a bucket
+    equi-join; ranking is ss03's (rounded cosine DESC, neighbor_id)
+    rule. ss13 measures the realized recall lift of exactly this probe
+    set against the single-probe arm.
+
+    Scale: this is THE production recall knob — 4x the candidate work
+    (still ~4/256 of the corpus per query, still an equi-join, never a
+    cartesian) instead of rebuilding the index with more tables. The
+    probe-set computation is a per-query projection; the corpus is
+    scanned/bucketed once, identically to ss03."""
+    table(spark, sf_dir, "embeddings", spread=True).createOrReplaceTempView(
+        "ss15_embeddings"
+    )
+    return spark.sql(f"""
+        WITH b AS ({_bucketed_cte_spark("ss15_embeddings")}
+        ),
+        {_probe_cte_spark()},
+        scored AS (
+            SELECT /*+ BROADCAST(q) */
+                   q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({COS_FOLD_SQL}, 6) AS cos
+            FROM b c JOIN probes q
+              ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               cos AS cosine
+        FROM (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {RECALL_K}
+    """)
+
+
+def _ann_recall_oracle() -> str:
+    bucket_terms = _bucket_terms_duck()
+
+    def arm(from_clause: str) -> str:
+        return f"""
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (
@@ -1001,16 +1133,40 @@ def _ann_recall_oracle() -> str:
                                     DESC,
                                 c.vec_id
                    ) AS rk
-            FROM b c JOIN q ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-        ) WHERE rk <= {RECALL_K}
+            FROM {from_clause}
+        ) WHERE rk <= {RECALL_K}"""
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+    q AS (SELECT * FROM bucketed WHERE vec_id < {RECALL_NQ}),
+    {_probe_cte_duck()},
+    exact AS ({arm("bucketed c JOIN q ON c.vec_id <> q.vec_id")}
+    ),
+    single AS ({arm(
+        "bucketed c JOIN q ON q.bucket = c.bucket AND c.vec_id <> q.vec_id"
+    )}
+    ),
+    multi AS ({arm(
+        "bucketed c JOIN probes q"
+        " ON q.pbucket = c.bucket AND c.vec_id <> q.vec_id"
+    )}
     )
     SELECT CAST(x.query_id AS BIGINT) AS query_id,
            CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_hit,
-           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS recall
-    FROM exact x LEFT JOIN approx a USING (query_id, neighbor_id)
+           CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_single,
+           round(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS recall_single,
+           CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_multi,
+           round(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS recall_multi
+    FROM exact x
+    LEFT JOIN single s USING (query_id, neighbor_id)
+    LEFT JOIN multi m USING (query_id, neighbor_id)
     GROUP BY x.query_id
     ORDER BY x.query_id
     """
@@ -1034,11 +1190,17 @@ def ss13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm runs on the {RECALL_NQ}-query sample only, never the full
     corpus. Both arms rank on the identical (cosine DESC, neighbor_id)
     rule, so hits are well-defined cross-engine; recall rounds on the
-    1e-6 grid.
+    1e-6 grid. Round 10 adds the MULTI-PROBE arm (ss15's 4-bucket probe
+    set), so the table now shows the recall LIFT the probe width buys —
+    the exact tuning readout a deployment uses before paying 4x
+    candidate work (pinned monotone: multi-probe candidates are a
+    superset of the single bucket's, so per-query recall_multi >=
+    recall_single by construction).
 
     Scale: the exact arm is {RECALL_NQ} broadcast queries against one
-    corpus scan (ss01's intentional shape); the approx arm is the ss03
-    bucket equi-join; the comparison joins two k·{RECALL_NQ}-row sets."""
+    corpus scan (ss01's intentional shape); the approx arms are the
+    ss03/ss15 bucket equi-joins; the comparison joins k·{RECALL_NQ}-row
+    sets."""
     table(spark, sf_dir, "embeddings", spread=True).createOrReplaceTempView(
         "ss13_embeddings"
     )
@@ -1047,8 +1209,8 @@ def ss13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could flip at the rank boundary between engines (review finding)
     cos = f"round({COS_FOLD_SQL}, 6)"
 
-    def _arm(join_cond: str) -> str:
-        # exact and approx differ ONLY in the candidate join predicate
+    def _arm(from_clause: str) -> str:
+        # the three arms differ ONLY in the candidate join
         return f"""
             SELECT query_id, neighbor_id FROM (
                 SELECT /*+ BROADCAST(q) */
@@ -1057,25 +1219,41 @@ def ss13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                            PARTITION BY q.vec_id
                            ORDER BY {cos} DESC, c.vec_id
                        ) AS rk
-                FROM b c JOIN q ON {join_cond}
+                FROM {from_clause}
             ) WHERE rk <= {RECALL_K}"""
+
+    def hit(alias: str) -> str:
+        return f"SUM(IF({alias}.neighbor_id IS NOT NULL, 1, 0))"
 
     return spark.sql(f"""
         WITH b AS ({_bucketed_cte_spark("ss13_embeddings")}
         ),
         q AS (SELECT * FROM b WHERE vec_id < {RECALL_NQ}),
-        exact AS ({_arm("c.vec_id <> q.vec_id")}
+        {_probe_cte_spark()},
+        exact AS ({_arm("b c JOIN q ON c.vec_id <> q.vec_id")}
         ),
-        approx AS ({_arm("q.bucket = c.bucket AND c.vec_id <> q.vec_id")}
+        single AS ({_arm(
+            "b c JOIN q ON q.bucket = c.bucket AND c.vec_id <> q.vec_id"
+        )}
+        ),
+        multi AS ({_arm(
+            "b c JOIN probes q"
+            " ON q.pbucket = c.bucket AND c.vec_id <> q.vec_id"
+        )}
         )
         SELECT x.query_id,
                COUNT(*) AS n_exact,
-               CAST(SUM(IF(a.neighbor_id IS NOT NULL, 1, 0)) AS BIGINT)
-                   AS n_hit,
-               round(SUM(IF(a.neighbor_id IS NOT NULL, 1, 0))
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS recall
-        FROM exact x LEFT JOIN approx a
-          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+               CAST({hit("s")} AS BIGINT) AS n_hit_single,
+               round({hit("s")} / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS recall_single,
+               CAST({hit("m")} AS BIGINT) AS n_hit_multi,
+               round({hit("m")} / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS recall_multi
+        FROM exact x
+        LEFT JOIN single s
+          ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+        LEFT JOIN multi m
+          ON m.query_id = x.query_id AND m.neighbor_id = x.neighbor_id
         GROUP BY x.query_id
         ORDER BY x.query_id
     """)
