@@ -418,3 +418,65 @@ def test_exif_census_matches_oracle(spark):
 
     spec = REGISTRY["mm10_exif_census"]
     compare(spec.fn(spark, SF_SMALL), spec.oracle, SF_SMALL)
+
+
+def test_exif_gps_walk_roundtrip_and_pointer_guards():
+    """mm11's two-level IFD walk: planted GPS values roundtrip in both
+    byte orders; a GPS pointer CYCLE (0x8825 pointing back at IFD0) and
+    an out-of-range pointer return None instead of looping/crashing;
+    every byte prefix degrades to None (never an exception)."""
+    import struct
+
+    for bo in ("II", "MM"):
+        app1 = mm.exif_gps_app1(
+            bo, 7, ("S", 33, 51, 359, 10), ("W", 151, 12, 571, 10), (58, 100)
+        )
+        p = b"\xff\xd8" + app1 + mm.jpeg_header(64, 32)[2:] + b"x"
+        g = mm._parse_exif_gps(p)
+        assert g is not None and g["byte_order"] == bo
+        assert (g["lat_ref"], g["lat_deg"], g["lat_min"]) == ("S", 33, 51)
+        assert (g["lat_sec_num"], g["lat_sec_den"]) == (359, 10)
+        assert (g["lon_ref"], g["lon_deg"]) == ("W", 151)
+        assert (g["alt_num"], g["alt_den"]) == (58, 100)
+        # mm10's single-level walk must NOT see this fixture as its own
+        # (different tag set) — family separation, not accidental overlap
+        assert mm._parse_exif(p) is None
+        # truncation sweep: never raise
+        for cut in range(len(p)):
+            r = mm._parse_exif_gps(p[:cut])
+            assert r is None or isinstance(r, dict), (bo, cut)
+
+    # pointer cycle: rewrite the GPS pointer value to IFD0's own offset.
+    # The 0x8825 entry is IFD0's second: its 4-byte value sits at TIFF
+    # offset 8 (ifd0) + 2 (count) + 12 (first entry) + 8 (tag/typ/cnt).
+    app1 = bytearray(
+        mm.exif_gps_app1("II", 1, ("N", 1, 2, 3, 10), ("E", 4, 5, 6, 10), (7, 100))
+    )
+    tiff0 = 4 + 6  # marker+len, then 'Exif\x00\x00'
+    val_at = tiff0 + 8 + 2 + 12 + 8
+    app1[val_at : val_at + 4] = struct.pack("<I", 8)  # -> IFD0 itself
+    p = b"\xff\xd8" + bytes(app1) + mm.jpeg_header(64, 32)[2:]
+    assert mm._parse_exif_gps(p) is None  # cycle guard, no loop
+
+    # out-of-range pointer
+    app1[val_at : val_at + 4] = struct.pack("<I", 60000)
+    p = b"\xff\xd8" + bytes(app1) + mm.jpeg_header(64, 32)[2:]
+    assert mm._parse_exif_gps(p) is None
+
+    # deterministic random single-byte corruptions: never raise
+    base = b"\xff\xd8" + mm.exif_gps_app1(
+        "MM", 2, ("N", 10, 20, 30, 10), ("E", 40, 50, 60, 10), (70, 100)
+    ) + mm.jpeg_header(32, 16)[2:]
+    for i in range(0, len(base), 3):
+        for flip in (0x00, 0xFF, 0x80):
+            mutated = base[:i] + bytes([flip]) + base[i + 1 :]
+            r = mm._parse_exif_gps(mutated)
+            assert r is None or isinstance(r, dict), (i, flip)
+
+
+def test_exif_gps_census_matches_oracle(spark):
+    from tests.oracle_harness import compare
+    from xarray_sql_spark.queries import REGISTRY
+
+    spec = REGISTRY["mm11_exif_gps_census"]
+    compare(spec.fn(spark, SF_SMALL), spec.oracle, SF_SMALL)
