@@ -838,3 +838,62 @@ def test_cms_batch_twin_hh03_matches_stream(spark):
             for d in range(_CMS_D)
         )
         assert est_stream == b["est_cnt"], b["user_id"]
+
+
+def test_quantile_hist_stream_matches_batch(spark):
+    """qs01's log-linear histogram built incrementally on the stream must
+    equal the engine-expression batch histogram over the same feed:
+    bucket-range (octave) sharding keeps every bucket in exactly one
+    shard, so max-ver shard snapshots UNION into the global sketch —
+    from which qs01's cumulative-rank rule answers any quantile."""
+    from xarray_sql_spark.queries.advanced_ops import _QS_SIGBITS
+    from xarray_sql_spark.session import table as load_table
+
+    assert se.QH_SIGBITS == _QS_SIGBITS  # one bucket rule, two spellings
+    out = se.run_to_memory(
+        se.quantile_hist_stream(se.events_stream(spark, SF_SMALL), shards=4),
+        "t_qhist_twin",
+        output_mode="update",
+    )
+    rows = out.collect()
+    max_ver = {}
+    for r in rows:
+        max_ver[r["shard"]] = max(max_ver.get(r["shard"], 0), r["ver"])
+    hist = {}
+    owner = {}
+    for r in rows:
+        if r["ver"] == max_ver[r["shard"]]:
+            assert r["bucket"] not in hist  # buckets never straddle shards
+            hist[r["bucket"]] = r["cnt"]
+            owner[r["bucket"]] = r["shard"]
+    # octave sharding: all buckets of one octave share a shard
+    for b, s in owner.items():
+        assert s == int(b).bit_length() % 4
+    cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    sig = _QS_SIGBITS
+    bucket = (
+        f"shiftleft(shiftright({cents}, greatest(length(bin({cents})) - {sig}, 0)),"
+        f" greatest(length(bin({cents})) - {sig}, 0))"
+    )
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr(f"{bucket} AS bucket")
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    assert hist == {r["bucket"]: r["count"] for r in batch}
+
+
+def test_quantile_hist_merges_by_addition():
+    """The production rollup property: histograms over two halves of a
+    feed ADD per-bucket into the histogram of the whole feed."""
+    values = [3, 7, 100, 101, 32753, 950, 950, 12]
+    full, h1, h2 = {}, {}, {}
+    se.qhist_update(full, values)
+    se.qhist_update(h1, values[:4])
+    se.qhist_update(h2, values[4:])
+    merged = dict(h1)
+    for b, c in h2.items():
+        merged[b] = merged.get(b, 0) + c
+    assert merged == full

@@ -956,3 +956,91 @@ def countmin_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming log-linear quantile histogram (qs01's twin) -----------------------
+# Constants mirror queries/advanced_ops.py's qs01 (_QS_SIGBITS); histograms
+# merge across shards/partitions/micro-batches by per-bucket ADDITION — the
+# easiest of the four sketch merges, completing batch/stream parity for all
+# sketch families (hh01 space-saving, hh02 HLL, hh03 count-min, qs quantile).
+QH_SIGBITS = 5
+
+
+def qhist_update(hist: dict, cents) -> None:
+    """qs01's bucket rule as an incremental update: v truncated to its top
+    QH_SIGBITS significant bits (bucket = the value-range lower bound),
+    count incremented. ``hist`` maps bucket -> count, mutated in place."""
+    for v in cents:
+        v = int(v)
+        shift = max(v.bit_length() - QH_SIGBITS, 0)
+        b = (v >> shift) << shift
+        hist[b] = hist.get(b, 0) + 1
+
+
+_QH_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("ver", LongType()),
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_QH_STATE_SCHEMA = StructType(
+    [
+        StructField("ver", LongType()),
+        StructField("buckets", ArrayType(LongType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+
+def _qhist_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ver, buckets, cnts = state.get
+        hist = dict(zip(buckets, cnts))
+    else:
+        ver, hist = 0, {}
+    ver += 1
+    for pdf in pdfs:
+        qhist_update(hist, pdf["cents"])
+    items = sorted(hist.items())
+    state.update((ver, [b for b, _ in items], [c for _, c in items]))
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(items),
+            "ver": [ver] * len(items),
+            "bucket": [b for b, _ in items],
+            "cnt": [c for _, c in items],
+        }
+    )
+
+
+def quantile_hist_stream(
+    stream: DataFrame, *, shards: int = 8, value_col: str = "value"
+) -> DataFrame:
+    """Streaming log-linear quantile sketch — qs01's histogram as
+    applyInPandasWithState state, sharded by BUCKET RANGE (the value's
+    octave = bit length, so each shard owns whole log-ranges and a
+    bucket lives in EXACTLY one shard): per-shard states are disjoint
+    histogram slices that union into the global sketch, from which any
+    quantile is answered by qs01's cumulative-rank rule. State is
+    O(QH_SIGBITS-bit x 64-octave buckets) per shard regardless of
+    stream length; snapshots are update-mode ver-stamped — rows with
+    each shard's MAX ver form the current histogram. Equality of the
+    unioned max-ver table with the engine-expression batch histogram
+    over the same feed is pinned by
+    tests/test_streaming.py::test_quantile_hist_stream_matches_batch."""
+    cents = "CAST(floor({c} * 100 + 0.5) AS BIGINT)".format(c=value_col)
+    sharded = stream.selectExpr(
+        f"CAST(pmod(length(bin({cents})), {shards}) AS INT) AS shard",
+        f"{cents} AS cents",
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _qhist_fn,
+        outputStructType=_QH_OUT_SCHEMA,
+        stateStructType=_QH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
