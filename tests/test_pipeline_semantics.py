@@ -413,3 +413,31 @@ def test_ss13_multiprobe_recall_dominates_single_probe(spark):
     for r in rows:
         assert r.recall_multi >= r.recall_single, r
     assert sum(r.n_hit_multi for r in rows) > sum(r.n_hit_single for r in rows)
+
+
+def test_pl16_shards_are_contiguous_and_token_bounded(spark):
+    """pl16's shards must (a) cover the emitted stream contiguously in
+    the deterministic order — each shard's min_seq is its predecessor's
+    max_seq + 1 — and (b) hold equal token mass up to one document: a
+    doc lands by START offset, so any shard's deviation from the ideal
+    size is bounded by the largest emitted doc's token count."""
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.session import table
+
+    rows = REGISTRY["pl16_shard_materialize"].fn(spark, SF_SMALL).collect()
+    assert [r.shard for r in rows] == list(range(len(rows)))
+    assert rows[0].min_seq == 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.min_seq == prev.max_seq + 1
+    total = sum(r.shard_tokens for r in rows)
+    size = (total + 7) // 8
+    max_doc = (
+        table(spark, SF_SMALL, "documents")
+        .select(F.size(F.split("text", " ")).alias("t"))
+        .agg(F.max("t"))
+        .collect()[0][0]
+    )
+    for r in rows[:-1]:
+        assert abs(r.shard_tokens - size) <= max_doc, r
+    assert rows[-1].shard_tokens <= size + max_doc

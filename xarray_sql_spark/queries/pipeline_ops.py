@@ -3564,3 +3564,161 @@ def ts18_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --- pl16: deterministic shard-sized final materialization ---------------------
+_PL16_N_SHARDS = 8
+
+
+@query(
+    "pl16_shard_materialize",
+    oracle=f"""
+    WITH planned AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS toks,
+               ({_PL10_F8_DUCK}) // 8
+                 + CASE WHEN {_PL10_RES_DUCK} < ({_PL10_F8_DUCK}) % 8
+                        THEN 1 ELSE 0 END AS copies
+        FROM documents
+    ),
+    emitted AS (
+        SELECT p.source, p.doc_id, p.toks, r.i AS copy_idx
+        FROM planned p, LATERAL (SELECT unnest(range(1, p.copies + 1)) AS i) r
+    ),
+    ordered AS (
+        SELECT source, doc_id, toks, copy_idx,
+               row_number() OVER w AS seq,
+               sum(toks) OVER w - toks AS cum_start
+        FROM emitted
+        WINDOW w AS (ORDER BY source, doc_id, copy_idx
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT sum(toks) AS total FROM emitted),
+    sharded AS (
+        SELECT o.*,
+               cum_start // ((tot.total + {_PL16_N_SHARDS} - 1)
+                             // {_PL16_N_SHARDS}) AS shard
+        FROM ordered o, tot
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS shard_tokens,
+           CAST(min(seq) AS BIGINT) AS min_seq,
+           CAST(max(seq) AS BIGINT) AS max_seq,
+           CAST(sum(seq * doc_id) AS BIGINT) AS order_fp
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+    tags=("pipeline", "packing", "mixing", "io", "materialize"),
+    bench=False,  # I/O fixture: proves the landing cycle, not throughput
+)
+def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINAL MATERIALIZATION — the last verb between this engine and a
+    shippable training set (r9 verdict item 6): emit pl10's fractional-
+    epoch mixture in the canonical deterministic order (source, doc_id,
+    copy), split it into {_PL16_N_SHARDS} equal-token shards by a GLOBAL
+    token prefix sum (a doc lands in the shard its START offset falls
+    in — pl08's rule applied corpus-wide), WRITE the sharded set as
+    shard-partitioned parquet from the executors, read it back, and
+    roll up per shard. The oracle recomputes the identical plan from
+    the original table, so a hash match proves mixture x ordering x
+    shard assignment x write x readback end to end (io01's roundtrip
+    contract). ``seq`` is the row's global position; ``order_fp`` =
+    sum(seq * doc_id) pins the full order assignment, not just counts
+    (at 100 TB the fingerprint would fold mod a prime; here totals fit
+    int64 exactly). Whitespace token counts keep the oracle one window
+    deep — bpe_tokenizer.bpe_vocab_df slots into the toks column
+    identically (pl08 proves that join under the gate).
+
+    Scale: the global prefix sum is pl06's DISTRIBUTED shape — rows
+    cumsum within (source, doc_id-range) buckets, and only the
+    bucket-subtotal table (<= n_sources x 4096 rows at ANY corpus
+    size) sees an unpartitioned window; exclusive offsets broadcast
+    back. The write is the native partitioned-parquet committer:
+    executors write their own shard files, the driver never touches a
+    row (io08's landing contract with a real table writer)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from xarray_sql_spark.queries.advanced_ops import _parquet_footer_max
+    from xarray_sql_spark.queries.io_formats import _IO_DIR
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    planned = d.selectExpr(
+        "source",
+        "doc_id",
+        "size(split(text, ' ')) AS toks",
+        f"({_PL10_F8_SPARK}) AS f8",
+    ).selectExpr(
+        "source", "doc_id", "toks",
+        f"f8 DIV 8 + IF({_PL10_RES_SPARK} < f8 % 8, 1, 0) AS copies",
+    )
+    emitted = planned.select(
+        "source", "doc_id", "toks",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("copy_idx"),
+    )
+    # pl06's distributed prefix sum, ordered by (source, doc_id, copy):
+    # buckets are (source, doc_id DIV width) — a prefix-respecting split
+    # of the global order, so bucket offsets compose with within-bucket
+    # cumsums. Width is a plan-shape heuristic (footer probe, no job).
+    width = max(_parquet_footer_max(sf_dir, "documents", "doc_id") // 4096, 1)
+    emitted = emitted.withColumn("bkt", F.expr(f"doc_id DIV {width}"))
+    w_in = (
+        W.partitionBy("source", "bkt")
+        .orderBy("doc_id", "copy_idx")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    emitted = emitted.withColumn("wcum", F.sum("toks").over(w_in)).withColumn(
+        "wrn", F.count("*").over(w_in)
+    )
+    sub = emitted.groupBy("source", "bkt").agg(
+        F.sum("toks").alias("bw"), F.count("*").alias("bn")
+    )
+    w_ord = W.orderBy("source", "bkt")
+    offsets = sub.select(
+        "source",
+        "bkt",
+        F.coalesce(
+            F.sum("bw").over(w_ord.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("toff"),
+        F.coalesce(
+            F.sum("bn").over(w_ord.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("roff"),
+        F.sum("bw")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("total"),
+    )
+    sharded = (
+        emitted.join(F.broadcast(offsets), ["source", "bkt"])
+        .withColumn("cum_start", F.col("toff") + F.col("wcum") - F.col("toks"))
+        .withColumn("seq", F.col("roff") + F.col("wrn"))
+        .withColumn(
+            "shard",
+            F.expr(
+                f"CAST(cum_start DIV ((total + {_PL16_N_SHARDS - 1}) "
+                f"DIV {_PL16_N_SHARDS}) AS INT)"
+            ),
+        )
+        .select("shard", "source", "doc_id", "copy_idx", "toks", "seq")
+    )
+    path = _os.path.join(
+        _IO_DIR, f"shards-{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("shard_tokens"),
+            F.min("seq").cast("bigint").alias("min_seq"),
+            F.max("seq").cast("bigint").alias("max_seq"),
+            F.sum(F.col("seq") * F.col("doc_id"))
+            .cast("bigint")
+            .alias("order_fp"),
+        )
+        .orderBy("shard")
+    )
