@@ -23,39 +23,38 @@ from xarray_sql_spark.operators import skew  # noqa: F401,E402
 from xarray_sql_spark.operators import components  # noqa: F401,E402
 
 # The driver's correctness gate records only the FIRST 50 registry entries
-# (dict order). Round-9 window, COMPUTED by scripts/next_window.py (the
+# (dict order). Round-10 window, COMPUTED by scripts/next_window.py (the
 # r8 discipline — never curated by hand):
-#   1. never-checked: the 11 queries NEW this round (hh02/qs01/hh03
-#      sketches, ss14 IVFxPQ, ev22 SCD2 merge, gq40 stencil, dd13
-#      spans, sk04 bloom FP rate, ts18 BM25, mm10 EXIF/TIFF walk — every r9 addition
-#      spliced the round it lands).
-#   2. changed code paths: mm02 (now rides the real MP4 parse), hh01
-#      (oracle modulo parity fix), io01 (fixture-dir lifecycle change
-#      in io_formats — one representative of the shared module).
-#   3. oldest-proof fill: q08 (last green r3), the r4 block (q02-q06,
-#      q09-q11, q25...), then the oldest r5 relational/dd/ts/ss block —
-#      exactly next_window.py's output.
-# Everything displaced was hash-green in r8 on code paths unchanged this
+#   1. never-checked: the 4 queries NEW this round (pl16 shard
+#      materialization, ss15 multi-probe LSH, mm11 EXIF GPS walk, ts19
+#      BPE tokenizer apply — every r10 addition spliced the round it
+#      lands).
+#   2. changed code paths: pl08 (now rides ts19's real BPE counts),
+#      ss13 (multi-probe lift arm), mm10 (shared marker-scan refactor),
+#      ev22 (first_new broadcast hint dropped), dd13 (oracle char
+#      semantics fix).
+#   3. oldest-proof fill: the r5 ss/gq/ev/pl/q relational block, then
+#      the oldest r6 block — exactly next_window.py's output.
+# Everything displaced was hash-green in r9 on code paths unchanged this
 # round and stays covered by the local full-registry pytest sweep.
 _PRIORITY = (
-    "ev22_scd2_merge dd13_dup_token_spans gq40_grid_stencil "
-    "ss14_ivfpq_search hh02_hll_distinct qs01_quantile_sketch "
-    "sk04_bloom_fp_rate ts18_bm25_retrieval hh03_countmin "
-    "mm10_exif_census qs02_grouped_quantile_sketch "
-    "mm02_frame_sample hh01_heavy_hitters "
-    "io01_jsonl_roundtrip q08_agg_filter q02_filter_scan "
-    "q03_top_revenue q04_exists_semijoin q05_region_volume "
-    "q06_forecast_revenue q09_climatology_hour q10_anomaly_cte "
-    "q25_set_ops q11_window_topk q13_range_join "
-    "q14_math_rmse q15_case_having_union q16_distinct_sort "
-    "q17_subqueries q18_rollup q19_count_star "
-    "q20_weighted_regrid q21_udf_reproject q23_percentiles "
-    "q24_pivot q26_anti_join q28_grouping_sets "
-    "q29_window_suite q30_string_funcs q31_null_ops "
-    "q32_json_extract q33_array_funcs q34_correlated_subquery "
-    "q35_unpivot dd01_exact_dedup dd02_fingerprint_dedup "
-    "dd03_ngram_jaccard ts01_text_quality ts02_langid "
-    "ss01_ann_topk "
+    "pl16_shard_materialize ss15_multiprobe_ann mm11_exif_gps_census "
+    "ts19_bpe_tokenize pl08_sequence_packing ss13_ann_recall "
+    "mm10_exif_census ev22_scd2_merge dd13_dup_token_spans "
+    "ss04_ivf_ann ss03_lsh_ann mm05_phash_neardup "
+    "gq08_grid_regrid_weights gq09_grid_forecast_skill gq10_grid_reproject_udf "
+    "gq16_stats_aggregates ev08_cohort_retention q37_lateral_topn "
+    "ss06_sq_topk q38_scd2_pit_join pl05_stratified_split "
+    "q39_bucketed_range_join pl06_weighted_sample ts06_char_entropy "
+    "q40_mode_percentile_disc ss07_knn_classify ev09_time_weighted_avg "
+    "q01_pricing_summary q12_interval_join q22_parameterized "
+    "q27_asof_join q36_interval_range_frame ss02_embedding_neardup "
+    "ev01_sessionization ev02_session_windows ev03_hourly_windows "
+    "ev04_moving_avg pl01_training_mix pl02_hash_split "
+    "ev05_purchase_click_join pl03_decontaminate pl04_training_set "
+    "ev06_conversion_funnel ts05_repetition ev07_resample_ffill "
+    "ss05_kmeans_train dd04_minhash_lsh dd05_simhash "
+    "ts03_regex_tokens dd06_rolling_fingerprint "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402
