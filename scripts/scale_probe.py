@@ -45,7 +45,10 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # round-9 additions: expression-level sketches, span
                  # dedup (the no-pair-join linear claim), IVFxPQ serving
                  "hh02_hll_distinct", "hh03_countmin", "dd13_dup_token_spans",
-                 "ss14_ivfpq_search"]
+                 "ss14_ivfpq_search",
+                 # round-10 additions: BPE tokenizer apply (vocab-join
+                 # shape — also feeds pl08's new counts), multi-probe LSH
+                 "ts19_bpe_tokenize", "ss15_multiprobe_ann"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10
