@@ -430,13 +430,12 @@ def test_pl16_shards_are_contiguous_and_token_bounded(spark):
     assert rows[0].min_seq == 1
     for prev, cur in zip(rows, rows[1:]):
         assert cur.min_seq == prev.max_seq + 1
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
+
     total = sum(r.shard_tokens for r in rows)
     size = (total + 7) // 8
     max_doc = (
-        table(spark, SF_SMALL, "documents")
-        .select(F.size(F.split("text", " ")).alias("t"))
-        .agg(F.max("t"))
-        .collect()[0][0]
+        bpe_doc_counts(spark, SF_SMALL).agg(F.max("n_tok")).collect()[0][0]
     )
     for r in rows[:-1]:
         assert abs(r.shard_tokens - size) <= max_doc, r

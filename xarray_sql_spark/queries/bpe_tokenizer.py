@@ -306,3 +306,39 @@ def ts19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- shared per-document real-token counts (pl08/pl10/ts13/pl16 consumers) ----
+
+def bpe_doc_counts_ctes() -> str:
+    """``bpe_ctes()`` extended with ``doc_tok(doc_id, n_tok)`` — per-doc
+    REAL subword counts, the drop-in replacement for the whitespace
+    proxy in every downstream token number (splice after WITH). Docs
+    with no words drop out (inner join against the vocabulary): a
+    document contributing zero tokens has no place in a token-counted
+    plan, and both engines agree by construction."""
+    return f"""{bpe_ctes()},
+    dwx AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    doc_tok AS (
+        SELECT doc_id, CAST(sum(b.n_bpe) AS BIGINT) AS n_tok
+        FROM dwx JOIN bpe b USING (word) GROUP BY doc_id
+    )"""
+
+
+def bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``doc_tok``: per-doc real token counts from the
+    shared (memoized) vocabulary map — ts19's apply join, reusable by
+    any query that previously counted whitespace tokens."""
+    vocab = bpe_vocab_df(spark, sf_dir).select("word", "n_bpe")
+    d = table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_bpe").cast("long").alias("n_tok"))
+    )

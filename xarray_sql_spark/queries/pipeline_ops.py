@@ -1930,17 +1930,19 @@ _PL10_RES_SPARK = (
 _PL10_RES_DUCK = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8)"
 
 
-@query(
-    "pl10_repetition_mixing",
-    oracle=f"""
-    WITH planned AS (
+def _pl10_oracle() -> str:
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts_ctes
+
+    return f"""
+    WITH {bpe_doc_counts_ctes()},
+    planned AS (
         SELECT source, doc_id,
-               len(string_split(text, ' ')) AS toks,
+               t.n_tok AS toks,
                ({_PL10_F8_DUCK}) AS f8,
                ({_PL10_F8_DUCK}) // 8
                  + CASE WHEN {_PL10_RES_DUCK} < ({_PL10_F8_DUCK}) % 8
                         THEN 1 ELSE 0 END AS copies
-        FROM documents
+        FROM documents JOIN doc_tok t USING (doc_id)
     ),
     emitted AS (
         SELECT p.source, p.doc_id, p.f8, p.toks
@@ -1952,7 +1954,12 @@ _PL10_RES_DUCK = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIG
            CAST(count(*) AS BIGINT) AS n_emitted,
            CAST(sum(toks) AS BIGINT) AS tokens_emitted
     FROM emitted GROUP BY source ORDER BY source
-    """,
+    """
+
+
+@query(
+    "pl10_repetition_mixing",
+    oracle=_pl10_oracle(),
     tags=("pipeline", "sampling", "mixing", "epochs"),
 )
 def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1961,19 +1968,23 @@ def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fractional epoch realized by a deterministic per-doc md5 residue
     rather than a random draw — re-running the pipeline emits the
     identical training set (content-addressed, like pl02's split). The
-    rollup reports planned factor vs realized copies and token counts.
+    rollup reports planned factor vs realized copies and token counts —
+    since round 10, REAL subword counts from the shared ts19 tokenizer
+    (what the epochs actually cost), not the whitespace proxy.
 
-    Scale: the repetition plan is pure integer expressions inside one
-    scan; the explode multiplies rows only by the factor (bounded <= 3),
-    never joins; the rollup is a map-side-combinable aggregate on
-    n_sources groups. This is exactly how multi-epoch data mixing is
-    materialized for sequence-packing at 100 TB (explode-then-shuffle
-    once, not one pass per epoch)."""
+    Scale: the repetition plan is pure integer expressions plus ts19's
+    word-key count join; the explode multiplies rows only by the factor
+    (bounded <= 3), never joins pairwise; the rollup is a map-side-
+    combinable aggregate on n_sources groups. This is exactly how
+    multi-epoch data mixing is materialized for sequence-packing at
+    100 TB (explode-then-shuffle once, not one pass per epoch)."""
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
+
     d = table(spark, sf_dir, "documents")
-    planned = d.selectExpr(
+    planned = d.join(bpe_doc_counts(spark, sf_dir), "doc_id").selectExpr(
         "source",
         "doc_id",
-        "size(split(text, ' ')) AS toks",
+        "n_tok AS toks",
         f"({_PL10_F8_SPARK}) AS f8",
     ).selectExpr(
         "source", "doc_id", "toks", "f8",
@@ -1999,14 +2010,17 @@ def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TS13_BUDGET = 50_000
 
 
-@query(
-    "ts13_token_budget_fill",
-    oracle=f"""
-    WITH per_source AS (
-        SELECT source,
+def _ts13_oracle() -> str:
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts_ctes
+
+    return f"""
+    WITH {bpe_doc_counts_ctes()},
+    per_source AS (
+        SELECT d.source,
                CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        FROM documents GROUP BY source
+               CAST(sum(t.n_tok) AS BIGINT) AS tokens
+        FROM documents d JOIN doc_tok t USING (doc_id)
+        GROUP BY d.source
     ),
     ranked AS (
         SELECT *,
@@ -2019,25 +2033,40 @@ _TS13_BUDGET = 50_000
            CAST(CASE WHEN cum_tokens <= {_TS13_BUDGET} THEN 1 ELSE 0 END AS INT)
                AS in_budget
     FROM ranked ORDER BY cum_tokens
-    """,
+    """
+
+
+@query(
+    "ts13_token_budget_fill",
+    oracle=_ts13_oracle(),
     tags=("text", "budget", "planning", "pipeline"),
 )
 def ts13_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget fill: rank sources by mean document length
     (densest first, source-name tiebreak), take the running token total,
     and mark the prefix that fits a fixed training budget — the planning
-    step before committing a mixture. All token counts are integers; the
-    ranking key is the same division of the same integers on both
-    engines, so ordering (and therefore the cumulative sums) is
-    deterministic.
+    step before committing a mixture. Since round 10 the counts are
+    REAL subword counts from the shared ts19 tokenizer (the budget a
+    training run actually consumes), not the whitespace proxy. All
+    token counts are integers; the ranking key is the same division of
+    the same integers on both engines, so ordering (and therefore the
+    cumulative sums) is deterministic.
 
     Scale: the window runs over the SOURCE rollup (n_sources rows), not
     the corpus — the standard pre-aggregate-then-window shape for
-    global-order cumulations (cf. ev04)."""
+    global-order cumulations (cf. ev04); the count stage is ts19's
+    word-key equi-join (Heaps-sublinear vocabulary map)."""
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
+
     d = table(spark, sf_dir, "documents")
-    per_source = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+    per_source = (
+        d.select("doc_id", "source")
+        .join(bpe_doc_counts(spark, sf_dir), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+        )
     )
     w = (
         W.orderBy((F.col("tokens") * 1.0 / F.col("n_docs")).desc(), "source")
@@ -3570,16 +3599,18 @@ def ts18_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PL16_N_SHARDS = 8
 
 
-@query(
-    "pl16_shard_materialize",
-    oracle=f"""
-    WITH planned AS (
+def _pl16_oracle() -> str:
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts_ctes
+
+    return f"""
+    WITH {bpe_doc_counts_ctes()},
+    planned AS (
         SELECT source, doc_id,
-               len(string_split(text, ' ')) AS toks,
+               t.n_tok AS toks,
                ({_PL10_F8_DUCK}) // 8
                  + CASE WHEN {_PL10_RES_DUCK} < ({_PL10_F8_DUCK}) % 8
                         THEN 1 ELSE 0 END AS copies
-        FROM documents
+        FROM documents JOIN doc_tok t USING (doc_id)
     ),
     emitted AS (
         SELECT p.source, p.doc_id, p.toks, r.i AS copy_idx
@@ -3608,7 +3639,12 @@ _PL16_N_SHARDS = 8
            CAST(max(seq) AS BIGINT) AS max_seq,
            CAST(sum(seq * doc_id) AS BIGINT) AS order_fp
     FROM sharded GROUP BY shard ORDER BY shard
-    """,
+    """
+
+
+@query(
+    "pl16_shard_materialize",
+    oracle=_pl16_oracle(),
     tags=("pipeline", "packing", "mixing", "io", "materialize"),
     bench=False,  # I/O fixture: proves the landing cycle, not throughput
 )
@@ -3626,9 +3662,10 @@ def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract). ``seq`` is the row's global position; ``order_fp`` =
     sum(seq * doc_id) pins the full order assignment, not just counts
     (at 100 TB the fingerprint would fold mod a prime; here totals fit
-    int64 exactly). Whitespace token counts keep the oracle one window
-    deep — bpe_tokenizer.bpe_vocab_df slots into the toks column
-    identically (pl08 proves that join under the gate).
+    int64 exactly). Token counts are the shared ts19 tokenizer's REAL
+    subword counts (bpe_doc_counts — one memoized training per
+    process x sf feeds pl08/pl10/ts13/pl16 alike), so the shards are
+    equal in the units a trainer actually consumes.
 
     Scale: the global prefix sum is pl06's DISTRIBUTED shape — rows
     cumsum within (source, doc_id-range) buckets, and only the
@@ -3643,11 +3680,13 @@ def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_sql_spark.queries.advanced_ops import _parquet_footer_max
     from xarray_sql_spark.queries.io_formats import _IO_DIR
 
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
+
     d = table(spark, sf_dir, "documents", spread=True)
-    planned = d.selectExpr(
+    planned = d.join(bpe_doc_counts(spark, sf_dir), "doc_id").selectExpr(
         "source",
         "doc_id",
-        "size(split(text, ' ')) AS toks",
+        "n_tok AS toks",
         f"({_PL10_F8_SPARK}) AS f8",
     ).selectExpr(
         "source", "doc_id", "toks",
