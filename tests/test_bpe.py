@@ -102,3 +102,54 @@ def test_ts19_merges_actually_compress(spark):
 def test_bpe_trainer_asserts_when_sample_runs_dry():
     with pytest.raises(AssertionError):
         train_merges([("ab", 3)], n_merges=3)  # only one pair available
+
+
+def test_duckdb_self_training_matches_python_on_adversarial_vocab():
+    """Property differential (no Spark needed): random small-alphabet
+    corpora — where merged tokens overlap and substring-suffix traps
+    live (e.g. token 'xa' must NOT satisfy a pa='a' tail check) — must
+    segment identically through the DuckDB self-training CTE chain and
+    the Python trainer+apply. Exercises training ties, the chr(31)
+    accumulator encoding, and multi-char merge operands."""
+    from hypothesis import given, settings, assume
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=4,
+            max_size=16,
+        )
+    )
+    def prop(words):
+        # python reference: wf -> sample -> train -> apply
+        wf = {}
+        for w in words:
+            wf[w] = wf.get(w, 0) + 1
+        sample = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:512]
+        try:
+            merges = train_merges(sample)
+        except AssertionError:
+            assume(False)  # documented precondition: pairs for all merges
+        expect = {}
+        for w in wf:
+            toks = list(w)
+            for pa, pb in merges:
+                toks = _apply_merge(toks, pa, pb)
+            expect[w] = toks
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE TABLE documents AS SELECT ? AS text",
+                [" ".join(words)],
+            )
+            rows = con.execute(
+                f"WITH {bpe_ctes()} SELECT word, toks FROM bpe"
+            ).fetchall()
+        finally:
+            con.close()
+        got = {w: list(t) for w, t in rows}
+        assert got == expect, (words, merges, got, expect)
+
+    prop()
