@@ -56,6 +56,10 @@ PROBE_QUERIES = [
     "hh03_countmin",
     "dd13_dup_token_spans",
     "ss14_ivfpq_search",
+    # round-10: BPE apply — vocabulary (the apply domain) is Heaps-
+    # sublinear, training is sample-bounded; only the word-key join
+    # scales with the corpus
+    "ts19_bpe_tokenize",
 ]
 
 
