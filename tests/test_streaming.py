@@ -868,7 +868,7 @@ def test_quantile_hist_stream_matches_batch(spark):
             owner[r["bucket"]] = r["shard"]
     # octave sharding: all buckets of one octave share a shard
     for b, s in owner.items():
-        assert s == int(b).bit_length() % 4
+        assert s == se._blen(int(b)) % 4
     cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
     sig = _QS_SIGBITS
     bucket = (
@@ -887,8 +887,10 @@ def test_quantile_hist_stream_matches_batch(spark):
 
 def test_quantile_hist_merges_by_addition():
     """The production rollup property: histograms over two halves of a
-    feed ADD per-bucket into the histogram of the whole feed."""
-    values = [3, 7, 100, 101, 32753, 950, 950, 12]
+    feed ADD per-bucket into the histogram of the whole feed. Includes
+    negative values: the Python twin must bucket them by the engine's
+    64-bit two's-complement bin() length, not magnitude bit_length."""
+    values = [3, 7, 100, 101, 32753, 950, 950, 12, -100, -1]
     full, h1, h2 = {}, {}, {}
     se.qhist_update(full, values)
     se.qhist_update(h1, values[:4])
@@ -897,3 +899,5 @@ def test_quantile_hist_merges_by_addition():
     for b, c in h2.items():
         merged[b] = merged.get(b, 0) + c
     assert merged == full
+    # the engine regime for negatives: shift = 64 - 5, arithmetic >> <<
+    assert full[(-100 >> 59) << 59] == 2  # -100 and -1 share -2**59

@@ -38,6 +38,29 @@ def _parquet_footer_max(sf_dir: str, name: str, col: str) -> int:
         return 0
 
 
+def _doc_bucket_width(spark, sf_dir: str) -> int:
+    """doc_id bucket width for distributed prefix sums (pl06/pl16): a
+    parquet-footer max probe (zero jobs) with a one-job count fallback —
+    footer statistics can be absent (directory layouts, statistics-free
+    writers), and the silent width=1 degradation put one subtotal row
+    per DOCUMENT under the unpartitioned offsets window, the exact
+    serial collapse the bucketing exists to avoid (review finding).
+    Width only shapes the plan; any positive value is CORRECT."""
+    mx = _parquet_footer_max(sf_dir, "documents", "doc_id")
+    if mx <= 0:
+        from pyspark.sql import functions as _F
+
+        from xarray_sql_spark.session import table as _table
+
+        mx = (
+            _table(spark, sf_dir, "documents")
+            .agg(_F.max("doc_id"))
+            .collect()[0][0]
+            or 0
+        )
+    return max(mx // 4096, 1)
+
+
 def _parquet_footer_rows(sf_dir: str, name: str) -> int | None:
     """Exact row count from the parquet footer — a metadata read, no Spark
     job. None if the footer can't be read (caller falls back to count())."""
@@ -590,13 +613,14 @@ def pl06_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; exclusive bucket offsets broadcast-join back. The only
     data-scale shuffle is the bucket-partitioned sort, and the tick
     test is a per-row integer expression. (The max-doc_id probe reads
-    parquet footer statistics — no job; width is a plan-shape heuristic,
-    so any probe answer is semantically safe.)"""
+    parquet footer statistics — zero jobs — falling back to one max()
+    job when statistics are absent; width is a plan-shape heuristic, so
+    any probe answer is semantically safe.)"""
     d = table(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
     # Bucket width only shapes the plan (any width is CORRECT — it decides
-    # how many subtotal rows the tiny window sees), so a metadata-cheap
-    # probe suffices: parquet footer max(doc_id), no Spark job at all.
-    width = max(_parquet_footer_max(sf_dir, "documents", "doc_id") // 4096, 1)
+    # how many subtotal rows the tiny window sees): a footer probe with a
+    # count fallback, shared with pl16 (_doc_bucket_width).
+    width = _doc_bucket_width(spark, sf_dir)
     d = d.withColumn("bucket", F.expr(f"doc_id DIV {width}"))
     within = F.sum("n_chars").over(
         W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
@@ -1305,17 +1329,13 @@ def ev10_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- pl08: concat-and-chunk sequence packing --------------------------------
 def _pl08_oracle() -> str:
-    from xarray_sql_spark.queries.bpe_tokenizer import bpe_ctes
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts_ctes
 
     return f"""
-    WITH {bpe_ctes()},
-    dw AS (
-        SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
-        FROM documents
-    ),
+    WITH {bpe_doc_counts_ctes()},
     toks AS (
-        SELECT doc_id, source, CAST(sum(b.n_bpe) AS BIGINT) AS n_tok
-        FROM dw JOIN bpe b USING (word) GROUP BY 1, 2
+        SELECT d.doc_id, d.source, t.n_tok
+        FROM documents d JOIN doc_tok t USING (doc_id)
     ), packed AS (
         SELECT source, doc_id, n_tok,
                (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
@@ -1343,9 +1363,8 @@ def pl08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     running prefix sum. Since round 10 the counts are REAL subword
     counts from the trained ts19 tokenizer (the r9 verdict's "re-prove
     pl08 on real counts"), not the earlier whitespace proxy: per-doc
-    n_tok = sum of the BPE segment count over the doc's words, via the
-    shared vocabulary map (bpe_tokenizer.bpe_vocab_df — one training
-    shared with ts19 per process/sf).
+    n_tok = the shared bpe_doc_counts per-document subword counts (one
+    memoized training per process/sf feeds ts19/pl08/pl10/ts13/pl16).
 
     Scale: packing is PER SOURCE (the per-shard packing real pipelines
     do), so the prefix-sum window partitions on source — one hash
@@ -1355,17 +1374,11 @@ def pl08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join against the Heaps-sublinear vocabulary map, AQE
     broadcast). Integer arithmetic end to end; docs with no words drop
     on both engines (no words to pack)."""
-    from xarray_sql_spark.queries.bpe_tokenizer import bpe_vocab_df
+    from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
 
-    vocab = bpe_vocab_df(spark, sf_dir).select("word", "n_bpe")
     d = table(spark, sf_dir, "documents", spread=True)
-    dw = d.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    toks = (
-        dw.join(vocab, "word")
-        .groupBy("doc_id", "source")
-        .agg(F.sum("n_bpe").cast("long").alias("n_tok"))
+    toks = d.select("doc_id", "source").join(
+        bpe_doc_counts(spark, sf_dir), "doc_id"
     )
     packed = toks.withColumn(
         "bin", F.expr("(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) DIV 2048")

@@ -120,7 +120,7 @@ def bpe_ctes(n_merges: int = _BPE_N_MERGES, k: int = _BPE_K_SAMPLE) -> str:
         f"""wf AS MATERIALIZED (
         SELECT word, count(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        WHERE word <> '' GROUP BY word
+        WHERE word <> '' AND strpos(word, chr({_SEP})) = 0 GROUP BY word
     ),
     s0 AS MATERIALIZED (SELECT word, cnt FROM wf ORDER BY cnt DESC, word LIMIT {k}),
     t0 AS MATERIALIZED (SELECT word, cnt, {_CHAR_SPLIT_DUCK} AS toks FROM s0),
@@ -149,29 +149,35 @@ def bpe_ctes(n_merges: int = _BPE_N_MERGES, k: int = _BPE_K_SAMPLE) -> str:
 
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # words carrying chr(31) are excluded on BOTH engines: the oracle's
+    # fold encodes its accumulator with that separator, so such a word
+    # would silently segment differently there (review finding). Space-
+    # split corpora never produce it, but the guard makes the contract
+    # explicit rather than assumed.
     return (
         d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
+        .filter((F.col("word") != "") & ~F.col("word").contains(chr(_SEP)))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
 
 
-# merges memoized per documents.parquet identity (path, mtime, size) — the
-# session._ROW_GROUPS contract: an in-process rewrite of the same path
-# (scale-probe replicas, tmp fixtures) invalidates naturally, while bench /
-# driver runs over one sf_dir train once per process however many queries
-# ride the vocabulary (pl08 + ts19 share one training).
+# merges memoized per documents.parquet content identity via
+# session._file_sig — which aggregates PART-FILE stats for directory
+# layouts, where the directory's own mtime does not change on an in-place
+# part rewrite (the review finding _file_sig exists for). An in-process
+# rewrite (scale-probe replicas, tmp fixtures) invalidates naturally,
+# while bench / driver runs over one sf_dir train once per process however
+# many queries ride the vocabulary (ts19/pl08/pl10/ts13/pl16 share one
+# training).
 _MERGES_CACHE: dict[tuple, list[tuple[str, str]]] = {}
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    from xarray_sql_spark.session import _file_sig
+
     path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (os.path.abspath(path), None, None)
+    key = _file_sig(os.path.abspath(path))
     cached = _MERGES_CACHE.get(key)
     if cached is not None:
         return cached

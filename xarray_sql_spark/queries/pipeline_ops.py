@@ -3677,7 +3677,7 @@ def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib as _hashlib
     import os as _os
 
-    from xarray_sql_spark.queries.advanced_ops import _parquet_footer_max
+    from xarray_sql_spark.queries.advanced_ops import _doc_bucket_width
     from xarray_sql_spark.queries.io_formats import _IO_DIR
 
     from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
@@ -3700,7 +3700,7 @@ def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets are (source, doc_id DIV width) — a prefix-respecting split
     # of the global order, so bucket offsets compose with within-bucket
     # cumsums. Width is a plan-shape heuristic (footer probe, no job).
-    width = max(_parquet_footer_max(sf_dir, "documents", "doc_id") // 4096, 1)
+    width = _doc_bucket_width(spark, sf_dir)
     emitted = emitted.withColumn("bkt", F.expr(f"doc_id DIV {width}"))
     w_in = (
         W.partitionBy("source", "bkt")

@@ -966,13 +966,25 @@ def countmin_stream(
 QH_SIGBITS = 5
 
 
+def _blen(v: int) -> int:
+    """length(bin(v)) twin: Spark/DuckDB bin() render negatives as the
+    full 64-char two's complement (length 64), while int.bit_length()
+    is magnitude-based — using the latter for v < 0 silently diverged
+    the stream from the batch expression (review finding). Log-linear
+    buckets over negatives are a degenerate-but-defined regime; what
+    matters here is that both twins pick the SAME one."""
+    return v.bit_length() if v >= 0 else 64
+
+
 def qhist_update(hist: dict, cents) -> None:
     """qs01's bucket rule as an incremental update: v truncated to its top
     QH_SIGBITS significant bits (bucket = the value-range lower bound),
-    count incremented. ``hist`` maps bucket -> count, mutated in place."""
+    count incremented. ``hist`` maps bucket -> count, mutated in place.
+    Python's arithmetic right shift on negatives matches BIGINT
+    shiftright, so the negative regime mirrors the engine exactly."""
     for v in cents:
         v = int(v)
-        shift = max(v.bit_length() - QH_SIGBITS, 0)
+        shift = max(_blen(v) - QH_SIGBITS, 0)
         b = (v >> shift) << shift
         hist[b] = hist.get(b, 0) + 1
 
