@@ -440,3 +440,43 @@ def test_pl16_shards_are_contiguous_and_token_bounded(spark):
     for r in rows[:-1]:
         assert abs(r.shard_tokens - size) <= max_doc, r
     assert rows[-1].shard_tokens <= size + max_doc
+
+
+def test_dd14_flags_planted_cross_split_contamination(spark, tmp_path):
+    """A val-split document sharing an 8-gram span with a train-split
+    document must be flagged contaminated; an overlap-free val document
+    must not be. Split membership is pl02's md5(doc_id) rule, so the
+    test derives each candidate id's split first and plants texts
+    accordingly."""
+    import hashlib
+
+    def split_of(i: int) -> str:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    n = 60
+    splits = {i: split_of(i) for i in range(n)}
+    train_id = next(i for i in range(n) if splits[i] == "train")
+    val_ids = [i for i in range(n) if splits[i] == "val"]
+    assert len(val_ids) >= 2, splits  # need a dirty and a clean val doc
+    dirty, clean = val_ids[0], val_ids[1]
+    span = _words("leak", 8)
+    texts = []
+    for i in range(n):
+        if i == train_id:
+            texts.append(" ".join(_words("trainpad", 4) + span))
+        elif i == dirty:
+            texts.append(" ".join(span + _words("valpad", 4)))
+        elif i == clean:
+            texts.append(" ".join(_words(f"clean{i}x", 12)))
+        else:
+            texts.append(" ".join(_words(f"fill{i}y", 12)))
+    sf = _write_documents(tmp_path, texts)
+    rows = {
+        r.eval_split: r
+        for r in REGISTRY["dd14_split_contamination"].fn(spark, sf).collect()
+    }
+    assert rows["val"].n_contaminated_docs == 1
+    assert rows["val"].n_shared_gram_slots == 1  # exactly the planted gram
+    if "test" in rows:
+        assert rows["test"].n_contaminated_docs == 0

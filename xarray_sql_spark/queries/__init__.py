@@ -25,10 +25,10 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # The driver's correctness gate records only the FIRST 50 registry entries
 # (dict order). Round-10 window, COMPUTED by scripts/next_window.py (the
 # r8 discipline — never curated by hand):
-#   1. never-checked: the 4 queries NEW this round (pl16 shard
+#   1. never-checked: the 5 queries NEW this round (pl16 shard
 #      materialization, ss15 multi-probe LSH, mm11 EXIF GPS walk, ts19
-#      BPE tokenizer apply — every r10 addition spliced the round it
-#      lands).
+#      BPE tokenizer apply, dd14 split-contamination audit — every r10
+#      addition spliced the round it lands).
 #   2. changed code paths: pl08/ts13/pl10 (now ride ts19's real BPE
 #      counts — every downstream token number upgraded), ss13
 #      (multi-probe lift arm), mm10 (shared marker-scan refactor),
@@ -41,22 +41,22 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # round and stays covered by the local full-registry pytest sweep.
 _PRIORITY = (
     "pl16_shard_materialize ss15_multiprobe_ann mm11_exif_gps_census "
-    "ts19_bpe_tokenize pl08_sequence_packing ss13_ann_recall "
-    "mm10_exif_census ev22_scd2_merge dd13_dup_token_spans "
-    "ts13_token_budget_fill pl10_repetition_mixing ss04_ivf_ann "
-    "ss03_lsh_ann mm05_phash_neardup gq08_grid_regrid_weights "
-    "gq09_grid_forecast_skill gq10_grid_reproject_udf gq16_stats_aggregates "
-    "ev08_cohort_retention q37_lateral_topn ss06_sq_topk "
-    "q38_scd2_pit_join pl05_stratified_split q39_bucketed_range_join "
-    "pl06_weighted_sample ts06_char_entropy q40_mode_percentile_disc "
-    "ss07_knn_classify ev09_time_weighted_avg q01_pricing_summary "
-    "q12_interval_join q22_parameterized q27_asof_join "
-    "q36_interval_range_frame ss02_embedding_neardup ev01_sessionization "
-    "ev02_session_windows ev03_hourly_windows ev04_moving_avg "
-    "pl01_training_mix pl02_hash_split ev05_purchase_click_join "
-    "pl03_decontaminate pl04_training_set ev06_conversion_funnel "
-    "ts05_repetition ev07_resample_ffill ss05_kmeans_train "
-    "dd04_minhash_lsh dd05_simhash "
+    "ts19_bpe_tokenize dd14_split_contamination pl08_sequence_packing "
+    "ss13_ann_recall mm10_exif_census ev22_scd2_merge "
+    "dd13_dup_token_spans ts13_token_budget_fill pl10_repetition_mixing "
+    "ss04_ivf_ann ss03_lsh_ann mm05_phash_neardup "
+    "gq08_grid_regrid_weights gq09_grid_forecast_skill gq10_grid_reproject_udf "
+    "gq16_stats_aggregates ev08_cohort_retention q37_lateral_topn "
+    "ss06_sq_topk q38_scd2_pit_join pl05_stratified_split "
+    "q39_bucketed_range_join pl06_weighted_sample ts06_char_entropy "
+    "q40_mode_percentile_disc ss07_knn_classify ev09_time_weighted_avg "
+    "q01_pricing_summary q12_interval_join q22_parameterized "
+    "q27_asof_join q36_interval_range_frame ss02_embedding_neardup "
+    "ev01_sessionization ev02_session_windows ev03_hourly_windows "
+    "ev04_moving_avg pl01_training_mix pl02_hash_split "
+    "ev05_purchase_click_join pl03_decontaminate pl04_training_set "
+    "ev06_conversion_funnel ts05_repetition ev07_resample_ffill "
+    "ss05_kmeans_train dd04_minhash_lsh "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402

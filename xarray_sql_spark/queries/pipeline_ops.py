@@ -3761,3 +3761,117 @@ def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- dd14: train/eval split contamination audit ---------------------------------
+_DD14_SPLIT_DUCK = """CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 80 THEN 'train'
+              WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 90 THEN 'val'
+              ELSE 'test' END"""
+_DD14_SPLIT_SPARK = (
+    "CASE WHEN pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+    " 16, 10) AS BIGINT), 100) < 80 THEN 'train'"
+    " WHEN pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+    " 16, 10) AS BIGINT), 100) < 90 THEN 'val'"
+    " ELSE 'test' END"
+)
+
+
+@query(
+    "dd14_split_contamination",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 6),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                        w[i+6] || ' ' || w[i+7]))) AS g
+        FROM words
+    ),
+    g AS (
+        SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh
+        FROM sh
+    ),
+    sp AS (SELECT doc_id, {_DD14_SPLIT_DUCK} AS split FROM documents),
+    gs AS (SELECT g.gh, sp.split, g.doc_id FROM g JOIN sp USING (doc_id)),
+    mask AS (
+        SELECT gh, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train
+        FROM gs GROUP BY gh
+    ),
+    contam AS (
+        SELECT gs.split, gs.doc_id,
+               max(m.in_train) AS hit,
+               sum(m.in_train) AS n_shared
+        FROM gs JOIN mask m USING (gh)
+        WHERE gs.split <> 'train'
+        GROUP BY gs.split, gs.doc_id
+    )
+    SELECT split AS eval_split,
+           CAST(count(*) AS BIGINT) AS n_eval_docs,
+           CAST(sum(hit) AS BIGINT) AS n_contaminated_docs,
+           CAST(sum(n_shared) AS BIGINT) AS n_shared_gram_slots,
+           round(sum(hit) / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+    FROM contam GROUP BY split ORDER BY eval_split
+    """,
+    tags=("dedup", "contamination", "evaluation", "pipeline"),
+)
+def dd14_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval CONTAMINATION AUDIT — the measurement pass a real
+    pipeline runs BEFORE (and after) purging: under pl02's
+    content-addressed 80/10/10 split, how many val/test documents share
+    at least one word-8-gram with ANY training document, and how many
+    of their distinct grams are so shared. pl03 removes contamination
+    against a fixed eval set; this measures it between the pipeline's
+    OWN splits — the audit number (contamination_rate) that decides
+    whether a purge is needed at all. Eval docs shorter than 8 words
+    have no grams and drop out (ts12's undefined-novelty rule).
+
+    Scale: grams shuffle once as 60-bit keys for the per-gram
+    train-presence mask (map-side-combined max over a 0/1 flag),
+    eval grams re-join that mask by key (never a doc-pair join — work
+    is linear in gram slots however many train docs share a gram), and
+    two keyed aggregates roll up — dd10/ts12's proven shapes composed
+    with pl02's split arithmetic."""
+    d = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(8))).alias("gram"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("gh"),
+    )
+    sp = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_DD14_SPLIT_SPARK} AS split"
+    )
+    gs = g.join(sp, "doc_id")
+    mask = gs.groupBy("gh").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("in_train")
+    )
+    contam = (
+        gs.filter(F.col("split") != "train")
+        .hint("merge")
+        .join(mask, "gh")
+        .groupBy("split", "doc_id")
+        .agg(
+            F.max("in_train").alias("hit"),
+            F.sum("in_train").alias("n_shared"),
+        )
+    )
+    return (
+        contam.groupBy(F.col("split").alias("eval_split"))
+        .agg(
+            F.count("*").alias("n_eval_docs"),
+            F.sum("hit").cast("bigint").alias("n_contaminated_docs"),
+            F.sum("n_shared").cast("bigint").alias("n_shared_gram_slots"),
+            F.round(
+                F.sum("hit") / F.count("*").cast("double"), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("eval_split")
+    )
