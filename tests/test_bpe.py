@@ -153,3 +153,33 @@ def test_duckdb_self_training_matches_python_on_adversarial_vocab():
         assert got == expect, (words, merges, got, expect)
 
     prop()
+
+
+def test_bpe_survives_hostile_characters(spark, tmp_path):
+    """Merge operands flow into Spark folds as F.lit values and into the
+    oracle as self-trained CTE rows (data, not SQL literals) — quotes,
+    backslashes and percent signs in words must therefore segment
+    identically end to end. Dominant pairs are planted ON the hostile
+    characters so the merges themselves carry them."""
+    w1, w2, w3 = 'a"b', "c\\d", "e%f'g"
+    texts = [" ".join([w1] * 9 + [w2] * 7 + [w3] * 5)] * 3
+    sf = _write_documents(tmp_path, texts)
+    spec = REGISTRY["ts19_bpe_tokenize"]
+    spark_rows = sorted(
+        (r.doc_id, r.n_ws_tokens, r.n_bpe_tokens, r.first_word_seg)
+        for r in spec.fn(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        duck_rows = sorted(
+            (r[0], r[1], r[2], r[4]) for r in con.execute(spec.oracle).fetchall()
+        )
+    finally:
+        con.close()
+    assert spark_rows == duck_rows
+    merges = bpe_merges(spark, sf)
+    assert any('"' in pa + pb or "\\" in pa + pb for pa, pb in merges), merges
