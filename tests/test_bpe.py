@@ -99,9 +99,33 @@ def test_ts19_merges_actually_compress(spark):
     assert len(compressed) >= 5, vocab
 
 
-def test_bpe_trainer_asserts_when_sample_runs_dry():
-    with pytest.raises(AssertionError):
-        train_merges([("ab", 3)], n_merges=3)  # only one pair available
+def test_bpe_trainer_stops_early_when_sample_runs_dry():
+    # only one pair available: one real merge, then a clean early stop
+    # (review finding: the old AssertionError hard-failed ts19 on
+    # degenerate corpora while the oracle silently emptied its CTEs)
+    assert train_merges([("ab", 3)], n_merges=3) == [("a", "b")]
+    assert train_merges([], n_merges=3) == []
+
+
+def test_exhausted_sample_segments_identically_in_duckdb():
+    """The oracle unrolls a FIXED number of merge levels; when training
+    runs dry it must pad with no-op sentinel rules, not empty its cross
+    joins. A corpus whose every word fully merges in one step is the
+    regression case."""
+    words = ["aa"] * 5 + ["bb"] * 3
+    merges = train_merges([("aa", 5), ("bb", 3)])
+    assert merges == [("a", "a"), ("b", "b")]  # then dry
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE documents AS SELECT ? AS text", [" ".join(words)]
+        )
+        rows = con.execute(
+            f"WITH {bpe_ctes()} SELECT word, toks, n_bpe FROM bpe ORDER BY word"
+        ).fetchall()
+    finally:
+        con.close()
+    assert rows == [("aa", ["aa"], 1), ("bb", ["bb"], 1)]
 
 
 def test_duckdb_self_training_matches_python_on_adversarial_vocab():
@@ -111,7 +135,7 @@ def test_duckdb_self_training_matches_python_on_adversarial_vocab():
     segment identically through the DuckDB self-training CTE chain and
     the Python trainer+apply. Exercises training ties, the chr(31)
     accumulator encoding, and multi-char merge operands."""
-    from hypothesis import given, settings, assume
+    from hypothesis import given, settings
     from hypothesis import strategies as st
 
     @settings(max_examples=25, deadline=None)
@@ -128,10 +152,9 @@ def test_duckdb_self_training_matches_python_on_adversarial_vocab():
         for w in words:
             wf[w] = wf.get(w, 0) + 1
         sample = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:512]
-        try:
-            merges = train_merges(sample)
-        except AssertionError:
-            assume(False)  # documented precondition: pairs for all merges
+        # degenerate corpora (pairs run dry before _BPE_N_MERGES) are now
+        # first-class: train stops early, the oracle pads no-op levels
+        merges = train_merges(sample)
         expect = {}
         for w in wf:
             toks = list(w)

@@ -82,10 +82,15 @@ def train_merges(sample: list[tuple[str, int]], n_merges: int = _BPE_N_MERGES) -
         for toks, cnt in vocab:
             for a, b in zip(toks, toks[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + cnt
-        assert counts, (
-            "corpus sample exhausted its pairs before "
-            f"{n_merges} merges — shrink _BPE_N_MERGES"
-        )
+        if not counts:
+            # Degenerate corpus (every sampled word fully merged into a
+            # single token) exhausts pairs early. Stop training; the
+            # oracle pads its remaining unrolled levels with a no-op
+            # sentinel rule (pa = pb = chr(_SEP), a character excluded
+            # from every word on both sides), so applying the short
+            # merge list here segments identically to the oracle's
+            # fixed-depth CTE chain.
+            break
         pa, pb = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append((pa, pb))
         vocab = [(_apply_merge(toks, pa, pb), cnt) for toks, cnt in vocab]
@@ -133,8 +138,19 @@ def bpe_ctes(n_merges: int = _BPE_N_MERGES, k: int = _BPE_K_SAMPLE) -> str:
         FROM t{i}, LATERAL (SELECT unnest(range(1, len(toks))) AS j) u
         GROUP BY 1, 2
     ),
-    b{i} AS MATERIALIZED (SELECT pa, pb, pa || pb AS ab FROM p{i}
-             ORDER BY total DESC, pa, pb LIMIT 1),
+    b{i} AS MATERIALIZED (
+        -- exactly one rule per level: the best pair, or — when the
+        -- sample exhausted its pairs (every word a single token, so
+        -- p{i} is empty) — a no-op sentinel on chr({_SEP}), which no
+        -- word contains (filtered in wf), keeping t/a folds identity
+        -- instead of emptying the cross join. Mirrors train_merges'
+        -- early break so Spark and oracle segment identically.
+        (SELECT pa, pb, pa || pb AS ab FROM p{i}
+            ORDER BY total DESC, pa, pb LIMIT 1)
+        UNION ALL
+        (SELECT chr({_SEP}), chr({_SEP}), chr({_SEP}) || chr({_SEP})
+            WHERE NOT EXISTS (SELECT 1 FROM p{i}))
+    ),
     t{i + 1} AS MATERIALIZED (SELECT word, cnt, {_merge_fold_duck(f"b{i}")} AS toks
                  FROM t{i}, b{i}),
     a{i + 1} AS MATERIALIZED (SELECT word, {_merge_fold_duck(f"b{i}")} AS toks
@@ -264,8 +280,8 @@ def bpe_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLY — the inference half of ts11/ts14 (r9 verdict's
-    top item): segment every document with the {_BPE_N_MERGES}-rule merge
-    list trained on the top-{_BPE_K_SAMPLE} word types, emitting REAL
+    top item): segment every document with the 8-rule (_BPE_N_MERGES)
+    merge list trained on the top-512 (_BPE_K_SAMPLE) word types, emitting REAL
     subword token counts (whitespace count alongside for the compression
     diagnostic) plus the first word's actual segmentation as in-row
     evidence. The oracle re-trains the identical merges in unrolled SQL

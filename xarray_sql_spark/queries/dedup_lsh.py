@@ -1084,7 +1084,7 @@ def _multiprobe_oracle() -> str:
 def ss15_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (Lv et al., VLDB 2007) — ss03's recall lever:
     besides its own bucket, each query probes the buckets reached by
-    flipping the {MULTIPROBE_FLIPS} hyperplanes it sits closest to
+    flipping the 2 (MULTIPROBE_FLIPS) hyperplanes it sits closest to
     (smallest rounded |projection|; plane-index tie-break), individually
     and jointly — 4 probe buckets total. Candidates remain a bucket
     equi-join; ranking is ss03's (rounded cosine DESC, neighbor_id)

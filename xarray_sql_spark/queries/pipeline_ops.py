@@ -3627,8 +3627,8 @@ def _pl16_oracle() -> str:
     tot AS (SELECT sum(toks) AS total FROM emitted),
     sharded AS (
         SELECT o.*,
-               cum_start // ((tot.total + {_PL16_N_SHARDS} - 1)
-                             // {_PL16_N_SHARDS}) AS shard
+               cum_start // greatest((tot.total + {_PL16_N_SHARDS} - 1)
+                             // {_PL16_N_SHARDS}, 1) AS shard
         FROM ordered o, tot
     )
     SELECT CAST(shard AS INT) AS shard,
@@ -3652,7 +3652,7 @@ def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FINAL MATERIALIZATION — the last verb between this engine and a
     shippable training set (r9 verdict item 6): emit pl10's fractional-
     epoch mixture in the canonical deterministic order (source, doc_id,
-    copy), split it into {_PL16_N_SHARDS} equal-token shards by a GLOBAL
+    copy), split it into 8 (_PL16_N_SHARDS) equal-token shards by a GLOBAL
     token prefix sum (a doc lands in the shard its START offset falls
     in — pl08's rule applied corpus-wide), WRITE the sharded set as
     shard-partitioned parquet from the executors, read it back, and
@@ -3736,8 +3736,12 @@ def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "shard",
             F.expr(
-                f"CAST(cum_start DIV ((total + {_PL16_N_SHARDS - 1}) "
-                f"DIV {_PL16_N_SHARDS}) AS INT)"
+                # greatest(..., 1): an all-empty-document mixture has
+                # total == 0, where Spark's DIV 0 yields NULL shards but
+                # the DuckDB oracle's // 0 raises — clamp both spellings
+                # so the degenerate fixture stays engine-agreed.
+                f"CAST(cum_start DIV greatest((total + {_PL16_N_SHARDS - 1}) "
+                f"DIV {_PL16_N_SHARDS}, 1) AS INT)"
             ),
         )
         .select("shard", "source", "doc_id", "copy_idx", "toks", "seq")

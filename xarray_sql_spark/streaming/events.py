@@ -972,8 +972,13 @@ def _blen(v: int) -> int:
     is magnitude-based — using the latter for v < 0 silently diverged
     the stream from the batch expression (review finding). Log-linear
     buckets over negatives are a degenerate-but-defined regime; what
-    matters here is that both twins pick the SAME one."""
-    return v.bit_length() if v >= 0 else 64
+    matters here is that both twins pick the SAME one. bin(0) is the
+    one-char string "0", so v == 0 must map to 1, not bit_length()'s 0
+    (the shift clamp hid the difference from bucket contents, but the
+    octave-ownership shard rule length(bin(bucket)) % shards saw it)."""
+    if v == 0:
+        return 1
+    return v.bit_length() if v > 0 else 64
 
 
 def qhist_update(hist: dict, cents) -> None:
