@@ -3879,3 +3879,371 @@ def dd14_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_split")
     )
+
+
+# --- ts20: trained document-quality classifier -----------------------------------
+# fasttext-style linear scorer (Joulin et al. 2016 "Bag of Tricks"): hashed
+# bag-of-words features, linear weights, trained against weak-supervision
+# labels from a rule gate — the standard stage a pretraining pipeline runs
+# AFTER the heuristic gates (CCNet / GPT-3 quality filtering). Weights here
+# are closed-form Naive-Bayes log-odds with +1 smoothing (a linear model in
+# the count features, exactly replayable in SQL), not SGD — the training
+# must be deterministic enough for the DuckDB oracle to SELF-TRAIN and
+# hash-match the scores.
+_TS20_GOOD = ("fast", "merge", "join", "hash", "sort", "group")
+_TS20_BAD = ("slow", "scan", "row", "batch", "line", "part")
+_TS20_GOOD_SQL = ", ".join(f"'{w}'" for w in _TS20_GOOD)
+_TS20_BAD_SQL = ", ".join(f"'{w}'" for w in _TS20_BAD)
+_TS20_V = 64  # hashed feature buckets
+
+# 80/20 content-addressed split (dd14's md5-on-doc_id discipline).
+_TS20_SPLIT_DUCK = (
+    "CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 100 < 80 THEN 'train' ELSE 'heldout' END"
+)
+_TS20_SPLIT_SPARK = (
+    "CASE WHEN pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+    " 16, 10) AS BIGINT), 100) < 80 THEN 'train' ELSE 'heldout' END"
+)
+
+# word -> feature bucket, engine-agreed md5 60-bit hash
+_TS20_BUCKET_SPARK = (
+    "CAST(pmod(CAST(conv(substring(md5({w}), 1, 15), 16, 10) AS BIGINT),"
+    f" {_TS20_V}) AS INT)"
+)
+_TS20_BUCKET_DUCK = (
+    "CAST(('0x' || substring(md5({w}), 1, 15))::BIGINT"
+    f" % {_TS20_V} AS INT)"
+)
+
+_TS20_LABEL_SPARK = (
+    f"CAST(size(filter(ws, x -> array_contains(array({_TS20_GOOD_SQL}), x)))"
+    f" > size(filter(ws, x -> array_contains(array({_TS20_BAD_SQL}), x)))"
+    " AS INT)"
+)
+_TS20_LABEL_DUCK = (
+    f"CASE WHEN len(list_filter(ws, x -> list_contains([{_TS20_GOOD_SQL}], x)))"
+    f" > len(list_filter(ws, x -> list_contains([{_TS20_BAD_SQL}], x)))"
+    " THEN 1 ELSE 0 END"
+)
+
+
+def _half_away(v: float) -> int:
+    """round-half-away-from-zero on a double — DuckDB's round() rule.
+    Python's built-in round() is banker's (half-to-even), which would
+    diverge exactly on .5 boundaries; the +/-0.5 add is exact at this
+    magnitude (|v| < 2^24, so the 0.5 step is representable)."""
+    import math as _math
+
+    return int(_math.floor(v + 0.5)) if v >= 0 else int(_math.ceil(v - 0.5))
+
+
+def _ts20_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "filter(split(text, ' '), x -> x <> '') AS ws",
+        f"{_TS20_SPLIT_SPARK} AS split",
+    ).selectExpr("doc_id", "ws", "split", f"{_TS20_LABEL_SPARK} AS y")
+
+
+_TS20_CACHE: dict[tuple, tuple[list[int], int]] = {}
+
+
+def ts20_train(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
+    """Train the scorer; returns (per-bucket micro-weights, micro-bias).
+
+    Distributed training, constant driver collect (the ss05/ss09/ts19
+    codebook contract): one pass aggregates per-bucket positive/total
+    word counts over the train split (map-side combine, <= _TS20_V keys
+    cross the shuffle), one counts class priors; the driver turns the
+    <= 65 collected integers into smoothed log-odds and rounds them onto
+    the 1e-6 grid as BIGINT micro-units, so scoring is pure integer
+    arithmetic — order-independent and engine-exact."""
+    import math
+    import os as _os
+
+    from xarray_sql_spark.session import _file_sig
+
+    key = _file_sig(_os.path.abspath(_os.path.join(sf_dir, "documents.parquet")))
+    cached = _TS20_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    train = _ts20_base(spark, sf_dir).filter("split = 'train'")
+    pri = train.agg(
+        F.coalesce(F.sum("y"), F.lit(0)).alias("n_pos"),
+        F.count("*").alias("n_docs"),
+    ).collect()[0]
+    n_pos, n_neg = int(pri.n_pos), int(pri.n_docs) - int(pri.n_pos)
+    cnts = (
+        train.select("y", F.explode("ws").alias("word"))
+        .selectExpr("y", _TS20_BUCKET_SPARK.format(w="word") + " AS b")
+        .groupBy("b")
+        .agg(F.sum("y").alias("pos_b"), F.count("*").alias("n_b"))
+        .collect()
+    )
+    by_b = {int(r.b): (int(r.pos_b), int(r.n_b) - int(r.pos_b)) for r in cnts}
+    pos_tot = sum(p for p, _ in by_b.values())
+    neg_tot = sum(n for _, n in by_b.values())
+    iw = []
+    for b in range(_TS20_V):
+        pos_b, neg_b = by_b.get(b, (0, 0))
+        # identical operation order to the oracle's SQL spelling
+        v = (
+            math.log((pos_b + 1) / float(pos_tot + _TS20_V))
+            - math.log((neg_b + 1) / float(neg_tot + _TS20_V))
+        ) * 1000000.0
+        iw.append(_half_away(v))
+    bias = _half_away(math.log((n_pos + 1) / float(n_neg + 1)) * 1000000.0)
+    _TS20_CACHE[key] = (iw, bias)
+    return iw, bias
+
+
+@query(
+    "ts20_quality_classifier",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+               {_TS20_SPLIT_DUCK} AS split
+        FROM documents
+    ),
+    lab AS (SELECT doc_id, ws, split, {_TS20_LABEL_DUCK} AS y FROM base),
+    fb AS (
+        SELECT doc_id, y, split,
+               {_TS20_BUCKET_DUCK.format(w="word")} AS b
+        FROM (SELECT doc_id, y, split, unnest(ws) AS word FROM lab)
+    ),
+    cnt AS (
+        SELECT b, sum(y) AS pos_b, count(*) - sum(y) AS neg_b
+        FROM fb WHERE split = 'train' GROUP BY b
+    ),
+    tot AS (SELECT coalesce(sum(pos_b), 0) AS pos_tot,
+                   coalesce(sum(neg_b), 0) AS neg_tot FROM cnt),
+    pri AS (SELECT coalesce(sum(y), 0) AS n_pos,
+                   count(*) - coalesce(sum(y), 0) AS n_neg
+            FROM lab WHERE split = 'train'),
+    w AS (
+        SELECT CAST(s.b AS INT) AS b,
+               CAST(round((ln((coalesce(c.pos_b, 0) + 1)
+                              / CAST(t.pos_tot + {_TS20_V} AS DOUBLE))
+                         - ln((coalesce(c.neg_b, 0) + 1)
+                              / CAST(t.neg_tot + {_TS20_V} AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS iw
+        FROM (SELECT unnest(range({_TS20_V})) AS b) s
+        LEFT JOIN cnt c ON c.b = s.b, tot t
+    ),
+    bias AS (SELECT CAST(round(ln((n_pos + 1) / CAST(n_neg + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT) AS bi FROM pri),
+    sc AS (SELECT fb.doc_id, sum(w.iw) AS s FROM fb JOIN w USING (b)
+           GROUP BY fb.doc_id)
+    SELECT CAST(l.doc_id AS BIGINT) AS doc_id, l.split,
+           CAST(l.y AS INT) AS label,
+           CAST(bias.bi + coalesce(sc.s, 0) AS BIGINT) AS score_micro,
+           CAST(CASE WHEN bias.bi + coalesce(sc.s, 0) > 0
+                THEN 1 ELSE 0 END AS INT) AS pred,
+           CAST(CASE WHEN (bias.bi + coalesce(sc.s, 0) > 0) = (l.y = 1)
+                THEN 1 ELSE 0 END AS INT) AS correct
+    FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id, bias
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "classifier", "pipeline"),
+)
+def ts20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED document-quality classifier (r10 verdict item 1) — the
+    fasttext-style linear scorer every production pretraining pipeline
+    runs after its rule gates: hashed bag-of-words (md5 60-bit -> 64
+    buckets) scored by trained linear weights. Labels are weak
+    supervision from a lexicon rule (good-term hits > bad-term hits);
+    training is closed-form Naive-Bayes log-odds over the 80/20
+    content-addressed train split; weights land on the 1e-6 grid as
+    BIGINT micro-units. Emits per-doc label/score/keep-drop decision
+    plus held-out correctness, so the driver's hash gate proves the
+    TRAINING replay (the oracle self-trains in SQL), the scoring fold,
+    and the decision boundary end to end.
+
+    Scale: training is one exploded pass with map-side combine —
+    <= 64 keys cross the shuffle, the driver collects 65 integers.
+    Scoring is a map-only JVM aggregate() fold per document against a
+    64-literal weight array (zero joins, zero shuffles, zero Python);
+    the integer score is order-independent, so the plan is embarrassingly
+    parallel at any corpus size. Beyond-reference operator (the
+    reference has no trained stage; closest public analogue: fastText
+    supervised / CCNet's quality LM gate)."""
+    iw, bias = ts20_train(spark, sf_dir)
+    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
+    bucket = _TS20_BUCKET_SPARK.format(w="x")
+    score = (
+        f"{bias}L + aggregate(ws, 0L,"
+        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
+    )
+    return (
+        _ts20_base(spark, sf_dir)
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "split",
+            "CAST(y AS INT) AS label",
+            f"CAST({score} AS BIGINT) AS score_micro",
+        )
+        .selectExpr(
+            "doc_id",
+            "split",
+            "label",
+            "score_micro",
+            "CAST(IF(score_micro > 0, 1, 0) AS INT) AS pred",
+            "CAST(IF((score_micro > 0) = (label = 1), 1, 0) AS INT) AS correct",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- dd15: line-level exact dedup (C4-style) ---------------------------------------
+_DD15_W = 8  # words per "line" (corpus text is flat; C4's unit adapted)
+
+
+@query(
+    "dd15_line_dedup",
+    oracle=f"""
+    WITH wz AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, CAST(i AS INT) AS line_no,
+               array_to_string(
+                   w[(CAST(i AS INT) * {_DD15_W} + 1)
+                     :(CAST(i AS INT) * {_DD15_W} + {_DD15_W})], ' ') AS line
+        FROM wz, LATERAL (SELECT unnest(range((len(w) + {_DD15_W} - 1)
+                                              // {_DD15_W})) AS i) t
+    ),
+    keyed AS (
+        SELECT doc_id, line_no, line,
+               ('0x' || substring(md5(line), 1, 15))::BIGINT AS lh
+        FROM lines
+    ),
+    first AS (
+        SELECT lh, min(struct_pack(d := doc_id, l := line_no)) AS m
+        FROM keyed GROUP BY lh
+    ),
+    kept AS (
+        SELECT k.doc_id, k.line_no, k.line,
+               CASE WHEN k.doc_id = (f.m).d AND k.line_no = (f.m).l
+                    THEN 1 ELSE 0 END AS keep
+        FROM keyed k JOIN first f USING (lh)
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               sum(1 - keep) AS n_removed,
+               coalesce(sum(CASE WHEN keep = 1
+                   THEN len(string_split(line, ' ')) END), 0) AS n_kept_tokens,
+               md5(coalesce(string_agg(CASE WHEN keep = 1 THEN line END,
+                   ' ' ORDER BY line_no), '')) AS kept_fp
+        FROM kept GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(a.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+           coalesce(a.kept_fp, md5('')) AS kept_fp
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "line", "c4", "pipeline"),
+)
+def dd15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level exact dedup (r10 verdict item 2) — the
+    granularity between document dedup (dd01) and word-8-gram span
+    masking (dd10/dd13): the corpus text is flat word streams, so a
+    "line" is a non-overlapping {_DD15_W}-word segment (final partial
+    segment included). Every later occurrence of a line already seen
+    anywhere in the corpus is REMOVED; first occurrence = lexicographic
+    min (doc_id, line_no), C4's keep-one rule made deterministic. Emits
+    per-document removal counts plus the md5 fingerprint of the
+    reassembled deduplicated text, so the hash gate proves the keep/drop
+    decisions AND the reassembly order end to end.
+
+    Scale: lines shuffle ONCE as 60-bit md5 keys (dd10's key
+    discipline) into a map-side-combined min(struct) — a boilerplate
+    line duplicated a billion times collapses to one candidate per
+    input partition BEFORE the shuffle (the reason this is a groupBy,
+    not a row_number window, which would funnel the hot key through a
+    single task). The keep-flag join is lh-equi (AQE handles the
+    replicated hot key), never a doc-pair join; reassembly is per-doc
+    bounded. No driver collects."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    lines = (
+        d.selectExpr(
+            "doc_id", "filter(split(text, ' '), x -> x <> '') AS w"
+        )
+        .selectExpr(
+            "doc_id",
+            f"IF(size(w) = 0, array(),"
+            f" transform(sequence(0, (size(w) - 1) DIV {_DD15_W}),"
+            f" i -> array_join(slice(w, CAST(i * {_DD15_W} + 1 AS INT),"
+            f" {_DD15_W}), ' '))) AS ls",
+        )
+        .select("doc_id", F.posexplode("ls").alias("line_no", "line"))
+    )
+    keyed = lines.select(
+        "doc_id",
+        "line_no",
+        "line",
+        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("lh"),
+    )
+    first = keyed.groupBy("lh").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("m")
+    )
+    kept = keyed.join(first, "lh").select(
+        "doc_id",
+        "line_no",
+        "line",
+        (
+            (F.col("doc_id") == F.col("m.doc_id"))
+            & (F.col("line_no") == F.col("m.line_no"))
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(1 - F.col("keep")).alias("n_removed"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("keep") == 1, F.size(F.split("line", " "))
+                )
+            ),
+            F.lit(0),
+        ).alias("n_kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep") == 1,
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines",
+            "CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed",
+            "CAST(coalesce(n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens",
+            "coalesce(kept_fp, md5('')) AS kept_fp",
+        )
+        .orderBy("doc_id")
+    )
