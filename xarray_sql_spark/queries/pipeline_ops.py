@@ -4247,3 +4247,250 @@ def dd15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- pl17: URL canonicalization + registered-domain provenance rollup -----------
+# The corpus carries `source` tags, not URLs, so the fixture PLANTS a
+# deterministic URL per document (md5-arithmetic variant selection the oracle
+# regenerates — the gq15/ts07 planted-fixture differential): scheme/host case
+# mangling, default :443 ports, www. prefixes, trailing slashes, utm_*
+# tracking params, unsorted kept params, fragments. The OPERATOR half
+# canonicalizes from the URL STRING alone with JVM regex/array functions
+# (ts07's no-Python discipline) and must land planted variants on proven
+# collisions — the dedup-by-URL prerequisite for any CommonCrawl-derived
+# corpus. A tiny embedded public-suffix list ('co.uk', 'com.au') exercises
+# multi-label registered-domain extraction.
+
+
+def _pl17_url_expr(engine: str) -> str:
+    """The planted-URL generator, spelled per engine (identical math)."""
+    if engine == "spark":
+        hv = (
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+        div, cast_s = "DIV", "STRING"
+    else:
+        hv = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        div, cast_s = "//", "VARCHAR"
+    return f"""(
+        CASE WHEN ({hv} {div} 15) % 4 = 0 THEN 'HTTPS' ELSE 'https' END
+        || '://'
+        || CASE WHEN ({hv} {div} 15) % 4 = 0 THEN upper(
+               CASE ({hv} {div} 5) % 3 WHEN 1 THEN 'www.'
+                    WHEN 2 THEN 'news.' ELSE '' END
+               || source || '.'
+               || CASE {hv} % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io'
+                       ELSE 'com.au' END)
+           ELSE
+               CASE ({hv} {div} 5) % 3 WHEN 1 THEN 'www.'
+                    WHEN 2 THEN 'news.' ELSE '' END
+               || source || '.'
+               || CASE {hv} % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io'
+                       ELSE 'com.au' END
+           END
+        || CASE WHEN ({hv} {div} 60) % 5 = 0 THEN ':443' ELSE '' END
+        || '/d/' || CAST(doc_id % 40 AS {cast_s})
+        || CASE WHEN ({hv} {div} 1200) % 2 = 0 THEN '/' ELSE '' END
+        || CASE ({hv} {div} 300) % 4
+               WHEN 1 THEN '?utm_source=rss&utm_medium=email'
+               WHEN 2 THEN '?ref=feed'
+               WHEN 3 THEN '?z=1&a=2&utm_campaign=x' ELSE '' END
+        || CASE WHEN ({hv} {div} 600) % 2 = 0 THEN '#top' ELSE '' END
+    )"""
+
+
+def _pl17_canon_expr(engine: str, url: str = "url") -> str:
+    """Canonicalizer over a URL string column — the operator under test.
+
+    lower scheme+host, strip :443/:80, strip leading www., strip
+    trailing path slashes, drop the fragment, drop utm_* params, sort
+    surviving params. Pure regex/array engine expressions."""
+    if engine == "spark":
+        flt, srt, join_ = "filter", "array_sort", "array_join"
+        bs = "\\\\"  # Spark SQL string literals process backslash escapes
+    else:
+        flt, srt, join_ = "list_filter", "list_sort", "array_to_string"
+        bs = "\\"  # DuckDB string literals are escape-free
+    scheme = f"lower(regexp_extract({url}, '^([A-Za-z]+)://', 1))"
+    host = (
+        f"regexp_replace(regexp_replace("
+        f"lower(regexp_extract({url}, '^[A-Za-z]+://([^/?#]*)', 1)),"
+        f" ':(443|80)$', ''), '^www{bs}.', '')"
+    )
+    path = (
+        f"regexp_replace("
+        f"regexp_extract({url}, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),"
+        f" '/+$', '')"
+    )
+    # coalesce: DuckDB's array_to_string on an EMPTY list returns NULL
+    # where Spark's array_join returns '' — the no-surviving-params case.
+    q = (
+        f"coalesce({join_}({srt}({flt}(string_split_local(SENTINEL), "
+        f"p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '')"
+    )
+    rawq = f"regexp_extract({url}, '{bs}?([^#]*)', 1)"
+    if engine == "spark":
+        q = q.replace("string_split_local(SENTINEL)", f"split({rawq}, '&')")
+    else:
+        q = q.replace(
+            "string_split_local(SENTINEL)", f"string_split({rawq}, '&')"
+        )
+    return (
+        f"({scheme} || '://' || {host} || {path}"
+        f" || CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)"
+    )
+
+
+def _pl17_domain_expr(engine: str, host: str) -> str:
+    """Registered domain of a lowercase host: last two labels, or last
+    three when the host ends in an embedded two-level public suffix."""
+    if engine == "spark":
+        labels = f"split({host}, '\\\\.')"
+        n = f"size({labels})"
+        el = "element_at({arr}, {i})"
+    else:
+        labels = f"string_split({host}, '.')"
+        n = f"len({labels})"
+        el = "({arr})[{i}]"
+    l1 = el.format(arr=labels, i=-1)
+    l2 = el.format(arr=labels, i=-2)
+    l3 = el.format(arr=labels, i=-3)
+    suf2 = f"({l2} || '.' || {l1})"
+    return (
+        f"(CASE WHEN {n} >= 3 AND {suf2} IN ('co.uk', 'com.au')"
+        f" THEN {l3} || '.' || {suf2}"
+        f" ELSE {suf2} END)"
+    )
+
+
+def _pl17_host_of_canon(engine: str, canon: str) -> str:
+    return f"regexp_extract({canon}, '^[a-z]+://([^/?#]*)', 1)"
+
+
+@query(
+    "pl17_url_provenance",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS words,
+               md5(text) AS tmd5,
+               {_pl17_url_expr("duck")} AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, words, tmd5,
+               {_pl17_canon_expr("duck")} AS curl
+        FROM base
+    ),
+    dom AS (
+        SELECT doc_id, words, tmd5, curl,
+               {_pl17_domain_expr("duck", _pl17_host_of_canon("duck", "curl"))}
+                   AS domain
+        FROM canon
+    ),
+    cu AS (SELECT curl, count(*) AS n FROM dom GROUP BY curl),
+    td AS (SELECT tmd5, count(*) AS n FROM dom GROUP BY tmd5),
+    flagged AS (
+        SELECT d.domain, d.curl, d.words,
+               CASE WHEN cu.n > 1 THEN 1 ELSE 0 END AS dup_url,
+               CASE WHEN td.n > 1 THEN 1 ELSE 0 END AS dup_text
+        FROM dom d JOIN cu USING (curl) JOIN td USING (tmd5)
+    ),
+    tot AS (SELECT sum(words) AS total_words FROM flagged)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canon_urls,
+           CAST(sum(dup_url) AS BIGINT) AS n_dup_url_docs,
+           round(sum(dup_url) / CAST(count(*) AS DOUBLE), 6) AS url_dup_rate,
+           CAST(sum(words) AS BIGINT) AS tokens,
+           round(sum(words) / CAST(tot.total_words AS DOUBLE), 6)
+               AS token_share,
+           CAST(sum(dup_text) AS BIGINT) AS n_exact_dup_docs,
+           min(curl) AS min_canon_url
+    FROM flagged, tot
+    GROUP BY domain, tot.total_words
+    ORDER BY domain
+    """,
+    tags=("pipeline", "url", "provenance", "dedup"),
+)
+def pl17_url_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain provenance rollup (r10
+    verdict item 3) — the first pass a CommonCrawl-derived corpus runs
+    before dedup-by-URL: canonicalize each document's URL (lower
+    scheme/host, strip default ports / www. / trailing slashes /
+    fragments / utm_* tracking params, sort surviving params), extract
+    the registered domain against an embedded two-level public-suffix
+    sample ('co.uk', 'com.au'), and roll up per-domain doc counts,
+    canonical-URL dup rate (planted case/port/slash/utm variants MUST
+    collide), token share, and dd01's exact-text dup key. min_canon_url
+    rides along as in-row evidence of the canonical form.
+
+    Scale: canonicalization and domain extraction are map-only JVM
+    regex/array projections (zero Python, zero joins); the dup flags
+    are two map-side-combined keyed aggregates (canonical-URL key,
+    text-md5 key) re-joined by the same keys — never a pair join; the
+    final rollup groups on ~|sources x TLDs| domains. The corpus total
+    for token_share is a 1-row broadcast cross join."""
+    base = table(spark, sf_dir, "documents", spread=True).selectExpr(
+        "doc_id",
+        "source",
+        "size(filter(split(text, ' '), x -> x <> '')) AS words",
+        "md5(text) AS tmd5",
+        f"{_pl17_url_expr('spark')} AS url",
+    )
+    dom = base.selectExpr(
+        "doc_id",
+        "words",
+        "tmd5",
+        f"{_pl17_canon_expr('spark')} AS curl",
+    ).selectExpr(
+        "doc_id",
+        "words",
+        "tmd5",
+        "curl",
+        f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
+        " AS domain",
+    )
+    cu = dom.groupBy("curl").agg(F.count("*").alias("cu_n"))
+    td = dom.groupBy("tmd5").agg(F.count("*").alias("td_n"))
+    flagged = (
+        dom.join(cu, "curl")
+        .join(td, "tmd5")
+        .select(
+            "domain",
+            "curl",
+            "words",
+            (F.col("cu_n") > 1).cast("int").alias("dup_url"),
+            (F.col("td_n") > 1).cast("int").alias("dup_text"),
+        )
+    )
+    tot = flagged.agg(F.sum("words").alias("total_words"))
+    return (
+        flagged.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("curl").alias("n_canon_urls"),
+            F.sum("dup_url").alias("n_dup_url_docs"),
+            F.sum("words").alias("tokens"),
+            F.sum("dup_text").alias("n_exact_dup_docs"),
+            F.min("curl").alias("min_canon_url"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "domain",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_canon_urls AS BIGINT) AS n_canon_urls",
+            "CAST(n_dup_url_docs AS BIGINT) AS n_dup_url_docs",
+            "round(n_dup_url_docs / CAST(n_docs AS DOUBLE), 6)"
+            " AS url_dup_rate",
+            "CAST(tokens AS BIGINT) AS tokens",
+            "round(tokens / CAST(total_words AS DOUBLE), 6) AS token_share",
+            "CAST(n_exact_dup_docs AS BIGINT) AS n_exact_dup_docs",
+            "min_canon_url",
+        )
+        .orderBy("domain")
+    )
