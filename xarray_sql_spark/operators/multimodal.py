@@ -1955,6 +1955,233 @@ def mm11_exif_gps_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- mm12: real signal statistics over uncompressed payloads --------------------
+# The one decode layer mm01-mm11 stubbed: actually reading PIXELS and PCM
+# SAMPLES. BMP and WAV are the two planted containers whose payloads are
+# uncompressed, so the sample decode needs no codec library — the kernel
+# locates the body from REAL header fields (BMP pixel-array offset at byte
+# 10, WAV data-chunk size at byte 40) and computes exact integer signal
+# stats with numpy. The fixture appends a deterministic CLIP-VALUED tail
+# (k = doc_id arithmetic) after each text body so the clipping counters are
+# load-bearing, not structurally zero; the DuckDB oracle regenerates every
+# byte's value from the document TEXT (ASCII, so code point == UTF-8 byte)
+# plus the tail arithmetic — it never sees the binary.
+
+SIGNAL_SCHEMA = (
+    "doc_id bigint, origin string, kind string, n_units bigint, "
+    "sum_v bigint, sumsq_v bigint, n_clip bigint"
+)
+
+
+def signal_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP images and WAV clips with real headers AND planted clip tails:
+    image body = text bytes + (doc_id % 4) 0x00 bytes + (doc_id % 3) 0xFF
+    bytes; audio body = text bytes (space-padded to even length) +
+    (doc_id % 4) full-scale-positive samples (0x7FFF) + (doc_id % 3)
+    full-scale-negative samples (-0x8000)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d = d.filter(
+        ((F.col("doc_id") % 3 == 0) & ((F.col("doc_id") / 3).cast("bigint") % 4 == 2))
+        | (F.col("doc_id") % 3 == 1)
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                doc_id = int(doc_id)
+                body = str(text).encode("utf-8")
+                if doc_id % 3 == 0:  # BMP (the encoded_media_table bmp slot)
+                    w = 160 + (doc_id * 37) % 1760
+                    h = 90 + (doc_id * 53) % 990
+                    body += b"\x00" * (doc_id % 4) + b"\xff" * (doc_id % 3)
+                    payload = bmp_header(w, h, len(body)) + body
+                    mt = "image"
+                else:  # WAV
+                    sr = 8000 + (doc_id * 13) % 40000
+                    if len(body) % 2:
+                        body += b" "
+                    body += b"\xff\x7f" * (doc_id % 4) + b"\x00\x80" * (
+                        doc_id % 3
+                    )
+                    payload = wav_header(sr, len(body)) + body
+                    mt = "audio"
+                rows.append((doc_id, payload, mt, source))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type", "origin"]
+            )
+
+    return d.mapInPandas(
+        _encode, "doc_id long, content binary, media_type string, origin string"
+    )
+
+
+def _signal_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-asset PCM/pixel statistics from the payload BYTES only."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content, media_type, origin in zip(
+            pdf["doc_id"], pdf["content"], pdf["media_type"], pdf["origin"]
+        ):
+            payload = bytes(content)
+            if media_type == "audio":
+                # data-chunk size from the header (byte 40), not len()
+                data_len = struct.unpack("<I", payload[40:44])[0]
+                body = payload[44 : 44 + data_len]
+                s = np.frombuffer(
+                    body[: len(body) // 2 * 2], "<i2"
+                ).astype(np.int64)
+                clip = int(((s == 32767) | (s == -32768)).sum())
+                kind = "wav_pcm16"
+            else:
+                # pixel-array offset from BITMAPFILEHEADER (byte 10)
+                off = struct.unpack("<I", payload[10:14])[0]
+                s = np.frombuffer(payload[off:], np.uint8).astype(np.int64)
+                clip = int(((s == 0) | (s == 255)).sum())
+                kind = "bmp_rgb24"
+            rows.append(
+                (
+                    int(doc_id),
+                    origin,
+                    kind,
+                    int(s.size),
+                    int(s.sum()),
+                    int((s * s).sum()),
+                    clip,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "origin",
+                "kind",
+                "n_units",
+                "sum_v",
+                "sumsq_v",
+                "n_clip",
+            ],
+        )
+
+
+def signal_stats(media: DataFrame) -> DataFrame:
+    return media.mapInPandas(_signal_batches, SIGNAL_SCHEMA)
+
+
+@query(
+    "mm12_signal_stats",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, source AS origin, text FROM documents
+        WHERE doc_id % 3 = 0 AND (doc_id // 3) % 4 = 2
+    ),
+    ib AS (
+        SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS v
+        FROM img, LATERAL (SELECT unnest(range(1, strlen(text) + 1)) AS i) t
+    ),
+    istats AS (
+        SELECT i.doc_id, i.origin, 'bmp_rgb24' AS kind,
+               strlen(i.text) + (i.doc_id % 4) + (i.doc_id % 3) AS n_units,
+               coalesce(s.sv, 0) + 255 * (i.doc_id % 3) AS sum_v,
+               coalesce(s.sq, 0) + 65025 * (i.doc_id % 3) AS sumsq_v,
+               (i.doc_id % 4) + (i.doc_id % 3) AS n_clip
+        FROM img i LEFT JOIN (
+            SELECT doc_id, sum(v) AS sv, sum(v * v) AS sq FROM ib GROUP BY doc_id
+        ) s USING (doc_id)
+    ),
+    aud AS (
+        SELECT doc_id, source AS origin, text, strlen(text) AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    ab AS (
+        SELECT doc_id,
+               ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
+               + 256 * (CASE WHEN 2 * i + 2 <= n
+                        THEN ascii(substr(text, CAST(2 * i + 2 AS INT), 1))
+                        ELSE 32 END) AS v
+        FROM aud, LATERAL (SELECT unnest(range((n + n % 2) // 2)) AS i) t
+    ),
+    astats AS (
+        SELECT a.doc_id, a.origin, 'wav_pcm16' AS kind,
+               (a.n + a.n % 2) // 2 + (a.doc_id % 4) + (a.doc_id % 3)
+                   AS n_units,
+               coalesce(s.sv, 0) + 32767 * (a.doc_id % 4)
+                   - 32768 * (a.doc_id % 3) AS sum_v,
+               coalesce(s.sq, 0) + 1073676289 * (a.doc_id % 4)
+                   + 1073741824 * (a.doc_id % 3) AS sumsq_v,
+               (a.doc_id % 4) + (a.doc_id % 3) AS n_clip
+        FROM aud a LEFT JOIN (
+            SELECT doc_id, sum(v) AS sv, sum(v * v) AS sq FROM ab GROUP BY doc_id
+        ) s USING (doc_id)
+    ),
+    allstats AS (SELECT * FROM istats UNION ALL SELECT * FROM astats)
+    SELECT kind, origin,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(n_units) AS BIGINT) AS n_units,
+           CAST(sum(sum_v) AS BIGINT) AS sum_v,
+           CAST(sum(sumsq_v) AS BIGINT) AS sumsq_v,
+           CAST(sum(n_clip) AS BIGINT) AS n_clip,
+           round(sum(sum_v) / CAST(sum(n_units) AS DOUBLE), 6) AS mean_v,
+           round(sqrt(sum(sumsq_v) / CAST(sum(n_units) AS DOUBLE)), 6)
+               AS rms_v,
+           round(sum(n_clip) / CAST(sum(n_units) AS DOUBLE), 6) AS clip_rate
+    FROM allstats GROUP BY kind, origin
+    ORDER BY kind, origin
+    """,
+    tags=("multimodal", "signal", "decode", "pipeline"),
+)
+def mm12_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/PCM decode statistics (r10 verdict item 5) — the layer
+    mm01-mm11 stubbed: per-asset mean / RMS / clipping over the actual
+    uncompressed payload values. The mapInPandas kernel locates the body
+    via genuine header fields (BMP pixel-array offset, WAV data-chunk
+    size), reinterprets the bytes (u8 pixels / little-endian i16 PCM)
+    with numpy, and emits EXACT integer (n, sum, sumsq, clip) per asset;
+    the relational rollup pools those integers per (kind, origin) and
+    derives mean/RMS/clip-rate. Planted clip-valued tails (0x00/0xFF
+    pixels, full-scale PCM samples, counts = doc_id arithmetic) make the
+    clipping counters load-bearing. The oracle regenerates every byte
+    value from the document text (ASCII: code point == UTF-8 byte) plus
+    the tail arithmetic — a hash match proves the byte-level decode.
+
+    Scale: encode and decode are zero-shuffle Arrow-batched mapInPandas;
+    payloads never leave their scan partition (the kernel reduces each
+    asset to 4 integers before anything shuffles), and the rollup moves
+    only (kind, origin) partial aggregates. A real image/audio corpus
+    swaps the numpy reinterpret for a PIL/soundfile call in the same
+    kernel; everything downstream is unchanged."""
+    stats = signal_stats(signal_media_table(spark, sf_dir))
+    return (
+        stats.groupBy("kind", "origin")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_units").cast("bigint").alias("n_units"),
+            F.sum("sum_v").cast("bigint").alias("sum_v"),
+            F.sum("sumsq_v").cast("bigint").alias("sumsq_v"),
+            F.sum("n_clip").cast("bigint").alias("n_clip"),
+        )
+        .selectExpr(
+            "kind",
+            "origin",
+            "n_assets",
+            "n_units",
+            "sum_v",
+            "sumsq_v",
+            "n_clip",
+            "round(sum_v / CAST(n_units AS DOUBLE), 6) AS mean_v",
+            "round(sqrt(sumsq_v / CAST(n_units AS DOUBLE)), 6) AS rms_v",
+            "round(n_clip / CAST(n_units AS DOUBLE), 6) AS clip_rate",
+        )
+        .orderBy("kind", "origin")
+    )
+
+
 # This module registers queries but lives OUTSIDE the queries package;
 # re-apply the driver-window order in case the package's reorder ran
 # mid-way through this module's import (see registry.apply_window_order).
