@@ -149,25 +149,29 @@ def main() -> None:
     ordered.update((n, timings[n]) for n in by_time if n in important)
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": total,
         "unit": "sec",
         "queries": ordered,
-        "sf": sf,
     }
     if errors:
         out["errors"] = errors
-    # The driver archives only the LAST ~2000 chars of this line, and the
-    # r7 tail kept just 67/122 per-query entries. "qc" is the compact
-    # full record — every benched query under its (unique, test-pinned)
-    # short prefix — emitted as the FINAL key so the archived tail always
-    # reconstructs the complete per-query timing set. 2-decimal values:
-    # at 123 queries the 4-decimal map was 1917 of the 2000 chars —
-    # 10 ms archival precision buys ~35 queries of headroom (full
-    # precision stays in the "queries" map for a local reader).
+    # The driver archives only the LAST ~2000 chars of this line (r11
+    # ADVICE: its parsed field came back null because the tail starts
+    # mid-JSON). Key order decides what the truncation keeps, so the
+    # round-record essentials go LAST: sf, nq, the total, then "qc" —
+    # the compact full per-query record (every benched query under its
+    # unique test-pinned short prefix, 2-decimal values). With compact
+    # separators the qc map plus the trailing scalars fit the 2000-char
+    # window whole, so a tail reader recovers the total AND the complete
+    # per-query set without scraping fragments; the big "queries" map
+    # keeps full precision for local readers (important entries at its
+    # end: the six BASELINE.md shapes plus the 10 slowest).
+    out["sf"] = sf
+    out["nq"] = len(timings)
+    out["value"] = total
     out["qc"] = {
         n.split("_")[0]: round(t, 2) for n, t in sorted(timings.items())
     }
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

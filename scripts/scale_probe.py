@@ -48,7 +48,12 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "ss14_ivfpq_search",
                  # round-10 additions: BPE tokenizer apply (vocab-join
                  # shape — also feeds pl08's new counts), multi-probe LSH
-                 "ts19_bpe_tokenize", "ss15_multiprobe_ann"]
+                 "ts19_bpe_tokenize", "ss15_multiprobe_ann",
+                 # round-12 additions: trained quality scorer (train pass
+                 # + map-only fold), line dedup (min-struct key shuffle),
+                 # URL provenance (two keyed aggs), signal stats decode
+                 "ts20_quality_classifier", "dd15_line_dedup",
+                 "pl17_url_provenance", "mm12_signal_stats"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10
@@ -117,8 +122,14 @@ def main() -> None:
                     best = max(best, stage.numTasks)
         return best
 
+    # CLI names subset the probe (new-operator spot checks); no args =
+    # the full permanent sweep.
+    names = sys.argv[1:] or PROBE_QUERIES
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"not in registry: {unknown}")
     results: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         spec = REGISTRY[name]
         row: dict[str, float | int] = {}
         for label, sf_dir in (("sf0.1", SRC_SF), ("sf1", DST)):

@@ -57,6 +57,8 @@ BNLJ_ALLOWED = {
     "1-row measurement aggregate",
     "ts18_bm25_retrieval": "1-row corpus-stats broadcast (N/avgdl/df — "
     "the ts10 LM-normalizer contract)",
+    "pl17_url_provenance": "1-row corpus-token-total broadcast for "
+    "token_share (the ts10 LM-normalizer contract)",
 }
 
 

@@ -39,24 +39,28 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      the oldest r6 block — exactly next_window.py's output.
 # Everything displaced was hash-green in r9 on code paths unchanged this
 # round and stays covered by the local full-registry pytest sweep.
+# Round-12 window (computed by scripts/next_window.py): the four NEW
+# operators first, then every query whose code or shared oracle CTE
+# changed this round (the BPE b{i} no-op padding flows into all five
+# bpe-sharing queries), then the oldest-proof fill (the r6-era block).
 _PRIORITY = (
-    "pl16_shard_materialize ss15_multiprobe_ann mm11_exif_gps_census "
-    "ts19_bpe_tokenize dd14_split_contamination pl08_sequence_packing "
-    "ss13_ann_recall mm10_exif_census ev22_scd2_merge "
-    "dd13_dup_token_spans ts13_token_budget_fill pl10_repetition_mixing "
-    "ss04_ivf_ann ss03_lsh_ann mm05_phash_neardup "
-    "gq08_grid_regrid_weights gq09_grid_forecast_skill gq10_grid_reproject_udf "
-    "gq16_stats_aggregates ev08_cohort_retention q37_lateral_topn "
-    "ss06_sq_topk q38_scd2_pit_join pl05_stratified_split "
-    "q39_bucketed_range_join pl06_weighted_sample ts06_char_entropy "
-    "q40_mode_percentile_disc ss07_knn_classify ev09_time_weighted_avg "
-    "q01_pricing_summary q12_interval_join q22_parameterized "
-    "q27_asof_join q36_interval_range_frame ss02_embedding_neardup "
-    "ev01_sessionization ev02_session_windows ev03_hourly_windows "
-    "ev04_moving_avg pl01_training_mix pl02_hash_split "
-    "ev05_purchase_click_join pl03_decontaminate pl04_training_set "
-    "ev06_conversion_funnel ts05_repetition ev07_resample_ffill "
-    "ss05_kmeans_train dd04_minhash_lsh "
+    "ts20_quality_classifier dd15_line_dedup pl17_url_provenance "
+    "mm12_signal_stats ts19_bpe_tokenize pl08_sequence_packing "
+    "pl10_repetition_mixing ts13_token_budget_fill pl16_shard_materialize "
+    "ss15_multiprobe_ann dd05_simhash ts03_regex_tokens "
+    "dd06_rolling_fingerprint ts04_tfidf_terms mm03_feature_extract "
+    "gq01_grid_climatology gq03_cftime_360day gq04_nan_null_semantics "
+    "gq05_grid_zonal_bands gq06_grid_anomaly_selfjoin gq07_zorder_layout "
+    "gq11_grid_ndvi gq12_grid_zonal_mean gq13_grid_warp "
+    "dd07_semantic_dedup ss08_knn_classify_ivf q41_recursive_cte_spine "
+    "ts08_rare_trigram_score q42_map_funcs pl07_mixture_quotas "
+    "ts07_pii_redact sk01_salted_agg sk02_salted_join "
+    "q07_cross_join ts09_gopher_rules ts10_unigram_surprisal "
+    "dd10_shared_span_pairs ts11_bpe_pair_stats ts12_memorization_score "
+    "ev11_user_value_quartiles ev12_funnel_conversion ev13_json_props "
+    "dd09_sketch_accuracy dd11_cross_source_dup_matrix mm06_audio_rollup "
+    "gq02_grid_pruned_slice gq14_zarr_roundtrip gq15_filtered_store "
+    "gq19_grid_rolling_mean gq20_grid_resample_daily "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402

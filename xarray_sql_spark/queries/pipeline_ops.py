@@ -3939,7 +3939,11 @@ def _half_away(v: float) -> int:
 
 
 def _ts20_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").selectExpr(
+    # spread=True: the scoring fold is an md5-per-word projection (dd10's
+    # heavy-scan profile) — measured 10.1 s -> 1.1 s at the 10x replica
+    # (10x ratio 9.3 -> 1.55), whose parquet layout otherwise caps the
+    # scan at 2 tasks.
+    return table(spark, sf_dir, "documents", spread=True).selectExpr(
         "doc_id",
         "filter(split(text, ' '), x -> x <> '') AS ws",
         f"{_TS20_SPLIT_SPARK} AS split",
