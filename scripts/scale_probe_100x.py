@@ -60,6 +60,14 @@ PROBE_QUERIES = [
     # sublinear, training is sample-bounded; only the word-key join
     # scales with the corpus
     "ts19_bpe_tokenize",
+    # round-12: trained quality scoring (map-only integer fold — the
+    # honest-linear floor of touching every word, ts19's profile), and
+    # line dedup under a WORST-case input: the replica's copies make
+    # every full 8-word line an exact 100-way duplicate, inflating dup
+    # mass ~100x — the map-side-combined min(struct) must keep the
+    # shuffle per-key bounded
+    "ts20_quality_classifier",
+    "dd15_line_dedup",
 ]
 
 
@@ -85,8 +93,14 @@ def main() -> None:
                     best = max(best, stage.numTasks)
         return best
 
+    # CLI names subset the probe (new-operator spot checks); no args =
+    # the full permanent sweep.
+    names = sys.argv[1:] or PROBE_QUERIES
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"not in registry: {unknown}")
     results: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         spec = REGISTRY[name]
         row: dict[str, float | int] = {}
         for label, sf_dir in (("sf0.1", SRC_SF), ("sf10", DST100)):
