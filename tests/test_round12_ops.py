@@ -248,3 +248,43 @@ def test_mm12_clip_counters_are_load_bearing(spark):
     assert pdf.n_clip.sum() > 0
     assert (pdf[pdf.kind == "wav_pcm16"].n_clip.sum()) > 0
     assert (pdf[pdf.kind == "bmp_rgb24"].n_clip.sum()) > 0
+
+
+# --- dd16 ---------------------------------------------------------------------
+
+
+def test_dd16_keeps_the_highest_scored_doc_per_cluster(spark):
+    """Cross-check against ts20's own per-doc output: for every reported
+    cluster, the kept doc must carry the cluster's max score (lowest
+    doc_id on ties) among ALL docs sharing that canonical URL."""
+    scores = {
+        r.doc_id: r.score_micro
+        for r in REGISTRY["ts20_quality_classifier"].fn(spark, SF_MED).collect()
+    }
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _pl17_canon_expr,
+        _pl17_url_expr,
+    )
+    from xarray_sql_spark.session import table
+
+    curls = {
+        r.doc_id: r.curl
+        for r in table(spark, SF_MED, "documents")
+        .selectExpr("doc_id", f"{_pl17_url_expr('spark')} AS url")
+        .selectExpr("doc_id", f"{_pl17_canon_expr('spark')} AS curl")
+        .collect()
+    }
+    clusters: dict[str, list[int]] = {}
+    for doc_id, cu in curls.items():
+        clusters.setdefault(cu, []).append(doc_id)
+
+    rows = REGISTRY["dd16_url_dedup"].fn(spark, SF_MED).collect()
+    expected_multi = {cu for cu, ds in clusters.items() if len(ds) > 1}
+    assert {r.curl for r in rows} == expected_multi
+    for r in rows:
+        members = clusters[r.curl]
+        best = min(members, key=lambda d: (-scores[d], d))
+        assert r.kept_doc == best, (r.curl, r.kept_doc, best)
+        assert r.kept_score_micro == scores[best]
+        assert r.n_docs == len(members)
+        assert r.dropped_score_sum == sum(scores[d] for d in members) - scores[best]

@@ -4003,16 +4003,19 @@ def ts20_train(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
     return iw, bias
 
 
-@query(
-    "ts20_quality_classifier",
-    oracle=f"""
-    WITH base AS (
+def _ts20_score_ctes() -> str:
+    """The oracle's SELF-TRAINING chain (to splice after WITH), ending in
+    ``ts20_scored(doc_id, split, y, score_micro)`` — every document with
+    its weak label, split, and trained micro-unit score. Shared by ts20
+    and the composition queries that consume its scores (dd16)."""
+    return f"""ts20_base AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws,
                {_TS20_SPLIT_DUCK} AS split
         FROM documents
     ),
-    lab AS (SELECT doc_id, ws, split, {_TS20_LABEL_DUCK} AS y FROM base),
+    lab AS (SELECT doc_id, ws, split, {_TS20_LABEL_DUCK} AS y
+            FROM ts20_base),
     fb AS (
         SELECT doc_id, y, split,
                {_TS20_BUCKET_DUCK.format(w="word")} AS b
@@ -4040,15 +4043,25 @@ def ts20_train(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
     bias AS (SELECT CAST(round(ln((n_pos + 1) / CAST(n_neg + 1 AS DOUBLE))
                                * 1000000.0) AS BIGINT) AS bi FROM pri),
     sc AS (SELECT fb.doc_id, sum(w.iw) AS s FROM fb JOIN w USING (b)
-           GROUP BY fb.doc_id)
-    SELECT CAST(l.doc_id AS BIGINT) AS doc_id, l.split,
-           CAST(l.y AS INT) AS label,
-           CAST(bias.bi + coalesce(sc.s, 0) AS BIGINT) AS score_micro,
-           CAST(CASE WHEN bias.bi + coalesce(sc.s, 0) > 0
-                THEN 1 ELSE 0 END AS INT) AS pred,
-           CAST(CASE WHEN (bias.bi + coalesce(sc.s, 0) > 0) = (l.y = 1)
+           GROUP BY fb.doc_id),
+    ts20_scored AS (
+        SELECT l.doc_id, l.split, l.y,
+               bias.bi + coalesce(sc.s, 0) AS score_micro
+        FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id, bias
+    )"""
+
+
+@query(
+    "ts20_quality_classifier",
+    oracle=f"""
+    WITH {_ts20_score_ctes()}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, split,
+           CAST(y AS INT) AS label,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS INT) AS pred,
+           CAST(CASE WHEN (score_micro > 0) = (y = 1)
                 THEN 1 ELSE 0 END AS INT) AS correct
-    FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id, bias
+    FROM ts20_scored
     ORDER BY doc_id
     """,
     tags=("text", "quality", "classifier", "pipeline"),
@@ -4074,21 +4087,8 @@ def ts20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel at any corpus size. Beyond-reference operator (the
     reference has no trained stage; closest public analogue: fastText
     supervised / CCNet's quality LM gate)."""
-    iw, bias = ts20_train(spark, sf_dir)
-    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
-    bucket = _TS20_BUCKET_SPARK.format(w="x")
-    score = (
-        f"{bias}L + aggregate(ws, 0L,"
-        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
-    )
     return (
-        _ts20_base(spark, sf_dir)
-        .selectExpr(
-            "CAST(doc_id AS BIGINT) AS doc_id",
-            "split",
-            "CAST(y AS INT) AS label",
-            f"CAST({score} AS BIGINT) AS score_micro",
-        )
+        _ts20_scored_df(spark, sf_dir)
         .selectExpr(
             "doc_id",
             "split",
@@ -4098,6 +4098,25 @@ def ts20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(IF((score_micro > 0) = (label = 1), 1, 0) AS INT) AS correct",
         )
         .orderBy("doc_id")
+    )
+
+
+def _ts20_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document scored by the trained classifier:
+    (doc_id, split, label, score_micro) — the Spark twin of the oracle's
+    ``ts20_scored`` CTE, shared by ts20 and dd16."""
+    iw, bias = ts20_train(spark, sf_dir)
+    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
+    bucket = _TS20_BUCKET_SPARK.format(w="x")
+    score = (
+        f"{bias}L + aggregate(ws, 0L,"
+        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
+    )
+    return _ts20_base(spark, sf_dir).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "split",
+        "CAST(y AS INT) AS label",
+        f"CAST({score} AS BIGINT) AS score_micro",
     )
 
 
@@ -4497,4 +4516,98 @@ def pl17_url_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_canon_url",
         )
         .orderBy("domain")
+    )
+
+
+# --- dd16: quality-aware dedup by canonical URL ----------------------------------
+
+
+@query(
+    "dd16_url_dedup",
+    oracle=f"""
+    WITH {_ts20_score_ctes()},
+    u0 AS (SELECT doc_id, {_pl17_url_expr("duck")} AS url FROM documents),
+    u1 AS (SELECT doc_id, {_pl17_canon_expr("duck")} AS curl FROM u0),
+    j AS (
+        SELECT u1.doc_id, u1.curl, s.score_micro
+        FROM u1 JOIN ts20_scored s USING (doc_id)
+    ),
+    cl AS (
+        SELECT curl, count(*) AS n_docs,
+               max(struct_pack(s := score_micro, d := -doc_id)) AS m,
+               sum(score_micro) AS sum_score
+        FROM j GROUP BY curl
+    )
+    SELECT curl,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(-((m).d) AS BIGINT) AS kept_doc,
+           CAST((m).s AS BIGINT) AS kept_score_micro,
+           CAST(n_docs - 1 AS BIGINT) AS n_dropped,
+           CAST(sum_score - (m).s AS BIGINT) AS dropped_score_sum
+    FROM cl WHERE n_docs >= 2
+    ORDER BY curl
+    """,
+    tags=("dedup", "url", "quality", "pipeline"),
+)
+def dd16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware DEDUP-BY-URL — the composition a crawl-derived
+    pipeline runs right after pl17's canonicalization: all documents
+    sharing a canonical URL are one cluster; KEEP the document the
+    trained classifier (ts20) scores highest (ties: lowest doc_id),
+    drop the rest. Emits one row per multi-document cluster with the
+    winner, its score, and the dropped mass — the audit record of the
+    dedup decision. Exercises cross-operator composition under the hash
+    gate: the oracle re-derives BOTH the canonicalization and the
+    self-trained scores, so a match proves the composed pipeline, not
+    just the parts.
+
+    Scale: canonical URL and score are computed in ONE map-only
+    projection over a single scan (no join between the two operators —
+    both are row-wise functions of the document); the only shuffle is
+    the canonical-URL groupBy, whose max(struct)/sum are map-side
+    combined, so a URL crawled a million times collapses per input
+    partition. Driver collects nothing (ts20's 65 trained integers are
+    memoized literals)."""
+    iw, bias = ts20_train(spark, sf_dir)
+    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
+    bucket = _TS20_BUCKET_SPARK.format(w="x")
+    score = (
+        f"{bias}L + aggregate(ws, 0L,"
+        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
+    )
+    d = (
+        table(spark, sf_dir, "documents", spread=True)
+        .selectExpr(
+            "doc_id",
+            "source",
+            "filter(split(text, ' '), x -> x <> '') AS ws",
+            f"{_pl17_url_expr('spark')} AS url",
+        )
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            f"CAST({score} AS BIGINT) AS score_micro",
+            f"{_pl17_canon_expr('spark')} AS curl",
+        )
+    )
+    cl = d.groupBy("curl").agg(
+        F.count("*").alias("n_docs"),
+        F.max(
+            F.struct(
+                F.col("score_micro").alias("s"),
+                (-F.col("doc_id")).alias("d"),
+            )
+        ).alias("m"),
+        F.sum("score_micro").alias("sum_score"),
+    )
+    return (
+        cl.filter(F.col("n_docs") >= 2)
+        .selectExpr(
+            "curl",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(-m.d AS BIGINT) AS kept_doc",
+            "CAST(m.s AS BIGINT) AS kept_score_micro",
+            "CAST(n_docs - 1 AS BIGINT) AS n_dropped",
+            "CAST(sum_score - m.s AS BIGINT) AS dropped_score_sum",
+        )
+        .orderBy("curl")
     )
