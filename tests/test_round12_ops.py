@@ -288,3 +288,37 @@ def test_dd16_keeps_the_highest_scored_doc_per_cluster(spark):
         assert r.kept_score_micro == scores[best]
         assert r.n_docs == len(members)
         assert r.dropped_score_sum == sum(scores[d] for d in members) - scores[best]
+
+
+# --- io11 ---------------------------------------------------------------------
+
+
+def test_io11_content_length_framing_is_load_bearing(spark, tmp_path):
+    """Payloads of doc_id % 5 == 0 embed the record separator + WARC
+    magic mid-payload; the parser must recover them byte-exact (a
+    regex/split parser would truncate at the embedded separator)."""
+    from xarray_sql_spark.queries.io_formats import _WARC_DECOY
+
+    texts = ["decoy bearing doc", "plain one", "plain two",
+             "plain three", "plain four", "another decoy doc"]
+    sf = _write_documents(tmp_path, texts)
+    rows = {r.doc_id: r for r in
+            REGISTRY["io11_warc_ingest"].fn(spark, sf).collect()}
+    assert len(rows) == len(texts)
+    for did, text in enumerate(texts):
+        payload = text.encode()
+        if did % 5 == 0:
+            payload += _WARC_DECOY.encode()
+        assert rows[did].content_length == len(payload), did
+        assert rows[did].payload_md5 == hashlib.md5(payload).hexdigest(), did
+        assert rows[did].shard == did % 8
+
+
+def test_io11_warcinfo_records_are_skipped(spark, tmp_path):
+    """Each shard file leads with a warcinfo record: exactly one response
+    row per document must come back, nothing for the file headers."""
+    sf = _write_documents(tmp_path, [f"doc {i} body" for i in range(20)])
+    pdf = REGISTRY["io11_warc_ingest"].fn(spark, sf).toPandas()
+    assert len(pdf) == 20
+    assert sorted(pdf.doc_id) == list(range(20))
+    assert pdf.uri.str.match(r"(?i)^https://").all()

@@ -534,3 +534,160 @@ def io08_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- io11: WARC ingest (the container crawl corpora actually arrive in) ---------
+_WARC_SHARDS = 8
+from xarray_sql_spark.queries.pipeline_ops import _pl17_url_expr as _warc_url_expr  # noqa: E402
+_WARC_DECOY = "\r\n\r\nWARC/1.0\r\n"  # planted INSIDE payloads of doc_id % 5 == 0
+
+
+@query(
+    "io11_warc_ingest",
+    oracle=f"""
+    WITH exp AS (
+        SELECT doc_id,
+               {_warc_url_expr("duck")} AS uri,
+               octet_length(encode(text))
+                   + CASE WHEN doc_id % 5 = 0 THEN {len(_WARC_DECOY)}
+                          ELSE 0 END AS content_length,
+               CASE WHEN doc_id % 5 = 0
+                    THEN md5(text || chr(13) || chr(10) || chr(13) || chr(10)
+                             || 'WARC/1.0' || chr(13) || chr(10))
+                    ELSE md5(text) END AS payload_md5,
+               doc_id % {_WARC_SHARDS} AS shard
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, uri,
+           CAST(content_length AS BIGINT) AS content_length,
+           payload_md5,
+           CAST(shard AS BIGINT) AS shard
+    FROM exp ORDER BY doc_id
+    """,
+    tags=("io", "warc", "ingest", "pipeline"),
+    bench=False,  # I/O fixture: proves the landing path, not throughput
+)
+def io11_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest — the ISO 28500 container CommonCrawl-style corpora
+    actually arrive in. The fixture writes REAL multi-record WARC files
+    from the executors (one file per doc_id%{_WARC_SHARDS} shard, led by
+    a warcinfo record the parser must skip, response records with
+    WARC-Record-ID / WARC-Target-URI (pl17's planted URL) / exact
+    Content-Length headers); the operator reads them back through
+    ``binaryFile`` and walks records honoring Content-Length framing.
+    Every fifth payload EMBEDS the record separator + magic
+    ("\\r\\n\\r\\nWARC/1.0\\r\\n") mid-payload, so a regex-split parser
+    fails loudly while the length-honoring parser recovers the planted
+    byte-exact payload digests the oracle regenerates from the text.
+
+    Scale: one file per shard is the fixture's layout; real crawls are
+    ~1 GB WARCs, one binaryFile row each — record walking is
+    per-file-local in an Arrow-batched mapInPandas (payloads never
+    shuffle; each record reduces to a 4-field row). Listing/packing
+    follows io08's binaryFile contract."""
+    d = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "text",
+        f"doc_id % {_WARC_SHARDS} AS shard",
+        f"{_warc_url_expr('spark')} AS url",
+    )
+    root = os.path.join(
+        _IO_DIR, f"warc-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    def _record(rec_type: str, rec_id: str, payload: bytes, extra: str = "") -> bytes:
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {rec_type}\r\n"
+            f"WARC-Record-ID: <{rec_id}>\r\n{extra}"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        )
+        return head.encode("utf-8") + payload + b"\r\n\r\n"
+
+    def _land(key, pdf):
+        import pandas as pd
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        parts = [
+            _record(
+                "warcinfo",
+                f"urn:file:{shard}",
+                b"software: xarray-sql-spark\r\n",
+            )
+        ]
+        for did, txt, url in zip(pdf["doc_id"], pdf["text"], pdf["url"]):
+            payload = str(txt).encode("utf-8")
+            if int(did) % 5 == 0:
+                payload += _WARC_DECOY.encode("utf-8")
+            parts.append(
+                _record(
+                    "response",
+                    f"urn:doc:{int(did)}",
+                    payload,
+                    extra=f"WARC-Target-URI: {url}\r\n",
+                )
+            )
+        with open(os.path.join(root, f"part-{shard}.warc"), "wb") as f:
+            f.write(b"".join(parts))
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    # Eager landing job: the binaryFile listing below must see the files.
+    d.groupBy("shard").applyInPandas(_land, "shard long, n long").collect()
+
+    def _parse(batches):
+        import pandas as pd
+        import re as _re
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(_re.search(r"part-(\d+)\.warc$", path).group(1))
+                blob = bytes(content)
+                i = 0
+                while i < len(blob):
+                    j = blob.index(b"\r\n\r\n", i)
+                    lines = blob[i:j].decode("utf-8").split("\r\n")
+                    hdrs = dict(
+                        ln.split(": ", 1) for ln in lines[1:] if ": " in ln
+                    )
+                    ln_ = int(hdrs["Content-Length"])
+                    payload = blob[j + 4 : j + 4 + ln_]
+                    i = j + 4 + ln_ + 4  # skip record separator
+                    if hdrs.get("WARC-Type") != "response":
+                        continue
+                    m = _re.match(r"<urn:doc:(\d+)>", hdrs["WARC-Record-ID"])
+                    rows.append(
+                        (
+                            int(m.group(1)),
+                            hdrs["WARC-Target-URI"],
+                            ln_,
+                            hashlib.md5(payload).hexdigest(),
+                            shard,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "uri",
+                    "content_length",
+                    "payload_md5",
+                    "shard",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(root)
+        .select("path", "content")
+        .mapInPandas(
+            _parse,
+            "doc_id long, uri string, content_length long, "
+            "payload_md5 string, shard long",
+        )
+        .orderBy("doc_id")
+    )
