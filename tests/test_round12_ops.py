@@ -322,3 +322,29 @@ def test_io11_warcinfo_records_are_skipped(spark, tmp_path):
     assert len(pdf) == 20
     assert sorted(pdf.doc_id) == list(range(20))
     assert pdf.uri.str.match(r"(?i)^https://").all()
+
+
+# --- pl18 ---------------------------------------------------------------------
+
+
+def test_pl18_tertiles_and_sampling_rates(spark):
+    pdf = (
+        REGISTRY["pl18_perplexity_buckets"].fn(spark, SF_MED).toPandas()
+        .set_index("bucket")
+    )
+    assert set(pdf.index) == {"head", "middle", "tail"}
+    n = pdf.n_docs.sum()
+    # corpus-relative tertiles: buckets within one doc of n/3
+    assert all(abs(v - n / 3) <= 1 for v in pdf.n_docs)
+    # CCNet keep profile: all of head, ~1/2 of middle, ~1/10 of tail
+    assert pdf.loc["head"].n_kept == pdf.loc["head"].n_docs
+    mid_rate = pdf.loc["middle"].n_kept / pdf.loc["middle"].n_docs
+    tail_rate = pdf.loc["tail"].n_kept / pdf.loc["tail"].n_docs
+    assert 0.3 < mid_rate < 0.7
+    assert tail_rate < mid_rate
+    # buckets are ordered by surprisal by construction
+    assert (
+        pdf.loc["head"].mean_surprisal
+        <= pdf.loc["middle"].mean_surprisal
+        <= pdf.loc["tail"].mean_surprisal
+    )

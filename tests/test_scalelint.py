@@ -59,6 +59,8 @@ BNLJ_ALLOWED = {
     "the ts10 LM-normalizer contract)",
     "pl17_url_provenance": "1-row corpus-token-total broadcast for "
     "token_share (the ts10 LM-normalizer contract)",
+    "pl18_perplexity_buckets": "two 1-row broadcasts: ts10's corpus-total "
+    "normalizer plus the tertile-boundary aggregate",
 }
 
 

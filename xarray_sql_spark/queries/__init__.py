@@ -46,7 +46,7 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 _PRIORITY = (
     "ts20_quality_classifier dd15_line_dedup pl17_url_provenance "
     "mm12_signal_stats dd16_url_dedup io11_warc_ingest "
-    "ts19_bpe_tokenize pl08_sequence_packing "
+    "pl18_perplexity_buckets ts19_bpe_tokenize pl08_sequence_packing "
     "pl10_repetition_mixing ts13_token_budget_fill pl16_shard_materialize "
     "ss15_multiprobe_ann dd05_simhash ts03_regex_tokens "
     "dd06_rolling_fingerprint ts04_tfidf_terms mm03_feature_extract "
@@ -60,7 +60,7 @@ _PRIORITY = (
     "dd10_shared_span_pairs ts11_bpe_pair_stats ts12_memorization_score "
     "ev11_user_value_quartiles ev12_funnel_conversion ev13_json_props "
     "dd09_sketch_accuracy dd11_cross_source_dup_matrix mm06_audio_rollup "
-    "gq02_grid_pruned_slice gq14_zarr_roundtrip gq15_filtered_store "
+    "gq02_grid_pruned_slice gq14_zarr_roundtrip "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402

@@ -4611,3 +4611,116 @@ def dd16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curl")
     )
+
+
+# --- pl18: CCNet-style perplexity-bucketed sampling ------------------------------
+_PL18_SPLIT = (  # 60-bit md5 residue of doc_id, dd14's spelling
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT",
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT)",
+)
+
+
+@query(
+    "pl18_perplexity_buckets",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              FROM words GROUP BY word),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab),
+    s AS (
+        SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(-avg(ln(v.cnt / CAST(t.n AS DOUBLE))), 6) AS srp
+        FROM words w JOIN vocab v USING (word) CROSS JOIN tot t
+        GROUP BY w.doc_id
+    ),
+    b AS (SELECT quantile_cont(srp, 1.0 / 3.0) AS b1,
+                 quantile_cont(srp, 2.0 / 3.0) AS b2 FROM s),
+    x AS (
+        SELECT s.doc_id, s.n_tokens, s.srp,
+               CASE WHEN s.srp <= b.b1 THEN 'head'
+                    WHEN s.srp <= b.b2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CASE WHEN s.srp <= b.b1 THEN 1
+                    WHEN s.srp <= b.b2
+                         THEN CASE WHEN {_PL18_SPLIT[0]} % 2 = 0
+                                   THEN 1 ELSE 0 END
+                    ELSE CASE WHEN {_PL18_SPLIT[0]} % 10 = 0
+                              THEN 1 ELSE 0 END END AS keep
+        FROM s, b
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           round(avg(srp), 6) AS mean_surprisal
+    FROM x GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("pipeline", "sampling", "language-model", "quality"),
+)
+def pl18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity-bucketed sampling (Wenzek et al. 2020) — the
+    corpus-curation verb downstream of ts10's LM scoring: split the
+    corpus into head / middle / tail TERTILES by per-doc unigram
+    surprisal (corpus-relative quantile boundaries, exactly CCNet's
+    design), then downsample deterministically per bucket — keep all of
+    head, 1/2 of middle, 1/10 of tail by the content-addressed 60-bit
+    md5 residue (pl02's split discipline, so the sample is stable under
+    repartitioning). Emits per-bucket doc/token counts before and after
+    sampling plus mean surprisal — the dataset-card row that documents
+    the curation decision.
+
+    Scale: surprisal is ts10's three map-side-combining exchanges; the
+    tertile boundaries are ONE 2-value aggregate broadcast back as a
+    1-row cross join (the ts10 normalizer contract); bucketing and the
+    keep rule are map-only; the final rollup groups 3 keys. Exact
+    engine agreement: surprisal lands on the 1e-6 grid before the
+    quantile, and Spark's percentile() and DuckDB's quantile_cont
+    share the type-7 definition, so the boundaries are bit-identical
+    doubles on both sides."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_tokens()).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n"))
+    s = (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.avg(F.ln(F.col("cnt") / F.col("n").cast("double"))), 6
+            ).alias("srp"),
+        )
+    )
+    b = s.agg(
+        F.expr("percentile(srp, 1.0D / 3.0D)").alias("b1"),
+        F.expr("percentile(srp, 2.0D / 3.0D)").alias("b2"),
+    )
+    x = s.crossJoin(F.broadcast(b)).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "srp",
+        "CASE WHEN srp <= b1 THEN 'head' WHEN srp <= b2 THEN 'middle'"
+        " ELSE 'tail' END AS bucket",
+        f"CASE WHEN srp <= b1 THEN 1"
+        f" WHEN srp <= b2 THEN IF(pmod({_PL18_SPLIT[1]}, 2) = 0, 1, 0)"
+        f" ELSE IF(pmod({_PL18_SPLIT[1]}, 10) = 0, 1, 0) END AS keep",
+    )
+    return (
+        x.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum(F.expr("IF(keep = 1, n_tokens, 0)"))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.round(F.avg("srp"), 6).alias("mean_surprisal"),
+        )
+        .orderBy("bucket")
+    )
