@@ -901,3 +901,28 @@ def test_quantile_hist_merges_by_addition():
     assert merged == full
     # the engine regime for negatives: shift = 64 - 5, arithmetic >> <<
     assert full[(-100 >> 59) << 59] == 2  # -100 and -1 share -2**59
+
+
+def test_quality_score_stream_matches_batch_exactly(spark):
+    """Trained-model serving on a stream (ts20's twin): train offline in
+    batch, score the document stream with the frozen weights — stream
+    rows must equal the batch scorer's rows EXACTLY (integer scores,
+    same decision boundary), not approximately."""
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.queries.pipeline_ops import ts20_train
+
+    iw, bias = ts20_train(spark, SF_SMALL)
+    stream_out = se.run_to_memory(
+        se.quality_score_stream(se.documents_stream(spark, SF_SMALL), iw, bias),
+        "t_quality_scores",
+    )
+    got = _rows(stream_out, "doc_id")
+    batch = REGISTRY["ts20_quality_classifier"].fn(spark, SF_SMALL)
+    want = [
+        tuple(r)
+        for r in batch.select(
+            "doc_id", "split", "label", "score_micro", "pred"
+        ).orderBy("doc_id").collect()
+    ]
+    assert got == want
+    assert len(got) > 0

@@ -1061,3 +1061,78 @@ def quantile_hist_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming trained-model serving (ts20's twin) -------------------------------
+# The production deployment shape for the quality classifier: TRAIN offline
+# (batch ts20; driver-bounded, memoized), SERVE the frozen weights on a
+# document stream as a stateless projection — no state store, no shuffle,
+# exactly-once under any sink because the score is a pure row function.
+
+DOCUMENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (one file here; a
+    dated crawl-drop directory tree in production)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def quality_score_stream(
+    stream: DataFrame, iw: list[int], bias: int
+) -> DataFrame:
+    """Score a document stream with the trained ts20 weights — the same
+    map-only integer fold as the batch scorer (weights as literals), so
+    stream rows equal batch rows EXACTLY, not approximately. Emits
+    (doc_id, split, label, score_micro, pred)."""
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _TS20_BUCKET_SPARK,
+        _TS20_LABEL_SPARK,
+        _TS20_SPLIT_SPARK,
+    )
+
+    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
+    bucket = _TS20_BUCKET_SPARK.format(w="x")
+    score = (
+        f"{bias}L + aggregate(ws, 0L,"
+        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
+    )
+    return (
+        stream.selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x <> '') AS ws",
+            f"{_TS20_SPLIT_SPARK} AS split",
+        )
+        .selectExpr(
+            "doc_id",
+            "ws",
+            "split",
+            f"{_TS20_LABEL_SPARK} AS y",
+        )
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "split",
+            "CAST(y AS INT) AS label",
+            f"CAST({score} AS BIGINT) AS score_micro",
+        )
+        .selectExpr(
+            "doc_id",
+            "split",
+            "label",
+            "score_micro",
+            "CAST(IF(score_micro > 0, 1, 0) AS INT) AS pred",
+        )
+    )
