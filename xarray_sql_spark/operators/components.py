@@ -858,6 +858,115 @@ def pl15_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- gr04: label propagation communities (fixed rounds) ----------------------
+_LP_ROUNDS = 3
+
+
+def _gr04_oracle() -> str:
+    its = []
+    prev = "l0"
+    for i in range(1, _LP_ROUNDS + 1):
+        its.append(f"""
+    c{i} AS (
+        SELECT e.dst AS id, p.label, CAST(count(*) AS BIGINT) AS c
+        FROM edges e JOIN {prev} p ON p.id = e.src
+        GROUP BY e.dst, p.label
+    ),
+    l{i} AS (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+            FROM c{i}) x
+        WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""{_dup_edges_cte()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup
+    ),
+    l0 AS (SELECT src AS id, src AS label FROM edges GROUP BY src),
+    {','.join(its)},
+    sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+           FROM {prev} GROUP BY label)
+    SELECT CAST(f.id AS BIGINT) AS doc_id,
+           CAST(f.label AS BIGINT) AS community,
+           CAST(sz.n AS BIGINT) AS community_size
+    FROM {prev} f JOIN sz ON sz.label = f.label
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "gr04_label_propagation",
+    oracle=_gr04_oracle(),
+    tags=("graph", "communities", "label-propagation", "dedup"),
+    # rides dd04's pair output — same synthetic-vocabulary quadratic
+    # artifact that benches dd04/gr01 out; linear on a real corpus
+    bench=False,
+)
+def gr04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the near-duplicate graph,
+    _LP_ROUNDS=3 unrolled rounds — the community-detection verb between
+    cc01's connected components (too coarse: one bridge edge merges two
+    template families) and gr01's PageRank (a ranking, not a grouping).
+    Each node adopts the label its neighbors vote for; LPA communities
+    cut low-conductance bridges that components cannot, which is the
+    difference between collapsing a mirrored-site family and collapsing
+    two families an off-topic boilerplate line happens to link.
+
+    Determinism (the usual LPA caveat, resolved): votes are exact
+    integer counts and ties break by MIN label, so a round is a pure
+    function of the previous labeling — no dependence on visit order on
+    either engine; with the round count fixed, Spark and DuckDB agree
+    bit-for-bit without any convergence/oscillation question entering
+    the contract.
+
+    Scale: per round, one equi-join of the 2-int edge list against the
+    2-int label table (shuffle keyed on src), a map-side-combinable
+    (dst,label) count, and a per-node top-1 window whose partition
+    cardinality is bounded by each node's distinct neighbor labels —
+    the same discipline as gr01's rank push. Rounds are a fixed small
+    constant; the open-ended fixpoint belongs to connected_components'
+    loop machinery (checkpoint per round, hot-key broadcast)."""
+    pairs = dd04_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    edges = edges.localCheckpoint(eager=True)  # consumed by l0 + 3 rounds
+    lab = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            edges.join(lab, edges.src == lab.id)
+            .groupBy(F.col("dst").alias("nid"), "label")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .withColumnRenamed("nid", "id")
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+        )
+    sz = lab.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        lab.join(sz, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("community"),
+            F.col("n").alias("community_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # This module registers queries but lives OUTSIDE the queries package;
 # re-apply the driver-window order in case the package's reorder ran
 # mid-way through this module's import (see registry.apply_window_order).

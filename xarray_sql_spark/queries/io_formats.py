@@ -691,3 +691,138 @@ def io11_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- io12: Arrow IPC (Feather v2) ingest -------------------------------------
+_IPC_SHARDS = 8
+_IPC_BATCH = 32  # rows per record batch: the multi-batch framing under test
+
+
+@query(
+    "io12_arrow_ipc_ingest",
+    oracle=f"""
+    SELECT CAST(doc_id % {_IPC_SHARDS} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((count(*) + {_IPC_BATCH - 1}) // {_IPC_BATCH} AS BIGINT)
+               AS n_batches,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(bit_xor(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT)
+               AS BIGINT) AS xor_digest,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("io", "arrow", "ipc", "ingest"),
+    bench=False,  # I/O fixture: proves the landing path, not throughput
+)
+def io12_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) ingest — the zero-copy interchange format
+    feature stores and dataloader pipelines hand off in. The fixture
+    writes one real multi-record-batch .arrow file per doc_id%8 shard
+    from the executors (pyarrow ipc.new_file, 32-row record batches —
+    the batch framing is part of the contract, pinned by n_batches =
+    ceil(n_docs/32)); the operator reads the files back through
+    ``binaryFile`` and walks record batches with pyarrow's file reader
+    inside Arrow-batched mapInPandas. Fidelity pin: an order-independent
+    bit_xor over per-record 60-bit md5(doc_id:text) digests — unlike a
+    sorted string_agg this aggregates with map-side combine and never
+    buffers a shard's text in one place, which is the shape that
+    survives 1 GB+ shards.
+
+    Scale: one binaryFile row per .arrow file; record-batch walking is
+    file-local and streams batch-at-a-time (get_batch(i), not
+    read_all), so executor memory is bounded by ONE record batch, not
+    the file; the rollup is a map-side-combinable 7-aggregate groupBy
+    on 8 keys. Listing/packing follows io08's binaryFile contract."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc  # noqa: F401  (executors re-import)
+
+    d = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text", f"doc_id % {_IPC_SHARDS} AS shard"
+    )
+    root = os.path.join(
+        _IO_DIR, f"ipc-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    def _land(key, pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        t = pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                "text": pa.array(pdf["text"], pa.string()),
+            }
+        )
+        with ipc.new_file(
+            os.path.join(root, f"part-{shard}.arrow"), t.schema
+        ) as w:
+            w.write_table(t, max_chunksize=_IPC_BATCH)
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    # Eager landing job: the binaryFile listing below must see the files.
+    d.groupBy("shard").applyInPandas(_land, "shard long, n long").collect()
+
+    def _parse(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        import re as _re
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(_re.search(r"part-(\d+)\.arrow$", path).group(1))
+                rd = ipc.open_file(pa.BufferReader(bytes(content)))
+                nb = rd.num_record_batches
+                for bi in range(nb):
+                    b = rd.get_batch(bi)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "shard": shard,
+                                "n_file_batches": nb,
+                                "doc_id": b.column("doc_id").to_pandas(),
+                                "text": b.column("text").to_pandas(),
+                            }
+                        )
+                    )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["shard", "n_file_batches", "doc_id", "text"]
+            )
+
+    rows = (
+        spark.read.format("binaryFile")
+        .load(root)
+        .select("path", "content")
+        .mapInPandas(
+            _parse,
+            "shard long, n_file_batches long, doc_id long, text string",
+        )
+    )
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_file_batches").cast("bigint").alias("n_batches"),
+            F.sum(F.octet_length("text")).cast("bigint").alias("sum_bytes"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat(cast(doc_id as"
+                " string), ':', text)), 1, 15), 16, 10) as bigint))"
+            )
+            .cast("bigint")
+            .alias("xor_digest"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -4724,3 +4724,123 @@ def pl18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- ts21: unicode normalization + mojibake/control-char census -------------
+# The cleanup stage every web corpus runs before anything else (ftfy/NFC in
+# CCNet, Dolma, FineWeb): normalize to NFC, strip zero-width/control chars,
+# count mojibake markers. The synthetic corpus is pure ASCII, so the fixture
+# PLANTS the defects deterministically by doc_id residue — both engines build
+# the identical dirty string, then prove their normalizers agree byte-exactly
+# via md5 of the cleaned text.
+#   doc_id % 3 == 0 -> append NFD sequences ("cafe" + U+0301, "nai" + U+0308
+#                      + "ve"): NFC composes them, length shrinks by 2.
+#   doc_id % 4 == 0 -> prepend the classic UTF-8-as-Latin-1 mojibake marker
+#                      "Ã© " (e-acute's UTF-8 bytes read as
+#                      Latin-1); censused, not repaired (repair = re-encode
+#                      round-trip, a corpus-policy decision).
+#   doc_id % 5 == 0 -> append BEL (U+0007) + zero-width space (U+200B); the
+#                      control-strip removes both.
+_TS21_CTRL_SPARK = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B\\uFEFF]"
+_TS21_CTRL_DUCK = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{FEFF}]"
+
+
+@query(
+    "ts21_unicode_normalize",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 4 = 0 THEN chr(195) || chr(169) || ' '
+                    ELSE '' END
+               || text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN chr(7) || chr(8203)
+                       ELSE '' END AS s
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, lang, s, nfc_normalize(s) AS nfc,
+               regexp_replace(nfc_normalize(s), '{_TS21_CTRL_DUCK}', '', 'g')
+                   AS cleaned
+        FROM dirty
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(length(s) AS BIGINT) AS raw_len,
+           CAST(length(s) - length(nfc) AS BIGINT) AS nfc_delta,
+           CAST(CASE WHEN s = nfc THEN 1 ELSE 0 END AS BIGINT) AS is_nfc,
+           CAST((length(s) - length(replace(s, chr(195) || chr(169), '')))
+                // 2 AS BIGINT) AS n_moji,
+           CAST(length(nfc) - length(cleaned) AS BIGINT) AS n_stripped,
+           md5(cleaned) AS clean_md5
+    FROM n ORDER BY doc_id
+    """,
+    tags=("text", "unicode", "normalize", "pipeline"),
+)
+def ts21_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization + control/zero-width strip + mojibake census —
+    the ftfy-shaped cleanup pass upstream of every quality gate. NFC is
+    the one stage with no JVM builtin (Spark has no unicode-normalize
+    function), so it runs as an Arrow-batched pandas UDF over Python's
+    unicodedata — a pure per-row projection, the documented exception
+    pattern (gq10/mm). Everything else (defect planting, regex strip,
+    mojibake count, md5) is JVM whole-stage codegen. The md5 of the
+    cleaned text is the cross-engine pin: Python's unicodedata and
+    DuckDB's utf8proc must compose the planted NFD sequences to the
+    same bytes.
+
+    Scale: zero shuffles — embarrassingly parallel projections; the
+    pandas UDF transfers one string column each way per Arrow batch.
+    The final ORDER BY exists for the hash gate only."""
+    d = table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.when(d.doc_id % 4 == 0, F.lit("\u00c3\u00a9 ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(
+            d.doc_id % 3 == 0,
+            F.lit(" cafe\u0301 nai\u0308ve"),
+        ).otherwise(F.lit("")),
+        F.when(
+            d.doc_id % 5 == 0, F.lit("\u0007\u200b")
+        ).otherwise(F.lit("")),
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    n = (
+        d.select("doc_id", "lang", dirty.alias("s"))
+        .select("doc_id", "lang", "s", _nfc("s").alias("nfc"))
+        .select(
+            "doc_id",
+            "lang",
+            "s",
+            "nfc",
+            F.regexp_replace("nfc", _TS21_CTRL_SPARK, "").alias("cleaned"),
+        )
+    )
+    moji = F.lit("\u00c3\u00a9")
+    return n.select(
+        "doc_id",
+        "lang",
+        F.length("s").cast("long").alias("raw_len"),
+        (F.length("s") - F.length("nfc")).cast("long").alias("nfc_delta"),
+        F.when(F.col("s") == F.col("nfc"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_nfc"),
+        (
+            (F.length("s") - F.length(F.replace(F.col("s"), moji, F.lit(""))))
+            / 2
+        )
+        .cast("long")
+        .alias("n_moji"),
+        (F.length("nfc") - F.length("cleaned")).cast("long").alias("n_stripped"),
+        F.md5("cleaned").alias("clean_md5"),
+    ).orderBy("doc_id")
