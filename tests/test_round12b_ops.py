@@ -105,3 +105,67 @@ def test_gr04_is_deterministic_across_runs(spark):
     a = REGISTRY["gr04_label_propagation"].fn(spark, SF_MED).toPandas()
     b = REGISTRY["gr04_label_propagation"].fn(spark, SF_MED).toPandas()
     assert a.equals(b)
+
+
+# --- hh04 ---------------------------------------------------------------------
+
+
+def test_hh04_estimates_track_exact_within_kmv_error(spark):
+    """KMV standard error is ~1/sqrt(k) ~= 8.8% at k=128; require every
+    per-source and per-union estimate within 4 sigma of its exact twin
+    (the sketch is deterministic, so this is a fixed property of the
+    fixture, not a flaky statistical bound)."""
+    pdf = REGISTRY["hh04_kmv_set_ops"].fn(spark, SF_MED).toPandas()
+    assert len(pdf) == 190  # C(20,2) source pairs
+    for row in pdf.itertuples():
+        assert abs(row.est_a - row.exact_a) / row.exact_a < 0.35, row
+        assert abs(row.est_b - row.exact_b) / row.exact_b < 0.35, row
+        assert abs(row.est_union - row.exact_union) / row.exact_union < 0.35, row
+    # inclusion-exclusion algebra holds on the emitted (rounded) numbers
+    for row in pdf.itertuples():
+        assert row.est_intersect == max(0, row.est_a + row.est_b - row.est_union)
+
+
+def test_hh04_planted_containment(spark, tmp_path):
+    """If source B's documents are a subset of source A's, the exact
+    intersection must equal B's vocabulary and the union must equal
+    A's — and the sketch estimates must agree exactly here because both
+    vocabularies are far below k (sketch == set)."""
+    from tests.test_pipeline_semantics import _write_documents
+
+    a_docs = [" ".join(f"w{i}a w{i}b w{i}c" for i in range(j, j + 6)) for j in range(8)]
+    b_docs = a_docs[:3]
+    sf = _write_documents(
+        tmp_path,
+        a_docs + b_docs,
+        sources=["A"] * len(a_docs) + ["B"] * len(b_docs),
+    )
+    pdf = REGISTRY["hh04_kmv_set_ops"].fn(spark, sf).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert r.source_a == "A" and r.source_b == "B"
+    assert r.exact_intersect == r.exact_b  # containment
+    assert r.exact_union == r.exact_a
+    # unsaturated sketches are exact
+    assert r.est_a == r.exact_a and r.est_b == r.exact_b
+    assert r.est_union == r.exact_union and r.est_intersect == r.exact_intersect
+
+
+# --- pl19 ---------------------------------------------------------------------
+
+
+def test_pl19_temperature_flattens_toward_low_resource(spark):
+    pdf = REGISTRY["pl19_temperature_sampling"].fn(spark, SF_MED).toPandas()
+    assert abs(pdf.p_natural.sum() - 1.0) < 1e-4
+    assert abs(pdf.q_target.sum() - 1.0) < 1e-4
+    # alpha < 1 compresses shares: rarest lang gains, richest loses
+    lo = pdf.loc[pdf.p_natural.idxmin()]
+    hi = pdf.loc[pdf.p_natural.idxmax()]
+    assert lo.q_target > lo.p_natural and hi.q_target < hi.p_natural
+    # keep rates anti-monotone in natural share; argmax lang keeps all
+    srt = pdf.sort_values("p_natural")
+    assert list(srt.keep_micro) == sorted(srt.keep_micro, reverse=True)
+    assert srt.keep_micro.iloc[0] == 1000000
+    # realized keep fraction tracks the threshold (md5 residue is uniform)
+    for row in pdf.itertuples():
+        assert abs(row.kept_docs / row.n_docs - row.keep_micro / 1e6) < 0.15, row

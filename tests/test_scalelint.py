@@ -43,6 +43,9 @@ BNLJ_ALLOWED = {
     "ts10's contract one order higher)",
     "ev19_incremental_rollup": "1-row day-boundary broadcast splitting "
     "base/delta (in production the cutoff is a literal)",
+    "hh04_kmv_set_ops": "source-pair generation: n_sources sketch rows "
+    "(128 longs each) self-paired — a dimension x dimension theta join, "
+    "size independent of corpus volume",
     "ts16_zipf_fit": "1-row moment-sum x 1-row vocab-count cross (both "
     "sides single-row aggregates)",
     "ev21_rfm_segments": "1-row corpus-max-day anchor broadcast (the "

@@ -3175,3 +3175,230 @@ def qs02_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri", "q")
     )
+
+
+# --- hh04: KMV (k-minimum-values / theta) sketch with set operations ---------
+# The fourth sketch family: bottom-k sketches COMPOSE under union and
+# difference, which HLL (hh02) cannot do without precision loss — the tool
+# for "how much NEW vocabulary does source B add over A" questions a corpus
+# dashboard asks per ingest batch. Hashes are 60-bit md5 (the registry-wide
+# content-addressed domain), so the sketch, the estimates, and the oracle
+# are all fully deterministic.
+_KMV_K = 128
+_KMV_DOM = float(1 << 60)  # exact as a double (power of two)
+
+
+def _kmv_est_sql(n: str, mx: str) -> str:
+    """Estimator spelled identically on both engines: exact when the
+    sketch is unsaturated, else (k-1) * domain / kth_min in ONE multiply
+    and ONE divide so IEEE evaluation order matches Spark's."""
+    return (
+        f"CASE WHEN {n} < {_KMV_K} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {_KMV_K - 1}.0 * ({_KMV_DOM!r} / CAST({mx} AS DOUBLE)) END"
+    )
+
+
+@query(
+    "hh04_kmv_set_ops",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT source, ws[i] || ' ' || ws[i+1] AS b
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+    ),
+    h AS (
+        SELECT DISTINCT source,
+               ('0x' || substring(md5(b), 1, 15))::BIGINT AS hv
+        FROM bg
+    ),
+    rk AS (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM h
+    ),
+    sk AS (SELECT source, hv FROM rk WHERE rn <= {_KMV_K}),
+    per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n, max(hv) AS mx
+        FROM sk GROUP BY source
+    ),
+    nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM h GROUP BY source),
+    ix AS (
+        SELECT x.source AS sa, y.source AS sb, CAST(count(*) AS BIGINT) AS ni
+        FROM h x JOIN h y ON x.hv = y.hv AND x.source < y.source
+        GROUP BY 1, 2
+    ),
+    uu AS (
+        SELECT sa, sb, hv,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+        FROM (
+            SELECT DISTINCT a.source AS sa, b.source AS sb, s.hv
+            FROM per a JOIN per b ON a.source < b.source
+            JOIN sk s ON s.source = a.source OR s.source = b.source) z
+    ),
+    up AS (
+        SELECT sa, sb, CAST(count(*) AS BIGINT) AS nu, max(hv) AS mxu
+        FROM uu WHERE rn <= {_KMV_K} GROUP BY sa, sb
+    ),
+    est AS (
+        SELECT up.sa, up.sb,
+               round({_kmv_est_sql('pa.n', 'pa.mx')}, 0) AS ea,
+               round({_kmv_est_sql('pb.n', 'pb.mx')}, 0) AS eb,
+               round({_kmv_est_sql('up.nu', 'up.mxu')}, 0) AS eu
+        FROM up
+        JOIN per pa ON pa.source = up.sa
+        JOIN per pb ON pb.source = up.sb
+    )
+    SELECT est.sa AS source_a, est.sb AS source_b,
+           CAST(na.nd AS BIGINT) AS exact_a,
+           CAST(nb.nd AS BIGINT) AS exact_b,
+           CAST(na.nd + nb.nd - COALESCE(ix.ni, 0) AS BIGINT) AS exact_union,
+           CAST(COALESCE(ix.ni, 0) AS BIGINT) AS exact_intersect,
+           CAST(est.ea AS BIGINT) AS est_a,
+           CAST(est.eb AS BIGINT) AS est_b,
+           CAST(est.eu AS BIGINT) AS est_union,
+           CAST(greatest(0.0, est.ea + est.eb - est.eu) AS BIGINT)
+               AS est_intersect
+    FROM est
+    JOIN nd na ON na.source = est.sa
+    JOIN nd nb ON nb.source = est.sb
+    LEFT JOIN ix ON ix.sa = est.sa AND ix.sb = est.sb
+    ORDER BY source_a, source_b
+    """,
+    tags=("sketch", "kmv", "theta", "set-ops", "pipeline"),
+)
+def hh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV / theta) distinct sketches over per-source word-bigram
+    vocabularies, with the set algebra HLL lacks: per source-pair the union
+    sketch is the k smallest of the merged sketches (closed under union, by
+    construction), intersection by inclusion-exclusion on the rounded
+    estimates. exact_* columns are the accuracy pins (dd09's pattern) — a
+    production run drops them; they are NOT inputs to the estimates.
+
+    Scale: the sketch path never globally deduplicates — an Arrow-batched
+    mapInPandas keeps a bounded k-min set per source per PARTITION (the
+    same bounded-heap shape real sketch libraries use), so the only
+    sketch shuffle carries <= k rows per (source, partition) and the
+    merge is a collect_set over <= k * n_partitions values per source.
+    Union sketches pair 20 source rows of 128 longs — broadcast-trivial
+    at any corpus size (sources are a dimension, not data). The exact
+    twin (the pin) does pay one distinct + self-equi-join on hv; per-hv
+    fanout is bounded by n_sources^2.
+
+    Estimator: D ~= (k-1) * 2^60 / kth_min_hash; exact when the source
+    has fewer than k distinct values (the sketch IS the set)."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("source", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bg = ws.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ',"
+                " element_at(ws, CAST(i + 1 AS INT))))"
+            )
+        ).alias("b"),
+    )
+    hv = bg.select(
+        "source",
+        F.conv(F.substring(F.md5("b"), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    )
+
+    k = _KMV_K
+
+    def _kmin(batches):
+        import pandas as pd
+
+        state: dict[str, list] = {}
+        for pdf in batches:
+            for src, grp in pdf.groupby("source"):
+                merged = set(state.get(src, ())) | set(grp["hv"])
+                state[src] = sorted(merged)[:k]
+        rows = [(s, v) for s, vs in state.items() for v in vs]
+        yield pd.DataFrame(rows, columns=["source", "hv"])
+
+    local = hv.mapInPandas(_kmin, "source string, hv long")
+    per = (
+        local.groupBy("source")
+        .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, k).alias("vals"))
+        .select(
+            "source",
+            "vals",
+            F.size("vals").cast("bigint").alias("n"),
+            F.element_at(
+                "vals", F.least(F.size("vals"), F.lit(k)).cast("int")
+            ).alias("mx"),
+        )
+    )
+    a, b = per.alias("a"), per.alias("b")
+    uvals = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("a.vals"), F.col("b.vals")))),
+        1,
+        k,
+    )
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("sa"),
+        F.col("b.source").alias("sb"),
+        F.col("a.n").alias("na"),
+        F.col("a.mx").alias("mxa"),
+        F.col("b.n").alias("nb"),
+        F.col("b.mx").alias("mxb"),
+        F.size(uvals).cast("bigint").alias("nu"),
+        F.element_at(
+            uvals, F.least(F.size(uvals), F.lit(k)).cast("int")
+        ).alias("mxu"),
+    )
+    est = pairs.select(
+        "sa",
+        "sb",
+        F.expr(f"round({_kmv_est_sql('na', 'mxa')}, 0)").alias("ea"),
+        F.expr(f"round({_kmv_est_sql('nb', 'mxb')}, 0)").alias("eb"),
+        F.expr(f"round({_kmv_est_sql('nu', 'mxu')}, 0)").alias("eu"),
+    )
+
+    hd = hv.distinct()
+    nd = hd.groupBy("source").agg(F.count("*").cast("bigint").alias("nd"))
+    x, y = hd.alias("x"), hd.alias("y")
+    ix = (
+        x.join(
+            y,
+            (F.col("x.hv") == F.col("y.hv"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(F.col("x.source").alias("sa"), F.col("y.source").alias("sb"))
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    na, nb = nd.alias("na"), nd.alias("nb")
+    est = est.alias("est")
+    ix = ix.alias("ix")
+    return (
+        est.join(na, F.col("est.sa") == F.col("na.source"))
+        .join(nb, F.col("est.sb") == F.col("nb.source"))
+        .join(
+            ix,
+            (F.col("est.sa") == F.col("ix.sa"))
+            & (F.col("est.sb") == F.col("ix.sb")),
+            "left",
+        )
+        .select(
+            F.col("est.sa").alias("source_a"),
+            F.col("est.sb").alias("source_b"),
+            F.col("na.nd").alias("exact_a"),
+            F.col("nb.nd").alias("exact_b"),
+            (F.col("na.nd") + F.col("nb.nd") - F.coalesce("ni", F.lit(0)))
+            .cast("bigint")
+            .alias("exact_union"),
+            F.coalesce("ni", F.lit(0)).cast("bigint").alias("exact_intersect"),
+            F.col("ea").cast("bigint").alias("est_a"),
+            F.col("eb").cast("bigint").alias("est_b"),
+            F.col("eu").cast("bigint").alias("est_union"),
+            F.greatest(F.lit(0.0), F.col("ea") + F.col("eb") - F.col("eu"))
+            .cast("bigint")
+            .alias("est_intersect"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -4844,3 +4844,130 @@ def ts21_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("nfc") - F.length("cleaned")).cast("long").alias("n_stripped"),
         F.md5("cleaned").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# --- pl19: temperature-scaled multilingual sampling --------------------------
+# The alpha-sampling rule multilingual pretraining corpora are rebalanced
+# with (mBERT/XLM-R: q_l ~ p_l^alpha, alpha=0.3): up-weight low-resource
+# languages relative to their natural share without flattening the mix.
+# Keep-rates are scaled so the most up-weighted language keeps 100%, and
+# applied per doc by the content-addressed md5 residue (pl02's split
+# discipline) against a MICRO-grid threshold computed from the rounded
+# rate — so the sampling decision is bit-identical on both engines even
+# though pow() itself is only ~1-ulp reproducible across libm/JVM.
+_PL19_ALPHA = "0.3"
+_PL19_RES = (  # 60-bit md5 residue of doc_id in the 1e6 grid
+    f"({_PL18_SPLIT[0]}) % 1000000",
+    f"pmod({_PL18_SPLIT[1]}, 1000000)",
+)
+
+
+@query(
+    "pl19_temperature_sampling",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS toks
+        FROM t GROUP BY lang
+    ),
+    pq AS (
+        SELECT lang, n_docs, toks,
+               CAST(toks AS DOUBLE) / (SELECT CAST(sum(toks) AS DOUBLE)
+                                       FROM agg) AS p
+        FROM agg
+    ),
+    q1 AS (SELECT *, pow(p, {_PL19_ALPHA}) AS qraw FROM pq),
+    q2 AS (SELECT *, qraw / (SELECT sum(qraw) FROM q1) AS q FROM q1),
+    kr AS (
+        SELECT lang, n_docs, toks, p, q,
+               round((q / p) / (SELECT max(q / p) FROM q2), 6) AS keep_rate
+        FROM q2
+    ),
+    dec AS (
+        SELECT t.lang, t.ntok,
+               CASE WHEN {_PL19_RES[0]}
+                    < CAST(round(kr.keep_rate * 1000000, 0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS k
+        FROM t JOIN kr USING (lang)
+    )
+    SELECT kr.lang, kr.n_docs, kr.toks AS sum_tokens,
+           round(kr.p, 6) AS p_natural,
+           round(kr.q, 6) AS q_target,
+           CAST(round(kr.keep_rate * 1000000, 0) AS BIGINT) AS keep_micro,
+           CAST(sum(dec.k) AS BIGINT) AS kept_docs,
+           CAST(sum(dec.k * dec.ntok) AS BIGINT) AS kept_tokens
+    FROM kr JOIN dec ON dec.lang = kr.lang
+    GROUP BY kr.lang, kr.n_docs, kr.toks, kr.p, kr.q, kr.keep_rate
+    ORDER BY kr.lang
+    """,
+    tags=("pipeline", "mixing", "multilingual", "sampling"),
+)
+def pl19_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) language rebalancing — the
+    multilingual counterpart of pl18's perplexity buckets: q_l ~ p_l^0.3
+    over real token shares, keep-rate r_l = (q_l/p_l) normalized so the
+    most up-weighted language keeps everything, per-doc keep by md5
+    residue against the micro-grid threshold. Emits the dataset-card row
+    per language: natural share, target share, keep rate, and the
+    realized doc/token counts the rule actually kept.
+
+    Scale: token counting is one map pass; every global quantity (total
+    tokens, sum of q_raw, max ratio) lives on the LANG-cardinality
+    aggregate — whole-frame windows over a handful of rows, broadcast
+    back to the doc stream as a tiny dimension join; the keep decision
+    is map-only integer hashing. No shuffle ever carries more than the
+    lang aggregate except the final per-lang rollup (map-side combined).
+
+    Determinism: pow() is the one libm-dependent step; its output is
+    normalized to a ratio and ROUNDED to the 1e-6 grid before the
+    integer threshold is derived, so a 1-ulp pow() divergence cannot
+    flip a keep decision (registry rounding conventions)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("ntok")
+    )
+    agg = t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("toks"),
+    )
+    wall = W.partitionBy()
+    pq = agg.withColumn(
+        "p",
+        F.col("toks").cast("double") / F.sum(F.col("toks").cast("double")).over(wall),
+    )
+    q1 = pq.withColumn("qraw", F.pow("p", F.expr(_PL19_ALPHA)))
+    q2 = q1.withColumn("q", F.col("qraw") / F.sum("qraw").over(wall))
+    kr = q2.withColumn(
+        "keep_rate",
+        F.round((F.col("q") / F.col("p")) / F.max(F.col("q") / F.col("p")).over(wall), 6),
+    ).withColumn(
+        "keep_micro", F.round(F.col("keep_rate") * 1000000, 0).cast("bigint")
+    )
+    dec = t.join(
+        F.broadcast(kr.select("lang", "keep_micro")), "lang"
+    ).withColumn(
+        "k",
+        F.when(F.expr(_PL19_RES[1]) < F.col("keep_micro"), 1).otherwise(0),
+    )
+    kept = dec.groupBy("lang").agg(
+        F.sum("k").cast("bigint").alias("kept_docs"),
+        F.sum(F.col("k") * F.col("ntok")).cast("bigint").alias("kept_tokens"),
+    )
+    return (
+        kr.join(kept, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("toks").alias("sum_tokens"),
+            F.round("p", 6).alias("p_natural"),
+            F.round("q", 6).alias("q_target"),
+            "keep_micro",
+            "kept_docs",
+            "kept_tokens",
+        )
+        .orderBy("lang")
+    )
