@@ -53,7 +53,15 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # + map-only fold), line dedup (min-struct key shuffle),
                  # URL provenance (two keyed aggs), signal stats decode
                  "ts20_quality_classifier", "dd15_line_dedup",
-                 "pl17_url_provenance", "mm12_signal_stats"]
+                 "pl17_url_provenance", "mm12_signal_stats",
+                 # round-12 late wave: NFC pandas-UDF projection, KMV
+                 # bounded k-min sketch + pair algebra, temperature
+                 # sampling (lang-dim global ops + hash keep)
+                 "ts21_unicode_normalize", "hh04_kmv_set_ops",
+                 "pl19_temperature_sampling",
+                 # epoch reshuffle: one (epoch, shard) shuffle + ordered
+                 # per-shard fingerprint (the distributed-sort shape)
+                 "pl20_epoch_shuffle"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

@@ -68,6 +68,11 @@ PROBE_QUERIES = [
     # shuffle per-key bounded
     "ts20_quality_classifier",
     "dd15_line_dedup",
+    # round-12 late wave: KMV — the sketch-shuffle-size-independence
+    # claim at two orders of magnitude (the k-min state is 128 longs
+    # per source per partition regardless of corpus size; only the
+    # exact-twin pin columns scale with distinct bigrams)
+    "hh04_kmv_set_ops",
 ]
 
 

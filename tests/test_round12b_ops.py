@@ -169,3 +169,36 @@ def test_pl19_temperature_flattens_toward_low_resource(spark):
     # realized keep fraction tracks the threshold (md5 residue is uniform)
     for row in pdf.itertuples():
         assert abs(row.kept_docs / row.n_docs - row.keep_micro / 1e6) < 0.15, row
+
+
+# --- pl20 ---------------------------------------------------------------------
+
+
+def test_pl20_epochs_are_distinct_permutations_of_the_same_set(spark):
+    pdf = REGISTRY["pl20_epoch_shuffle"].fn(spark, SF_MED).toPandas()
+    from xarray_sql_spark.queries.pipeline_ops import _PL20_EPOCHS, _PL20_SHARDS
+
+    assert len(pdf) == len(_PL20_EPOCHS) * _PL20_SHARDS
+    by_epoch = {e: g for e, g in pdf.groupby("epoch")}
+    e1, e2 = (by_epoch[e] for e in _PL20_EPOCHS)
+    # same multiset each epoch: doc counts and the epoch-level xor agree
+    assert e1.n_docs.sum() == e2.n_docs.sum() == 500
+    xor1 = 0
+    for v in e1.set_fp:
+        xor1 ^= int(v)
+    xor2 = 0
+    for v in e2.set_fp:
+        xor2 ^= int(v)
+    assert xor1 == xor2  # union over shards is the same doc_id set
+    # but the ORDER differs between epochs (different seed -> new perm)
+    assert set(e1.order_fp) != set(e2.order_fp)
+    # reshuffle balance: no shard more than 40% off the uniform share
+    for g in (e1, e2):
+        mean = g.n_docs.mean()
+        assert (abs(g.n_docs - mean) / mean).max() < 0.4
+
+
+def test_pl20_is_reproducible(spark):
+    a = REGISTRY["pl20_epoch_shuffle"].fn(spark, SF_MED).toPandas()
+    b = REGISTRY["pl20_epoch_shuffle"].fn(spark, SF_MED).toPandas()
+    assert a.equals(b)

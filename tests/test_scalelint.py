@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
     "hh04_kmv_set_ops": "source-pair generation: n_sources sketch rows "
     "(128 longs each) self-paired — a dimension x dimension theta join, "
     "size independent of corpus volume",
+    "pl20_epoch_shuffle": "2-row epoch dimension broadcast against the "
+    "doc stream (each doc ranked once per epoch)",
     "ts16_zipf_fit": "1-row moment-sum x 1-row vocab-count cross (both "
     "sides single-row aggregates)",
     "ev21_rfm_segments": "1-row corpus-max-day anchor broadcast (the "

@@ -926,3 +926,24 @@ def test_quality_score_stream_matches_batch_exactly(spark):
     ]
     assert got == want
     assert len(got) > 0
+
+
+def test_unicode_clean_stream_matches_batch_exactly(spark):
+    """Ingest-time cleanup (ts21's twin): the NFC + strip census on the
+    document stream must produce byte-identical rows (including the
+    cleaned-text md5) to the batch query — stateless projection parity."""
+    from xarray_sql_spark.queries import REGISTRY
+
+    stream_out = se.run_to_memory(
+        se.unicode_clean_stream(se.documents_stream(spark, SF_SMALL)),
+        "t_unicode_clean",
+    )
+    got = _rows(stream_out, "doc_id")
+    want = [
+        tuple(r)
+        for r in REGISTRY["ts21_unicode_normalize"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    ]
+    assert got == want
+    assert len(got) > 0

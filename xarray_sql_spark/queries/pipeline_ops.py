@@ -4745,55 +4745,12 @@ _TS21_CTRL_SPARK = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B\\uFEFF]"
 _TS21_CTRL_DUCK = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{FEFF}]"
 
 
-@query(
-    "ts21_unicode_normalize",
-    oracle=f"""
-    WITH dirty AS (
-        SELECT doc_id, lang,
-               CASE WHEN doc_id % 4 = 0 THEN chr(195) || chr(169) || ' '
-                    ELSE '' END
-               || text
-               || CASE WHEN doc_id % 3 = 0
-                       THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
-                       ELSE '' END
-               || CASE WHEN doc_id % 5 = 0 THEN chr(7) || chr(8203)
-                       ELSE '' END AS s
-        FROM documents
-    ),
-    n AS (
-        SELECT doc_id, lang, s, nfc_normalize(s) AS nfc,
-               regexp_replace(nfc_normalize(s), '{_TS21_CTRL_DUCK}', '', 'g')
-                   AS cleaned
-        FROM dirty
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-           CAST(length(s) AS BIGINT) AS raw_len,
-           CAST(length(s) - length(nfc) AS BIGINT) AS nfc_delta,
-           CAST(CASE WHEN s = nfc THEN 1 ELSE 0 END AS BIGINT) AS is_nfc,
-           CAST((length(s) - length(replace(s, chr(195) || chr(169), '')))
-                // 2 AS BIGINT) AS n_moji,
-           CAST(length(nfc) - length(cleaned) AS BIGINT) AS n_stripped,
-           md5(cleaned) AS clean_md5
-    FROM n ORDER BY doc_id
-    """,
-    tags=("text", "unicode", "normalize", "pipeline"),
-)
-def ts21_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NFC normalization + control/zero-width strip + mojibake census —
-    the ftfy-shaped cleanup pass upstream of every quality gate. NFC is
-    the one stage with no JVM builtin (Spark has no unicode-normalize
-    function), so it runs as an Arrow-batched pandas UDF over Python's
-    unicodedata — a pure per-row projection, the documented exception
-    pattern (gq10/mm). Everything else (defect planting, regex strip,
-    mojibake count, md5) is JVM whole-stage codegen. The md5 of the
-    cleaned text is the cross-engine pin: Python's unicodedata and
-    DuckDB's utf8proc must compose the planted NFD sequences to the
-    same bytes.
-
-    Scale: zero shuffles — embarrassingly parallel projections; the
-    pandas UDF transfers one string column each way per Arrow batch.
-    The final ORDER BY exists for the hash gate only."""
-    d = table(spark, sf_dir, "documents")
+def ts21_project(d: DataFrame) -> DataFrame:
+    """The full ts21 projection (defect planting -> NFC -> strip ->
+    census) over any documents-shaped DataFrame — shared verbatim by the
+    batch query and the streaming ingest-cleanup twin
+    (streaming/events.py: unicode_clean_stream), so stream rows equal
+    batch rows exactly."""
     dirty = F.concat(
         F.when(d.doc_id % 4 == 0, F.lit("\u00c3\u00a9 ")).otherwise(F.lit("")),
         F.col("text"),
@@ -4843,7 +4800,61 @@ def ts21_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_moji"),
         (F.length("nfc") - F.length("cleaned")).cast("long").alias("n_stripped"),
         F.md5("cleaned").alias("clean_md5"),
-    ).orderBy("doc_id")
+    )
+
+
+
+@query(
+    "ts21_unicode_normalize",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 4 = 0 THEN chr(195) || chr(169) || ' '
+                    ELSE '' END
+               || text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN chr(7) || chr(8203)
+                       ELSE '' END AS s
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, lang, s, nfc_normalize(s) AS nfc,
+               regexp_replace(nfc_normalize(s), '{_TS21_CTRL_DUCK}', '', 'g')
+                   AS cleaned
+        FROM dirty
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(length(s) AS BIGINT) AS raw_len,
+           CAST(length(s) - length(nfc) AS BIGINT) AS nfc_delta,
+           CAST(CASE WHEN s = nfc THEN 1 ELSE 0 END AS BIGINT) AS is_nfc,
+           CAST((length(s) - length(replace(s, chr(195) || chr(169), '')))
+                // 2 AS BIGINT) AS n_moji,
+           CAST(length(nfc) - length(cleaned) AS BIGINT) AS n_stripped,
+           md5(cleaned) AS clean_md5
+    FROM n ORDER BY doc_id
+    """,
+    tags=("text", "unicode", "normalize", "pipeline"),
+)
+def ts21_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization + control/zero-width strip + mojibake census —
+    the ftfy-shaped cleanup pass upstream of every quality gate. NFC is
+    the one stage with no JVM builtin (Spark has no unicode-normalize
+    function), so it runs as an Arrow-batched pandas UDF over Python's
+    unicodedata — a pure per-row projection, the documented exception
+    pattern (gq10/mm). Everything else (defect planting, regex strip,
+    mojibake count, md5) is JVM whole-stage codegen. The md5 of the
+    cleaned text is the cross-engine pin: Python's unicodedata and
+    DuckDB's utf8proc must compose the planted NFD sequences to the
+    same bytes.
+
+    Scale: zero shuffles — embarrassingly parallel projections; the
+    pandas UDF transfers one string column each way per Arrow batch.
+    The final ORDER BY exists for the hash gate only."""
+    d = table(spark, sf_dir, "documents")
+    return ts21_project(d).orderBy("doc_id")
+
 
 
 # --- pl19: temperature-scaled multilingual sampling --------------------------
@@ -4970,4 +4981,104 @@ def pl19_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens",
         )
         .orderBy("lang")
+    )
+
+
+# --- pl20: deterministic epoch reshuffle -------------------------------------
+# The per-epoch training-order shuffle: every pretraining run re-permutes
+# the corpus with a seeded RNG before sharding it to data loaders; at
+# 100 TB that is a distributed sort by a content-addressed rank, not a
+# driver-side permutation. Rank = 60-bit md5(seed || ':' || doc_id): a
+# keyed PRP stand-in that both engines evaluate identically, giving (a) a
+# bijection over docs per epoch, (b) a DIFFERENT order per seed over the
+# SAME multiset, (c) balanced shards via rank % n.
+_PL20_SHARDS = 4
+_PL20_EPOCHS = (1, 2)
+
+
+def _pl20_rank(engine: str, epoch: str) -> str:
+    if engine == "duck":
+        return (
+            f"('0x' || substring(md5(CAST({epoch} AS VARCHAR) || ':' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        )
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({epoch} AS STRING), ':',"
+        " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+@query(
+    "pl20_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(ARRAY{list(_PL20_EPOCHS)}) AS epoch),
+    r AS (
+        SELECT e.epoch, d.doc_id,
+               len(string_split(d.text, ' ')) AS ntok,
+               {_pl20_rank('duck', 'e.epoch')} AS rank
+        FROM documents d CROSS JOIN e
+    ),
+    s AS (SELECT epoch, doc_id, ntok, rank, rank % {_PL20_SHARDS} AS shard
+          FROM r)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(min(rank) AS BIGINT) AS min_rank,
+           CAST(max(rank) AS BIGINT) AS max_rank,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank, doc_id))
+               AS order_fp,
+           CAST(bit_xor(doc_id) AS BIGINT) AS set_fp
+    FROM s GROUP BY epoch, shard ORDER BY epoch, shard
+    """,
+    tags=("pipeline", "shuffle", "sharding", "epoch"),
+)
+def pl20_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded corpus permutation into balanced loader shards, two epochs
+    side by side. order_fp (md5 over doc_ids in rank order) pins the
+    ORDER a loader would consume; set_fp (bit_xor of doc_ids) pins the
+    MULTISET — together they prove each epoch is a true permutation
+    (same set_fp across epochs, different order_fp; test-pinned) and
+    that a re-run reproduces the exact order (the determinism every
+    resume-from-checkpoint run depends on).
+
+    Scale: rank assignment is a map-only hash projection; sharding is
+    ONE shuffle on (epoch, shard); the within-shard ordered fingerprint
+    is the test-scale stand-in for "write records in rank order" — a
+    production sink streams the sorted iterator to the shard file
+    instead of folding it into a string_agg (the sort itself is the
+    same per-partition sort either way). Shard skew is hash-uniform:
+    max/min shard size converges to 1 as docs/shard grows."""
+    d = table(spark, sf_dir, "documents")
+    epochs = spark.createDataFrame(
+        [(e,) for e in _PL20_EPOCHS], "epoch long"
+    )
+    r = d.crossJoin(F.broadcast(epochs)).selectExpr(
+        "epoch",
+        "doc_id",
+        "size(split(text, ' ')) AS ntok",
+        f"{_pl20_rank('spark', 'epoch')} AS rank",
+    )
+    s = r.withColumn("shard", F.pmod("rank", F.lit(_PL20_SHARDS)).cast("bigint"))
+    return (
+        s.groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.min("rank").cast("bigint").alias("min_rank"),
+            F.max("rank").cast("bigint").alias("max_rank"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rank", "doc_id"))
+                        ),
+                        lambda x: x["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("order_fp"),
+            F.expr("bit_xor(doc_id)").cast("bigint").alias("set_fp"),
+        )
+        .orderBy("epoch", "shard")
     )

@@ -1136,3 +1136,17 @@ def quality_score_stream(
             "CAST(IF(score_micro > 0, 1, 0) AS INT) AS pred",
         )
     )
+
+
+# --- streaming ingest cleanup (ts21's twin) ---------------------------------
+def unicode_clean_stream(stream) -> "DataFrame":
+    """ts21's unicode-cleanup census applied at INGEST time — where the
+    pass actually runs in production (a crawl drop is a stream, and NFC
+    + control-strip must happen before any downstream hash or gate sees
+    the text). Stateless projection: no watermark, no state store, no
+    shuffle; the NFC pandas UDF runs per micro-batch exactly as it runs
+    per Arrow batch in the batch plan, so stream rows equal batch rows
+    EXACTLY (same md5 of the cleaned text)."""
+    from xarray_sql_spark.queries.pipeline_ops import ts21_project
+
+    return ts21_project(stream)
