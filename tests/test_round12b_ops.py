@@ -202,3 +202,111 @@ def test_pl20_is_reproducible(spark):
     a = REGISTRY["pl20_epoch_shuffle"].fn(spark, SF_MED).toPandas()
     b = REGISTRY["pl20_epoch_shuffle"].fn(spark, SF_MED).toPandas()
     assert a.equals(b)
+
+
+# --- ts21 property differential (engine-pair pin, no Spark needed) -----------
+# The query's cross-engine claim reduces to: Python unicodedata (what the
+# pandas UDF executes) and DuckDB's utf8proc (what the oracle executes)
+# produce byte-identical NFC over the text domain the pipeline feeds them.
+# Fuzz that pair directly over a hostile alphabet -- ASCII, Latin-1
+# letters, standalone and COMBINING diacritics (the NFD compositions NFC
+# must fold), controls, zero-width chars -- far beyond the fixture's
+# planted defects.
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_TS21_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz 0123456789"
+    "\u00e9\u00ef\u00c3\u00a9\u00fc\u00f1"  # composed accents + mojibake pair
+    "\u0301\u0308\u0327\u0300"  # combining marks (NFD material)
+    "\u0007\u0001\u001f\u200b\ufeff"  # controls + zero-width
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_TS21_ALPHABET, max_size=60))
+def test_ts21_python_and_duckdb_normalizers_agree(text):
+    import duckdb
+    import hashlib
+
+    from xarray_sql_spark.queries.pipeline_ops import _TS21_CTRL_DUCK
+
+    py_clean = _CTRL.sub("", unicodedata.normalize("NFC", text))
+    got = duckdb.connect().execute(
+        "SELECT md5(regexp_replace(nfc_normalize(?), ?, '', 'g'))",
+        [text, _TS21_CTRL_DUCK],
+    ).fetchone()[0]
+    assert got == hashlib.md5(py_clean.encode()).hexdigest(), repr(text)
+
+
+# --- degenerate / hostile fixtures -------------------------------------------
+
+
+def _compare_docs_only(spark_df, oracle_sql, sf_dir):
+    """compare(), but binding only the documents view — tmp fixtures
+    written by _write_documents carry no other tables."""
+    import duckdb
+
+    from tests.oracle_harness import _canon_frame
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(oracle_sql).df()
+    got = spark_df.toPandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon_frame(got) == _canon_frame(want)
+
+
+
+def test_io12_ipc_roundtrip_survives_hostile_strings(spark, tmp_path):
+    """Quotes, newlines, tabs, unicode, and empty text must ride the
+    Arrow IPC cycle untouched — the digest compares against the DuckDB
+    oracle over the ORIGINAL parquet, so any writer/reader mangling
+    hash-mismatches."""
+    from tests.test_pipeline_semantics import _write_documents
+
+    texts = [
+        'he said "hi,"\nthen left',
+        "tab\there",
+        "café naïve ​",
+        "",
+        "plain words",
+        "a,b,c|d;e",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    spec = REGISTRY["io12_arrow_ipc_ingest"]
+    _compare_docs_only(spec.fn(spark, sf), spec.oracle, sf)
+
+
+def test_pl19_single_language_corpus_keeps_everything(spark, tmp_path):
+    """Degenerate mixture: with one language, p == q == 1, the keep rate
+    is exactly 1.0, and every document survives — no NULL/div-by-zero
+    from the normalizing ratios (the pl16-divisor class of bug)."""
+    from tests.test_pipeline_semantics import _write_documents
+
+    sf = _write_documents(tmp_path, [f"word{i} filler text" for i in range(20)])
+    pdf = REGISTRY["pl19_temperature_sampling"].fn(spark, sf).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert r.keep_micro == 1000000
+    assert r.kept_docs == r.n_docs == 20
+    assert r.kept_tokens == r.sum_tokens
+
+
+def test_gr04_empty_graph_yields_empty_communities(spark, tmp_path):
+    """A corpus with no near-duplicate candidate pairs has no LPA
+    universe: the operator must return zero rows (and agree with the
+    oracle) rather than erroring on the empty edge set."""
+    from tests.test_pipeline_semantics import _write_documents
+
+    texts = [
+        " ".join(f"u{d}w{i}" for i in range(40)) for d in range(6)
+    ]  # fully disjoint vocabularies: no shared shingles, no pairs
+    sf = _write_documents(tmp_path, texts)
+    spec = REGISTRY["gr04_label_propagation"]
+    df = spec.fn(spark, sf)
+    assert df.count() == 0
+    _compare_docs_only(df, spec.oracle, sf)
