@@ -310,3 +310,42 @@ def test_gr04_empty_graph_yields_empty_communities(spark, tmp_path):
     df = spec.fn(spark, sf)
     assert df.count() == 0
     _compare_docs_only(df, spec.oracle, sf)
+
+
+# --- ss16 ---------------------------------------------------------------------
+
+
+def test_ss16_rrf_arithmetic_and_membership_invariants(spark):
+    from xarray_sql_spark.queries.pipeline_ops import _RRF_K, _RRF_TOPK
+
+    pdf = REGISTRY["ss16_hybrid_rrf"].fn(spark, SF_MED).toPandas()
+    assert set(pdf.query_id) == {1, 2, 3}
+    for row in pdf.itertuples():
+        # fused score is exactly the integer RRF of the leg ranks
+        want = 0
+        if row.lex_rank == row.lex_rank and row.lex_rank is not None:  # not NaN
+            want += 1000000 // (_RRF_K + int(row.lex_rank))
+        if row.vec_rank == row.vec_rank and row.vec_rank is not None:
+            want += 1000000 // (_RRF_K + int(row.vec_rank))
+        assert row.rrf_micro == want, row
+        # every fused row came from at least one leg's top list
+        assert want > 0
+    for _, g in pdf.groupby("query_id"):
+        assert list(g.fused_rank) == list(range(1, len(g) + 1))
+        assert len(g) <= _RRF_TOPK
+        # fused order is non-increasing in rrf_micro
+        assert list(g.rrf_micro) == sorted(g.rrf_micro, reverse=True)
+
+
+def test_ss16_both_leg_docs_beat_single_leg_docs_at_equal_rank(spark):
+    """A doc holding rank r in BOTH legs must out-score any doc holding
+    rank r in only one leg — the defining property RRF is used for."""
+    pdf = REGISTRY["ss16_hybrid_rrf"].fn(spark, SF_MED).toPandas()
+    both = pdf[(pdf.lex_rank.notna()) & (pdf.vec_rank.notna())]
+    single = pdf[pdf.lex_rank.isna() | pdf.vec_rank.isna()]
+    for b in both.itertuples():
+        r = max(int(b.lex_rank), int(b.vec_rank))
+        for s_ in single.itertuples():
+            sr = int(s_.lex_rank if s_.lex_rank == s_.lex_rank else s_.vec_rank)
+            if sr >= r:
+                assert b.rrf_micro > s_.rrf_micro, (b, s_)

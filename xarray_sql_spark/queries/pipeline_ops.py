@@ -5082,3 +5082,179 @@ def pl20_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+# --- ss16: hybrid retrieval (BM25 + vector) with reciprocal-rank fusion ------
+# The modern search stack: a lexical leg (ts18's BM25 over the same query
+# set) and a dense leg (cosine against the query embeddings) fused by RRF
+# (Cormack et al. 2009). The fusion is INTEGER end-to-end: each leg
+# contributes 1000000 DIV (60 + rank) micro-units (floor division on both
+# engines), so the fused ordering is exact arithmetic — no double
+# summation anywhere in the combine.
+_RRF_QV = {1: 10, 2: 20, 3: 30}  # query_id -> query embedding vec_id
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def _ss16_lex_ctes() -> str:
+    """ts18's BM25 chain as CTEs ending in ltop(query_id, doc_id, rank) —
+    the SAME constants and operator order as ts18's oracle, so the
+    lexical leg here scores exactly what ts18 scores."""
+    sc = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id,"
+        f" round({_bm25_score_sql(ts)}, 6) AS score FROM tf, st"
+        for qid, ts in _BM25_QUERIES.items()
+    )
+    return f"""
+    d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl,
+               {", ".join(f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS)}
+        FROM d
+    ),
+    st AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+        FROM tf
+    ),
+    lsc AS ({sc}),
+    lrk AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM lsc WHERE score > 0
+    ),
+    ltop AS (SELECT query_id, doc_id, rank FROM lrk WHERE rank <= {_RRF_TOPK})"""
+
+
+_SS16_QCASE = " ".join(
+    f"WHEN {v} THEN {q}" for q, v in _RRF_QV.items()
+)
+
+
+@query(
+    "ss16_hybrid_rrf",
+    oracle=f"""
+    WITH {_ss16_lex_ctes()},
+    qv AS (
+        SELECT CASE vec_id {_SS16_QCASE} END AS query_id,
+               CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id IN {tuple(_RRF_QV.values())}
+    ),
+    ev AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    vsc AS (
+        SELECT qv.query_id, ev.doc_id,
+               round(list_cosine_similarity(qv.qe, ev.v), 6) AS cos
+        FROM qv CROSS JOIN ev
+    ),
+    vrk AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id) AS rank
+        FROM vsc
+    ),
+    vtop AS (SELECT query_id, doc_id, rank FROM vrk WHERE rank <= {_RRF_TOPK}),
+    allk AS (
+        SELECT query_id, doc_id FROM ltop
+        UNION
+        SELECT query_id, doc_id FROM vtop
+    ),
+    fused AS (
+        SELECT k.query_id, k.doc_id,
+               l.rank AS lex_rank, v.rank AS vec_rank,
+               COALESCE(1000000 // ({_RRF_K} + l.rank), 0)
+               + COALESCE(1000000 // ({_RRF_K} + v.rank), 0) AS rrf_micro
+        FROM allk k
+        LEFT JOIN ltop l ON l.query_id = k.query_id AND l.doc_id = k.doc_id
+        LEFT JOIN vtop v ON v.query_id = k.query_id AND v.doc_id = k.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(vec_rank AS INT) AS vec_rank,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_micro DESC, doc_id) AS INT)
+               AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_RRF_TOPK}
+    ORDER BY query_id, fused_rank
+    """,
+    tags=("similarity", "retrieval", "hybrid", "rrf", "pipeline"),
+)
+def ss16_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: ts18's BM25 lexical leg + a dense cosine leg
+    over the query embeddings (vec_id == doc_id keys the embeddings to
+    the documents), fused by reciprocal-rank fusion with k=60. Each leg
+    contributes 1000000 DIV (60 + rank) micro-units — floor division,
+    so the fusion and the final ordering are exact integer arithmetic
+    on both engines; leg scores only ever decide each leg's OWN rank
+    (on the 1e-6-rounded value with a doc_id tie-break).
+
+    Scale: the lexical leg is ts18's shape (one stats aggregate
+    broadcast + a scoring projection, zero data-sized shuffles); the
+    dense leg broadcasts 3 query vectors against the corpus (ss01's
+    allowlisted exact-baseline contract — the production path swaps in
+    ss04/ss14's IVF cell routing unchanged, because RRF only consumes
+    (query, doc, rank) tuples); the fusion joins two <= 3x10-row rank
+    lists — dimension-sized, broadcast-trivial forever."""
+    lex = ts18_bm25_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qcase = F.expr(
+        f"CASE vec_id {_SS16_QCASE} END"
+    ).cast("int")
+    qv = e.filter(F.col("vec_id").isin(list(_RRF_QV.values()))).select(
+        qcase.alias("query_id"), vec.alias("qe")
+    )
+    ev = e.select(F.col("vec_id").alias("doc_id"), vec.alias("v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    vsc = ev.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        "doc_id",
+        F.round(dot / (norm("qe") * norm("v")), 6).alias("cos"),
+    )
+    w_v = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    vtop = (
+        vsc.withColumn("rank", F.row_number().over(w_v))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select("query_id", "doc_id", F.col("rank").alias("vec_rank"))
+    )
+    fused = lex.join(vtop, ["query_id", "doc_id"], "full_outer").selectExpr(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        f"COALESCE(1000000 DIV ({_RRF_K} + lex_rank), 0)"
+        f" + COALESCE(1000000 DIV ({_RRF_K} + vec_rank), 0) AS rrf_micro",
+    )
+    w_f = W.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            F.col("rrf_micro").cast("bigint").alias("rrf_micro"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+        .orderBy("query_id", "fused_rank")
+    )
