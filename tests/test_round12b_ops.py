@@ -349,3 +349,55 @@ def test_ss16_both_leg_docs_beat_single_leg_docs_at_equal_rank(spark):
             sr = int(s_.lex_rank if s_.lex_rank == s_.lex_rank else s_.vec_rank)
             if sr >= r:
                 assert b.rrf_micro > s_.rrf_micro, (b, s_)
+
+
+# --- dd17 / ts22 ---------------------------------------------------------------
+
+
+def test_dd17_flags_planted_absorbed_document(spark, tmp_path):
+    """A short doc whose text is a verbatim slice of a long doc must
+    surface with containment 1.0 in the short->long direction while
+    Jaccard stays well below 1 — the exact case Jaccard-only dedup
+    misses."""
+    from tests.test_pipeline_semantics import _write_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    short_doc = " ".join(f"w{i}" for i in range(20, 32))  # verbatim slice
+    other = " ".join(f"z{i}" for i in range(40))
+    sf = _write_documents(tmp_path, [long_doc, short_doc, other])
+    pdf = REGISTRY["dd17_containment_neardup"].fn(spark, sf).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.cont_b_in_a == 1.0  # the short doc is fully contained
+    assert r.jaccard < 0.25  # which Jaccard alone would have missed
+    assert r.direction == "b_in_a"
+
+
+def test_dd17_containment_dominates_jaccard_everywhere(spark):
+    pdf = REGISTRY["dd17_containment_neardup"].fn(spark, SF_MED).toPandas()
+    assert len(pdf) > 0  # non-vacuous on the driver fixture
+    for row in pdf.itertuples():
+        assert max(row.cont_a_in_b, row.cont_b_in_a) >= row.jaccard - 1e-9
+
+
+def test_ts22_planted_collocation_tops_the_ranking(spark, tmp_path):
+    """Two invented words that ONLY ever appear together (6 docs) must
+    out-PMI every organic pair, with the exact analytic score
+    ln(cab * N / (ca * cb)) = ln(N / 6)."""
+    import math
+
+    from tests.test_pipeline_semantics import _write_documents
+
+    filler = [
+        " ".join(f"f{d}w{i}" for i in range(12)) + " common core words here"
+        for d in range(24)
+    ]
+    planted = [f"zuzu qixi doc{d} common core" for d in range(6)]
+    sf = _write_documents(tmp_path, filler + planted)
+    pdf = REGISTRY["ts22_pmi_collocations"].fn(spark, sf).toPandas()
+    top = pdf.iloc[0]
+    assert {top.word_a, top.word_b} == {"zuzu", "qixi"}
+    assert top.n_docs_both == top.n_docs_a == top.n_docs_b == 6
+    want = round(math.log(6 * 30 / (6 * 6)), 6)
+    assert abs(top.pmi - want) < 1e-9

@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
     "doc stream (each doc ranked once per epoch)",
     "ss16_hybrid_rrf": "3-row query-vector broadcast against the corpus "
     "(ss01's exact-baseline contract; production swaps in IVF routing)",
+    "ts22_pmi_collocations": "1-row corpus-total broadcast (PMI "
+    "normalizer, ts10's contract)",
     "ts16_zipf_fit": "1-row moment-sum x 1-row vocab-count cross (both "
     "sides single-row aggregates)",
     "ev21_rfm_segments": "1-row corpus-max-day anchor broadcast (the "

@@ -5258,3 +5258,251 @@ def ss16_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+# --- dd17: containment near-dup (Broder containment, asymmetric) -------------
+# Jaccard misses the doc-contains-doc case: a short document quoted
+# wholesale inside a long one has high CONTAINMENT (|A inter B| / |A|) but
+# low Jaccard (the union is dominated by the long doc). Broder's
+# containment is the standard verb for quote/boilerplate absorption;
+# emitted per direction so the pipeline can keep the superset doc.
+_DD17_THRESH = "0.2"
+
+
+@query(
+    "dd17_containment_neardup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS shingles
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    sc AS (
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE), 6)
+                   AS cont_a_in_b,
+               round(CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+                   AS cont_b_in_a,
+               round(CAST(n_common AS DOUBLE)
+                     / CAST(na + nb - n_common AS DOUBLE), 6) AS jaccard
+        FROM pairs
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           cont_a_in_b, cont_b_in_a, jaccard,
+           CASE WHEN cont_a_in_b >= cont_b_in_a THEN 'a_in_b'
+                ELSE 'b_in_a' END AS direction
+    FROM sc
+    WHERE greatest(cont_a_in_b, cont_b_in_a) >= {_DD17_THRESH}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "near-dup", "containment", "pipeline"),
+    bench=False,  # dd03's exact verify-stage shape; LSH bands are the bench path
+)
+def dd17_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment over word-3-gram shingle sets — the asymmetric
+    companion to dd03's Jaccard: containment(A->B) = |A inter B| / |A|
+    flags a short doc absorbed into a long one (quotes, syndication,
+    boilerplate wrapping) that Jaccard under-scores because the union is
+    dominated by the long side. Both directions plus Jaccard ride the
+    SAME pair aggregate, and the threshold tests the ROUNDED values so
+    the keep set is grid-stable cross-engine.
+
+    Scale: identical to dd03 — candidate generation is the inverted-
+    index equi-join on (shingle, lang), never all-pairs; at 100 TB the
+    posting lists are capped and MinHash bands (dd04) gate which pairs
+    reach this exact verify stage. Containment adds zero new shuffles:
+    two extra divisions on the existing (na, nb, n_common) row."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat(element_at(w, i), ' ',"
+                " element_at(w, CAST(i + 1 AS INT)), ' ',"
+                " element_at(w, CAST(i + 2 AS INT))))"
+            )
+        ).alias("shingles"),
+    ).filter(F.size("w") >= 3)
+    ex = sh.select(
+        "doc_id", "lang", F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sc = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_common").cast("double") / F.col("na").cast("double"), 6)
+        .alias("cont_a_in_b"),
+        F.round(F.col("n_common").cast("double") / F.col("nb").cast("double"), 6)
+        .alias("cont_b_in_a"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    return (
+        sc.filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= float(_DD17_THRESH)
+        )
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            "cont_a_in_b",
+            "cont_b_in_a",
+            "jaccard",
+            F.when(
+                F.col("cont_a_in_b") >= F.col("cont_b_in_a"), F.lit("a_in_b")
+            ).otherwise(F.lit("b_in_a")).alias("direction"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- ts22: PMI collocations ---------------------------------------------------
+# Pointwise mutual information over within-document co-occurrence — the
+# classic collocation miner (Church & Hanks 1990) a corpus report runs to
+# surface multiword expressions and template phrases worth inspecting
+# before dedup thresholds are tuned. Presence-based: counts are DOCUMENT
+# frequencies, so a doc repeating a pair 50 times votes once.
+_TS22_MIN_SUPPORT = 5
+_TS22_TOPK = 50
+
+
+@query(
+    "ts22_pmi_collocations",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+    uw AS (SELECT doc_id, unnest(w) AS word FROM d),
+    cw AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uw GROUP BY word),
+    pr AS (
+        SELECT a.doc_id, a.word AS wa, b.word AS wb
+        FROM uw a JOIN uw b ON a.doc_id = b.doc_id AND a.word < b.word
+    ),
+    cp AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS cab
+           FROM pr GROUP BY wa, wb),
+    scored AS (
+        SELECT cp.wa, cp.wb, cp.cab, ca.c AS ca, cb.c AS cb,
+               round(ln(CAST(cp.cab AS DOUBLE) * n.n_docs
+                        / (CAST(ca.c AS DOUBLE) * cb.c)), 6) AS pmi
+        FROM cp
+        JOIN cw ca ON ca.word = cp.wa
+        JOIN cw cb ON cb.word = cp.wb
+        CROSS JOIN n
+        WHERE cp.cab >= {_TS22_MIN_SUPPORT}
+    )
+    SELECT wa AS word_a, wb AS word_b,
+           CAST(cab AS BIGINT) AS n_docs_both,
+           CAST(ca AS BIGINT) AS n_docs_a, CAST(cb AS BIGINT) AS n_docs_b,
+           pmi
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, wa, wb) AS rk
+        FROM scored
+    ) WHERE rk <= {_TS22_TOPK}
+    ORDER BY pmi DESC, word_a, word_b
+    """,
+    tags=("text", "collocations", "pmi", "pipeline"),
+)
+def ts22_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} within-document collocations by PMI with min document
+    support — presence-based (document frequencies), ln() parity per the
+    ts10/ts15 precedent, and the inner ratio is all-integer before the
+    single ln() so both engines evaluate the identical double.
+
+    Scale: the per-doc pair explosion is bounded by (distinct words per
+    doc)^2 — a per-row constant governed by document length, not corpus
+    size (the dd03 shape); pair counting and word counting both
+    map-side combine; the final top-k is one TakeOrdered over the
+    support-filtered pair table. At 100 TB you'd pre-prune the pair
+    domain to words above min support (a semi-join) before exploding —
+    the same posting-list cap dd03 documents."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    uw = d.select("doc_id", F.explode("w").alias("word"))
+    cw = uw.groupBy("word").agg(F.count("*").cast("bigint").alias("c"))
+    a, b = uw.alias("a"), uw.alias("b")
+    cp = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("wa"), F.col("b.word").alias("wb"))
+        .agg(F.count("*").cast("bigint").alias("cab"))
+        .filter(F.col("cab") >= _TS22_MIN_SUPPORT)
+    )
+    ca = cw.select(F.col("word").alias("wa"), F.col("c").alias("ca"))
+    cb = cw.select(F.col("word").alias("wb"), F.col("c").alias("cb"))
+    scored = (
+        cp.join(ca, "wa")
+        .join(cb, "wb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "wa",
+            "wb",
+            "cab",
+            "ca",
+            "cb",
+            F.round(
+                F.log(
+                    F.col("cab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w_rk = W.orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _TS22_TOPK)
+        .select(
+            F.col("wa").alias("word_a"),
+            F.col("wb").alias("word_b"),
+            F.col("cab").alias("n_docs_both"),
+            F.col("ca").alias("n_docs_a"),
+            F.col("cb").alias("n_docs_b"),
+            "pmi",
+        )
+        .orderBy(F.desc("pmi"), "word_a", "word_b")
+    )
