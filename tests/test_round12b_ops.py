@@ -401,3 +401,21 @@ def test_ts22_planted_collocation_tops_the_ranking(spark, tmp_path):
     assert top.n_docs_both == top.n_docs_a == top.n_docs_b == 6
     want = round(math.log(6 * 30 / (6 * 6)), 6)
     assert abs(top.pmi - want) < 1e-9
+
+
+# --- ev23 ---------------------------------------------------------------------
+
+
+def test_ev23_late_counts_are_monotone_and_actionable(spark):
+    """More watermark slack can only drop fewer events; the fixture's
+    planted 32-position jitter must be fully absorbed by the 4 h delay
+    (the audit's actionable answer), while 10 min must drop a
+    substantial share — the audit is non-vacuous in both directions."""
+    pdf = REGISTRY["ev23_watermark_audit"].fn(spark, SF_MED).toPandas()
+    r = pdf.iloc[0]
+    assert r.n_total == 10000
+    assert r.late_600s >= r.late_3600s >= r.late_14400s
+    assert r.late_600s > 1000  # short delay visibly lossy
+    assert r.late_14400s == 0  # 4 h absorbs the planted reorder
+    for d in (600, 3600, 14400):
+        assert r[f"pct_{d}s"] == round(r[f"late_{d}s"] / r.n_total, 6)

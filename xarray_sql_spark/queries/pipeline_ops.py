@@ -5506,3 +5506,99 @@ def ts22_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi"), "word_a", "word_b")
     )
+
+
+# --- ev23: watermark-planning audit ------------------------------------------
+# The design question every streaming job answers before it ships: which
+# watermark delay drops how much data? The events fixture arrives in
+# perfect event-time order, so the audit PLANTS a deterministic arrival
+# reorder (content-addressed jitter of up to 32 positions — network-style
+# local shuffling, ts21's planting discipline) and then counts, per
+# candidate delay, the events Spark's watermark rule would discard:
+# event_time < max(event_time over everything that ARRIVED earlier) - d.
+_EV23_JITTER = 32
+_EV23_DELAYS = (600, 3600, 14400)  # seconds: 10 min / 1 h / 4 h
+_EV23_BLOCK = 1024  # arrival block for the two-phase prefix max
+
+
+@query(
+    "ev23_watermark_audit",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               event_id + (('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                            1, 15))::BIGINT % {_EV23_JITTER}) AS arr
+        FROM events
+    ),
+    y AS (
+        SELECT us,
+               max(us) OVER (ORDER BY arr, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS mx
+        FROM x
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           {", ".join(
+               f"CAST(count(*) FILTER (mx IS NOT NULL AND"
+               f" us < mx - {d * 1000000}::BIGINT) AS BIGINT) AS late_{d}s,"
+               f" round(CAST(count(*) FILTER (mx IS NOT NULL AND"
+               f" us < mx - {d * 1000000}::BIGINT) AS DOUBLE)"
+               f" / count(*), 6) AS pct_{d}s"
+               for d in _EV23_DELAYS)}
+    FROM y
+    """,
+    tags=("events", "streaming", "watermark", "audit", "pipeline"),
+)
+def ev23_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data census per candidate watermark delay, under a planted
+    content-addressed arrival reorder. The DuckDB oracle states the
+    SEMANTIC definition — one global running max over arrival order —
+    while the Spark side computes the same quantity with the
+    DISTRIBUTED algorithm: a two-phase prefix max (per-arrival-block
+    running max + a block-boundary prefix broadcast back as a tiny
+    join), pl16's prefix-scan discipline. Hash equality of the two is
+    an algorithmic differential, not just an engine replay.
+
+    Scale: phase one is a window per 1024-event arrival block (each
+    partition sorts its own blocks); the block-max table is
+    n_events/1024 rows — its prefix window is the same bounded
+    single-partition stage pl16 documents (recurse blocks-of-blocks
+    when the block table itself outgrows one task). The final census
+    is one map-side-combined aggregate. The audit's answer shape — the
+    smallest delay whose drop count is zero — is exactly what gets
+    pasted into withWatermark()."""
+    e = table(spark, sf_dir, "events")
+    x = e.selectExpr(
+        "event_id",
+        "unix_micros(ts) AS us",
+        f"event_id + pmod(CAST(conv(substring(md5(CAST(event_id AS STRING)),"
+        f" 1, 15), 16, 10) AS BIGINT), {_EV23_JITTER}) AS arr",
+    ).withColumn("block", F.expr(f"arr DIV {_EV23_BLOCK}"))
+    w_in = (
+        W.partitionBy("block")
+        .orderBy("arr", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = x.withColumn("wmax", F.max("us").over(w_in))
+    bm = x.groupBy("block").agg(F.max("us").alias("bmax"))
+    w_blk = (
+        W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)
+    )
+    pbm = bm.withColumn("pbm", F.max("bmax").over(w_blk)).select("block", "pbm")
+    y = within.join(F.broadcast(pbm), "block").withColumn(
+        "mx",
+        F.expr(
+            "CASE WHEN wmax IS NULL THEN pbm WHEN pbm IS NULL THEN wmax"
+            " ELSE greatest(wmax, pbm) END"
+        ),
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_total")]
+    for d in _EV23_DELAYS:
+        late = F.expr(f"mx IS NOT NULL AND us < mx - {d * 1000000}L")
+        aggs.append(F.sum(late.cast("long")).cast("bigint").alias(f"late_{d}s"))
+        aggs.append(
+            F.round(
+                F.sum(late.cast("long")).cast("double") / F.count("*"), 6
+            ).alias(f"pct_{d}s")
+        )
+    return y.agg(*aggs)
