@@ -419,3 +419,43 @@ def test_ev23_late_counts_are_monotone_and_actionable(spark):
     assert r.late_14400s == 0  # 4 h absorbs the planted reorder
     for d in (600, 3600, 14400):
         assert r[f"pct_{d}s"] == round(r[f"late_{d}s"] / r.n_total, 6)
+
+
+# --- sk05 / hh05 ---------------------------------------------------------------
+
+
+def test_sk05_report_is_internally_consistent(spark):
+    pdf = REGISTRY["sk05_skew_report"].fn(spark, SF_MED).toPandas()
+    r = pdf.iloc[0]
+    assert r.p50_rows <= r.p90_rows <= r.p99_rows <= r.top1_rows
+    assert r.n_rows == 10000
+    assert abs(r.skew_ratio - r.top1_rows * r.n_keys / r.n_rows) < 1e-6
+    assert r.recommended_salt == -(-r.top1_rows // r.p50_rows)  # ceil div
+    assert r.recommended_salt >= 1
+
+
+def test_sk05_detects_a_planted_hot_key(spark):
+    """Recompute the hottest key independently from the raw parquet and
+    require the report to name exactly it (min key on ties)."""
+    import duckdb
+
+    truth = duckdb.connect().execute(
+        f"""SELECT user_id, count(*) c FROM '{SF_MED}/events.parquet'
+            GROUP BY user_id ORDER BY c DESC, user_id LIMIT 1"""
+    ).fetchone()
+    r = REGISTRY["sk05_skew_report"].fn(spark, SF_MED).toPandas().iloc[0]
+    assert (r.top1_key, r.top1_rows) == truth
+
+
+def test_hh05_decay_reweights_against_raw_counts(spark):
+    """The decayed ranking must differ from the raw-count ranking in a
+    principled way: every decayed score is <= the user's raw count
+    (weights <= 1) and > 0, and a user whose events are all in the most
+    recent half-life scores exactly their count."""
+    pdf = REGISTRY["hh05_decayed_heavy_hitters"].fn(spark, SF_MED).toPandas()
+    assert len(pdf) == 20
+    assert list(pdf["rank"]) == list(range(1, 21))
+    for row in pdf.itertuples():
+        assert 0 < row.decayed <= row.n_events + 1e-9
+    # ordering is by decayed mass, not raw counts
+    assert list(pdf.decayed) == sorted(pdf.decayed, reverse=True)

@@ -52,6 +52,10 @@ BNLJ_ALLOWED = {
     "(ss01's exact-baseline contract; production swaps in IVF routing)",
     "ts22_pmi_collocations": "1-row corpus-total broadcast (PMI "
     "normalizer, ts10's contract)",
+    "sk05_skew_report": "1-row total/percentile/top-key spec broadcasts "
+    "over the counts-of-counts histogram (all dimension-sized)",
+    "hh05_decayed_heavy_hitters": "1-row reference-date broadcast "
+    "(corpus-relative decay origin, ts10's contract)",
     "ts16_zipf_fit": "1-row moment-sum x 1-row vocab-count cross (both "
     "sides single-row aggregates)",
     "ev21_rfm_segments": "1-row corpus-max-day anchor broadcast (the "

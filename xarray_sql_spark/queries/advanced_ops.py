@@ -3402,3 +3402,204 @@ def hh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- sk05: join-key skew diagnosis report ------------------------------------
+# The measurement that comes BEFORE sk01/sk02's mitigations: given the
+# join key, quantify the skew (top-key share, discrete count percentiles,
+# max/median ratio) and emit the salt factor the rule of thumb would pick.
+# Percentiles use the q23/q40 histogram trick — counts-of-counts — so no
+# stage ever globally sorts the key table, let alone the fact table.
+
+
+@query(
+    "sk05_skew_report",
+    oracle="""
+    WITH kc AS (
+        SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    cc AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS nk FROM kc GROUP BY c
+    ),
+    tot AS (
+        SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+               CAST(sum(c * nk) AS BIGINT) AS n_rows,
+               max(c) AS max_c
+        FROM cc
+    ),
+    cum AS (
+        SELECT c, sum(nk) OVER (ORDER BY c) AS cum_keys FROM cc
+    ),
+    pct AS (
+        SELECT
+            (SELECT min(c) FROM cum, tot
+             WHERE cum_keys >= (n_keys + 1) // 2) AS p50_c,
+            (SELECT min(c) FROM cum, tot
+             WHERE cum_keys >= (n_keys * 9 + 9) // 10) AS p90_c,
+            (SELECT min(c) FROM cum, tot
+             WHERE cum_keys >= (n_keys * 99 + 99) // 100) AS p99_c
+    ),
+    top1 AS (
+        SELECT min(k) AS top1_key FROM kc, tot WHERE kc.c = tot.max_c
+    )
+    SELECT tot.n_keys, tot.n_rows,
+           CAST(top1.top1_key AS BIGINT) AS top1_key,
+           CAST(tot.max_c AS BIGINT) AS top1_rows,
+           round(CAST(tot.max_c AS DOUBLE) * tot.n_keys / tot.n_rows, 6)
+               AS skew_ratio,
+           round(CAST(tot.max_c AS DOUBLE) / tot.n_rows, 6) AS top1_share,
+           CAST(pct.p50_c AS BIGINT) AS p50_rows,
+           CAST(pct.p90_c AS BIGINT) AS p90_rows,
+           CAST(pct.p99_c AS BIGINT) AS p99_rows,
+           CAST((tot.max_c + pct.p50_c - 1) // pct.p50_c AS BIGINT)
+               AS recommended_salt
+    FROM tot, pct, top1
+    """,
+    tags=("skew", "diagnostics", "pipeline"),
+)
+def sk05_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over events.user_id: key/row totals, the
+    deterministic hottest key (ties -> min key), max/mean skew ratio,
+    discrete p50/p90/p99 per-key row counts, and the salt factor
+    ceil(top1 / p50) that sk01/sk02 would be configured with. The
+    decision number a pipeline reads BEFORE choosing between plain
+    shuffle, broadcast, salting, or AQE skew hints.
+
+    Scale: one map-side-combined count per key, then everything runs on
+    the counts-of-counts histogram (bounded by DISTINCT per-key count
+    values, not keys — the q23/q40 trick): the cumulative window and
+    every percentile probe touch only that tiny table; the hottest-key
+    lookup filters the key-count table by the max count (no sort). No
+    stage orders keys or facts globally."""
+    e = table(spark, sf_dir, "events")
+    kc = e.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cc = kc.groupBy("c").agg(F.count("*").cast("bigint").alias("nk"))
+    tot = cc.agg(
+        F.sum("nk").cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("nk")).cast("bigint").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    cum = cc.withColumn(
+        "cum_keys", F.sum("nk").over(W.orderBy("c"))
+    ).crossJoin(F.broadcast(tot))
+    pct = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum_keys") >= F.expr("(n_keys + 1) DIV 2"), F.col("c")
+            )
+        ).alias("p50_c"),
+        F.min(
+            F.when(
+                F.col("cum_keys") >= F.expr("(n_keys * 9 + 9) DIV 10"),
+                F.col("c"),
+            )
+        ).alias("p90_c"),
+        F.min(
+            F.when(
+                F.col("cum_keys") >= F.expr("(n_keys * 99 + 99) DIV 100"),
+                F.col("c"),
+            )
+        ).alias("p99_c"),
+    )
+    top1 = (
+        kc.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") == F.col("max_c"))
+        .agg(F.min("k").cast("bigint").alias("top1_key"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pct))
+        .crossJoin(F.broadcast(top1))
+        .selectExpr(
+            "n_keys",
+            "n_rows",
+            "top1_key",
+            "CAST(max_c AS BIGINT) AS top1_rows",
+            "round(CAST(max_c AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio",
+            "round(CAST(max_c AS DOUBLE) / n_rows, 6) AS top1_share",
+            "CAST(p50_c AS BIGINT) AS p50_rows",
+            "CAST(p90_c AS BIGINT) AS p90_rows",
+            "CAST(p99_c AS BIGINT) AS p99_rows",
+            "CAST((max_c + p50_c - 1) DIV p50_c AS BIGINT) AS recommended_salt",
+        )
+    )
+
+
+# --- hh05: time-decayed heavy hitters ----------------------------------------
+# Recency-weighted frequency: the "who is hot NOW" ranking a live
+# dashboard wants, where a burst last week outweighs steady traffic last
+# quarter. Decay is EXACT dyadic arithmetic — age buckets of one
+# half-life each, weight 2^-bucket (a power of two, exactly representable
+# in a double) — so per-user sums are order-independent to the last bit
+# and the cross-engine hash needs no rounding ladder at all.
+_HH05_HALFLIFE_DAYS = 7
+_HH05_TOPK = 20
+
+
+@query(
+    "hh05_decayed_heavy_hitters",
+    oracle=f"""
+    WITH ref AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+    w AS (
+        SELECT user_id,
+               CAST(1.0 AS DOUBLE)
+               / (CAST(1 AS BIGINT) << (date_diff('day', CAST(ts AS DATE),
+                                                  ref.d0)
+                                        // {_HH05_HALFLIFE_DAYS})) AS wt
+        FROM events, ref
+    ),
+    s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(wt), 6) AS decayed
+        FROM w GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events, decayed,
+           CAST(rk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY decayed DESC, user_id) AS rk
+        FROM s
+    ) WHERE rk <= {_HH05_TOPK}
+    ORDER BY rank
+    """,
+    tags=("sketch", "decay", "heavy-hitters", "pipeline"),
+)
+def hh05_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} users by exponentially time-decayed event mass (half-life
+    7 days, corpus-relative reference date). The decay weight is
+    2^-(age DIV halflife) — a power of two, exact in IEEE doubles — so
+    the per-user sum is the same real number under ANY aggregation
+    order: no summation-order rounding, no 1-ulp pow() dependence; the
+    round(…, 6) exists only for the registry output convention.
+
+    Scale: the reference date is one 1-row aggregate broadcast (ts10's
+    allowlisted normalizer contract); weighting is map-only; the
+    per-user sum map-side combines; top-k is one TakeOrdered over the
+    user aggregate. The streaming twin of this shape is the
+    user_running_stats state store with a bucket-shift on half-life
+    boundaries — same dyadic weights, same exactness argument."""
+    e = table(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.to_date("ts")).alias("d0"))
+    w = e.crossJoin(F.broadcast(ref)).selectExpr(
+        "user_id",
+        f"CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(datediff(d0, to_date(ts)) DIV {_HH05_HALFLIFE_DAYS} AS INT))"
+        f" AS DOUBLE) AS wt",
+    )
+    s = w.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("wt"), 6).alias("decayed"),
+    )
+    w_rk = W.orderBy(F.desc("decayed"), F.asc("user_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w_rk))
+        .filter(F.col("rank") <= _HH05_TOPK)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_events",
+            "decayed",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )
