@@ -61,7 +61,14 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "pl19_temperature_sampling",
                  # epoch reshuffle: one (epoch, shard) shuffle + ordered
                  # per-shard fingerprint (the distributed-sort shape)
-                 "pl20_epoch_shuffle"]
+                 "pl20_epoch_shuffle",
+                 # late-wave batch 2: hybrid RRF (two-leg rank fusion),
+                 # PMI pairs (per-doc quadratic bound), watermark audit
+                 # (two-phase prefix max), skew report (counts-of-counts),
+                 # decayed heavy hitters (dyadic weights)
+                 "ss16_hybrid_rrf", "ts22_pmi_collocations",
+                 "ev23_watermark_audit", "sk05_skew_report",
+                 "hh05_decayed_heavy_hitters"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

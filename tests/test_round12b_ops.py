@@ -459,3 +459,49 @@ def test_hh05_decay_reweights_against_raw_counts(spark):
         assert 0 < row.decayed <= row.n_events + 1e-9
     # ordering is by decayed mass, not raw counts
     assert list(pdf.decayed) == sorted(pdf.decayed, reverse=True)
+
+
+def test_hh05_survives_events_older_than_64_halflives(spark, tmp_path):
+    """A 500-day-old event is > 64 half-lives back: unclamped, DuckDB's
+    bigint shift raises and Spark's shiftleft silently wraps mod 64
+    (weighting the ancient event as if it were fresh). The clamp at 62
+    must keep BOTH engines defined and hash-identical."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_harness import _canon_frame
+
+    base = 1700000000_000000  # epoch micros
+    day = 86400 * 1000000
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base - day * 3, 7, "click", 1.0, "{}"),
+        (3, base - day * 500, 9, "click", 1.0, "{}"),  # ancient
+        (4, base, 9, "click", 1.0, "{}"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    spec = REGISTRY["hh05_decayed_heavy_hitters"]
+    got = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(spec.oracle).df()
+    assert _canon_frame(got) == _canon_frame(want)
+    by_user = {int(r.user_id): r for r in got.itertuples()}
+    # user 9's ancient event contributes ~2^-71 -> effectively nothing
+    assert by_user[9].decayed < 1.000001
+    assert by_user[7].decayed > 1.1  # fresh + 3-day-old both count

@@ -1981,7 +1981,7 @@ def signal_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-scale-negative samples (-0x8000)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     d = d.filter(
-        ((F.col("doc_id") % 3 == 0) & ((F.col("doc_id") / 3).cast("bigint") % 4 == 2))
+        ((F.col("doc_id") % 3 == 0) & (F.expr("(doc_id DIV 3) % 4") == 2))
         | (F.col("doc_id") % 3 == 1)
     )
 

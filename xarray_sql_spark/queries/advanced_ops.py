@@ -3329,9 +3329,7 @@ def hh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "vals",
             F.size("vals").cast("bigint").alias("n"),
-            F.element_at(
-                "vals", F.least(F.size("vals"), F.lit(k)).cast("int")
-            ).alias("mx"),
+            F.element_at("vals", F.size("vals")).alias("mx"),
         )
     )
     a, b = per.alias("a"), per.alias("b")
@@ -3348,9 +3346,7 @@ def hh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n").alias("nb"),
         F.col("b.mx").alias("mxb"),
         F.size(uvals).cast("bigint").alias("nu"),
-        F.element_at(
-            uvals, F.least(F.size(uvals), F.lit(k)).cast("int")
-        ).alias("mxu"),
+        F.element_at(uvals, F.size(uvals)).alias("mxu"),
     )
     est = pairs.select(
         "sa",
@@ -3545,9 +3541,11 @@ _HH05_TOPK = 20
     w AS (
         SELECT user_id,
                CAST(1.0 AS DOUBLE)
-               / (CAST(1 AS BIGINT) << (date_diff('day', CAST(ts AS DATE),
-                                                  ref.d0)
-                                        // {_HH05_HALFLIFE_DAYS})) AS wt
+               / (CAST(1 AS BIGINT) << least(date_diff('day',
+                                                       CAST(ts AS DATE),
+                                                       ref.d0)
+                                             // {_HH05_HALFLIFE_DAYS},
+                                             62)) AS wt
         FROM events, ref
     ),
     s AS (
@@ -3571,7 +3569,12 @@ def hh05_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-(age DIV halflife) — a power of two, exact in IEEE doubles — so
     the per-user sum is the same real number under ANY aggregation
     order: no summation-order rounding, no 1-ulp pow() dependence; the
-    round(…, 6) exists only for the registry output convention.
+    round of the score exists only for the registry output convention.
+    Ages are clamped at 62 half-lives (weight 2^-62 ~ 2e-19, below any
+    ranking relevance) because a 63+ shift overflows BIGINT on DuckDB
+    and silently wraps (mod 64) under Java shiftleft semantics — the
+    clamp keeps both engines defined and identical on corpora older
+    than ~14 months.
 
     Scale: the reference date is one 1-row aggregate broadcast (ts10's
     allowlisted normalizer contract); weighting is map-only; the
@@ -3584,8 +3587,8 @@ def hh05_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = e.crossJoin(F.broadcast(ref)).selectExpr(
         "user_id",
         f"CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(datediff(d0, to_date(ts)) DIV {_HH05_HALFLIFE_DAYS} AS INT))"
-        f" AS DOUBLE) AS wt",
+        f" CAST(least(datediff(d0, to_date(ts)) DIV {_HH05_HALFLIFE_DAYS},"
+        f" 62) AS INT)) AS DOUBLE) AS wt",
     )
     s = w.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),

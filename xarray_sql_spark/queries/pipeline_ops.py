@@ -3476,10 +3476,12 @@ def _bm25_score_sql(terms: tuple) -> str:
     return " + ".join(parts)
 
 
-@query(
-    "ts18_bm25_retrieval",
-    oracle=f"""
-    WITH d AS (
+def _bm25_base_ctes() -> str:
+    """The d/tf/st CTE chain (tokenize, per-term tf, corpus stats) —
+    ONE definition shared by ts18's oracle and ss16's hybrid lexical
+    leg so the two cannot drift."""
+    return f"""
+    d AS (
         SELECT doc_id, string_split(text, ' ') AS w,
                len(string_split(text, ' ')) AS dl
         FROM documents
@@ -3493,11 +3495,24 @@ def _bm25_score_sql(terms: tuple) -> str:
         SELECT count(*) AS n, avg(dl) AS avgdl,
                {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
         FROM tf
-    ),
+    )"""
+
+
+def _bm25_scored_union() -> str:
+    """Per-query scored UNION over tf x st — shared by both oracles."""
+    return " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id,"
+        f" round({_bm25_score_sql(ts)}, 6) AS score FROM tf, st"
+        for qid, ts in _BM25_QUERIES.items()
+    )
+
+
+@query(
+    "ts18_bm25_retrieval",
+    oracle=f"""
+    WITH {_bm25_base_ctes()},
     sc AS (
-        {" UNION ALL ".join(
-            f"SELECT {qid} AS query_id, doc_id, round({_bm25_score_sql(ts)}, 6) AS score FROM tf, st"
-            for qid, ts in _BM25_QUERIES.items())}
+        {_bm25_scored_union()}
     ),
     rk AS (
         SELECT query_id, doc_id, score,
@@ -4101,17 +4116,26 @@ def ts20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ts20_score_expr(iw: list, bias: int) -> str:
+    """The trained scorer as ONE SQL expression over a `ws` word-array
+    column — the single definition behind ts20, dd16's quality leg, and
+    the streaming serving twin (streaming/events.py), so the
+    stream==batch and composition hash-gate contracts cannot drift
+    between hand-maintained copies."""
+    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
+    bucket = _TS20_BUCKET_SPARK.format(w="x")
+    return (
+        f"{bias}L + aggregate(ws, 0L,"
+        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
+    )
+
+
 def _ts20_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document scored by the trained classifier:
     (doc_id, split, label, score_micro) — the Spark twin of the oracle's
     ``ts20_scored`` CTE, shared by ts20 and dd16."""
     iw, bias = ts20_train(spark, sf_dir)
-    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
-    bucket = _TS20_BUCKET_SPARK.format(w="x")
-    score = (
-        f"{bias}L + aggregate(ws, 0L,"
-        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
-    )
+    score = _ts20_score_expr(iw, bias)
     return _ts20_base(spark, sf_dir).selectExpr(
         "CAST(doc_id AS BIGINT) AS doc_id",
         "split",
@@ -4569,12 +4593,7 @@ def dd16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition. Driver collects nothing (ts20's 65 trained integers are
     memoized literals)."""
     iw, bias = ts20_train(spark, sf_dir)
-    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
-    bucket = _TS20_BUCKET_SPARK.format(w="x")
-    score = (
-        f"{bias}L + aggregate(ws, 0L,"
-        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
-    )
+    score = _ts20_score_expr(iw, bias)
     d = (
         table(spark, sf_dir, "documents", spread=True)
         .selectExpr(
@@ -5100,28 +5119,8 @@ def _ss16_lex_ctes() -> str:
     """ts18's BM25 chain as CTEs ending in ltop(query_id, doc_id, rank) —
     the SAME constants and operator order as ts18's oracle, so the
     lexical leg here scores exactly what ts18 scores."""
-    sc = " UNION ALL ".join(
-        f"SELECT {qid} AS query_id, doc_id,"
-        f" round({_bm25_score_sql(ts)}, 6) AS score FROM tf, st"
-        for qid, ts in _BM25_QUERIES.items()
-    )
-    return f"""
-    d AS (
-        SELECT doc_id, string_split(text, ' ') AS w,
-               len(string_split(text, ' ')) AS dl
-        FROM documents
-    ),
-    tf AS (
-        SELECT doc_id, dl,
-               {", ".join(f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS)}
-        FROM d
-    ),
-    st AS (
-        SELECT count(*) AS n, avg(dl) AS avgdl,
-               {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
-        FROM tf
-    ),
-    lsc AS ({sc}),
+    return f"""{_bm25_base_ctes()},
+    lsc AS ({_bm25_scored_union()}),
     lrk AS (
         SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id
@@ -5333,11 +5332,15 @@ def dd17_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.array_distinct(
+            # total expression: the IF guard keeps sequence() ascending
+            # even if this projection is ever evaluated before the
+            # filter below (the _word_ngrams descending-sequence rule)
             F.expr(
-                "transform(sequence(1, size(w) - 2),"
+                "IF(size(w) < 3, array(),"
+                " transform(sequence(1, size(w) - 2),"
                 " i -> concat(element_at(w, i), ' ',"
                 " element_at(w, CAST(i + 1 AS INT)), ' ',"
-                " element_at(w, CAST(i + 2 AS INT))))"
+                " element_at(w, CAST(i + 2 AS INT)))))"
             )
         ).alias("shingles"),
     ).filter(F.size("w") >= 3)

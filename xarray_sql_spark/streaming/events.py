@@ -1099,17 +1099,12 @@ def quality_score_stream(
     stream rows equal batch rows EXACTLY, not approximately. Emits
     (doc_id, split, label, score_micro, pred)."""
     from xarray_sql_spark.queries.pipeline_ops import (
-        _TS20_BUCKET_SPARK,
         _TS20_LABEL_SPARK,
         _TS20_SPLIT_SPARK,
+        _ts20_score_expr,
     )
 
-    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
-    bucket = _TS20_BUCKET_SPARK.format(w="x")
-    score = (
-        f"{bias}L + aggregate(ws, 0L,"
-        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
-    )
+    score = _ts20_score_expr(iw, bias)
     return (
         stream.selectExpr(
             "doc_id",
