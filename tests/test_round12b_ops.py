@@ -505,3 +505,55 @@ def test_hh05_survives_events_older_than_64_halflives(spark, tmp_path):
     # user 9's ancient event contributes ~2^-71 -> effectively nothing
     assert by_user[9].decayed < 1.000001
     assert by_user[7].decayed > 1.1  # fresh + 3-day-old both count
+
+
+# --- ts23 / ev24 ---------------------------------------------------------------
+
+
+def test_ts23_calibration_is_monotone_in_confidence(spark):
+    """Higher margin must not mean WORSE accuracy at the extremes — the
+    property that makes the curve usable as a threshold; and the bucket
+    populations must partition the corpus."""
+    pdf = REGISTRY["ts23_langid_calibration"].fn(spark, SF_MED).toPandas()
+    assert pdf.n_docs.sum() == 500
+    assert (pdf.n_correct <= pdf.n_docs).all()
+    lo = pdf.iloc[0]
+    hi = pdf.iloc[-1]
+    assert hi.margin_bucket > lo.margin_bucket
+    assert hi.accuracy >= lo.accuracy
+    for row in pdf.itertuples():
+        assert row.accuracy == round(row.n_correct / row.n_docs, 6)
+
+
+def test_ev24_halflife_matches_numpy_polyfit(spark):
+    """The closed-form integer-scaled fit must agree with an independent
+    numpy least-squares on the same micro-gridded points to ~1e-5."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    pdf = REGISTRY["ev24_retention_halflife"].fn(spark, SF_MED).toPandas()
+    assert len(pdf) > 0
+    cells = duckdb.connect().execute(
+        f"""WITH f AS (SELECT user_id, ts,
+                min(ts) OVER (PARTITION BY user_id) AS first_ts
+                FROM '{SF_MED}/events.parquet')
+            SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') cw,
+                   CAST(date_diff('day', date_trunc('week', first_ts),
+                                  date_trunc('week', ts)) // 7 AS INT) k,
+                   count(DISTINCT user_id) a
+            FROM f GROUP BY 1, 2"""
+    ).df()
+    for row in pdf.itertuples():
+        g = cells[cells.cw == row.cohort_week]
+        size = int(g[g.k == 0].a.iloc[0])
+        pts = g[(g.k >= 1) & (g.a > 0)]
+        xs = pts.k.astype(float).to_numpy()
+        ys = np.array(
+            [round(math.log(a / size) * 1e6) / 1e6 for a in pts.a]
+        )
+        b = np.polyfit(xs, ys, 1)[0]
+        assert abs(row.slope - b) < 1e-5, (row.cohort_week, row.slope, b)
+        if row.slope < 0:
+            assert abs(row.half_life_weeks - (-math.log(2) / b)) < 1e-3

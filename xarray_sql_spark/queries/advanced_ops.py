@@ -3606,3 +3606,150 @@ def hh05_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- ev24: cohort retention half-life fit ------------------------------------
+# The model-fitting verb on top of ev08's matrix: per cohort, fit
+# ln(retention) = a + b * week by closed-form least squares and report
+# the decay half-life. Determinism is engineered, not assumed: each
+# cell's ln(retention) lands on the 1e-6 grid as a BIGINT micro value
+# FIRST, so every least-squares sum (Sx, Sy, Sxy, Sxx) is exact integer
+# arithmetic; the slope is ONE division of two exact integers and ln(2)
+# enters as a shared 15-digit literal — no libm call and no
+# summation-order dependence anywhere in the fit.
+_EV24_LN2 = "0.693147180559945"
+_EV24_MIN_POINTS = 3
+
+
+@query(
+    "ev24_retention_halflife",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ),
+    cells AS (
+        SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', date_trunc('week', first_ts),
+                              date_trunc('week', ts)) // 7 AS INT) AS k,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active
+        FROM f GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT cohort_week, active AS cohort_size FROM cells WHERE k = 0
+    ),
+    pts AS (
+        SELECT c.cohort_week, c.k,
+               CAST(round(ln(CAST(c.active AS DOUBLE) / b.cohort_size)
+                          * 1000000, 0) AS BIGINT) AS y_micro
+        FROM cells c JOIN base b USING (cohort_week)
+        WHERE c.k >= 1 AND c.active > 0
+    ),
+    fit AS (
+        SELECT cohort_week,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sx,
+               CAST(sum(CAST(k AS BIGINT) * k) AS BIGINT) AS sxx,
+               CAST(sum(y_micro) AS BIGINT) AS sy,
+               CAST(sum(k * y_micro) AS BIGINT) AS sxy
+        FROM pts GROUP BY cohort_week
+    )
+    SELECT f.cohort_week, b.cohort_size, f.n AS n_points,
+           round(CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                 / (CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE) * 1000000), 6)
+               AS slope,
+           CASE WHEN f.n * f.sxy - f.sx * f.sy < 0 THEN
+               round({_EV24_LN2}
+                     * (CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE) * 1000000)
+                     / -CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE), 6)
+           ELSE NULL END AS half_life_weeks
+    FROM fit f JOIN base b USING (cohort_week)
+    WHERE f.n >= {_EV24_MIN_POINTS} AND f.n * f.sxx - f.sx * f.sx <> 0
+    ORDER BY cohort_week
+    """,
+    tags=("events", "cohort", "fitting", "pipeline"),
+)
+def ev24_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort exponential-decay fit over the ev08 retention matrix:
+    closed-form log-linear least squares, slope and half-life in weeks.
+    The growth-analytics number a dashboard quotes ("this cohort halves
+    every N weeks") — and the integer-scaling trick makes the whole fit
+    bit-deterministic: ln(retention) is micro-gridded per CELL, the four
+    least-squares sums are exact BIGINT arithmetic, and the slope is a
+    single division of two exact integers (ln(2) is a shared literal).
+    Cohorts whose retention does not decay (slope >= 0) emit a NULL
+    half-life rather than a negative one.
+
+    Scale: ev08's shape (one user_id shuffle + tiny (cohort, week)
+    count-distinct) plus a fit that aggregates <= a handful of points
+    per cohort — the fit stage is dimension-sized forever."""
+    e = table(spark, sf_dir, "events")
+    first_ts = F.min("ts").over(W.partitionBy("user_id"))
+    cells = (
+        e.select(
+            F.date_format(F.date_trunc("week", first_ts), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.date_trunc("week", first_ts).cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("k"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "k")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active"))
+    )
+    base = cells.filter(F.col("k") == 0).select(
+        "cohort_week", F.col("active").alias("cohort_size")
+    )
+    pts = (
+        cells.join(base, "cohort_week")
+        .filter((F.col("k") >= 1) & (F.col("active") > 0))
+        .select(
+            "cohort_week",
+            "k",
+            F.round(
+                F.log(F.col("active").cast("double") / F.col("cohort_size"))
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("y_micro"),
+        )
+    )
+    fit = pts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sx"),
+        F.sum(F.col("k").cast("bigint") * F.col("k")).cast("bigint").alias("sxx"),
+        F.sum("y_micro").cast("bigint").alias("sy"),
+        F.sum(F.col("k") * F.col("y_micro")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        fit.join(base, "cohort_week")
+        .filter((F.col("n") >= _EV24_MIN_POINTS) & (den != 0))
+        .select(
+            "cohort_week",
+            "cohort_size",
+            F.col("n").alias("n_points"),
+            F.round(
+                num.cast("double") / (den.cast("double") * 1000000), 6
+            ).alias("slope"),
+            F.when(
+                num < 0,
+                F.round(
+                    F.expr(_EV24_LN2)
+                    * (den.cast("double") * 1000000)
+                    / -num.cast("double"),
+                    6,
+                ),
+            ).alias("half_life_weeks"),
+        )
+        .orderBy("cohort_week")
+    )

@@ -5605,3 +5605,118 @@ def ev23_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"pct_{d}s")
         )
     return y.agg(*aggs)
+
+
+# --- ts23: language-ID calibration curve -------------------------------------
+# The model-eval artifact next to ts02's confusion matrix: bucket
+# predictions by CONFIDENCE (the integer margin between the best and
+# second-best marker scores) and report accuracy per bucket — the
+# reliability-diagram data that decides where to set the lang-ID
+# acceptance threshold. Everything before the final accuracy ratio is
+# exact integer arithmetic.
+_TS23_MAX_BUCKET = 4
+
+
+@query(
+    "ts23_langid_calibration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_marker_sql('en')} AS s_en, {_marker_sql('de')} AS s_de,
+               {_marker_sql('es')} AS s_es, {_marker_sql('fr')} AS s_fr,
+               {_marker_sql('zh')} AS s_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE
+                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh'
+               END AS predicted,
+               list_sort([s_en, s_de, s_es, s_fr, s_zh])[5]
+               - list_sort([s_en, s_de, s_es, s_fr, s_zh])[4] AS margin
+        FROM scored
+    )
+    SELECT CAST(least(margin, {_TS23_MAX_BUCKET}) AS INT) AS margin_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS accuracy
+    FROM pred
+    GROUP BY margin_bucket ORDER BY margin_bucket
+    """,
+    tags=("text", "langid", "calibration", "pipeline"),
+)
+def ts23_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data for ts02's marker lang-ID: per integer
+    confidence margin (winner minus runner-up marker count, capped at
+    {cap}+) the doc count and accuracy against the ground-truth lang
+    column. The artifact that turns a classifier into a THRESHOLD — keep
+    predictions above the margin where accuracy clears the pipeline's
+    bar, route the rest to the fallback model. Margin, bucket, and
+    correctness are exact integers; only the final per-bucket ratio is
+    a (rounded) double.
+
+    Scale: one map pass scores five marker counts per doc (array
+    filters, no explode), the rollup groups <= 5 buckets with
+    map-side combine. Tie-breaks inherit ts02's fixed CASE order, so
+    predicted labels are bit-identical to the confusion matrix's."""
+    d = table(spark, sf_dir, "documents")
+    cols = {}
+    for lg, words in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols[lg] = F.size(
+            F.filter(F.split("text", " "), lambda x: F.array_contains(arr, x))
+        )
+    scored = d.select(
+        "lang", *[v.alias(f"s_{lg}") for lg, v in cols.items()]
+    )
+    predicted = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") >= F.col("s_zh")),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_zh")),
+            F.lit("es"),
+        )
+        .when(F.col("s_fr") >= F.col("s_zh"), F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+    ss = F.sort_array(
+        F.array("s_en", "s_de", "s_es", "s_fr", "s_zh")
+    )
+    pred = scored.select(
+        "lang",
+        predicted.alias("predicted"),
+        (F.element_at(ss, 5) - F.element_at(ss, 4)).alias("margin"),
+    )
+    correct = (F.col("predicted") == F.col("lang")).cast("long")
+    return (
+        pred.groupBy(
+            F.least("margin", F.lit(_TS23_MAX_BUCKET))
+            .cast("int")
+            .alias("margin_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.round(F.sum(correct).cast("double") / F.count("*"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("margin_bucket")
+    )
