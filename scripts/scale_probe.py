@@ -68,7 +68,10 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # decayed heavy hitters (dyadic weights)
                  "ss16_hybrid_rrf", "ts22_pmi_collocations",
                  "ev23_watermark_audit", "sk05_skew_report",
-                 "hh05_decayed_heavy_hitters"]
+                 "hh05_decayed_heavy_hitters",
+                 # calibration + closed-form fit (both dimension-sized
+                 # after one fact pass)
+                 "ts23_langid_calibration", "ev24_retention_halflife"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

@@ -557,3 +557,20 @@ def test_ev24_halflife_matches_numpy_polyfit(spark):
         assert abs(row.slope - b) < 1e-5, (row.cohort_week, row.slope, b)
         if row.slope < 0:
             assert abs(row.half_life_weeks - (-math.log(2) / b)) < 1e-3
+
+
+def test_io13_ledger_is_exactly_once_on_hostile_content(spark, tmp_path):
+    """Waves must partition the corpus exactly (no double-ingest, no
+    gap) even when file contents are hostile; the docs-only oracle
+    compare regenerates both waves from the parity rule."""
+    from tests.test_pipeline_semantics import _write_documents
+
+    texts = ['a "quoted" doc', "newline\nin body", "", "café ​", "plain", "x y z"]
+    sf = _write_documents(tmp_path, texts)
+    spec = REGISTRY["io13_ingest_manifest"]
+    pdf = spec.fn(spark, sf).toPandas()
+    assert list(pdf.wave) == [1, 2]
+    # the empty doc cannot ride the blob path (zero-length files get no
+    # file split — the documented boundary); all others partition 1/2
+    assert pdf.n_files.sum() == len(texts) - 1
+    _compare_docs_only(spec.fn(spark, sf), spec.oracle, sf)

@@ -826,3 +826,121 @@ def io12_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- io13: incremental ingest with a manifest ledger --------------------------
+# File-level exactly-once: blobs arrive in waves; each ingest run lists
+# the landing dir, ANTI-JOINS against the manifest of what was already
+# ingested, and processes only the new files. The fixture lands wave 1
+# (even doc_ids), snapshots the manifest, lands wave 2 (odd doc_ids),
+# re-lists — and the oracle regenerates both waves from the parity rule,
+# so a hash match proves the ledger skipped every wave-1 file and missed
+# no wave-2 file (a double-ingest or a gap flips a wave's xor digest).
+
+
+@query(
+    "io13_ingest_manifest",
+    oracle="""
+    SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS wave,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(bit_xor(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT)
+               AS BIGINT) AS xor_digest
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("io", "ingest", "manifest", "exactly-once"),
+    bench=False,  # I/O fixture: proves the ledger path, not throughput
+)
+def io13_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-gated incremental ingest: run 1 ingests the landing dir
+    and records (path, length) in the manifest; run 2, after more files
+    arrive, lists again and processes ONLY the anti-join of the listing
+    against the manifest. Per-wave xor digests over md5(doc_id:text)
+    are the exactly-once pins — re-ingesting a wave-1 file in run 2
+    (or missing a new file) flips a digest against the oracle's
+    parity-rule regeneration.
+
+    Scale: the manifest is (path, length) — file-count-sized, orders
+    below the data; the anti-join keys on path (broadcast the manifest
+    while it fits, shuffle-join beyond); content is only read for files
+    that SURVIVE the anti-join, because binaryFile's content column is
+    lazily scanned per matched file. This is the idempotent-retry
+    contract object stores force on every long-running ingest.
+
+    Format boundary (verified empirically, pinned in
+    tests/test_round12b_ops.py): Spark's file-split planner generates
+    NO split for a zero-length file, so an empty document cannot ride
+    the one-file-per-object blob path at all — both sides exclude
+    empty texts (a production landing zone writes a tombstone or a
+    metadata row for them instead)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.octet_length("text") > 0)
+    )
+    root = os.path.join(
+        _IO_DIR, f"ledger-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    def _land(flt):
+        def _w(batches):
+            import pandas as pd
+
+            n = 0
+            for pdf in batches:
+                for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                    if flt(int(did)):
+                        with open(
+                            os.path.join(root, f"doc_{int(did)}.bin"), "wb"
+                        ) as f:
+                            f.write(str(txt).encode("utf-8"))
+                        n += 1
+            yield pd.DataFrame({"n": [n]})
+
+        return _w
+
+    def _ingest(df):
+        return df.selectExpr(
+            "CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.bin$', 1) AS BIGINT)"
+            " AS doc_id",
+            "content",
+        ).selectExpr(
+            "doc_id",
+            "octet_length(content) AS nbytes",
+            "cast(conv(substring(md5(concat(cast(doc_id as string), ':',"
+            " cast(content as string))), 1, 15), 16, 10) as bigint)"
+            " AS digest",
+        )
+
+    # wave 1 lands, run 1 ingests everything it sees and keeps a manifest
+    d.mapInPandas(_land(lambda i: i % 2 == 0), "n long").collect()
+    listing1 = spark.read.format("binaryFile").load(root).select("path", "content")
+    run1 = _ingest(listing1).withColumn("wave", F.lit(1))
+    manifest = listing1.select("path")  # (path, length) in production
+    manifest_rows = manifest.collect()  # file-count-sized ledger snapshot
+    m1 = spark.createDataFrame(manifest_rows, "path string")
+
+    # wave 2 lands; run 2 lists again and ingests ONLY the anti-join
+    d.mapInPandas(_land(lambda i: i % 2 == 1), "n long").collect()
+    listing2 = spark.read.format("binaryFile").load(root).select("path", "content")
+    run2 = (
+        _ingest(listing2.join(F.broadcast(m1), "path", "left_anti"))
+        .withColumn("wave", F.lit(2))
+    )
+    return (
+        run1.unionByName(run2)
+        .groupBy(F.col("wave").cast("int").alias("wave"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("nbytes").cast("bigint").alias("sum_bytes"),
+            F.expr("bit_xor(digest)").cast("bigint").alias("xor_digest"),
+        )
+        .orderBy("wave")
+    )
