@@ -947,3 +947,41 @@ def test_unicode_clean_stream_matches_batch_exactly(spark):
     ]
     assert got == want
     assert len(got) > 0
+
+
+def test_decayed_mass_stream_equals_batch_exactly(spark):
+    """hh05's twin: per-user decayed mass accumulated across micro-batch
+    boundaries must equal the batch aggregate BIT-FOR-BIT (the dyadic
+    weights are exact powers of two, so no tolerance is needed), and the
+    implied top-k ranking must match hh05's."""
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.session import table as _table
+    import pyspark.sql.functions as F
+
+    d0 = (
+        _table(spark, SF_SMALL, "events")
+        .agg(F.max(F.to_date("ts")).alias("d0"))
+        .collect()[0]["d0"]
+        .isoformat()
+    )
+    out = se.run_to_memory(
+        se.decayed_mass_stream(se.events_stream(spark, SF_SMALL), d0),
+        "t_decayed_mass",
+        output_mode="update",
+    )
+    pdf = out.toPandas()
+    # update mode emits one row per user per touched batch: keep the
+    # final (largest n_events) row per user
+    final = (
+        pdf.sort_values(["user_id", "n_events"]).groupby("user_id").tail(1)
+    )
+    batch = (
+        REGISTRY["hh05_decayed_heavy_hitters"].fn(spark, SF_SMALL).toPandas()
+    )
+    got = {
+        int(r.user_id): (int(r.n_events), round(float(r.decayed), 6))
+        for r in final.itertuples()
+    }
+    for r in batch.itertuples():  # top-20 rows, exact equality
+        assert got[int(r.user_id)] == (int(r.n_events), float(r.decayed)), r
+    assert len(batch) > 0

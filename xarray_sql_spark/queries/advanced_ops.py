@@ -3579,9 +3579,10 @@ def hh05_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the reference date is one 1-row aggregate broadcast (ts10's
     allowlisted normalizer contract); weighting is map-only; the
     per-user sum map-side combines; top-k is one TakeOrdered over the
-    user aggregate. The streaming twin of this shape is the
-    user_running_stats state store with a bucket-shift on half-life
-    boundaries — same dyadic weights, same exactness argument."""
+    user aggregate. Streaming twin: decayed_mass_stream
+    (streaming/events.py) — frozen decay origin, applyInPandasWithState
+    per-user sums; the dyadic weights make stream state equal the batch
+    aggregate BIT-FOR-BIT across any micro-batch split (test-pinned)."""
     e = table(spark, sf_dir, "events")
     ref = e.agg(F.max(F.to_date("ts")).alias("d0"))
     w = e.crossJoin(F.broadcast(ref)).selectExpr(

@@ -1145,3 +1145,55 @@ def unicode_clean_stream(stream) -> "DataFrame":
     from xarray_sql_spark.queries.pipeline_ops import ts21_project
 
     return ts21_project(stream)
+
+
+# --- streaming decayed event mass (hh05's twin) ------------------------------
+_DECAY_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("decayed", DoubleType()),
+    ]
+)
+_DECAY_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def _decay_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["wt"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "decayed": [s]}
+    )
+
+
+def decayed_mass_stream(stream: DataFrame, d0: str) -> DataFrame:
+    """hh05's twin: per-user exponentially time-decayed event mass on a
+    stream, with the decay origin ``d0`` FROZEN offline (the ts20
+    train-offline/serve-frozen contract — a live deployment re-anchors
+    d0 per day and rescales state by a power of two, which is exact).
+    Because each event's weight is 2^-(age DIV halflife) — a power of
+    two — the per-user running sum is EXACT dyadic arithmetic: any
+    micro-batch boundary produces the identical double, so stream state
+    equals the batch aggregate bit-for-bit, not approximately."""
+    from xarray_sql_spark.queries.advanced_ops import _HH05_HALFLIFE_DAYS
+
+    w = stream.selectExpr(
+        "user_id",
+        f"CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(least(datediff(DATE'{d0}', to_date(ts))"
+        f" DIV {_HH05_HALFLIFE_DAYS}, 62) AS INT)) AS DOUBLE) AS wt",
+    )
+    return w.groupBy("user_id").applyInPandasWithState(
+        _decay_fn,
+        outputStructType=_DECAY_OUT_SCHEMA,
+        stateStructType=_DECAY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
