@@ -71,7 +71,9 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "hh05_decayed_heavy_hitters",
                  # calibration + closed-form fit (both dimension-sized
                  # after one fact pass)
-                 "ts23_langid_calibration", "ev24_retention_halflife"]
+                 "ts23_langid_calibration", "ev24_retention_halflife",
+                 # KN-smoothed bigram LM (ts15's join shape, KN math)
+                 "ts24_kneser_ney_surprisal"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

@@ -574,3 +574,56 @@ def test_io13_ledger_is_exactly_once_on_hostile_content(spark, tmp_path):
     # file split — the documented boundary); all others partition 1/2
     assert pdf.n_files.sum() == len(texts) - 1
     _compare_docs_only(spec.fn(spark, sf), spec.oracle, sf)
+
+
+# --- ts24 ---------------------------------------------------------------------
+
+
+def test_ts24_kn_matches_independent_python_model(spark, tmp_path):
+    """Recompute interpolated KN (d=0.75) in plain Python over a small
+    planted corpus and require per-doc agreement to the 1e-6 grid —
+    pinning the smoothing arithmetic against a third implementation,
+    and checking KN's defining continuation behavior: a word seen often
+    but only in ONE context gets a lower continuation share than a
+    word seen in many contexts."""
+    import math
+    from collections import Counter, defaultdict
+
+    from tests.test_pipeline_semantics import _write_documents
+
+    texts = [
+        "san francisco is big",
+        "san francisco bay",
+        "the city is big",
+        "the bay is cold",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    pdf = REGISTRY["ts24_kneser_ney_surprisal"].fn(spark, sf).toPandas()
+    c2: Counter = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+    cv: dict = defaultdict(int)
+    n1p_left: dict = defaultdict(int)
+    n1p_right: dict = defaultdict(int)
+    for (a, b), c in c2.items():
+        cv[a] += c
+        n1p_left[a] += 1
+        n1p_right[b] += 1
+    nbt = len(c2)
+
+    def p_kn(a, b):
+        return max(c2[(a, b)] - 0.75, 0.0) / cv[a] + (
+            0.75 * n1p_left[a] / cv[a]
+        ) * (n1p_right[b] / nbt)
+
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        micros = [round(-math.log(p_kn(a, b)) * 1e6) for a, b in zip(ws, ws[1:])]
+        want = round(sum(micros) / (len(micros) * 1e6), 6)
+        got = float(pdf[pdf.doc_id == i].kn_surprisal.iloc[0])
+        assert abs(got - want) < 1e-9, (i, got, want)
+    # continuation behavior: "francisco" completes only 1 context;
+    # "is" completes 2 -> francisco's continuation share is lower
+    assert n1p_right["francisco"] < n1p_right["is"]

@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "over the counts-of-counts histogram (all dimension-sized)",
     "hh05_decayed_heavy_hitters": "1-row reference-date broadcast "
     "(corpus-relative decay origin, ts10's contract)",
+    "ts24_kneser_ney_surprisal": "1-row bigram-type-total broadcast "
+    "(the KN continuation normalizer, ts10's contract)",
     "ts16_zipf_fit": "1-row moment-sum x 1-row vocab-count cross (both "
     "sides single-row aggregates)",
     "ev21_rfm_segments": "1-row corpus-max-day anchor broadcast (the "

@@ -5720,3 +5720,122 @@ def ts23_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("margin_bucket")
     )
+
+
+# --- ts24: Kneser-Ney-smoothed bigram surprisal -------------------------------
+# ts10/ts15 are add-nothing MLE models; the LM real pipelines run (CCNet's
+# KenLM) is Kneser-Ney: absolute discounting plus a CONTINUATION-count
+# backoff ("how many contexts has this word completed" rather than "how
+# often has it occurred"). Interpolated bigram KN with d = 0.75 (exactly
+# binary-representable):
+#   P(w|v) = max(c(vw) - d, 0)/c(v) + (d * n1p_left(v)/c(v)) * Pcont(w)
+#   Pcont(w) = n1p_right(w) / n_distinct_bigrams
+# Every input is an integer count; each per-bigram -ln(P) lands on the
+# 1e-6 grid as a BIGINT micro value, so the per-doc mean is ONE division
+# of exact integers — no summation-order dependence (the ev24 trick).
+
+
+@query(
+    "ts24_kneser_ney_surprisal",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] AS v, ws[i+1] AS nxt
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+    ),
+    c2 AS (SELECT v, nxt, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY v, nxt),
+    c1 AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+                  CAST(count(*) AS BIGINT) AS n1p_left
+           FROM c2 GROUP BY v),
+    cr AS (SELECT nxt, CAST(count(*) AS BIGINT) AS n1p_right
+           FROM c2 GROUP BY nxt),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM c2),
+    model AS (
+        SELECT c2.v, c2.nxt,
+               CAST(round(-ln(
+                   greatest(CAST(c2.c AS DOUBLE) - 0.75, 0.0) / c1.cv
+                   + (0.75 * c1.n1p_left / c1.cv)
+                     * (CAST(cr.n1p_right AS DOUBLE) / nb.n_bigram_types)
+               ) * 1000000, 0) AS BIGINT) AS s_micro
+        FROM c2
+        JOIN c1 ON c1.v = c2.v
+        JOIN cr ON cr.nxt = c2.nxt
+        CROSS JOIN nb
+    )
+    SELECT CAST(bg.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(m.s_micro) AS DOUBLE) / (count(*) * 1000000), 6)
+               AS kn_surprisal
+    FROM bg JOIN model m ON m.v = bg.v AND m.nxt = bg.nxt
+    GROUP BY bg.doc_id ORDER BY doc_id
+    """,
+    tags=("text", "lm", "kneser-ney", "pipeline"),
+)
+def ts24_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under an interpolated Kneser-Ney bigram LM
+    (d = 0.75, exactly representable) — the smoothing family the CCNet
+    perplexity stage actually uses, where ts10/ts15 are unsmoothed MLE.
+    Continuation counts (how many distinct contexts a word completes)
+    drive the backoff, the property that makes KN rank "francisco"
+    unlikely outside "san francisco" where raw frequency cannot.
+
+    Engine agreement is engineered: the model probability is computed
+    in ONE spelled-identically expression over exact integer counts,
+    each bigram's -ln(P) is micro-gridded to BIGINT, and the per-doc
+    mean is a single division of two exact integers (ev24's
+    discipline) — no double summation anywhere.
+
+    Scale: three map-side-combined count aggregates over bigram types
+    (Heaps-sublinear in corpus size), one broadcastable 1-row total,
+    and a per-doc score that equi-joins doc bigrams to the model on
+    (v, next) — ts15's join shape with KN arithmetic in place of MLE."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS v,"
+                " element_at(ws, CAST(i + 1 AS INT)) AS nxt))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.v").alias("v"), F.col("b.nxt").alias("nxt"))
+    c2 = bg.groupBy("v", "nxt").agg(F.count("*").cast("bigint").alias("c"))
+    c1 = c2.groupBy("v").agg(
+        F.sum("c").cast("bigint").alias("cv"),
+        F.count("*").cast("bigint").alias("n1p_left"),
+    )
+    cr = c2.groupBy("nxt").agg(F.count("*").cast("bigint").alias("n1p_right"))
+    nb = c2.agg(F.count("*").cast("bigint").alias("n_bigram_types"))
+    model = (
+        c2.join(c1, "v")
+        .join(cr, "nxt")
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "v",
+            "nxt",
+            "CAST(round(-ln("
+            " greatest(CAST(c AS DOUBLE) - 0.75D, 0.0D) / cv"
+            " + (0.75D * n1p_left / cv)"
+            "   * (CAST(n1p_right AS DOUBLE) / n_bigram_types)"
+            ") * 1000000, 0) AS BIGINT) AS s_micro",
+        )
+    )
+    return (
+        bg.join(model, ["v", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("s_micro").cast("double")
+                / (F.count("*") * F.lit(1000000)),
+                6,
+            ).alias("kn_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
