@@ -73,7 +73,9 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # after one fact pass)
                  "ts23_langid_calibration", "ev24_retention_halflife",
                  # KN-smoothed bigram LM (ts15's join shape, KN math)
-                 "ts24_kneser_ney_surprisal"]
+                 "ts24_kneser_ney_surprisal",
+                 # DSIR importance selection (64-bucket models broadcast)
+                 "pl21_dsir_selection"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

@@ -627,3 +627,68 @@ def test_ts24_kn_matches_independent_python_model(spark, tmp_path):
     # continuation behavior: "francisco" completes only 1 context;
     # "is" completes 2 -> francisco's continuation share is lower
     assert n1p_right["francisco"] < n1p_right["is"]
+
+
+# --- pl21 ---------------------------------------------------------------------
+
+
+def test_pl21_importance_prefers_the_target_domain(spark):
+    """DSIR's defining behavior: documents from the target domain (en)
+    must be over-represented in the selected quarter relative to their
+    corpus share, and selection must be exactly the top quarter by
+    (score, doc_id)."""
+    pdf = REGISTRY["pl21_dsir_selection"].fn(spark, SF_MED).toPandas()
+    n = len(pdf)
+    kept = pdf[pdf.selected == 1]
+    assert len(kept) == -(-n // 4)  # ceil(n/4)
+    en_share_corpus = (pdf.lang == "en").mean()
+    en_share_kept = (kept.lang == "en").mean()
+    assert en_share_kept > en_share_corpus  # target domain up-weighted
+    # the keep set is exactly the score-ranked head
+    srt = pdf.sort_values(["dsir_micro", "doc_id"], ascending=[False, True])
+    assert set(srt.head(len(kept)).doc_id) == set(kept.doc_id)
+
+
+def test_pl21_scores_match_independent_python(spark, tmp_path):
+    """Recompute the hashed-bigram importance model in plain Python on a
+    planted two-domain corpus and require exact integer agreement."""
+    import hashlib as _h
+    import math
+    from collections import Counter
+
+    from tests.test_pipeline_semantics import _write_documents
+
+    tgt = [f"good clean prose {i} sample" for i in range(4)]
+    raw = [f"spam spam buy {i} now" for i in range(4)]
+    sf = _write_documents(
+        tmp_path, tgt + raw, langs=["en"] * 4 + ["de"] * 4
+    )
+    pdf = REGISTRY["pl21_dsir_selection"].fn(spark, sf).toPandas()
+
+    def bucket(b):
+        return int(_h.md5(b.encode()).hexdigest()[:15], 16) % 64
+
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    feats = {}
+    for i, t in enumerate(tgt + raw):
+        ws = t.split(" ")
+        ks = [bucket(f"{a} {b}") for a, b in zip(ws, ws[1:])]
+        feats[i] = ks
+        for k in ks:
+            cr[k] += 1
+            if i < 4:
+                ct[k] += 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    smicro = {
+        k: round(
+            math.log(((ct[k] + 1) / (tt + 64)) / ((cr[k] + 1) / (tr + 64)))
+            * 1e6
+        )
+        for k in range(64)
+    }
+    for row in pdf.itertuples():
+        want = sum(smicro[k] for k in feats[int(row.doc_id)])
+        assert int(row.dsir_micro) == want, (row.doc_id, row.dsir_micro, want)
+    # target-domain docs score above spam docs
+    assert pdf[pdf.lang == "en"].dsir_micro.min() > pdf[pdf.lang == "de"].dsir_micro.max()

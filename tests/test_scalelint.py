@@ -58,6 +58,8 @@ BNLJ_ALLOWED = {
     "(corpus-relative decay origin, ts10's contract)",
     "ts24_kneser_ney_surprisal": "1-row bigram-type-total broadcast "
     "(the KN continuation normalizer, ts10's contract)",
+    "pl21_dsir_selection": "1-row model-total and doc-count broadcasts "
+    "plus the 64-row score-table broadcast (all dimension-sized)",
     "ts16_zipf_fit": "1-row moment-sum x 1-row vocab-count cross (both "
     "sides single-row aggregates)",
     "ev21_rfm_segments": "1-row corpus-max-day anchor broadcast (the "

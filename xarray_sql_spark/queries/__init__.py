@@ -40,9 +40,9 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # Everything displaced was hash-green in r9 on code paths unchanged this
 # round and stays covered by the local full-registry pytest sweep.
 # Round-12 window (computed by scripts/next_window.py): the seven NEW
-# operators of the early round-12 block plus the sixteen late additions
+# operators of the early round-12 block plus the seventeen late additions
 # (ts21/io12/gr04/pl19/hh04/pl20/ss16/dd17/ts22/ev23/sk05/hh05/
-# ts23/ev24/io13/ts24) first, then every query whose code or shared oracle
+# ts23/ev24/io13/ts24/pl21) first, then every query whose code or shared oracle
 # CTE changed this round (the BPE b{i} no-op padding flows into all
 # five bpe-sharing queries), then the oldest-proof fill (the r6-era
 # block).
@@ -54,16 +54,16 @@ _PRIORITY = (
     "pl20_epoch_shuffle ss16_hybrid_rrf dd17_containment_neardup "
     "ts22_pmi_collocations ev23_watermark_audit sk05_skew_report "
     "hh05_decayed_heavy_hitters ts23_langid_calibration ev24_retention_halflife "
-    "io13_ingest_manifest ts24_kneser_ney_surprisal ts19_bpe_tokenize "
-    "pl08_sequence_packing pl10_repetition_mixing ts13_token_budget_fill "
-    "pl16_shard_materialize ss15_multiprobe_ann dd05_simhash "
-    "ts03_regex_tokens dd06_rolling_fingerprint ts04_tfidf_terms "
-    "mm03_feature_extract gq01_grid_climatology gq03_cftime_360day "
-    "gq04_nan_null_semantics gq05_grid_zonal_bands gq06_grid_anomaly_selfjoin "
-    "gq07_zorder_layout gq11_grid_ndvi gq12_grid_zonal_mean "
-    "gq13_grid_warp dd07_semantic_dedup ss08_knn_classify_ivf "
-    "q41_recursive_cte_spine ts08_rare_trigram_score q42_map_funcs "
-    "pl07_mixture_quotas ts07_pii_redact "
+    "io13_ingest_manifest ts24_kneser_ney_surprisal pl21_dsir_selection "
+    "ts19_bpe_tokenize pl08_sequence_packing pl10_repetition_mixing "
+    "ts13_token_budget_fill pl16_shard_materialize ss15_multiprobe_ann "
+    "dd05_simhash ts03_regex_tokens dd06_rolling_fingerprint "
+    "ts04_tfidf_terms mm03_feature_extract gq01_grid_climatology "
+    "gq03_cftime_360day gq04_nan_null_semantics gq05_grid_zonal_bands "
+    "gq06_grid_anomaly_selfjoin gq07_zorder_layout gq11_grid_ndvi "
+    "gq12_grid_zonal_mean gq13_grid_warp dd07_semantic_dedup "
+    "ss08_knn_classify_ivf q41_recursive_cte_spine ts08_rare_trigram_score "
+    "q42_map_funcs pl07_mixture_quotas "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402

@@ -5839,3 +5839,148 @@ def ts24_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- pl21: DSIR-style importance-resampled data selection --------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): weight each
+# raw document by how target-like its hashed n-gram distribution is —
+# w(x) = prod_k p_target(k)/p_raw(k) over the doc's hashed bigram
+# features — and keep the top quantile. The fixture's target domain is
+# the lang='en' slice (a documented proxy; production points this at a
+# curated reference corpus). Both hashed-bigram models use +1 smoothing
+# over the 64-bucket feature space, the per-bucket log-ratio is
+# micro-gridded to BIGINT once (64 rows), and each doc's importance is
+# an exact integer sum of bucket scores — ev24's no-double-summation
+# discipline end to end.
+_PL21_KEEP_NUM, _PL21_KEEP_DEN = 1, 4  # keep the top quarter
+
+
+@query(
+    "pl21_dsir_selection",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               {_TS20_BUCKET_DUCK.format(w="ws[i] || ' ' || ws[i+1]")} AS k
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+    ),
+    ct AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM bg
+           WHERE lang = 'en' GROUP BY k),
+    cr AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY k),
+    tot AS (
+        SELECT (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) FROM ct) AS tt,
+               (SELECT CAST(sum(c) AS BIGINT) FROM cr) AS tr
+    ),
+    buckets AS (SELECT unnest(range(0, {_TS20_V})) AS k),
+    model AS (
+        SELECT b.k,
+               CAST(round(ln(
+                   (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) / (tot.tt + {_TS20_V}))
+                   / (CAST(COALESCE(cr.c, 0) + 1 AS DOUBLE) / (tot.tr + {_TS20_V}))
+               ) * 1000000, 0) AS BIGINT) AS s_micro
+        FROM buckets b
+        LEFT JOIN ct ON ct.k = b.k
+        LEFT JOIN cr ON cr.k = b.k
+        CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT bg.doc_id, bg.lang,
+               CAST(count(*) AS BIGINT) AS n_features,
+               CAST(sum(m.s_micro) AS BIGINT) AS dsir_micro
+        FROM bg JOIN model m ON m.k = bg.k
+        GROUP BY bg.doc_id, bg.lang
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS rk,
+               CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_docs
+        FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_features, dsir_micro,
+           CAST(CASE WHEN rk <= (n_docs * {_PL21_KEEP_NUM}
+                                 + {_PL21_KEEP_DEN} - 1) // {_PL21_KEEP_DEN}
+                     THEN 1 ELSE 0 END AS INT) AS selected
+    FROM ranked ORDER BY doc_id
+    """,
+    tags=("pipeline", "selection", "dsir", "importance"),
+)
+def pl21_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-doc importance = integer sum of
+    per-bucket ln(p_target/p_raw) micro scores over hashed word-bigram
+    features (64 buckets, ts20's hashing; +1 smoothing both models);
+    keep the top quarter by (importance, doc_id). The selection stage
+    BETWEEN heuristic gates (ts09) and trained classifiers (ts20):
+    no labels, no training loop — two count vectors and a log ratio.
+
+    Scale: both feature models are ONE map-side-combined count over a
+    64-key space; the 64-row score table is a broadcast join against
+    the doc-bigram stream; each doc's importance is an exact BIGINT
+    sum. The global rank here is the fixture's keep rule — at corpus
+    scale DSIR keeps by a QUANTILE THRESHOLD on the importance score
+    (one 1-row broadcast, the pl18 tertile contract) or samples
+    Gumbel-top-k per partition; the score pipeline is identical."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ',"
+                " element_at(ws, CAST(i + 1 AS INT))))"
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(_TS20_BUCKET_SPARK.format(w="b")).alias("k"),
+    )
+    ct = bg.filter(F.col("lang") == "en").groupBy("k").agg(
+        F.count("*").cast("bigint").alias("ct_c")
+    )
+    cr = bg.groupBy("k").agg(F.count("*").cast("bigint").alias("cr_c"))
+    tot = cr.join(ct, "k", "left").agg(
+        F.sum(F.coalesce("ct_c", F.lit(0))).cast("bigint").alias("tt"),
+        F.sum("cr_c").cast("bigint").alias("tr"),
+    )
+    buckets = spark.range(_TS20_V).select(F.col("id").cast("int").alias("k"))
+    model = (
+        buckets.join(ct, "k", "left")
+        .join(cr, "k", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "k",
+            f"CAST(round(ln("
+            f" (CAST(COALESCE(ct_c, 0) + 1 AS DOUBLE) / (tt + {_TS20_V}))"
+            f" / (CAST(COALESCE(cr_c, 0) + 1 AS DOUBLE) / (tr + {_TS20_V}))"
+            f") * 1000000, 0) AS BIGINT) AS s_micro",
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(model), "k")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.sum("s_micro").cast("bigint").alias("dsir_micro"),
+        )
+    )
+    n_docs = scored.agg(F.count("*").cast("bigint").alias("n_docs"))
+    ranked = scored.crossJoin(F.broadcast(n_docs)).withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("dsir_micro"), F.asc("doc_id")))
+    )
+    return (
+        ranked.selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "lang",
+            "n_features",
+            "dsir_micro",
+            f"CAST(IF(rk <= (n_docs * {_PL21_KEEP_NUM}"
+            f" + {_PL21_KEEP_DEN} - 1) DIV {_PL21_KEEP_DEN}, 1, 0) AS INT)"
+            " AS selected",
+        )
+        .orderBy("doc_id")
+    )
