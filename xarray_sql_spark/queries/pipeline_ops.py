@@ -47,6 +47,21 @@ def _word_ngrams(n: int):
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
+# Posting-list cap shared by the exact-verify near-dup stages (dd03, dd17):
+# a shingle appearing in more than this many documents (per language) is
+# boilerplate, carries no dedup signal, and — uncapped — turns the inverted-
+# index self-join quadratic in its posting length (10^6 docs sharing one
+# template line => 10^12 candidate pairs from that single bucket). Dropping
+# it BEFORE the join bounds every join bucket at cap^2 pairs, the same
+# discipline as cc01's _MAX_HOT hot-key routing. Both the Spark plan and the
+# DuckDB oracle apply the identical cap, and set sizes (n_sh) are recomputed
+# AFTER capping so Jaccard/containment denominators describe the same
+# filtered shingle universe as the intersections. 64 is far above any real
+# posting count in the synthetic corpus (max 14 at sf0.1), so the cap is
+# pure scale armor there; the planted mega-shingle tests exercise it.
+_DD_POSTING_CAP = 64
+
+
 # --- dedup: exact ----------------------------------------------------------
 @query(
     "dd01_exact_dedup",
@@ -112,7 +127,7 @@ def dd02_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup: n-gram Jaccard near-dup ---------------------------------------
 @query(
     "dd03_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -121,8 +136,18 @@ def dd02_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         string_split(text,' ')[i+2])) AS shingles
         FROM documents
     ),
+    ex0 AS (
+        SELECT doc_id, lang, unnest(shingles) AS shingle FROM sh
+    ),
+    capped AS (
+        SELECT doc_id, lang, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY lang, shingle) AS pc FROM ex0
+        ) WHERE pc <= {_DD_POSTING_CAP}
+    ),
     ex AS (
-        SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        SELECT doc_id, lang, shingle,
+               count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM capped
     ),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
@@ -142,9 +167,15 @@ def dd02_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup. Candidate generation is an equi-join on
     (shingle, lang) — an inverted index, NOT a cartesian product — followed by
-    a count-common aggregation. At 100 TB you'd cap posting-list length
-    (drop shingles appearing in >k docs) and band with MinHash first; this is
-    the exact verify stage of that pipeline."""
+    a count-common aggregation. Posting lists ARE capped in-plan: shingles
+    appearing in more than _DD_POSTING_CAP documents (per language) are
+    dropped before the self-join, bounding every join bucket at cap² pairs
+    (a boilerplate line shared by 10⁶ docs otherwise makes that one bucket
+    quadratic). The cap's window count shuffles on the SAME (lang, shingle)
+    key the join needs, so it adds no new partitioning; set sizes are
+    recomputed post-cap so Jaccard denominators match the capped universe.
+    In production MinHash bands (dd04) additionally gate which pairs reach
+    this exact verify stage."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
@@ -153,8 +184,18 @@ def dd03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.array_distinct(_word_ngrams(3)).alias("shingles"),
     )
-    ex = sh.select(
-        "doc_id", "lang", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    ex0 = sh.select(
+        "doc_id", "lang", F.explode("shingles").alias("shingle")
+    )
+    capped = (
+        ex0.withColumn(
+            "pc", F.count("*").over(W.partitionBy("lang", "shingle"))
+        )
+        .filter(F.col("pc") <= _DD_POSTING_CAP)
+        .drop("pc")
+    )
+    ex = capped.withColumn(
+        "n_sh", F.count("*").over(W.partitionBy("doc_id"))
     )
     a = ex.alias("a")
     b = ex.alias("b")
@@ -5279,9 +5320,18 @@ _DD17_THRESH = "0.2"
                         string_split(text,' ')[i+2])) AS shingles
         FROM documents
     ),
+    ex0 AS (
+        SELECT doc_id, lang, unnest(shingles) AS shingle FROM sh
+    ),
+    capped AS (
+        SELECT doc_id, lang, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY lang, shingle) AS pc FROM ex0
+        ) WHERE pc <= {_DD_POSTING_CAP}
+    ),
     ex AS (
-        SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle
-        FROM sh
+        SELECT doc_id, lang, shingle,
+               count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM capped
     ),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -5321,10 +5371,13 @@ def dd17_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep set is grid-stable cross-engine.
 
     Scale: identical to dd03 — candidate generation is the inverted-
-    index equi-join on (shingle, lang), never all-pairs; at 100 TB the
-    posting lists are capped and MinHash bands (dd04) gate which pairs
-    reach this exact verify stage. Containment adds zero new shuffles:
-    two extra divisions on the existing (na, nb, n_common) row."""
+    index equi-join on (shingle, lang), never all-pairs, and posting
+    lists are capped IN-PLAN at _DD_POSTING_CAP docs per (lang, shingle)
+    before the self-join (the cap's window count shares the join's
+    partitioning key; set sizes recomputed post-cap). MinHash bands
+    (dd04) gate which pairs reach this exact verify stage in production.
+    Containment adds zero new shuffles: two extra divisions on the
+    existing (na, nb, n_common) row."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
@@ -5344,9 +5397,18 @@ def dd17_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingles"),
     ).filter(F.size("w") >= 3)
-    ex = sh.select(
-        "doc_id", "lang", F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
+    ex0 = sh.select(
+        "doc_id", "lang", F.explode("shingles").alias("shingle")
+    )
+    capped = (
+        ex0.withColumn(
+            "pc", F.count("*").over(W.partitionBy("lang", "shingle"))
+        )
+        .filter(F.col("pc") <= _DD_POSTING_CAP)
+        .drop("pc")
+    )
+    ex = capped.withColumn(
+        "n_sh", F.count("*").over(W.partitionBy("doc_id"))
     )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
