@@ -84,3 +84,23 @@ def test_dd03_sizes_recomputed_post_cap(spark, tmp_path):
     assert (r.doc_a, r.doc_b) == (70, 71)
     # Shared post-cap: the 4 span-internal shingles (mega gram dropped).
     assert r.jaccard == pytest.approx(4 / (11 + 9 - 4), abs=1e-6)
+
+
+# --- pl17 exchange-count plan golden ------------------------------------------
+
+
+def test_pl17_windowed_counts_no_joinback(spark):
+    """r12 verdict item 4: the dup flags must be window counts over the
+    curl/tmd5 hash partitionings, not groupBy + join-back pairs. Pin the
+    plan: no shuffle join anywhere (the only join is the 1-row broadcast
+    total), and exactly four data-bearing hash exchanges — curl window,
+    tmd5 window, the countDistinct partial pair (domain, curl), and the
+    final domain rollup."""
+    from tests.conftest import SF_MED
+
+    df = REGISTRY["pl17_url_provenance"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 4, f"expected 4 hash exchanges, got {n_hash}:\n{plan}"
+    assert plan.count("Window") == 2  # curl count + tmd5 count
