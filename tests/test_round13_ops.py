@@ -104,3 +104,41 @@ def test_pl17_windowed_counts_no_joinback(spark):
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash == 4, f"expected 4 hash exchanges, got {n_hash}:\n{plan}"
     assert plan.count("Window") == 2  # curl count + tmd5 count
+
+
+# --- ts20 single-pass training ------------------------------------------------
+
+
+def test_ts20_single_pass_priors_count_empty_docs(spark, tmp_path):
+    """Training now recovers class priors from the SAME exploded pass as
+    the bucket counts (first-word marker rows; empty docs surface as a
+    null-word row). Priors must equal a direct doc-level recount — with
+    an empty document planted to exercise the posexplode_outer path."""
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _TS20_CACHE,
+        _ts20_base,
+        ts20_train,
+    )
+
+    texts = [
+        "fast merge join hash sort group",   # good-heavy
+        "slow scan row batch line part",     # bad-heavy
+        "",                                   # empty: null-word marker row
+        "fast slow alpha beta gamma",
+        "merge join slow scan delta",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    _TS20_CACHE.clear()
+    try:
+        iw, bias = ts20_train(spark, sf)
+        train = _ts20_base(spark, sf).filter("split = 'train'")
+        import math
+
+        rows = train.select("y").collect()
+        n_pos = sum(r.y for r in rows)
+        n_neg = len(rows) - n_pos
+        expect_bias = round(math.log((n_pos + 1) / float(n_neg + 1)) * 1e6)
+        assert bias == expect_bias
+        assert len(iw) == 64
+    finally:
+        _TS20_CACHE.clear()  # don't leak tmp-fixture weights to other tests

@@ -985,3 +985,31 @@ def test_decayed_mass_stream_equals_batch_exactly(spark):
     for r in batch.itertuples():  # top-20 rows, exact equality
         assert got[int(r.user_id)] == (int(r.n_events), float(r.decayed)), r
     assert len(batch) > 0
+
+
+def test_decayed_mass_stream_clamps_ahead_of_origin_events(spark):
+    """r12 ADVICE: an event NEWER than the frozen decay origin d0 must get
+    the freshest weight (1.0), not a mod-64-wrapped shift (Java shiftleft
+    with a negative count yields 2^-62-ish or negative weights). Anchor d0
+    two half-lives BEFORE every event: each weight is then exactly 1.0, so
+    per-user decayed mass must equal the event count bit-for-bit."""
+    import datetime
+
+    d0 = (
+        table(spark, SF_SMALL, "events")
+        .agg(F.min(F.to_date("ts")).alias("d"))
+        .collect()[0]["d"]
+        - datetime.timedelta(days=14)
+    ).isoformat()
+    out = se.run_to_memory(
+        se.decayed_mass_stream(se.events_stream(spark, SF_SMALL), d0),
+        "t_decay_clamp",
+        output_mode="update",
+    )
+    pdf = out.toPandas()
+    final = (
+        pdf.sort_values(["user_id", "n_events"]).groupby("user_id").tail(1)
+    )
+    assert len(final) > 0
+    for r in final.itertuples():
+        assert float(r.decayed) == float(r.n_events), r

@@ -919,10 +919,19 @@ def io13_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS digest",
         )
 
-    # wave 1 lands, run 1 ingests everything it sees and keeps a manifest
+    # wave 1 lands, run 1 ingests everything it sees and keeps a manifest.
+    # run1 is MATERIALIZED before wave 2 is written to the same directory
+    # (r12 ADVICE): lazily it would only execute after wave-2 files exist,
+    # leaning on Spark's InMemoryFileIndex snapshotting the listing at
+    # load() time — true in pyspark 4.1.2, but exactly-once semantics
+    # shouldn't ride on file-index snapshot behavior.
     d.mapInPandas(_land(lambda i: i % 2 == 0), "n long").collect()
     listing1 = spark.read.format("binaryFile").load(root).select("path", "content")
-    run1 = _ingest(listing1).withColumn("wave", F.lit(1))
+    run1 = (
+        _ingest(listing1)
+        .withColumn("wave", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
     manifest = listing1.select("path")  # (path, length) in production
     manifest_rows = manifest.collect()  # file-count-sized ledger snapshot
     m1 = spark.createDataFrame(manifest_rows, "path string")

@@ -1184,10 +1184,17 @@ def decayed_mass_stream(stream: DataFrame, d0: str) -> DataFrame:
     equals the batch aggregate bit-for-bit, not approximately."""
     from xarray_sql_spark.queries.advanced_ops import _HH05_HALFLIFE_DAYS
 
+    # The age term is clamped on BOTH sides: least(..., 62) keeps the
+    # shift inside a BIGINT (hh05's decay-shift rule), and greatest(..., 0)
+    # guards the streaming-only case of an event NEWER than the frozen d0
+    # (late re-anchoring): a negative count would wrap mod 64 in Java
+    # shiftleft and silently score the event with a huge or negative
+    # weight (r12 ADVICE). Ahead-of-origin events get weight 1.0 — the
+    # freshest bucket — until the deployment re-anchors d0.
     w = stream.selectExpr(
         "user_id",
         f"CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(least(datediff(DATE'{d0}', to_date(ts))"
+        f" CAST(least(greatest(datediff(DATE'{d0}', to_date(ts)), 0)"
         f" DIV {_HH05_HALFLIFE_DAYS}, 62) AS INT)) AS DOUBLE) AS wt",
     )
     return w.groupBy("user_id").applyInPandasWithState(
