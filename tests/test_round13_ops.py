@@ -142,3 +142,114 @@ def test_ts20_single_pass_priors_count_empty_docs(spark, tmp_path):
         assert len(iw) == 64
     finally:
         _TS20_CACHE.clear()  # don't leak tmp-fixture weights to other tests
+
+
+# --- pl22 license gate --------------------------------------------------------
+
+
+def test_pl22_policy_partition_and_overrides(spark):
+    """The gate must partition the whole corpus (token shares sum to 1,
+    every doc counted once) and the planted overrides must take
+    precedence over suffix rules in BOTH directions: src3.io is allowed
+    back in despite 'io' -> noai; src5.com is opted out despite
+    'com' -> allow."""
+    from tests.conftest import SF_MED
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _PL22_OVERRIDES,
+        _PL22_SUFFIX_POLICY,
+    )
+
+    rows = REGISTRY["pl22_license_gate"].fn(spark, SF_MED).collect()
+    by_pol = {r.policy: r for r in rows}
+    assert sum(r.token_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert by_pol["allow"].trainable == 1
+    assert all(r.trainable == 0 for r in rows if r.policy != "allow")
+    # Policy classes present: every suffix rule maps somewhere and the
+    # override domains exist in the corpus (src0-19 x 5 TLDs).
+    assert set(by_pol) <= {"allow", "nc", "noai", "unknown"}
+    assert {"allow", "nc", "noai"} <= set(by_pol)
+
+    # Precedence, checked per planted override domain.
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_MED}/documents.parquet')"
+    )
+    # Count docs per domain straight from the oracle's dom CTE.
+    spec = REGISTRY["pl22_license_gate"]
+    dom_sql = spec.oracle.split("suffix_pol AS")[0] + (
+        " cnt AS (SELECT domain, count(*) AS n FROM dom GROUP BY domain)"
+        " SELECT domain, n FROM cnt"
+    )
+    dom_counts = dict(con.execute(dom_sql).fetchall())
+    # src3.io docs exist and are counted under 'allow' (override), so the
+    # noai bucket must NOT contain them: noai = all .io docs minus
+    # src3.io plus src5.com.
+    io_docs = sum(n for d, n in dom_counts.items() if d.endswith(".io"))
+    assert dom_counts.get("src3.io", 0) > 0
+    assert dom_counts.get("src5.com", 0) > 0
+    expect_noai = (
+        io_docs - dom_counts["src3.io"] + dom_counts["src5.com"]
+    )
+    assert by_pol["noai"].n_docs == expect_noai
+
+
+# --- ts25 n-gram classifier ---------------------------------------------------
+
+
+def test_ts25_bigram_features_fold_into_score(spark):
+    """The scorer must consume unigrams AND bigrams: a held-out document's
+    score must equal bias + sum of trained weights over both feature
+    kinds, recomputed here from the raw weights."""
+    import hashlib
+
+    from tests.conftest import SF_MED
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _TS25_V,
+        ts25_train,
+    )
+
+    iw, bias = ts25_train(spark, SF_MED)
+    assert len(iw) == _TS25_V
+
+    def bucket(feat: str) -> int:
+        return int(hashlib.md5(feat.encode()).hexdigest()[:15], 16) % _TS25_V
+
+    df = REGISTRY["ts25_ngram_classifier"].fn(spark, SF_MED)
+    sample = df.limit(5).collect()
+    from xarray_sql_spark.session import table as _table
+
+    texts = {
+        r.doc_id: r.text
+        for r in _table(spark, SF_MED, "documents")
+        .filter(f"doc_id IN ({','.join(str(s.doc_id) for s in sample)})")
+        .collect()
+    }
+    for s in sample:
+        ws = [w for w in texts[s.doc_id].split(" ") if w != ""]
+        feats = ws + [f"{a}_{b}" for a, b in zip(ws, ws[1:])]
+        expect = bias + sum(iw[bucket(f)] for f in feats)
+        assert s.score_micro == expect, s.doc_id
+
+
+def test_ts25_not_weaker_than_ts20_on_holdout(spark):
+    """Bigram features must not hurt: held-out accuracy of ts25 is at
+    least ts20's minus a small tolerance (both learn the same weak
+    labels; the bigram space mostly refines)."""
+    from tests.conftest import SF_MED
+
+    def holdout_acc(name: str) -> float:
+        rows = (
+            REGISTRY[name]
+            .fn(spark, SF_MED)
+            .filter("split = 'heldout'")
+            .selectExpr("avg(correct) AS a")
+            .collect()
+        )
+        return float(rows[0].a)
+
+    a20 = holdout_acc("ts20_quality_classifier")
+    a25 = holdout_acc("ts25_ngram_classifier")
+    assert a25 >= a20 - 0.05, (a20, a25)

@@ -78,6 +78,9 @@ BNLJ_ALLOWED = {
     "token_share (the ts10 LM-normalizer contract)",
     "pl18_perplexity_buckets": "two 1-row broadcasts: ts10's corpus-total "
     "normalizer plus the tertile-boundary aggregate",
+    "pl22_license_gate": "1-row corpus-token-total broadcast for "
+    "token_share (pl17's contract; the policy dims are keyed "
+    "broadcast hash joins)",
 }
 
 

@@ -6077,3 +6077,348 @@ def pl21_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- pl22: license / robots provenance gate over registered domains ----------
+# The compliance pass a crawl-derived corpus runs after pl17's domain
+# rollup: join each document's registered domain against a provenance
+# policy table (in production: crawled robots.txt / ai.txt / licence
+# metadata; here an embedded dim, exact-domain overrides taking
+# precedence over public-suffix rules, unknown suffixes defaulting to
+# 'unknown') and roll up the corpus by policy class — the audit record
+# that decides which token mass is trainable. Beyond-reference operator;
+# public analogues: C4's blocklist gate, CommonCrawl's robots honoring.
+_PL22_SUFFIX_POLICY = (
+    ("co.uk", "nc"),
+    ("com.au", "nc"),
+    ("io", "noai"),
+    ("com", "allow"),
+    ("org", "allow"),
+)
+_PL22_OVERRIDES = (
+    ("src3.io", "allow"),
+    ("src5.com", "noai"),
+    ("src11.co.uk", "allow"),
+)
+
+
+def _pl22_values_sql(rows, cols) -> str:
+    vals = ", ".join("(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
+    return f"(SELECT * FROM (VALUES {vals}) AS t({', '.join(cols)}))"
+
+
+@query(
+    "pl22_license_gate",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS words,
+               {_pl17_url_expr("duck")} AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, words, {_pl17_canon_expr("duck")} AS curl FROM base
+    ),
+    dom AS (
+        SELECT doc_id, words,
+               {_pl17_domain_expr("duck", _pl17_host_of_canon("duck", "curl"))}
+                   AS domain
+        FROM canon
+    ),
+    suffix_pol AS {_pl22_values_sql(_PL22_SUFFIX_POLICY, ("suffix", "sp"))},
+    over_pol AS {_pl22_values_sql(_PL22_OVERRIDES, ("odomain", "op"))},
+    pol AS (
+        SELECT d.doc_id, d.words, d.domain,
+               coalesce(o.op, s.sp, 'unknown') AS policy
+        FROM dom d
+        LEFT JOIN over_pol o ON o.odomain = d.domain
+        LEFT JOIN suffix_pol s
+          ON s.suffix = regexp_replace(d.domain, '^[^.]*\\.', '')
+    ),
+    tot AS (SELECT sum(words) AS tw FROM pol)
+    SELECT policy,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+           CAST(sum(words) AS BIGINT) AS tokens,
+           round(sum(words) / CAST(tot.tw AS DOUBLE), 6) AS token_share,
+           min(domain) AS example_domain,
+           CAST(CASE WHEN policy = 'allow' THEN 1 ELSE 0 END AS INT)
+               AS trainable
+    FROM pol, tot
+    GROUP BY policy, tot.tw
+    ORDER BY policy
+    """,
+    tags=("pipeline", "provenance", "license", "url"),
+)
+def pl22_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/robots provenance gate composed on pl17's registered
+    domains (r12 verdict item 8): canonicalize each document's URL,
+    extract the registered domain, resolve its policy — exact-domain
+    override first, else public-suffix rule, else 'unknown' — and roll
+    the corpus up by policy class with doc/domain/token mass and the
+    trainable flag. The planted overrides exercise precedence in both
+    directions (an 'io' domain allowed back in, a 'com' domain opted
+    out).
+
+    Scale: canonicalization/domain extraction are the same map-only JVM
+    projections as pl17; BOTH policy dims are literal-sized broadcast
+    hash joins (never shuffled); the rollup groups on <= 4 policy
+    classes with map-side combine (countDistinct expands to the
+    dimension-sized (policy, domain) partial); corpus total is a 1-row
+    broadcast. At 100 TB the policy dim is the crawled robots/licence
+    table — still domain-cardinality, still the broadcast side."""
+    base = table(spark, sf_dir, "documents", spread=True).selectExpr(
+        "doc_id",
+        "size(filter(split(text, ' '), x -> x <> '')) AS words",
+        f"{_pl17_url_expr('spark')} AS url",
+    )
+    dom = base.selectExpr(
+        "doc_id", "words", f"{_pl17_canon_expr('spark')} AS curl"
+    ).selectExpr(
+        "doc_id",
+        "words",
+        f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
+        " AS domain",
+    )
+    over = spark.createDataFrame(
+        list(_PL22_OVERRIDES), "domain string, op string"
+    )
+    sufp = spark.createDataFrame(
+        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
+    )
+    pol = (
+        dom.join(F.broadcast(over), "domain", "left")
+        .withColumn(
+            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
+        )
+        .join(F.broadcast(sufp), "suffix", "left")
+        .withColumn("policy", F.coalesce("op", "sp", F.lit("unknown")))
+    )
+    # corpus total off the PRE-join base: the policy joins partition the
+    # corpus (left joins, 1:1), so the sums agree and the total branch
+    # skips the canonicalization/join work.
+    tot = base.agg(F.sum("words").alias("tw"))
+    return (
+        pol.groupBy("policy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("domain").cast("bigint").alias("n_domains"),
+            F.sum("words").cast("bigint").alias("tokens"),
+            F.min("domain").alias("example_domain"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "policy",
+            "n_docs",
+            "n_domains",
+            "tokens",
+            "round(tokens / CAST(tw AS DOUBLE), 6) AS token_share",
+            "example_domain",
+            "CAST(IF(policy = 'allow', 1, 0) AS INT) AS trainable",
+        )
+        .orderBy("policy")
+    )
+
+
+# --- ts25: fastText-style n-gram classifier (ts20's bigram variant) ----------
+# ts20 scores a hashed bag of WORDS; fastText's headline trick is hashed
+# word N-GRAM features in the same linear model (Joulin et al. 2016,
+# "Bag of Tricks for Efficient Text Classification"). ts25 adds hashed
+# word-bigram features alongside the unigrams — same weak labels, same
+# content-addressed split, same closed-form Naive-Bayes log-odds
+# training on the 1e-6 integer grid — so the two classifiers are
+# directly comparable under the hash gate and the bigram lift is
+# measurable. V doubles to 128 buckets (feature space is ~2x).
+_TS25_V = 128
+_TS25_BUCKET_SPARK = (
+    "CAST(conv(substring(md5({w}), 1, 15), 16, 10) %"
+    f" {_TS25_V} AS INT)"
+)
+_TS25_BUCKET_DUCK = (
+    "CAST(('0x' || substring(md5({w}), 1, 15))::BIGINT"
+    f" % {_TS25_V} AS INT)"
+)
+
+
+def _ts25_feats_expr(engine: str) -> str:
+    """Unigram + word-bigram feature array over a bound ``ws`` column.
+    The bigram leg guards size < 2 on the Spark side (sequence() with a
+    negative stop DESCENDS — the _word_ngrams rule); DuckDB's range()
+    is empty there by construction."""
+    if engine == "spark":
+        return (
+            "concat(ws, IF(size(ws) < 2, CAST(array() AS array<string>),"
+            " transform(sequence(1, size(ws) - 1),"
+            " i -> concat(element_at(ws, i), '_',"
+            " element_at(ws, CAST(i + 1 AS INT))))))"
+        )
+    return (
+        "list_concat(ws, list_transform(range(1, len(ws)),"
+        " i -> ws[i] || '_' || ws[i + 1]))"
+    )
+
+
+_TS25_CACHE: dict[tuple, tuple[list[int], int]] = {}
+
+
+def ts25_train(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
+    """Train the n-gram scorer; returns (128 micro-weights, micro-bias).
+    Same contract as ts20_train: ONE exploded pass with map-side combine
+    (<= 128 keys cross the shuffle; first-feature marker rows recover
+    the class priors), one <= 129-row driver collect, weights rounded
+    half-away onto the 1e-6 grid as BIGINTs."""
+    import math
+    import os as _os
+
+    from xarray_sql_spark.session import _file_sig
+
+    key = _file_sig(_os.path.abspath(_os.path.join(sf_dir, "documents.parquet")))
+    cached = _TS25_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    train = (
+        _ts20_base(spark, sf_dir)
+        .filter("split = 'train'")
+        .selectExpr("y", f"{_ts25_feats_expr('spark')} AS feats")
+    )
+    cnts = (
+        train.select("y", F.posexplode_outer("feats").alias("pos", "feat"))
+        .selectExpr(
+            "y",
+            _TS25_BUCKET_SPARK.format(w="feat") + " AS b",
+            "CAST(pos IS NULL OR pos = 0 AS INT) AS first_row",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("y").alias("pos_b"),
+            F.count("*").alias("n_b"),
+            F.sum("first_row").alias("docs_b"),
+            F.sum(F.col("y") * F.col("first_row")).alias("pos_docs_b"),
+        )
+        .collect()
+    )
+    n_docs = sum(int(r.docs_b) for r in cnts)
+    n_pos = sum(int(r.pos_docs_b) for r in cnts)
+    n_neg = n_docs - n_pos
+    by_b = {
+        int(r.b): (int(r.pos_b), int(r.n_b) - int(r.pos_b))
+        for r in cnts
+        if r.b is not None
+    }
+    pos_tot = sum(p for p, _ in by_b.values())
+    neg_tot = sum(n for _, n in by_b.values())
+    iw = []
+    for b in range(_TS25_V):
+        pos_b, neg_b = by_b.get(b, (0, 0))
+        v = (
+            math.log((pos_b + 1) / float(pos_tot + _TS25_V))
+            - math.log((neg_b + 1) / float(neg_tot + _TS25_V))
+        ) * 1000000.0
+        iw.append(_half_away(v))
+    bias = _half_away(math.log((n_pos + 1) / float(n_neg + 1)) * 1000000.0)
+    _TS25_CACHE[key] = (iw, bias)
+    return iw, bias
+
+
+@query(
+    "ts25_ngram_classifier",
+    oracle=f"""
+    WITH ts25_base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+               {_TS20_SPLIT_DUCK} AS split
+        FROM documents
+    ),
+    lab AS (SELECT doc_id, ws, split, {_TS20_LABEL_DUCK} AS y
+            FROM ts25_base),
+    feats AS (SELECT doc_id, y, split,
+                     {_ts25_feats_expr("duck")} AS fs
+              FROM lab),
+    fb AS (
+        SELECT doc_id, y, split,
+               {_TS25_BUCKET_DUCK.format(w="feat")} AS b
+        FROM (SELECT doc_id, y, split, unnest(fs) AS feat FROM feats)
+    ),
+    cnt AS (
+        SELECT b, sum(y) AS pos_b, count(*) - sum(y) AS neg_b
+        FROM fb WHERE split = 'train' GROUP BY b
+    ),
+    tot AS (SELECT coalesce(sum(pos_b), 0) AS pos_tot,
+                   coalesce(sum(neg_b), 0) AS neg_tot FROM cnt),
+    pri AS (SELECT coalesce(sum(y), 0) AS n_pos,
+                   count(*) - coalesce(sum(y), 0) AS n_neg
+            FROM lab WHERE split = 'train'),
+    w AS (
+        SELECT CAST(s.b AS INT) AS b,
+               CAST(round((ln((coalesce(c.pos_b, 0) + 1)
+                              / CAST(t.pos_tot + {_TS25_V} AS DOUBLE))
+                         - ln((coalesce(c.neg_b, 0) + 1)
+                              / CAST(t.neg_tot + {_TS25_V} AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS iw
+        FROM (SELECT unnest(range({_TS25_V})) AS b) s
+        LEFT JOIN cnt c ON c.b = s.b, tot t
+    ),
+    bias AS (SELECT CAST(round(ln((n_pos + 1) / CAST(n_neg + 1 AS DOUBLE))
+                               * 1000000.0) AS BIGINT) AS bi FROM pri),
+    sc AS (SELECT fb.doc_id, sum(w.iw) AS s FROM fb JOIN w USING (b)
+           GROUP BY fb.doc_id),
+    scored AS (
+        SELECT l.doc_id, l.split, l.y,
+               bias.bi + coalesce(sc.s, 0) AS score_micro
+        FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id, bias
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, split,
+           CAST(y AS INT) AS label,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS INT) AS pred,
+           CAST(CASE WHEN (score_micro > 0) = (y = 1)
+                THEN 1 ELSE 0 END AS INT) AS correct
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "classifier", "ngram", "pipeline"),
+)
+def ts25_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed unigram+bigram linear classifier (r12
+    verdict item 8) — ts20's model with word-bigram features in the
+    same hashed space, the "bag of tricks" n-gram trick that lets a
+    linear model see local word order. Training replays in the oracle's
+    SQL (self-training CTEs), so the driver's hash gate proves the
+    bigram featurization, the training, and the integer scoring fold
+    end to end.
+
+    Scale: identical contract to ts20 — training is one exploded pass,
+    <= 128 keys cross the shuffle, the driver collects 129 integers;
+    scoring is a map-only JVM aggregate() fold of each document's
+    feature array against a 128-literal weight array (zero joins, zero
+    shuffles, zero Python). Bigram features double per-doc feature mass
+    (~2x the tokenize bytes), not the shuffle, which stays bucket-
+    bounded."""
+    iw, bias = ts25_train(spark, sf_dir)
+    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
+    bucket = _TS25_BUCKET_SPARK.format(w="x")
+    score = (
+        f"{bias}L + aggregate({_ts25_feats_expr('spark')}, 0L,"
+        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
+    )
+    return (
+        _ts20_base(spark, sf_dir)
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "split",
+            "CAST(y AS INT) AS label",
+            f"CAST({score} AS BIGINT) AS score_micro",
+        )
+        .selectExpr(
+            "doc_id",
+            "split",
+            "label",
+            "score_micro",
+            "CAST(IF(score_micro > 0, 1, 0) AS INT) AS pred",
+            "CAST(IF((score_micro > 0) = (label = 1), 1, 0) AS INT)"
+            " AS correct",
+        )
+        .orderBy("doc_id")
+    )
