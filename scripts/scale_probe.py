@@ -75,7 +75,11 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # KN-smoothed bigram LM (ts15's join shape, KN math)
                  "ts24_kneser_ney_surprisal",
                  # DSIR importance selection (64-bucket models broadcast)
-                 "pl21_dsir_selection"]
+                 "pl21_dsir_selection",
+                 # round-13 additions: license gate (broadcast policy
+                 # dims over pl17's canonicalization), n-gram classifier
+                 # (bigram-widened train pass + map-only fold)
+                 "pl22_license_gate", "ts25_ngram_classifier"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

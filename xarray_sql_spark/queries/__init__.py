@@ -47,23 +47,23 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # five bpe-sharing queries), then the oldest-proof fill (the r6-era
 # block).
 _PRIORITY = (
-    "ts20_quality_classifier dd15_line_dedup pl17_url_provenance "
-    "mm12_signal_stats dd16_url_dedup io11_warc_ingest "
-    "pl18_perplexity_buckets ts21_unicode_normalize io12_arrow_ipc_ingest "
-    "gr04_label_propagation pl19_temperature_sampling hh04_kmv_set_ops "
-    "pl20_epoch_shuffle ss16_hybrid_rrf dd17_containment_neardup "
-    "ts22_pmi_collocations ev23_watermark_audit sk05_skew_report "
-    "hh05_decayed_heavy_hitters ts23_langid_calibration ev24_retention_halflife "
-    "io13_ingest_manifest ts24_kneser_ney_surprisal pl21_dsir_selection "
-    "ts19_bpe_tokenize pl08_sequence_packing pl10_repetition_mixing "
-    "ts13_token_budget_fill pl16_shard_materialize ss15_multiprobe_ann "
-    "dd05_simhash ts03_regex_tokens dd06_rolling_fingerprint "
-    "ts04_tfidf_terms mm03_feature_extract gq01_grid_climatology "
-    "gq03_cftime_360day gq04_nan_null_semantics gq05_grid_zonal_bands "
-    "gq06_grid_anomaly_selfjoin gq07_zorder_layout gq11_grid_ndvi "
-    "gq12_grid_zonal_mean gq13_grid_warp dd07_semantic_dedup "
-    "ss08_knn_classify_ivf q41_recursive_cte_spine ts08_rare_trigram_score "
-    "q42_map_funcs pl07_mixture_quotas "
+    "pl22_license_gate ts25_ngram_classifier dd03_ngram_jaccard "
+    "dd17_containment_neardup pl17_url_provenance ts20_quality_classifier "
+    "dd16_url_dedup io13_ingest_manifest ts07_pii_redact "
+    "sk01_salted_agg sk02_salted_join q07_cross_join "
+    "ts09_gopher_rules ts10_unigram_surprisal dd10_shared_span_pairs "
+    "ts11_bpe_pair_stats ts12_memorization_score ev11_user_value_quartiles "
+    "ev12_funnel_conversion ev13_json_props dd09_sketch_accuracy "
+    "dd11_cross_source_dup_matrix mm06_audio_rollup gq02_grid_pruned_slice "
+    "gq14_zarr_roundtrip gq15_filtered_store gq19_grid_rolling_mean "
+    "gq20_grid_resample_daily gq21_grid_coarsen gq22_grid_weighted_mean "
+    "gq18_cf_decoded_store gq17_blosclz_bitshuffle_store gq23_longtail_codec_store "
+    "gq25_grid_interp gq26_grid_ffill gq27_grid_differentiate "
+    "gq28_grid_argmax gq29_grid_value_bins gq30_grid_cumsum "
+    "gq31_grid_shift_diff gq32_grid_rank gq33_grid_trend "
+    "gq34_grid_integrate gq35_grid_corr_cov gq36_grid_quantiles "
+    "q44_cube q43_set_ops_all ev10_first_touch_attribution "
+    "q45_pivot cc02_twohop_components "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402
