@@ -1013,3 +1013,28 @@ def test_decayed_mass_stream_clamps_ahead_of_origin_events(spark):
     assert len(final) > 0
     for r in final.itertuples():
         assert float(r.decayed) == float(r.n_events), r
+
+
+def test_ngram_score_stream_matches_batch_exactly(spark):
+    """ts25 serving twin: the stream scorer must emit the batch n-gram
+    classifier's rows EXACTLY (integer scores, same decision boundary) —
+    the single-definition scorer contract at the bigram order."""
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.queries.pipeline_ops import ts25_train
+
+    iw, bias = ts25_train(spark, SF_SMALL)
+    stream_out = se.run_to_memory(
+        se.ngram_score_stream(se.documents_stream(spark, SF_SMALL), iw, bias),
+        "t_ngram_scores",
+    )
+    got = _rows(stream_out, "doc_id")
+    want = [
+        tuple(r)
+        for r in REGISTRY["ts25_ngram_classifier"]
+        .fn(spark, SF_SMALL)
+        .select("doc_id", "split", "label", "score_micro", "pred")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) > 0

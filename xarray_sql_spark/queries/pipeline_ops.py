@@ -6322,6 +6322,19 @@ def ts25_train(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
     return iw, bias
 
 
+def _ts25_score_expr(iw: list, bias: int) -> str:
+    """The trained n-gram scorer as ONE SQL expression over a bound
+    ``ws`` word-array column — the single definition behind batch ts25
+    and the streaming serving twin (streaming/events.py), the ts20
+    single-definition discipline so the two cannot drift."""
+    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
+    bucket = _TS25_BUCKET_SPARK.format(w="x")
+    return (
+        f"{bias}L + aggregate({_ts25_feats_expr('spark')}, 0L,"
+        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
+    )
+
+
 @query(
     "ts25_ngram_classifier",
     oracle=f"""
@@ -6397,12 +6410,7 @@ def ts25_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~2x the tokenize bytes), not the shuffle, which stays bucket-
     bounded."""
     iw, bias = ts25_train(spark, sf_dir)
-    warr = "array({})".format(", ".join(f"{v}L" for v in iw))
-    bucket = _TS25_BUCKET_SPARK.format(w="x")
-    score = (
-        f"{bias}L + aggregate({_ts25_feats_expr('spark')}, 0L,"
-        f" (acc, x) -> acc + element_at({warr}, {bucket} + 1))"
-    )
+    score = _ts25_score_expr(iw, bias)
     return (
         _ts20_base(spark, sf_dir)
         .selectExpr(

@@ -1204,3 +1204,44 @@ def decayed_mass_stream(stream: DataFrame, d0: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming n-gram-classifier serving (ts25's twin) -----------------------
+def ngram_score_stream(
+    stream: DataFrame, iw: list[int], bias: int
+) -> DataFrame:
+    """Serve the trained ts25 unigram+bigram scorer on a document stream
+    — ts20's quality_score_stream contract one feature order higher:
+    train offline (batch ts25_train; driver-bounded, memoized), score
+    the stream as a stateless map-only integer fold (weights as
+    literals, the SAME _ts25_score_expr definition as batch), so stream
+    rows equal batch rows EXACTLY. No state store, no shuffle,
+    exactly-once under any sink."""
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _TS20_LABEL_SPARK,
+        _TS20_SPLIT_SPARK,
+        _ts25_score_expr,
+    )
+
+    score = _ts25_score_expr(iw, bias)
+    return (
+        stream.selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x <> '') AS ws",
+            f"{_TS20_SPLIT_SPARK} AS split",
+        )
+        .selectExpr("doc_id", "ws", "split", f"{_TS20_LABEL_SPARK} AS y")
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "split",
+            "CAST(y AS INT) AS label",
+            f"CAST({score} AS BIGINT) AS score_micro",
+        )
+        .selectExpr(
+            "doc_id",
+            "split",
+            "label",
+            "score_micro",
+            "CAST(IF(score_micro > 0, 1, 0) AS INT) AS pred",
+        )
+    )
