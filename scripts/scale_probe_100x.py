@@ -68,6 +68,13 @@ PROBE_QUERIES = [
     # shuffle per-key bounded
     "ts20_quality_classifier",
     "dd15_line_dedup",
+    # round-13: pl17's windowed-count plan (the curl/tmd5 windows must
+    # stay hot-key safe under 100x duplicate URL mass — every canonical
+    # URL is a 100-way duplicate in the replica), the policy-gate
+    # broadcast joins, and the bigram-widened scoring fold
+    "pl17_url_provenance",
+    "pl22_license_gate",
+    "ts25_ngram_classifier",
     # round-12 late wave: KMV — the sketch-shuffle-size-independence
     # claim at two orders of magnitude (the k-min state is 128 longs
     # per source per partition regardless of corpus size; only the
