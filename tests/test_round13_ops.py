@@ -253,3 +253,53 @@ def test_ts25_not_weaker_than_ts20_on_holdout(spark):
     a20 = holdout_acc("ts20_quality_classifier")
     a25 = holdout_acc("ts25_ngram_classifier")
     assert a25 >= a20 - 0.05, (a20, a25)
+
+
+# --- ts26 domain quality prior --------------------------------------------------
+
+
+def test_ts26_tiers_partition_and_match_doc_scores(spark):
+    """Domain rows must cover the whole corpus, tiers must follow the
+    integer-average thresholds exactly, and a domain's avg must equal
+    the truncating integer mean of its documents' ts20 scores."""
+    from tests.conftest import SF_MED
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _TS26_KEEP,
+        _TS26_SAMPLE,
+        _ts20_scored_df,
+    )
+
+    rows = REGISTRY["ts26_domain_quality"].fn(spark, SF_MED).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    tiers = {r.tier for r in rows}
+    assert tiers == {"keep", "sample", "drop"}
+    for r in rows:
+        want = (
+            "keep"
+            if r.avg_micro > _TS26_KEEP
+            else "sample"
+            if r.avg_micro > _TS26_SAMPLE
+            else "drop"
+        )
+        assert r.tier == want, r
+    # spot-check one domain's average against the per-doc scorer
+    # (truncating integer division, negative-safe)
+    scored = {r.doc_id: r.score_micro for r in _ts20_scored_df(spark, SF_MED).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_MED}/documents.parquet')"
+    )
+    spec = REGISTRY["ts26_domain_quality"]
+    dom_sql = spec.oracle.split("j AS (")[0].rstrip().rstrip(",") + (
+        " SELECT doc_id, domain FROM u2"
+    )
+    doc_domain = dict(con.execute(dom_sql).fetchall())
+    target = rows[0].domain
+    docs = [d for d, dom in doc_domain.items() if dom == target]
+    s = sum(scored[d] for d in docs)
+    n = len(docs)
+    q = abs(s) // n * (1 if s >= 0 else -1)  # truncate toward zero
+    assert rows[0].n_docs == n and rows[0].avg_micro == q

@@ -6430,3 +6430,113 @@ def ts25_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- ts26: domain-level quality prior (CCNet/RefinedWeb-style tiering) --------
+# After per-document scoring (ts20) and URL provenance (pl17), the next
+# pass a crawl-derived pipeline runs is DOMAIN-level curation: average
+# the trained quality score per registered domain and tier domains into
+# keep / sample / drop — the CCNet "head/middle/tail by source" and
+# RefinedWeb domain-prior shape. Averages stay on the exact integer
+# micro-grid (truncating integer division — DuckDB // and Spark DIV
+# both truncate toward zero, verified including negatives), so the tier
+# boundaries are engine-exact.
+_TS26_KEEP = 0  # avg micro-score above => 'keep'
+_TS26_SAMPLE = -800_000  # above => 'sample', else 'drop'
+
+
+@query(
+    "ts26_domain_quality",
+    oracle=f"""
+    WITH {_ts20_score_ctes()},
+    u0 AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS words,
+               {_pl17_url_expr("duck")} AS url
+        FROM documents
+    ),
+    u1 AS (SELECT doc_id, words, {_pl17_canon_expr("duck")} AS curl FROM u0),
+    u2 AS (
+        SELECT doc_id, words,
+               {_pl17_domain_expr("duck", _pl17_host_of_canon("duck", "curl"))}
+                   AS domain
+        FROM u1
+    ),
+    j AS (
+        SELECT u2.domain, u2.words, s.score_micro
+        FROM u2 JOIN ts20_scored s USING (doc_id)
+    ),
+    ag AS (
+        SELECT domain, count(*) AS n_docs, sum(words) AS tokens,
+               sum(score_micro) AS sum_micro
+        FROM j GROUP BY domain
+    )
+    SELECT domain,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tokens AS BIGINT) AS tokens,
+           CAST(sum_micro // n_docs AS BIGINT) AS avg_micro,
+           CASE WHEN sum_micro // n_docs > {_TS26_KEEP} THEN 'keep'
+                WHEN sum_micro // n_docs > {_TS26_SAMPLE} THEN 'sample'
+                ELSE 'drop' END AS tier
+    FROM ag
+    ORDER BY domain
+    """,
+    tags=("text", "quality", "provenance", "domain", "pipeline"),
+)
+def ts26_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality prior: per registered domain, the exact
+    integer mean of the trained ts20 document scores plus token mass,
+    tiered keep / sample / drop — the domain-curation decision record
+    (CCNet's source buckets, RefinedWeb's domain priors). Third
+    cross-operator composition under the hash gate (after dd16 and
+    pl22): the oracle re-derives the classifier training, the URL
+    canonicalization, the registered-domain extraction, AND the tier
+    arithmetic, so a hash match proves the composed pipeline.
+
+    Scale: canonical domain and score are computed in ONE map-only
+    projection over a single scan (both are row-wise functions); the
+    only shuffle is the domain groupBy (~|sources x TLDs| keys,
+    map-side combined). Driver collects nothing — ts20's 65 trained
+    integers are memoized literals. The integer average (DIV, truncate
+    toward zero — DuckDB // parity verified on negatives) keeps tier
+    boundaries exact at any corpus size."""
+    iw, bias = ts20_train(spark, sf_dir)
+    score = _ts20_score_expr(iw, bias)
+    d = (
+        table(spark, sf_dir, "documents", spread=True)
+        .selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x <> '') AS ws",
+            f"{_pl17_url_expr('spark')} AS url",
+        )
+        .selectExpr(
+            "size(ws) AS words",
+            f"CAST({score} AS BIGINT) AS s",
+            f"{_pl17_canon_expr('spark')} AS curl",
+        )
+        .selectExpr(
+            "words",
+            "s",
+            f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
+            " AS domain",
+        )
+    )
+    return (
+        d.groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("tokens"),
+            F.sum("s").alias("sum_micro"),
+        )
+        .selectExpr(
+            "domain",
+            "n_docs",
+            "tokens",
+            "CAST(sum_micro DIV n_docs AS BIGINT) AS avg_micro",
+            f"CASE WHEN sum_micro DIV n_docs > {_TS26_KEEP} THEN 'keep'"
+            f" WHEN sum_micro DIV n_docs > {_TS26_SAMPLE} THEN 'sample'"
+            " ELSE 'drop' END AS tier",
+        )
+        .orderBy("domain")
+    )
