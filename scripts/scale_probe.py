@@ -78,8 +78,11 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "pl21_dsir_selection",
                  # round-13 additions: license gate (broadcast policy
                  # dims over pl17's canonicalization), n-gram classifier
-                 # (bigram-widened train pass + map-only fold)
-                 "pl22_license_gate", "ts25_ngram_classifier"]
+                 # (bigram-widened train pass + map-only fold), domain
+                 # quality prior (score+domain in one projection, one
+                 # domain-keyed rollup)
+                 "pl22_license_gate", "ts25_ngram_classifier",
+                 "ts26_domain_quality"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10
