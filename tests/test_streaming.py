@@ -1038,3 +1038,24 @@ def test_ngram_score_stream_matches_batch_exactly(spark):
     ]
     assert got == want
     assert len(got) > 0
+
+
+def test_license_gate_stream_matches_batch_rollup(spark):
+    """pl22's ingest twin: per-document policy tags on the stream,
+    rolled up, must equal the batch gate's per-policy doc/token counts
+    exactly (stream-static broadcast joins, stateless projection)."""
+    from xarray_sql_spark.queries import REGISTRY
+
+    out = se.run_to_memory(
+        se.license_gate_stream(spark, se.documents_stream(spark, SF_SMALL)),
+        "t_license_gate",
+    )
+    pdf = out.toPandas()
+    got = {
+        pol: (int(g["doc_id"].count()), int(g["words"].sum()), int(g["trainable"].iloc[0]))
+        for pol, g in pdf.groupby("policy")
+    }
+    batch = REGISTRY["pl22_license_gate"].fn(spark, SF_SMALL).collect()
+    want = {r.policy: (r.n_docs, r.tokens, r.trainable) for r in batch}
+    assert got == want
+    assert len(got) >= 3

@@ -1245,3 +1245,62 @@ def ngram_score_stream(
             "CAST(IF(score_micro > 0, 1, 0) AS INT) AS pred",
         )
     )
+
+
+# --- streaming license/robots gate at ingest (pl22's twin) --------------------
+def license_gate_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """pl22's policy resolution applied where it runs in production — at
+    INGEST, before any document is admitted to the corpus: canonicalize
+    the URL, extract the registered domain, resolve the policy (exact-
+    domain override > public-suffix rule > 'unknown') and tag each
+    document with (domain, policy, trainable). Stateless row-wise
+    projection plus two STREAM-STATIC broadcast joins against the
+    literal policy dims — no watermark, no state store, no shuffle on
+    the stream side, so stream rows equal the batch gate's per-document
+    tagging EXACTLY."""
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local, matches file style)
+
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _PL22_OVERRIDES,
+        _PL22_SUFFIX_POLICY,
+        _pl17_canon_expr,
+        _pl17_domain_expr,
+        _pl17_host_of_canon,
+        _pl17_url_expr,
+    )
+
+    over = spark.createDataFrame(
+        list(_PL22_OVERRIDES), "domain string, op string"
+    )
+    sufp = spark.createDataFrame(
+        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
+    )
+    dom = (
+        stream.selectExpr(
+            "doc_id",
+            "size(filter(split(text, ' '), x -> x <> '')) AS words",
+            f"{_pl17_url_expr('spark')} AS url",
+        )
+        .selectExpr("doc_id", "words", f"{_pl17_canon_expr('spark')} AS curl")
+        .selectExpr(
+            "doc_id",
+            "words",
+            f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
+            " AS domain",
+        )
+    )
+    return (
+        dom.join(F.broadcast(over), "domain", "left")
+        .withColumn(
+            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
+        )
+        .join(F.broadcast(sufp), "suffix", "left")
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "CAST(words AS BIGINT) AS words",
+            "domain",
+            "coalesce(op, sp, 'unknown') AS policy",
+            "CAST(IF(coalesce(op, sp, 'unknown') = 'allow', 1, 0) AS INT)"
+            " AS trainable",
+        )
+    )
