@@ -303,3 +303,49 @@ def test_ts26_tiers_partition_and_match_doc_scores(spark):
     n = len(docs)
     q = abs(s) // n * (1 if s >= 0 else -1)  # truncate toward zero
     assert rows[0].n_docs == n and rows[0].avg_micro == q
+
+
+def test_ts25_feats_expr_cross_engine_differential(spark, tmp_path):
+    """The unigram+bigram feature arrays must be IDENTICAL between the
+    Spark and DuckDB spellings on adversarial token lists — empty, one
+    word (the descending-sequence guard), two words, repeated words,
+    and 100 seeded random lists."""
+    import random
+
+    from xarray_sql_spark.queries.pipeline_ops import _ts25_feats_expr
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(20)]
+    cases = ["", "solo", "a b", "x x x"]
+    cases += [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 12))) for _ in range(100)
+    ]
+    sf = _write_documents(tmp_path, cases)
+
+    got_spark = {
+        r.doc_id: list(r.fs)
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x <> '') AS ws",
+        )
+        .selectExpr("doc_id", f"{_ts25_feats_expr('spark')} AS fs")
+        .collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    got_duck = {
+        int(d): list(f)
+        for d, f in con.execute(
+            "SELECT doc_id, "
+            + _ts25_feats_expr("duck")
+            + " AS fs FROM (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS ws "
+            f"FROM read_parquet('{sf}/documents.parquet'))"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+    assert got_spark[0] == []          # empty doc
+    assert got_spark[1] == ["solo"]    # no bigram fabricated
+    assert got_spark[2] == ["a", "b", "a_b"]
