@@ -5948,6 +5948,83 @@ def ts24_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PL21_KEEP_NUM, _PL21_KEEP_DEN = 1, 4  # keep the top quarter
 
 
+def _pl21_base(spark: SparkSession, sf_dir: str):
+    """(docs-with->=2-words, exploded hashed-bigram stream) — shared by
+    the model pass and the scoring pass."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ',"
+                " element_at(ws, CAST(i + 1 AS INT))))"
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(_TS20_BUCKET_SPARK.format(w="b")).alias("k"),
+    )
+    return d, bg
+
+
+_PL21_CACHE: dict[tuple, list[int]] = {}
+
+
+def pl21_model(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Fit the DSIR importance model; returns 64 micro log-ratios.
+
+    ts20_train's driver-bounded contract: ONE counting pass computes
+    BOTH feature models (the en-target model is a conditional sum
+    riding the raw-model aggregate — previously two separate plan
+    branches, each re-tokenizing the corpus), <= 64 rows cross the
+    shuffle, and the driver folds the collected integers into smoothed
+    micro log-ratios with the oracle's exact operation order (ln of a
+    quotient of quotients, round half-away on the 1e-6 grid)."""
+    import math
+    import os as _os
+
+    from xarray_sql_spark.session import _file_sig
+
+    key = _file_sig(_os.path.abspath(_os.path.join(sf_dir, "documents.parquet")))
+    cached = _PL21_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    _, bg = _pl21_base(spark, sf_dir)
+    cnt = (
+        bg.groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("cr_c"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ct_c"),
+        )
+        .collect()
+    )
+    by_k = {int(r.k): (int(r.ct_c), int(r.cr_c)) for r in cnt}
+    tt = sum(c for c, _ in by_k.values())
+    tr = sum(c for _, c in by_k.values())
+    s = []
+    for k in range(_TS20_V):
+        ct_c, cr_c = by_k.get(k, (0, 0))
+        v = (
+            math.log(
+                ((ct_c + 1) / (tt + _TS20_V))
+                / ((cr_c + 1) / (tr + _TS20_V))
+            )
+            * 1000000.0
+        )
+        s.append(_half_away(v))
+    _PL21_CACHE[key] = s
+    return s
+
+
+
 @query(
     "pl21_dsir_selection",
     oracle=f"""
@@ -6007,61 +6084,28 @@ def pl21_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     BETWEEN heuristic gates (ts09) and trained classifiers (ts20):
     no labels, no training loop — two count vectors and a log ratio.
 
-    Scale: both feature models are ONE map-side-combined count over a
-    64-key space; the 64-row score table is a broadcast join against
-    the doc-bigram stream; each doc's importance is an exact BIGINT
-    sum. The global rank here is the fixture's keep rule — at corpus
-    scale DSIR keeps by a QUANTILE THRESHOLD on the importance score
-    (one 1-row broadcast, the pl18 tertile contract) or samples
-    Gumbel-top-k per partition; the score pipeline is identical."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split("text", " ").alias("ws")
-    ).filter(F.size("ws") >= 2)
-    bg = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws) - 1),"
-                " i -> concat(element_at(ws, i), ' ',"
-                " element_at(ws, CAST(i + 1 AS INT))))"
-            )
-        ).alias("b"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.expr(_TS20_BUCKET_SPARK.format(w="b")).alias("k"),
+    Scale: the model is ONE map-side-combined counting pass (<= 64 keys
+    cross the shuffle; both feature models in the same aggregate) with
+    a <= 64-integer driver collect, memoized per file-sig — the ts20
+    contract; scoring is a map-only element_at fold against the literal
+    score array (zero joins), one doc-keyed aggregate. The doc count
+    for the keep quota is an explode-free projection count. The global
+    rank here is the fixture's keep rule — at corpus scale DSIR keeps
+    by a QUANTILE THRESHOLD on the importance score (one 1-row
+    broadcast, the pl18 tertile contract) or samples Gumbel-top-k per
+    partition; the score pipeline is identical."""
+    s_micro = pl21_model(spark, sf_dir)
+    arr = "array({})".format(", ".join(f"{v}L" for v in s_micro))
+    d, bg = _pl21_base(spark, sf_dir)
+    scored = bg.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum(F.expr(f"element_at({arr}, k + 1)"))
+        .cast("bigint")
+        .alias("dsir_micro"),
     )
-    ct = bg.filter(F.col("lang") == "en").groupBy("k").agg(
-        F.count("*").cast("bigint").alias("ct_c")
-    )
-    cr = bg.groupBy("k").agg(F.count("*").cast("bigint").alias("cr_c"))
-    tot = cr.join(ct, "k", "left").agg(
-        F.sum(F.coalesce("ct_c", F.lit(0))).cast("bigint").alias("tt"),
-        F.sum("cr_c").cast("bigint").alias("tr"),
-    )
-    buckets = spark.range(_TS20_V).select(F.col("id").cast("int").alias("k"))
-    model = (
-        buckets.join(ct, "k", "left")
-        .join(cr, "k", "left")
-        .crossJoin(F.broadcast(tot))
-        .selectExpr(
-            "k",
-            f"CAST(round(ln("
-            f" (CAST(COALESCE(ct_c, 0) + 1 AS DOUBLE) / (tt + {_TS20_V}))"
-            f" / (CAST(COALESCE(cr_c, 0) + 1 AS DOUBLE) / (tr + {_TS20_V}))"
-            f") * 1000000, 0) AS BIGINT) AS s_micro",
-        )
-    )
-    scored = (
-        bg.join(F.broadcast(model), "k")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_features"),
-            F.sum("s_micro").cast("bigint").alias("dsir_micro"),
-        )
-    )
-    n_docs = scored.agg(F.count("*").cast("bigint").alias("n_docs"))
+    # every >=2-word doc has >=1 bigram, so this explode-free count
+    # equals count(scored) without re-running the scoring pass
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
     ranked = scored.crossJoin(F.broadcast(n_docs)).withColumn(
         "rk", F.row_number().over(W.orderBy(F.desc("dsir_micro"), F.asc("doc_id")))
     )
