@@ -349,3 +349,37 @@ def test_ts25_feats_expr_cross_engine_differential(spark, tmp_path):
     assert got_spark[0] == []          # empty doc
     assert got_spark[1] == ["solo"]    # no bigram fabricated
     assert got_spark[2] == ["a", "b", "a_b"]
+
+
+# --- mm13 perceptual image dedup ------------------------------------------------
+
+
+def test_mm13_clusters_collide_perceptually_not_byte_exact(spark):
+    """Within a planted cluster the members' RAW bytes must differ (the
+    block reversal changes the byte stream) while the perceptual hash
+    collides — the exact property that separates image near-dup from
+    dd01-style exact dedup. Negative control: distinct base images must
+    not all collapse into one cluster."""
+    import hashlib
+
+    from tests.conftest import SF_MED
+    from xarray_sql_spark.operators.multimodal import image_phash_table
+
+    clusters = {
+        r.phash: r
+        for r in REGISTRY["mm13_image_phash_dedup"].fn(spark, SF_MED).collect()
+    }
+    assert len(clusters) > 10  # many planted groups survive
+    assert max(r.n_images for r in clusters.values()) <= 5  # group size cap
+    # keeper is the group leader (min doc_id = multiple of 15)
+    assert all(r.keeper_doc_id % 15 == 0 for r in clusters.values())
+
+    # raw-byte distinctness inside clusters: group members' payload md5s
+    assets = image_phash_table(spark, SF_MED).collect()
+    by_group: dict[int, set] = {}
+    for a in assets:
+        by_group.setdefault(a.doc_id // 15, set()).add(
+            hashlib.md5(bytes(a.content)).hexdigest()
+        )
+    multi = [g for g, hs in by_group.items() if len(hs) >= 2]
+    assert len(multi) > 10  # reversal really changed bytes in most groups

@@ -2182,6 +2182,183 @@ def mm12_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mm13: perceptual-hash image near-dup (LAION-style aHash dedup) -----------
+# The image-side twin of the text dedup family: decode each image's pixel
+# bytes, reduce them to a 64-bit BLOCK-MEAN hash (aHash — the block mean
+# vs global mean bit pattern; Niu & Jiao 2008 survey form), and cluster
+# by hash. Perceptual hashes collide under small pixel perturbations
+# that break byte-exact dedup (dd01's md5), which is exactly what the
+# fixture plants: groups of BMPs share one base image, each member with
+# ONE hash-block's bytes REVERSED — raw bytes differ per member, but a
+# block-local permutation provably preserves every block sum, so the
+# aHash is bit-identical by construction and the cluster is exact, not
+# approximate. The DuckDB oracle replays the hash from the LEADER
+# document's text (ASCII: code point == byte, mm12's rule) through the
+# same integer block-mean comparisons — it never sees the binary.
+
+_MM13_BLOCKS = 64
+_MM13_MIN_PX = 64  # a 64-bit hash needs >= 1 byte per block
+_MM13_GROUP = 15  # doc_id // 15: 5 image-slot docs per near-dup group
+
+
+def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMPs with real headers whose pixel bodies are planted near-dup
+    GROUPS: image-slot docs (doc_id % 3 == 0) in the same doc_id//15
+    group share the group leader's text bytes as pixels; member m
+    (= (doc_id - leader) DIV 3, 1..4) reverses hash block 8 + 4m of the
+    body. Fixture-side arithmetic (the oracle regenerates it); the
+    phash OPERATOR below recovers everything from the bytes alone."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    img = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (F.expr("(doc_id DIV 15) * 15")).alias("leader_id"),
+    )
+    gl = img.join(
+        d.select(F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")),
+        "leader_id",
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct  # noqa: F401 (bmp_header does the packing)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, leader_id, ltext in zip(
+                pdf["doc_id"], pdf["leader_id"], pdf["ltext"]
+            ):
+                doc_id, leader_id = int(doc_id), int(leader_id)
+                body = bytearray(str(ltext).encode("utf-8"))
+                n = len(body)
+                m = (doc_id - leader_id) // 3
+                if m > 0 and n >= _MM13_MIN_PX:
+                    b = 8 + 4 * m  # blocks 12, 16, 20, 24
+                    # block b under the hash's own rule (p*64 // n == b):
+                    # reversing exactly that span preserves its block sum
+                    span = [
+                        q for q in range(n) if q * _MM13_BLOCKS // n == b
+                    ]
+                    lo, hi = span[0], span[-1] + 1
+                    body[lo:hi] = body[lo:hi][::-1]
+                w = 160 + (leader_id * 37) % 1760
+                h = 90 + (leader_id * 53) % 990
+                payload = bmp_header(w, h, len(body)) + bytes(body)
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return gl.mapInPandas(_encode, "doc_id long, content binary")
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-image 64-bit block-mean hash from the payload BYTES only:
+    pixel offset from BITMAPFILEHEADER byte 10, block of position p =
+    floor(p*64/n), bit b = (block sum * n >= total * block len) — all
+    integer-exact, so the hash is deterministic cross-engine."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            payload = bytes(content)
+            off = _struct.unpack("<I", payload[10:14])[0]
+            px = np.frombuffer(payload[off:], np.uint8).astype(np.int64)
+            n = int(px.size)
+            if n < _MM13_MIN_PX:
+                continue
+            blk = (np.arange(n, dtype=np.int64) * _MM13_BLOCKS) // n
+            sums = np.bincount(blk, weights=px, minlength=_MM13_BLOCKS).astype(
+                np.int64
+            )
+            cnts = np.bincount(blk, minlength=_MM13_BLOCKS).astype(np.int64)
+            total = int(px.sum())
+            bits = "".join(
+                "1" if int(sums[b]) * n >= total * int(cnts[b]) else "0"
+                for b in range(_MM13_BLOCKS)
+            )
+            rows.append(
+                (int(doc_id), _hashlib.md5(bits.encode()).hexdigest(), n)
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "phash", "n_px"])
+
+
+@query(
+    "mm13_image_phash_dedup",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, (doc_id // {_MM13_GROUP}) * {_MM13_GROUP} AS leader_id
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    gl AS (
+        SELECT i.doc_id, i.leader_id
+        FROM img i JOIN documents d ON d.doc_id = i.leader_id
+        WHERE strlen(d.text) >= {_MM13_MIN_PX}
+    ),
+    leaders AS (
+        SELECT DISTINCT g.leader_id, d.text AS ltext, strlen(d.text) AS n
+        FROM gl g JOIN documents d ON d.doc_id = g.leader_id
+    ),
+    pos AS (
+        SELECT leader_id, n, ((i - 1) * {_MM13_BLOCKS}) // n AS blk,
+               ascii(substr(ltext, CAST(i AS INT), 1)) AS v
+        FROM leaders, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t
+    ),
+    bsum AS (
+        SELECT leader_id, blk, any_value(n) AS n,
+               sum(v) AS sv, count(*) AS cnt
+        FROM pos GROUP BY 1, 2
+    ),
+    tsum AS (SELECT leader_id, sum(sv) AS tv FROM bsum GROUP BY 1),
+    bits AS (
+        SELECT b.leader_id,
+               string_agg(CASE WHEN b.sv * b.n >= t.tv * b.cnt
+                          THEN '1' ELSE '0' END, '' ORDER BY b.blk) AS bs
+        FROM bsum b JOIN tsum t USING (leader_id)
+        GROUP BY b.leader_id
+    ),
+    members AS (
+        SELECT g.doc_id, md5(p.bs) AS phash
+        FROM gl g JOIN bits p USING (leader_id)
+    )
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM members GROUP BY phash HAVING count(*) >= 2
+    ORDER BY phash
+    """,
+    tags=("multimodal", "dedup", "phash", "image", "pipeline"),
+)
+def mm13_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup clusters by 64-bit block-mean perceptual hash —
+    the LAION-style image-dedup pass: decode pixels, hash, cluster by
+    hash, keep the lowest doc_id per cluster. The planted members of a
+    cluster differ in RAW bytes (one hash block's pixels reversed per
+    member) but collide perceptually; the oracle re-derives the hash
+    from the leader document's text through the identical integer
+    block-mean comparisons, so a hash-gate match proves the decode, the
+    hash arithmetic, AND the clustering.
+
+    Scale: the phash kernel is a zero-shuffle Arrow mapInPandas
+    reducing each image to a 16-byte key (mm12's decode contract); the
+    cluster groupBy is ONE shuffle on that key with map-side combine —
+    image dedup at 100 TB stays linear, never pairwise. The raw image
+    bytes never shuffle."""
+    assets = image_phash_table(spark, sf_dir)
+    hashes = assets.mapInPandas(
+        _phash_batches, "doc_id long, phash string, n_px long"
+    )
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+        .orderBy("phash")
+    )
+
+
 # This module registers queries but lives OUTSIDE the queries package;
 # re-apply the driver-window order in case the package's reorder ran
 # mid-way through this module's import (see registry.apply_window_order).
