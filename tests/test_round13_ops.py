@@ -383,3 +383,53 @@ def test_mm13_clusters_collide_perceptually_not_byte_exact(spark):
         )
     multi = [g for g, hs in by_group.items() if len(hs) >= 2]
     assert len(multi) > 10  # reversal really changed bytes in most groups
+
+
+def test_mm13_block_reversal_hash_invariance_property():
+    """The fixture's load-bearing claim, property-tested without Spark:
+    reversing the exact span of any hash block preserves the 64-bit
+    block-mean hash for ANY pixel body (block sums are permutation-
+    invariant within a block), while flipping a single byte's value can
+    change it. Replicates the kernel's integer bit rule verbatim."""
+    import random
+
+    import numpy as np
+
+    from xarray_sql_spark.operators.multimodal import (
+        _MM13_BLOCKS,
+        _MM13_MIN_PX,
+    )
+
+    def phash_bits(body: bytes) -> str:
+        px = np.frombuffer(body, np.uint8).astype(np.int64)
+        n = int(px.size)
+        blk = (np.arange(n, dtype=np.int64) * _MM13_BLOCKS) // n
+        sums = np.bincount(blk, weights=px, minlength=_MM13_BLOCKS).astype(
+            np.int64
+        )
+        cnts = np.bincount(blk, minlength=_MM13_BLOCKS).astype(np.int64)
+        total = int(px.sum())
+        return "".join(
+            "1" if int(sums[b]) * n >= total * int(cnts[b]) else "0"
+            for b in range(_MM13_BLOCKS)
+        )
+
+    rng = random.Random(1313)
+    changed = 0
+    for _ in range(200):
+        n = rng.randint(_MM13_MIN_PX, 600)
+        body = bytearray(rng.randbytes(n))
+        base = phash_bits(bytes(body))
+        b = rng.randrange(_MM13_BLOCKS)
+        span = [q for q in range(n) if q * _MM13_BLOCKS // n == b]
+        lo, hi = span[0], span[-1] + 1
+        perturbed = bytearray(body)
+        perturbed[lo:hi] = perturbed[lo:hi][::-1]
+        assert phash_bits(bytes(perturbed)) == base  # invariance, always
+        # sensitivity: a large single-byte change flips the hash in a
+        # healthy fraction of cases (not a constant function)
+        mutated = bytearray(body)
+        mutated[lo] = (mutated[lo] + 128) % 256
+        if phash_bits(bytes(mutated)) != base:
+            changed += 1
+    assert changed > 50, changed
