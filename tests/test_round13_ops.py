@@ -433,3 +433,27 @@ def test_mm13_block_reversal_hash_invariance_property():
         if phash_bits(bytes(mutated)) != base:
             changed += 1
     assert changed > 50, changed
+
+
+def test_mm14_audio_clusters_and_sample_framing(spark):
+    """mm14: clusters exist with keeper = audio-slot group leader
+    (doc_id % 15 == 1), members' raw bytes differ (whole-sample
+    reversal), and the fingerprint is computed over SAMPLES — verified
+    by the oracle hash test; here pin the cluster shape."""
+    import hashlib
+
+    from tests.conftest import SF_MED
+    from xarray_sql_spark.operators.multimodal import audio_phash_table
+
+    clusters = REGISTRY["mm14_audio_fingerprint_dedup"].fn(spark, SF_MED).collect()
+    assert len(clusters) > 10
+    assert max(r.n_clips for r in clusters) <= 5
+    assert all(r.keeper_doc_id % 15 == 1 for r in clusters)
+
+    assets = audio_phash_table(spark, SF_MED).collect()
+    by_group: dict[int, set] = {}
+    for a in assets:
+        by_group.setdefault(a.doc_id // 15, set()).add(
+            hashlib.md5(bytes(a.content)).hexdigest()
+        )
+    assert len([g for g, hs in by_group.items() if len(hs) >= 2]) > 10

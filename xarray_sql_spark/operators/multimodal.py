@@ -2359,6 +2359,177 @@ def mm13_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mm14: audio fingerprint near-dup (mm13's PCM sibling) ---------------------
+# The audio side of perceptual dedup: decode WAV PCM16 samples and hash
+# the SAMPLE stream (not the byte stream) with the same 64-block mean
+# rule — a chromaprint-style coarse fingerprint that collides under
+# sample-local permutations a raw md5 cannot survive. Distinct from
+# mm13 in the parts that matter: a different container walk (data-chunk
+# length from the header, not a pixel offset), SIGNED little-endian
+# samples, and block logic in sample units, so a byte-level reversal
+# would corrupt sample framing — the fixture reverses whole samples.
+
+
+def audio_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAVs with real headers whose PCM bodies are planted near-dup
+    groups: audio-slot docs (doc_id % 3 == 1) in the same doc_id//15
+    group share the group leader's text bytes as samples (space-padded
+    to even length); member m (1..4) reverses the whole-SAMPLE span of
+    hash block 8 + 4m, keeping each sample's byte order intact."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aud = d.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id",
+        (F.expr("(doc_id DIV 15) * 15 + 1")).alias("leader_id"),
+    )
+    gl = aud.join(
+        d.select(F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")),
+        "leader_id",
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, leader_id, ltext in zip(
+                pdf["doc_id"], pdf["leader_id"], pdf["ltext"]
+            ):
+                doc_id, leader_id = int(doc_id), int(leader_id)
+                body = bytearray(str(ltext).encode("utf-8"))
+                if len(body) % 2:
+                    body += b" "
+                ns = len(body) // 2
+                m = (doc_id - leader_id) // 3
+                if m > 0 and ns >= _MM13_MIN_PX:
+                    b = 8 + 4 * m
+                    span = [
+                        q for q in range(ns) if q * _MM13_BLOCKS // ns == b
+                    ]
+                    lo, hi = span[0], span[-1] + 1
+                    seg = [bytes(body[2 * q : 2 * q + 2]) for q in range(lo, hi)]
+                    body[2 * lo : 2 * hi] = b"".join(reversed(seg))
+                sr = 8000 + (leader_id * 13) % 40000
+                payload = wav_header(sr, len(body)) + bytes(body)
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return gl.mapInPandas(_encode, "doc_id long, content binary")
+
+
+def _afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-clip 64-bit block-mean fingerprint from the payload BYTES:
+    data-chunk size from the header (byte 40), signed PCM16 samples,
+    block of sample p = floor(p*64/ns), bit b = (block sum * ns >=
+    total * block len) — integer-exact on signed sums."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            payload = bytes(content)
+            data_len = _struct.unpack("<I", payload[40:44])[0]
+            body = payload[44 : 44 + data_len]
+            sm = np.frombuffer(body[: len(body) // 2 * 2], "<i2").astype(
+                np.int64
+            )
+            ns = int(sm.size)
+            if ns < _MM13_MIN_PX:
+                continue
+            blk = (np.arange(ns, dtype=np.int64) * _MM13_BLOCKS) // ns
+            sums = np.bincount(blk, weights=sm, minlength=_MM13_BLOCKS).astype(
+                np.int64
+            )
+            cnts = np.bincount(blk, minlength=_MM13_BLOCKS).astype(np.int64)
+            total = int(sm.sum())
+            bits = "".join(
+                "1" if int(sums[b]) * ns >= total * int(cnts[b]) else "0"
+                for b in range(_MM13_BLOCKS)
+            )
+            rows.append(
+                (int(doc_id), _hashlib.md5(bits.encode()).hexdigest(), ns)
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "fp", "n_samples"])
+
+
+@query(
+    "mm14_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH aud AS (
+        SELECT doc_id, (doc_id // {_MM13_GROUP}) * {_MM13_GROUP} + 1 AS leader_id
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    gl AS (
+        SELECT a.doc_id, a.leader_id
+        FROM aud a JOIN documents d ON d.doc_id = a.leader_id
+        WHERE (strlen(d.text) + strlen(d.text) % 2) // 2 >= {_MM13_MIN_PX}
+    ),
+    leaders AS (
+        SELECT DISTINCT g.leader_id, d.text AS ltext, strlen(d.text) AS n,
+               (strlen(d.text) + strlen(d.text) % 2) // 2 AS ns
+        FROM gl g JOIN documents d ON d.doc_id = g.leader_id
+    ),
+    pos AS (
+        SELECT leader_id, ns, (i * {_MM13_BLOCKS}) // ns AS blk,
+               ascii(substr(ltext, CAST(2 * i + 1 AS INT), 1))
+               + 256 * (CASE WHEN 2 * i + 2 <= n
+                        THEN ascii(substr(ltext, CAST(2 * i + 2 AS INT), 1))
+                        ELSE 32 END) AS v
+        FROM leaders, LATERAL (SELECT unnest(range(ns)) AS i) t
+    ),
+    bsum AS (
+        SELECT leader_id, blk, any_value(ns) AS ns,
+               sum(v) AS sv, count(*) AS cnt
+        FROM pos GROUP BY 1, 2
+    ),
+    tsum AS (SELECT leader_id, sum(sv) AS tv FROM bsum GROUP BY 1),
+    bits AS (
+        SELECT b.leader_id,
+               string_agg(CASE WHEN b.sv * b.ns >= t.tv * b.cnt
+                          THEN '1' ELSE '0' END, '' ORDER BY b.blk) AS bs
+        FROM bsum b JOIN tsum t USING (leader_id)
+        GROUP BY b.leader_id
+    ),
+    members AS (
+        SELECT g.doc_id, md5(p.bs) AS fp
+        FROM gl g JOIN bits p USING (leader_id)
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM members GROUP BY fp HAVING count(*) >= 2
+    ORDER BY fp
+    """,
+    tags=("multimodal", "dedup", "fingerprint", "audio", "pipeline"),
+)
+def mm14_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup clusters by 64-bit block-mean PCM fingerprint —
+    mm13's sibling on the WAV slot: decode signed samples, hash the
+    sample stream, cluster by fingerprint, keep the lowest doc_id. The
+    planted members reverse one hash block's WHOLE SAMPLES (byte order
+    within each sample intact — a byte-level reversal would corrupt
+    PCM framing), so raw bytes differ while the fingerprint collides
+    exactly; the oracle replays the fingerprint from the leader text
+    through the identical integer comparisons.
+
+    Scale: mm13's contract — zero-shuffle Arrow mapInPandas reduces
+    each clip to a 16-byte key; ONE map-side-combined groupBy clusters;
+    the raw audio bytes never shuffle."""
+    assets = audio_phash_table(spark, sf_dir)
+    fps = assets.mapInPandas(
+        _afp_batches, "doc_id long, fp string, n_samples long"
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clips"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_clips") >= 2)
+        .orderBy("fp")
+    )
+
+
 # This module registers queries but lives OUTSIDE the queries package;
 # re-apply the driver-window order in case the package's reorder ran
 # mid-way through this module's import (see registry.apply_window_order).

@@ -39,9 +39,9 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      the oldest r6 block — exactly next_window.py's output.
 # Everything displaced was hash-green in r9 on code paths unchanged this
 # round and stays covered by the local full-registry pytest sweep.
-# Round-13 window (computed by scripts/next_window.py): the four NEW
+# Round-13 window (computed by scripts/next_window.py): the five NEW
 # operators (pl22 license gate, ts25 n-gram classifier, ts26 domain
-# quality prior, mm13 perceptual image dedup) plus every query whose code changed this round (dd03/
+# quality prior, mm13/mm14 perceptual image + audio dedup) plus every query whose code changed this round (dd03/
 # dd17 posting caps, pl17 windowed counts, ts20 single-pass training and
 # its dd16 composition, io13 eager wave-1), then the oldest-proof fill —
 # the r6/r7-era block (gq19-gq36 grid-parity, store/codec round-trips,
@@ -50,22 +50,22 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # rounds after this round's gate.
 _PRIORITY = (
     "pl22_license_gate ts25_ngram_classifier ts26_domain_quality "
-    "mm13_image_phash_dedup dd03_ngram_jaccard dd17_containment_neardup "
-    "pl17_url_provenance ts20_quality_classifier dd16_url_dedup "
-    "io13_ingest_manifest pl21_dsir_selection ts07_pii_redact "
-    "sk01_salted_agg sk02_salted_join q07_cross_join "
-    "ts09_gopher_rules ts10_unigram_surprisal dd10_shared_span_pairs "
-    "ts11_bpe_pair_stats ts12_memorization_score ev11_user_value_quartiles "
-    "ev12_funnel_conversion ev13_json_props dd09_sketch_accuracy "
-    "dd11_cross_source_dup_matrix mm06_audio_rollup gq02_grid_pruned_slice "
-    "gq14_zarr_roundtrip gq15_filtered_store gq19_grid_rolling_mean "
-    "gq20_grid_resample_daily gq21_grid_coarsen gq22_grid_weighted_mean "
-    "gq18_cf_decoded_store gq17_blosclz_bitshuffle_store gq23_longtail_codec_store "
-    "gq25_grid_interp gq26_grid_ffill gq27_grid_differentiate "
-    "gq28_grid_argmax gq29_grid_value_bins gq30_grid_cumsum "
-    "gq31_grid_shift_diff gq32_grid_rank gq33_grid_trend "
-    "gq34_grid_integrate gq35_grid_corr_cov gq36_grid_quantiles "
-    "q44_cube q43_set_ops_all "
+    "mm13_image_phash_dedup mm14_audio_fingerprint_dedup dd03_ngram_jaccard "
+    "dd17_containment_neardup pl17_url_provenance ts20_quality_classifier "
+    "dd16_url_dedup io13_ingest_manifest pl21_dsir_selection "
+    "ts07_pii_redact sk01_salted_agg sk02_salted_join "
+    "q07_cross_join ts09_gopher_rules ts10_unigram_surprisal "
+    "dd10_shared_span_pairs ts11_bpe_pair_stats ts12_memorization_score "
+    "ev11_user_value_quartiles ev12_funnel_conversion ev13_json_props "
+    "dd09_sketch_accuracy dd11_cross_source_dup_matrix mm06_audio_rollup "
+    "gq02_grid_pruned_slice gq14_zarr_roundtrip gq15_filtered_store "
+    "gq19_grid_rolling_mean gq20_grid_resample_daily gq21_grid_coarsen "
+    "gq22_grid_weighted_mean gq18_cf_decoded_store gq17_blosclz_bitshuffle_store "
+    "gq23_longtail_codec_store gq25_grid_interp gq26_grid_ffill "
+    "gq27_grid_differentiate gq28_grid_argmax gq29_grid_value_bins "
+    "gq30_grid_cumsum gq31_grid_shift_diff gq32_grid_rank "
+    "gq33_grid_trend gq34_grid_integrate gq35_grid_corr_cov "
+    "gq36_grid_quantiles q44_cube "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402
