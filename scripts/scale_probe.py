@@ -83,9 +83,9 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # domain-keyed rollup)
                  "pl22_license_gate", "ts25_ngram_classifier",
                  "ts26_domain_quality",
-                 # perceptual image dedup (decode->16-byte key->one keyed
-                 # groupBy)
-                 "mm13_image_phash_dedup"]
+                 # perceptual image + audio dedup (decode->16-byte key->
+                 # one keyed groupBy)
+                 "mm13_image_phash_dedup", "mm14_audio_fingerprint_dedup"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10
