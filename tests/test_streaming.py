@@ -1059,3 +1059,31 @@ def test_license_gate_stream_matches_batch_rollup(spark):
     want = {r.policy: (r.n_docs, r.tokens, r.trainable) for r in batch}
     assert got == want
     assert len(got) >= 3
+
+
+def test_image_phash_gate_matches_batch_clusters(spark):
+    """mm13's ingest twin: the settled min-keeper state per perceptual
+    hash must equal the batch clusterer's keeper and member count for
+    every multi-image cluster (min-merge makes the state arrival-order
+    independent)."""
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.streaming import dedup as sd
+
+    out = se.run_to_memory(
+        sd.image_phash_gate(spark, SF_SMALL),
+        "t_phash_gate",
+        output_mode="update",
+    )
+    pdf = out.toPandas()
+    final = (
+        pdf.sort_values(["phash", "n_images"]).groupby("phash").tail(1)
+    )
+    got = {
+        r.phash: (int(r.keeper_doc_id), int(r.n_images))
+        for r in final.itertuples()
+        if int(r.n_images) >= 2
+    }
+    batch = REGISTRY["mm13_image_phash_dedup"].fn(spark, SF_SMALL).collect()
+    want = {r.phash: (r.keeper_doc_id, r.n_images) for r in batch}
+    assert got == want
+    assert len(want) > 0

@@ -2217,35 +2217,36 @@ def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")),
         "leader_id",
     )
+    return gl.mapInPandas(_mm13_encode_batches, "doc_id long, content binary")
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct  # noqa: F401 (bmp_header does the packing)
 
-        for pdf in batches:
-            rows = []
-            for doc_id, leader_id, ltext in zip(
-                pdf["doc_id"], pdf["leader_id"], pdf["ltext"]
-            ):
-                doc_id, leader_id = int(doc_id), int(leader_id)
-                body = bytearray(str(ltext).encode("utf-8"))
-                n = len(body)
-                m = (doc_id - leader_id) // 3
-                if m > 0 and n >= _MM13_MIN_PX:
-                    b = 8 + 4 * m  # blocks 12, 16, 20, 24
-                    # block b under the hash's own rule (p*64 // n == b):
-                    # reversing exactly that span preserves its block sum
-                    span = [
-                        q for q in range(n) if q * _MM13_BLOCKS // n == b
-                    ]
-                    lo, hi = span[0], span[-1] + 1
-                    body[lo:hi] = body[lo:hi][::-1]
-                w = 160 + (leader_id * 37) % 1760
-                h = 90 + (leader_id * 53) % 990
-                payload = bmp_header(w, h, len(body)) + bytes(body)
-                rows.append((doc_id, payload))
-            yield pd.DataFrame(rows, columns=["doc_id", "content"])
-
-    return gl.mapInPandas(_encode, "doc_id long, content binary")
+def _mm13_encode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The mm13 fixture encode kernel — module-level so the batch
+    fixture and the streaming ingest gate (streaming/dedup.py) share
+    ONE definition and cannot drift."""
+    for pdf in batches:
+        rows = []
+        for doc_id, leader_id, ltext in zip(
+            pdf["doc_id"], pdf["leader_id"], pdf["ltext"]
+        ):
+            doc_id, leader_id = int(doc_id), int(leader_id)
+            body = bytearray(str(ltext).encode("utf-8"))
+            n = len(body)
+            m = (doc_id - leader_id) // 3
+            if m > 0 and n >= _MM13_MIN_PX:
+                b = 8 + 4 * m  # blocks 12, 16, 20, 24
+                # block b under the hash's own rule (p*64 // n == b):
+                # reversing exactly that span preserves its block sum
+                span = [q for q in range(n) if q * _MM13_BLOCKS // n == b]
+                lo, hi = span[0], span[-1] + 1
+                body[lo:hi] = body[lo:hi][::-1]
+            w = 160 + (leader_id * 37) % 1760
+            h = 90 + (leader_id * 53) % 990
+            payload = bmp_header(w, h, len(body)) + bytes(body)
+            rows.append((doc_id, payload))
+        yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
 
 def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

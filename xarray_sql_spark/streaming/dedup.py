@@ -137,3 +137,71 @@ def near_dup_verdicts(band_firsts: DataFrame) -> DataFrame:
         F.max((F.col("first_doc") < F.col("doc_id")).cast("int")).alias("is_near_dup"),
         F.sum((F.col("first_doc") < F.col("doc_id")).cast("int")).alias("n_dup_bands"),
     )
+
+
+# --- ingest-time image dedup gate (mm13's streaming twin) ---------------------
+_PHASH_STATE = StructType(
+    [StructField("keeper", LongType()), StructField("n", LongType())]
+)
+_PHASH_OUT = StructType(
+    [
+        StructField("phash", StringType()),
+        StructField("keeper_doc_id", LongType()),
+        StructField("n_images", LongType()),
+    ]
+)
+
+
+def _phash_first_fn(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Running min-keeper per perceptual hash: merging by min makes the
+    final keeper independent of micro-batch arrival order, so the
+    settled state equals the batch clusterer's (mm13) keeper exactly."""
+    keeper, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        m = int(pdf["doc_id"].min())
+        keeper = m if keeper is None else min(keeper, m)
+    state.update((keeper, n))
+    yield pd.DataFrame(
+        {"phash": [key[0]], "keeper_doc_id": [keeper], "n_images": [n]}
+    )
+
+
+def image_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm13 at INGEST: the document stream's image slot is encoded and
+    perceptually hashed with the SAME module-level kernels as the batch
+    query (stream-static join against the leader texts, two stateless
+    Arrow mapInPandas stages), then a stateful min-keeper gate per hash
+    decides which image of each near-dup cluster survives. State is one
+    (long, long) per distinct hash — bounded by cluster count, not
+    corpus size."""
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.operators.multimodal import (
+        _mm13_encode_batches,
+        _phash_batches,
+    )
+    from xarray_sql_spark.session import table
+
+    d_static = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")
+    )
+    s = (
+        documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .selectExpr("doc_id", "(doc_id DIV 15) * 15 AS leader_id")
+        .join(d_static, "leader_id")  # stream-static broadcastable dim
+    )
+    assets = s.mapInPandas(_mm13_encode_batches, "doc_id long, content binary")
+    hashes = assets.mapInPandas(
+        _phash_batches, "doc_id long, phash string, n_px long"
+    )
+    return hashes.groupBy("phash").applyInPandasWithState(
+        _phash_first_fn,
+        outputStructType=_PHASH_OUT,
+        stateStructType=_PHASH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
