@@ -1087,3 +1087,63 @@ def test_image_phash_gate_matches_batch_clusters(spark):
     want = {r.phash: (r.keeper_doc_id, r.n_images) for r in batch}
     assert got == want
     assert len(want) > 0
+
+
+def test_image_phash_gate_state_survives_checkpointed_restart(spark, tmp_path):
+    """Operational pin for the ingest gate: wave 1 delivers each group's
+    LEADER image; the query stops; wave 2 lands the remaining members;
+    a restart on the SAME checkpoint must recover the min-keeper state —
+    settled clusters equal the batch clusterer exactly, which is only
+    possible if wave-1 state survived the restart (a fresh run over
+    wave 2 alone would miss every leader)."""
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.streaming import dedup as sd
+    from xarray_sql_spark.session import table as _table
+
+    docs = _table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+    # wave 1: the group leaders (doc_id % 15 == 0 among the image slot)
+    docs.filter("doc_id % 15 = 0").coalesce(1).write.mode("overwrite").parquet(feed)
+
+    out_dir = str(tmp_path / "out")
+
+    def _run():
+        # memory sink cannot recover from a checkpoint; a foreachBatch
+        # parquet appender is the fault-tolerant production shape
+        stream = spark.readStream.schema(schema).parquet(feed)
+
+        def _sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            sd.image_phash_gate(spark, SF_SMALL, stream=stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    # wave 2: everything else in the image slot
+    docs.filter("doc_id % 3 = 0 AND doc_id % 15 <> 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    _run()
+    pdf2 = spark.read.parquet(out_dir).toPandas()
+
+    final = pdf2.sort_values(["phash", "n_images"]).groupby("phash").tail(1)
+    got = {
+        r.phash: (int(r.keeper_doc_id), int(r.n_images))
+        for r in final.itertuples()
+        if int(r.n_images) >= 2
+    }
+    batch = REGISTRY["mm13_image_phash_dedup"].fn(spark, SF_SMALL).collect()
+    want = {r.phash: (r.keeper_doc_id, r.n_images) for r in batch}
+    assert got == want
+    assert len(want) > 0

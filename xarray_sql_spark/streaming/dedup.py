@@ -169,7 +169,9 @@ def _phash_first_fn(
     )
 
 
-def image_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_phash_gate(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
     """mm13 at INGEST: the document stream's image slot is encoded and
     perceptually hashed with the SAME module-level kernels as the batch
     query (stream-static join against the leader texts, two stateless
@@ -188,8 +190,10 @@ def image_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_static = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")
     )
+    # `stream` override: restart/wave tests feed their own file source;
+    # default is the shared documents stream.
     s = (
-        documents_stream(spark, sf_dir)
+        (stream if stream is not None else documents_stream(spark, sf_dir))
         .filter(F.col("doc_id") % 3 == 0)
         .selectExpr("doc_id", "(doc_id DIV 15) * 15 AS leader_id")
         .join(d_static, "leader_id")  # stream-static broadcastable dim
