@@ -29,14 +29,21 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # Stop any ambient session so getOrCreate() cannot silently reuse a
+    # tuned conf, and SET the plain defaults rather than asserting them —
+    # SPARK_CONF_DIR / spark-defaults must not be able to abort the audit.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("plain-audit")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "200")
+        .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
 
     from tests.oracle_harness import compare
     from xarray_sql_spark.queries import REGISTRY

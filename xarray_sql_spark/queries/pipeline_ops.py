@@ -6276,8 +6276,8 @@ def pl22_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measurable. V doubles to 128 buckets (feature space is ~2x).
 _TS25_V = 128
 _TS25_BUCKET_SPARK = (
-    "CAST(conv(substring(md5({w}), 1, 15), 16, 10) %"
-    f" {_TS25_V} AS INT)"
+    "CAST(pmod(CAST(conv(substring(md5({w}), 1, 15), 16, 10) AS BIGINT),"
+    f" {_TS25_V}) AS INT)"
 )
 _TS25_BUCKET_DUCK = (
     "CAST(('0x' || substring(md5({w}), 1, 15))::BIGINT"

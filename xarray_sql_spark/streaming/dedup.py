@@ -160,6 +160,8 @@ def _phash_first_fn(
     settled state equals the batch clusterer's (mm13) keeper exactly."""
     keeper, n = state.get if state.exists else (None, 0)
     for pdf in pdfs:
+        if len(pdf) == 0:  # Arrow batching may deliver empty chunks
+            continue
         n += len(pdf)
         m = int(pdf["doc_id"].min())
         keeper = m if keeper is None else min(keeper, m)
