@@ -101,6 +101,7 @@ def build_replica(
     dst_dir: str = DST,
     copies: int = COPIES,
     tables: tuple = TABLES,
+    parts_per_table: int = 64,
 ) -> None:
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -129,7 +130,31 @@ def build_replica(
                     txt = pc.binary_join_element_wise(ti["text"], f" r{i}", "")
                     ti = ti.set_column(tix, ti.schema.field("text"), txt)
             parts.append(ti)
-        pq.write_table(pa.concat_tables(parts), dst, row_group_size=1 << 16)
+        full = pa.concat_tables(parts)
+        # Layout matters as much as content (r13 verdict): parquet cannot
+        # split a row group across tasks, and Spark's openCost bin-packing
+        # cannot split a small single FILE either — a single-file replica
+        # capped ts25's 100x probe at 8 scan tasks, so the probe measured
+        # fixture layout, not the plan. A directory of >=32 part files is
+        # the layout that actually yields >=32 scan tasks at probe scale
+        # (openCost padding makes each small part its own split). Written
+        # to a tmp dir + atomic rename so a killed build never leaves a
+        # half replica that the exists() cache check would trust.
+        tmp = dst + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        step = max(1, -(-full.num_rows // parts_per_table))
+        for j in range(parts_per_table):
+            chunk = full.slice(j * step, step)
+            if chunk.num_rows == 0:
+                break
+            pq.write_table(
+                chunk, os.path.join(tmp, f"part-{j:05d}.parquet")
+            )
+        os.rename(tmp, dst)
 
 
 def main() -> None:
