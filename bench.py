@@ -72,10 +72,14 @@ def main() -> None:
                     best = max(best, stage.numTasks)
         return best
 
+    # SPARK_GRAFT_BENCH_ONLY="name1 name2": subset the sweep for isolated
+    # triage runs; the driver never sets it, so round artifacts stay full.
+    only = set(os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split()) or None
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
-        if not spec.bench:
+        if not spec.bench or (only is not None and name not in only):
             continue
         try:
             run_once(spec)  # untimed warm-up: codegen + broadcast + shuffle files
@@ -133,6 +137,44 @@ def main() -> None:
                 f"WARN {name}: {timings[name]}s but densest stage < 8 tasks — {kind}",
                 file=sys.stderr,
             )
+    # Regression triage (r13 verdict item 3): a query slowing >1.3x
+    # round-over-round is either a real regression or box swing, and the
+    # artifact must let a reader tell which WITHOUT a judge re-run. For
+    # each such query, re-run it isolated (3 reps, post-GC) at the end of
+    # the sweep and record the best sample as its floor: a floor near the
+    # previous round's time proves box swing during the sweep; a floor
+    # near the new time is a real regression.
+    floors: dict[str, dict] = {}
+    prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f).get("queries", {})
+    except Exception:  # noqa: BLE001 — first run / corrupt artifact
+        prior = {}
+    regressed = [
+        n for n, t in timings.items()
+        if t >= 0.2 and n in prior and prior[n] > 0 and t > 1.3 * prior[n]
+    ]
+    for name in regressed:
+        spark.sparkContext._jvm.System.gc()
+        best = None
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_once(REGISTRY[name])
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception:  # noqa: BLE001 — triage only, never fail bench
+            continue
+        floors[name] = {
+            "prev": prior[name],
+            "sweep": timings[name],
+            "floor": round(best, 4),
+        }
+        print(f"FLOOR {name}: {floors[name]}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     baseline_shapes = {
         "q09_climatology_hour", "q10_anomaly_cte", "q13_range_join",
@@ -178,6 +220,8 @@ def main() -> None:
         pass
     full = dict(meta)
     full["queries"] = {n: timings[n] for n in by_time}
+    if floors:
+        full["floors"] = floors
     if errors:
         full["errors"] = errors
     local_path = os.path.join(
@@ -196,6 +240,8 @@ def main() -> None:
     line["queries"] = {
         n: timings[n] for n in by_time if n in important
     }
+    if floors:
+        line["n_floors"] = len(floors)
     if errors:
         line["n_errors"] = len(errors)
     encoded = json.dumps(line, separators=(",", ":"))
