@@ -1147,3 +1147,88 @@ def test_image_phash_gate_state_survives_checkpointed_restart(spark, tmp_path):
     want = {r.phash: (r.keeper_doc_id, r.n_images) for r in batch}
     assert got == want
     assert len(want) > 0
+
+
+def test_audio_fp_gate_matches_batch_clusters(spark):
+    """mm14's ingest twin: the settled min-keeper state per audio
+    fingerprint must equal the batch clusterer's keeper and member
+    count for every multi-clip cluster (min-merge makes the state
+    arrival-order independent)."""
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.streaming import dedup as sd
+
+    out = se.run_to_memory(
+        sd.audio_fp_gate(spark, SF_SMALL),
+        "t_afp_gate",
+        output_mode="update",
+    )
+    pdf = out.toPandas()
+    final = pdf.sort_values(["fp", "n_clips"]).groupby("fp").tail(1)
+    got = {
+        r.fp: (int(r.keeper_doc_id), int(r.n_clips))
+        for r in final.itertuples()
+        if int(r.n_clips) >= 2
+    }
+    batch = REGISTRY["mm14_audio_fingerprint_dedup"].fn(spark, SF_SMALL).collect()
+    want = {r.fp: (r.keeper_doc_id, r.n_clips) for r in batch}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_audio_fp_gate_state_survives_checkpointed_restart(spark, tmp_path):
+    """Operational pin for the audio ingest gate (mm13's twin has the
+    same pin): wave 1 delivers each group's LEADER clip; the query
+    stops; wave 2 lands the remaining members; a restart on the SAME
+    checkpoint must recover the min-keeper state — settled clusters
+    equal the batch clusterer exactly, which is only possible if wave-1
+    state survived the restart (a fresh run over wave 2 alone would
+    miss every leader)."""
+    from xarray_sql_spark.queries import REGISTRY
+    from xarray_sql_spark.streaming import dedup as sd
+    from xarray_sql_spark.session import table as _table
+
+    docs = _table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+    # wave 1: the group leaders of the audio slot (doc_id % 15 == 1)
+    docs.filter("doc_id % 15 = 1").coalesce(1).write.mode("overwrite").parquet(feed)
+
+    out_dir = str(tmp_path / "out")
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(feed)
+
+        def _sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            sd.audio_fp_gate(spark, SF_SMALL, stream=stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    # wave 2: everything else in the audio slot
+    docs.filter("doc_id % 3 = 1 AND doc_id % 15 <> 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    _run()
+    pdf2 = spark.read.parquet(out_dir).toPandas()
+
+    final = pdf2.sort_values(["fp", "n_clips"]).groupby("fp").tail(1)
+    got = {
+        r.fp: (int(r.keeper_doc_id), int(r.n_clips))
+        for r in final.itertuples()
+        if int(r.n_clips) >= 2
+    }
+    batch = REGISTRY["mm14_audio_fingerprint_dedup"].fn(spark, SF_SMALL).collect()
+    want = {r.fp: (r.keeper_doc_id, r.n_clips) for r in batch}
+    assert got == want
+    assert len(want) > 0

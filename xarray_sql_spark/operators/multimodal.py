@@ -2386,33 +2386,38 @@ def audio_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")),
         "leader_id",
     )
+    return gl.mapInPandas(_mm14_encode_batches, "doc_id long, content binary")
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, leader_id, ltext in zip(
-                pdf["doc_id"], pdf["leader_id"], pdf["ltext"]
-            ):
-                doc_id, leader_id = int(doc_id), int(leader_id)
-                body = bytearray(str(ltext).encode("utf-8"))
-                if len(body) % 2:
-                    body += b" "
-                ns = len(body) // 2
-                m = (doc_id - leader_id) // 3
-                if m > 0 and ns >= _MM13_MIN_PX:
-                    b = 8 + 4 * m
-                    span = [
-                        q for q in range(ns) if q * _MM13_BLOCKS // ns == b
-                    ]
-                    lo, hi = span[0], span[-1] + 1
-                    seg = [bytes(body[2 * q : 2 * q + 2]) for q in range(lo, hi)]
-                    body[2 * lo : 2 * hi] = b"".join(reversed(seg))
-                sr = 8000 + (leader_id * 13) % 40000
-                payload = wav_header(sr, len(body)) + bytes(body)
-                rows.append((doc_id, payload))
-            yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    return gl.mapInPandas(_encode, "doc_id long, content binary")
+def _mm14_encode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The mm14 fixture encode kernel — module-level so the batch
+    fixture and the streaming ingest gate (streaming/dedup.py) share
+    ONE definition and cannot drift (mm13's contract)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, leader_id, ltext in zip(
+            pdf["doc_id"], pdf["leader_id"], pdf["ltext"]
+        ):
+            doc_id, leader_id = int(doc_id), int(leader_id)
+            body = bytearray(str(ltext).encode("utf-8"))
+            if len(body) % 2:
+                body += b" "
+            ns = len(body) // 2
+            m = (doc_id - leader_id) // 3
+            if m > 0 and ns >= _MM13_MIN_PX:
+                b = 8 + 4 * m
+                span = [
+                    q for q in range(ns) if q * _MM13_BLOCKS // ns == b
+                ]
+                lo, hi = span[0], span[-1] + 1
+                seg = [bytes(body[2 * q : 2 * q + 2]) for q in range(lo, hi)]
+                body[2 * lo : 2 * hi] = b"".join(reversed(seg))
+            sr = 8000 + (leader_id * 13) % 40000
+            payload = wav_header(sr, len(body)) + bytes(body)
+            rows.append((doc_id, payload))
+        yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
 
 def _afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -150,25 +150,42 @@ _PHASH_OUT = StructType(
         StructField("n_images", LongType()),
     ]
 )
+_AFP_OUT = StructType(
+    [
+        StructField("fp", StringType()),
+        StructField("keeper_doc_id", LongType()),
+        StructField("n_clips", LongType()),
+    ]
+)
 
 
-def _phash_first_fn(
-    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
-) -> "Iterator[pd.DataFrame]":
-    """Running min-keeper per perceptual hash: merging by min makes the
+def _min_keeper_fn_factory(key_col: str, n_col: str):
+    """Running min-keeper per fingerprint: merging by min makes the
     final keeper independent of micro-batch arrival order, so the
-    settled state equals the batch clusterer's (mm13) keeper exactly."""
-    keeper, n = state.get if state.exists else (None, 0)
-    for pdf in pdfs:
-        if len(pdf) == 0:  # Arrow batching may deliver empty chunks
-            continue
-        n += len(pdf)
-        m = int(pdf["doc_id"].min())
-        keeper = m if keeper is None else min(keeper, m)
-    state.update((keeper, n))
-    yield pd.DataFrame(
-        {"phash": [key[0]], "keeper_doc_id": [keeper], "n_images": [n]}
-    )
+    settled state equals the batch clusterer's (mm13/mm14) keeper
+    exactly. One factory, two gates — the image and audio twins differ
+    only in output column names."""
+
+    def _fn(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        keeper, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:  # Arrow batching may deliver empty chunks
+                continue
+            n += len(pdf)
+            m = int(pdf["doc_id"].min())
+            keeper = m if keeper is None else min(keeper, m)
+        state.update((keeper, n))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "keeper_doc_id": [keeper], n_col: [n]}
+        )
+
+    return _fn
+
+
+_phash_first_fn = _min_keeper_fn_factory("phash", "n_images")
+_afp_first_fn = _min_keeper_fn_factory("fp", "n_clips")
 
 
 def image_phash_gate(
@@ -207,6 +224,48 @@ def image_phash_gate(
     return hashes.groupBy("phash").applyInPandasWithState(
         _phash_first_fn,
         outputStructType=_PHASH_OUT,
+        stateStructType=_PHASH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def audio_fp_gate(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
+    """mm14 at INGEST — image_phash_gate's audio twin: the document
+    stream's WAV slot (doc_id % 3 == 1) is encoded and fingerprinted
+    with the SAME module-level kernels as the batch query (stream-static
+    join against the leader texts, two stateless Arrow mapInPandas
+    stages), then a stateful min-keeper gate per 64-bit block-mean
+    fingerprint decides which clip of each near-dup cluster survives.
+    State is one (long, long) per distinct fingerprint — bounded by
+    cluster count, not corpus size. Short clips (< 64 samples) produce
+    no fingerprint row and never enter state, exactly as in batch."""
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.operators.multimodal import (
+        _afp_batches,
+        _mm14_encode_batches,
+    )
+    from xarray_sql_spark.session import table
+
+    d_static = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")
+    )
+    s = (
+        (stream if stream is not None else documents_stream(spark, sf_dir))
+        .filter(F.col("doc_id") % 3 == 1)
+        .selectExpr("doc_id", "(doc_id DIV 15) * 15 + 1 AS leader_id")
+        .join(d_static, "leader_id")  # stream-static broadcastable dim
+    )
+    assets = s.mapInPandas(_mm14_encode_batches, "doc_id long, content binary")
+    fps = assets.mapInPandas(
+        _afp_batches, "doc_id long, fp string, n_samples long"
+    )
+    return fps.groupBy("fp").applyInPandasWithState(
+        _afp_first_fn,
+        outputStructType=_AFP_OUT,
         stateStructType=_PHASH_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
