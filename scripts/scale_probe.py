@@ -85,7 +85,12 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  "ts26_domain_quality",
                  # perceptual image + audio dedup (decode->16-byte key->
                  # one keyed groupBy)
-                 "mm13_image_phash_dedup", "mm14_audio_fingerprint_dedup"]
+                 "mm13_image_phash_dedup", "mm14_audio_fingerprint_dedup",
+                 # round-14: the five-stage composition DAG (license ->
+                 # exact -> banded near-dup confirm -> tier -> mixing);
+                 # the confirm join is bounded by <= N_BANDS claims/doc,
+                 # so the whole chain must stay ~linear
+                 "pl23_pipeline_e2e"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

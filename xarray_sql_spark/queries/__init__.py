@@ -49,23 +49,23 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # 5/50 overlap with the r12 window; every entry's last-green age < 5
 # rounds after this round's gate.
 _PRIORITY = (
-    "pl22_license_gate ts25_ngram_classifier ts26_domain_quality "
-    "mm13_image_phash_dedup mm14_audio_fingerprint_dedup dd03_ngram_jaccard "
-    "dd17_containment_neardup pl17_url_provenance ts20_quality_classifier "
-    "dd16_url_dedup io13_ingest_manifest pl21_dsir_selection "
-    "ts07_pii_redact sk01_salted_agg sk02_salted_join "
-    "q07_cross_join ts09_gopher_rules ts10_unigram_surprisal "
-    "dd10_shared_span_pairs ts11_bpe_pair_stats ts12_memorization_score "
-    "ev11_user_value_quartiles ev12_funnel_conversion ev13_json_props "
-    "dd09_sketch_accuracy dd11_cross_source_dup_matrix mm06_audio_rollup "
-    "gq02_grid_pruned_slice gq14_zarr_roundtrip gq15_filtered_store "
-    "gq19_grid_rolling_mean gq20_grid_resample_daily gq21_grid_coarsen "
-    "gq22_grid_weighted_mean gq18_cf_decoded_store gq17_blosclz_bitshuffle_store "
-    "gq23_longtail_codec_store gq25_grid_interp gq26_grid_ffill "
-    "gq27_grid_differentiate gq28_grid_argmax gq29_grid_value_bins "
-    "gq30_grid_cumsum gq31_grid_shift_diff gq32_grid_rank "
-    "gq33_grid_trend gq34_grid_integrate gq35_grid_corr_cov "
-    "gq36_grid_quantiles q44_cube "
+    "pl23_pipeline_e2e qs01_quantile_sketch ts25_ngram_classifier "
+    "mm14_audio_fingerprint_dedup q43_set_ops_all ev10_first_touch_attribution "
+    "q45_pivot cc02_twohop_components pl09_leakage_free_split "
+    "ev14_gap_fill ts14_vocab_growth ev15_transition_matrix "
+    "ev16_conversion_delays pl11_rag_chunking ev17_cdc_latest_state "
+    "ev18_variant_props pl12_dataset_card ts15_bigram_surprisal "
+    "ev19_incremental_rollup ts16_zipf_fit ev20_activity_streaks "
+    "ev21_rfm_segments ts17_readability pl14_quality_calibration "
+    "ss12_radius_search dd08_incremental_dedup dd12_lsh_band_sweep "
+    "mm01_decode_meta mm04_resize mm07_image_rollup "
+    "mm08_mp3_census mm09_mp4_census gq24_region_write_roundtrip "
+    "gq37_grid_rolling_std gq38_grid_upsample gq39_grid_where_clip_fill "
+    "ss09_pq_adc_topk ss10_pq_rerank q46_range_frame "
+    "ss11_mmr_diversify q47_anti_join io02_csv_roundtrip "
+    "io03_corrupt_record_quarantine io04_schema_evolution io05_orc_roundtrip "
+    "io06_partitioned_prune io07_xml_roundtrip io09_gzip_jsonl_roundtrip "
+    "io10_multiline_json_roundtrip io08_binaryfile_ingest "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402

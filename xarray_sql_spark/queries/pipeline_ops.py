@@ -6584,3 +6584,384 @@ def ts26_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# --- pl23: the pipeline as ONE DAG ------------------------------------------
+# End-to-end composition proof (r13 verdict item 5): license gate (pl22)
+# -> exact dedup (dd01's rule) -> banded near-dup gate (dd04's bands,
+# dd08's first-claimant rule) -> domain quality tiering (ts26) -> 50%
+# sample of the 'sample' tier -> temperature mixing (pl19) -> per-domain
+# trainable token mass. Every stage reuses the SHARED single-definition
+# expressions (pl17 canonical domain, ts20 trained scorer, dd04 MinHash
+# constants), and the stages chain WITHOUT per-stage materialization —
+# one logical plan, one scan of documents.
+_PL23_SAMPLE_MICRO = 500_000  # 'sample'-tier keep threshold on the 1e-6 grid
+# salted residue so the tier-sampling decision is independent of pl19's
+# mixing residue (same 60-bit md5 discipline, different key material)
+_PL23_TIER_RES = (
+    "('0x' || substring(md5('tier|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 1000000",
+    "pmod(CAST(conv(substring(md5(concat('tier|', CAST(doc_id AS STRING))),"
+    " 1, 15), 16, 10) AS BIGINT), 1000000)",
+)
+
+
+def _pl23_sig_mins(engine: str):
+    """The 16 MinHash components as ROW-WISE list expressions over a
+    ``th`` token-hash array column — dd04's permutation constants
+    (dedup_lsh.PERM_A/B), no explode/groupBy: the signature becomes a
+    map-only projection, so the composed DAG adds no per-token shuffle.
+    Returns a list of expression strings for Spark (selectExpr splat),
+    one comma-joined string for the DuckDB CTE."""
+    from xarray_sql_spark.queries.dedup_lsh import MERSENNE31, N_PERMS, PERM_A, PERM_B
+
+    if engine == "spark":
+        tmpl = (
+            "array_min(transform(th, h -> ({a}L * h + {b}L) % {m}L)) AS s{i}"
+        )
+    else:
+        tmpl = "list_min(list_transform(th, h -> ({a} * h + {b}) % {m})) AS s{i}"
+    exprs = [
+        tmpl.format(a=PERM_A[i], b=PERM_B[i], m=MERSENNE31, i=i)
+        for i in range(N_PERMS)
+    ]
+    if engine == "spark":
+        return exprs
+    return ",\n               ".join(exprs)
+
+
+def _pl23_eq_terms(a: str, b: str) -> str:
+    """dd04's signature-agreement count between two sig aliases."""
+    from xarray_sql_spark.queries.dedup_lsh import N_PERMS
+
+    return " + ".join(
+        f"CASE WHEN {a}.s{i} = {b}.s{i} THEN 1 ELSE 0 END"
+        for i in range(N_PERMS)
+    )
+
+
+def _pl23_oracle() -> str:
+    from xarray_sql_spark.queries.dedup_lsh import (
+        EST_JACCARD_MIN as _DD_EJ_MIN,
+        MERSENNE31,
+        N_BANDS,
+        N_PERMS as _DD_NP,
+        ROWS_PER_BAND,
+        _band_rows_sql,
+    )
+
+    return f"""
+    WITH {_ts20_score_ctes()},
+    b0 AS (
+        SELECT doc_id, lang, md5(text) AS chash,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS words,
+               list_distinct(string_split(text, ' ')) AS toks,
+               {_pl17_url_expr("duck")} AS url
+        FROM documents
+    ),
+    b1 AS (
+        SELECT doc_id, lang, chash, words, toks,
+               {_pl17_canon_expr("duck")} AS curl
+        FROM b0
+    ),
+    b2 AS (
+        SELECT doc_id, lang, chash, words, toks,
+               {_pl17_domain_expr("duck", _pl17_host_of_canon("duck", "curl"))}
+                   AS domain
+        FROM b1
+    ),
+    suffix_pol AS {_pl22_values_sql(_PL22_SUFFIX_POLICY, ("suffix", "sp"))},
+    over_pol AS {_pl22_values_sql(_PL22_OVERRIDES, ("odomain", "op"))},
+    allowed AS (
+        SELECT b2.*, s.score_micro
+        FROM b2
+        LEFT JOIN over_pol o ON o.odomain = b2.domain
+        LEFT JOIN suffix_pol sp
+          ON sp.suffix = regexp_replace(b2.domain, '^[^.]*\\.', '')
+        JOIN ts20_scored s USING (doc_id)
+        WHERE coalesce(o.op, sp.sp, 'unknown') = 'allow'
+    ),
+    exact AS (
+        SELECT * FROM (
+            SELECT a.*, min(doc_id) OVER (PARTITION BY chash) AS keeper
+            FROM allowed a
+        ) WHERE doc_id = keeper
+    ),
+    hs AS (
+        SELECT *, list_transform(toks,
+                   t -> ('0x' || substring(md5(t), 1, 15))::BIGINT
+                        % {MERSENNE31}) AS th
+        FROM exact
+    ),
+    sig AS (
+        SELECT *, {_pl23_sig_mins("duck")}
+        FROM hs
+    ),
+    bands AS (
+        SELECT doc_id, band.band_idx, band.band_hash
+        FROM sig, LATERAL (
+            SELECT * FROM (VALUES {_band_rows_sql(N_BANDS, ROWS_PER_BAND)})
+            AS v(band_idx, band_hash)
+        ) AS band
+    ),
+    claims AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY band_idx, band_hash)
+                           AS first_doc
+        FROM bands
+    ),
+    candp AS (
+        SELECT DISTINCT doc_id, first_doc FROM claims
+        WHERE first_doc < doc_id
+    ),
+    dead AS (
+        SELECT DISTINCT c.doc_id
+        FROM candp c
+        JOIN sig sa ON sa.doc_id = c.doc_id
+        JOIN sig sb ON sb.doc_id = c.first_doc
+        WHERE ({_pl23_eq_terms("sa", "sb")}) / {_DD_NP}.0
+              >= {_DD_EJ_MIN}
+    ),
+    nodup AS (
+        SELECT doc_id, lang, words, domain, score_micro AS s
+        FROM sig WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+    ),
+    tiered AS (
+        SELECT *, CASE WHEN avg_micro > {_TS26_KEEP} THEN 'keep'
+                       WHEN avg_micro > {_TS26_SAMPLE} THEN 'sample'
+                       ELSE 'drop' END AS tier
+        FROM (
+            SELECT *, sum(s) OVER (PARTITION BY domain)
+                          // count(*) OVER (PARTITION BY domain) AS avg_micro
+            FROM nodup
+        )
+    ),
+    surv AS (
+        SELECT * FROM tiered
+        WHERE tier = 'keep'
+           OR (tier = 'sample'
+               AND {_PL23_TIER_RES[0]} < {_PL23_SAMPLE_MICRO})
+    ),
+    lagg AS (SELECT lang, sum(words) AS toks FROM surv GROUP BY lang),
+    pqx AS (
+        SELECT lang, toks,
+               CAST(toks AS DOUBLE) / (SELECT CAST(sum(toks) AS DOUBLE)
+                                       FROM lagg) AS p
+        FROM lagg
+    ),
+    q1 AS (SELECT *, pow(p, {_PL19_ALPHA}) AS qraw FROM pqx),
+    q2 AS (SELECT *, qraw / (SELECT sum(qraw) FROM q1) AS q FROM q1),
+    kr AS (
+        SELECT lang,
+               CAST(round(round((q / p) / (SELECT max(q / p) FROM q2), 6)
+                          * 1000000, 0) AS BIGINT) AS keep_micro
+        FROM q2
+    ),
+    dec AS (
+        SELECT d.* FROM surv d JOIN kr USING (lang)
+        WHERE {_PL19_RES[0]} < kr.keep_micro
+    )
+    SELECT domain, max(tier) AS tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM dec GROUP BY domain ORDER BY domain
+    """
+
+
+@query(
+    "pl23_pipeline_e2e",
+    oracle=_pl23_oracle(),
+    tags=("pipeline", "composition", "dedup", "provenance", "mixing"),
+)
+def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data-pipeline story as ONE DAG: pl22's license gate keeps
+    'allow'-policy documents; dd01's rule drops exact duplicates (window
+    min over md5(text)); dd04's MinHash bands with dd08's first-claimant
+    rule drop near-dups (a doc dies when ANY of its 4 band keys was
+    claimed by a lower doc_id); ts26's domain tier drops 'drop' domains
+    and samples 'sample' domains at 50% by salted content-addressed
+    residue; pl19's temperature mixing (alpha=0.3 over SURVIVOR token
+    shares) rebalances languages; the output is the final per-domain
+    trainable token mass. The oracle re-derives classifier training, URL
+    canonicalization, MinHash banding, tier arithmetic, and the mixing
+    grid — a hash match proves the stages COMPOSE, with the shared
+    expressions (pl17 domain, ts20 score, dd04 constants) defined once.
+
+    Scale: one scan of documents computes every row-wise quantity
+    (words, content hash, canonical domain, trained score, token-hash
+    array, 16 row-wise MinHash components — no per-token explode); the
+    policy dims broadcast; the gates are three hash exchanges (content
+    hash window, band-key window + doc rollup) each keyed wider than its
+    predecessor's output; the domain tier rides ONE domain window; the
+    mixing model is a lang-cardinality aggregate whose whole-frame
+    windows touch <= |langs| rows, broadcast back; stage outputs chain
+    with NO materialization — the lang branch reuses the upstream
+    exchange (ReusedExchange, pinned by the plan test). Driver collects
+    nothing beyond ts20's memoized 65 training integers."""
+    from xarray_sql_spark.queries.dedup_lsh import (
+        EST_JACCARD_MIN as _DD_EJ_MIN,
+        MERSENNE31,
+        N_BANDS,
+        N_PERMS as _DD_NP,
+        ROWS_PER_BAND,
+        _band_structs,
+    )
+
+    iw, bias = ts20_train(spark, sf_dir)
+    score = _ts20_score_expr(iw, bias)
+    b = (
+        table(spark, sf_dir, "documents", spread=True)
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "filter(split(text, ' '), x -> x <> '') AS ws",
+            "array_distinct(split(text, ' ')) AS toks",
+            "md5(text) AS chash",
+            f"{_pl17_url_expr('spark')} AS url",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "size(ws) AS words",
+            f"CAST({score} AS BIGINT) AS s",
+            "toks",
+            "chash",
+            f"{_pl17_canon_expr('spark')} AS curl",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "words",
+            "s",
+            "toks",
+            "chash",
+            f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
+            " AS domain",
+        )
+    )
+    over = spark.createDataFrame(
+        list(_PL22_OVERRIDES), "domain string, op string"
+    )
+    sufp = spark.createDataFrame(
+        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
+    )
+    allowed = (
+        b.join(F.broadcast(over), "domain", "left")
+        .withColumn(
+            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
+        )
+        .join(F.broadcast(sufp), "suffix", "left")
+        .filter(F.coalesce("op", "sp", F.lit("unknown")) == "allow")
+        .select("doc_id", "lang", "words", "s", "toks", "chash", "domain")
+    )
+    exact = allowed.withColumn(
+        "keeper", F.min("doc_id").over(W.partitionBy("chash"))
+    ).filter("doc_id = keeper")
+    sig = exact.withColumn(
+        "th",
+        F.expr(
+            "transform(toks, t -> CAST(conv(substring(md5(t), 1, 15),"
+            f" 16, 10) AS BIGINT) % {MERSENNE31}L)"
+        ),
+    ).selectExpr(
+        "doc_id", "lang", "words", "s", "domain", *_pl23_sig_mins("spark")
+    )
+    # The signature table feeds FOUR consumers (band explode, both sides
+    # of the confirm join, the anti-join base); the explicit doc_id
+    # repartition gives them one shared, reused exchange so the row-wise
+    # MinHash transform evaluates once — an in-plan exchange, not a
+    # materialization (at 100 TB this IS the "write the sig table once"
+    # step, but expressed inside the single DAG).
+    sig = sig.repartition(F.col("doc_id"))
+    bands = sig.select(
+        "doc_id", F.explode(_band_structs(N_BANDS, ROWS_PER_BAND)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    claims = bands.withColumn(
+        "first_doc",
+        F.min("doc_id").over(W.partitionBy("band_idx", "band_hash")),
+    )
+    candp = (
+        claims.filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "first_doc")
+        .distinct()
+    )
+    # dd04's confirmation: the candidate dies only if its signature
+    # agrees with the claimant's on >= EST_JACCARD_MIN of the perms —
+    # <= N_BANDS pairs per doc, so the confirm join is linear in docs,
+    # never in pairs-of-docs.
+    sig_cols = [f"s{i}" for i in range(_DD_NP)]
+    sa = sig.select("doc_id", *sig_cols)
+    sb = sig.select(
+        F.col("doc_id").alias("first_doc"),
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(sig_cols)],
+    )
+    est = sum(
+        F.when(F.col(f"s{i}") == F.col(f"t{i}"), 1).otherwise(0)
+        for i in range(_DD_NP)
+    ) / float(_DD_NP)
+    dead = (
+        candp.join(sa, "doc_id")
+        .join(sb, "first_doc")
+        .filter(est >= _DD_EJ_MIN)
+        .select("doc_id")
+        .distinct()
+    )
+    nodup = sig.join(dead, "doc_id", "left_anti").select(
+        "doc_id", "lang", "words", "s", "domain"
+    )
+    wd = W.partitionBy("domain")
+    tiered = (
+        nodup.withColumn("sum_micro", F.sum("s").over(wd))
+        .withColumn("nd", F.count("*").over(wd))
+        .selectExpr(
+            "doc_id", "lang", "words", "s", "domain",
+            f"CASE WHEN sum_micro DIV nd > {_TS26_KEEP} THEN 'keep'"
+            f" WHEN sum_micro DIV nd > {_TS26_SAMPLE} THEN 'sample'"
+            " ELSE 'drop' END AS tier",
+        )
+    )
+    surv = tiered.filter(
+        (F.col("tier") == "keep")
+        | (
+            (F.col("tier") == "sample")
+            & (F.expr(_PL23_TIER_RES[1]) < _PL23_SAMPLE_MICRO)
+        )
+    )
+    lagg = surv.groupBy("lang").agg(F.sum("words").alias("toks"))
+    wall = W.partitionBy()
+    kr = (
+        lagg.withColumn(
+            "p",
+            F.col("toks").cast("double")
+            / F.sum(F.col("toks").cast("double")).over(wall),
+        )
+        .withColumn("qraw", F.pow("p", F.expr(_PL19_ALPHA)))
+        .withColumn("q", F.col("qraw") / F.sum("qraw").over(wall))
+        .withColumn(
+            "keep_micro",
+            F.round(
+                F.round(
+                    (F.col("q") / F.col("p"))
+                    / F.max(F.col("q") / F.col("p")).over(wall),
+                    6,
+                )
+                * 1000000,
+                0,
+            ).cast("bigint"),
+        )
+        .select("lang", "keep_micro")
+    )
+    dec = surv.join(F.broadcast(kr), "lang").filter(
+        F.expr(_PL19_RES[1]) < F.col("keep_micro")
+    )
+    return (
+        dec.groupBy("domain")
+        .agg(
+            F.max("tier").alias("tier"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("domain")
+    )
