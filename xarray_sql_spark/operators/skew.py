@@ -226,7 +226,10 @@ def sk03_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLAIN join — hash equality proves the bloom pass changes bytes
     moved, never the answer (false positives are eliminated by the exact
     join, the defining property of the rewrite)."""
-    o = table(spark, sf_dir, "orders").select(
+    # spread=True: the per-row bloom probe (xxhash64 + InSet over <= 4096
+    # residues) is the hot loop; on single-row-group local testdata the
+    # scan otherwise feeds one core (layout-gated no-op on real data).
+    o = table(spark, sf_dir, "orders", spread=True).select(
         F.col("o_custkey").alias("c_custkey"), "o_totalprice"
     )
     c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(

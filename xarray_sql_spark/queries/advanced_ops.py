@@ -2934,7 +2934,15 @@ def qs01_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "h", "bucket", "base_rank", "r")
         .distinct()
     )
-    hits = li.withColumn("bucket", F.expr(bucket_expr)).join(
+    # spread=True on the pass-2 scan: the probe work (bucket expr +
+    # broadcast membership + the (q, rank) windows) is the per-row hot
+    # loop, and on the single-row-group local testdata it would otherwise
+    # run on one core (+0.08 s for the repartition, densest stage 1 -> 32;
+    # a no-op on real multi-row-group data — layout-gated in table()).
+    li2 = table(spark, sf_dir, "lineitem", spread=True).select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("v")
+    )
+    hits = li2.withColumn("bucket", F.expr(bucket_expr)).join(
         F.broadcast(cand), "bucket"
     )
     # count(*) over a ROWS frame is a dense 1..n within each (q, r) group,
