@@ -80,6 +80,12 @@ PROBE_QUERIES = [
     # per source per partition regardless of corpus size; only the
     # exact-twin pin columns scale with distinct bigrams)
     "hh04_kmv_set_ops",
+    # round-14: the five-stage composition DAG. Unlike cc01 (excluded
+    # above — its PAIR output is quadratic under the replica's near-dup
+    # mass), pl23's near-dup gate is CLAIM-based: <= N_BANDS candidate
+    # pairs per doc whatever the cluster size, so the chain must stay
+    # ~linear even though every replica copy is a near-dup of its base.
+    "pl23_pipeline_e2e",
 ]
 
 
