@@ -113,8 +113,22 @@ def main() -> None:
         # WORSE of two runs, so one GC hiccup inflated the round-2 numbers.
         timings[name] = round(samples[(len(samples) - 1) // 2], 4)
         # Partition sanity is meaningful only at bench scale (sf >= 0.05):
-        # at sf0.01 every stage is tiny and fixed overheads dominate.
-        if sf >= 0.05 and timings[name] > 1.0 and densest_stage_tasks(name) < 8:
+        # at sf0.05 every stage is tiny and fixed overheads dominate.
+        # _SPREAD_MEASURED: queries where the spread=True remedy was
+        # MEASURED and made things worse (verify gotcha: light explode
+        # does not repay repartitioning the text) — the input-bound
+        # condition is known, investigated, and recorded here, so the
+        # sweep does not re-flag it every round. Isolated sf0.1 medians:
+        _SPREAD_MEASURED = {
+            "ts24_kneser_ney_surprisal": "serial 1.50 vs spread 1.74 (r14)",
+            "hh04_kmv_set_ops": "serial 1.45 vs spread 1.65 (r14)",
+        }
+        if (
+            sf >= 0.05
+            and timings[name] > 1.0
+            and name not in _SPREAD_MEASURED
+            and densest_stage_tasks(name) < 8
+        ):
             # Two distinct causes. (a) Heavy per-row work after an
             # unsplittable scan: fixable with table(spread=True), warn.
             # (b) The scan ITSELF is the bottleneck on a single-row-group
@@ -224,8 +238,12 @@ def main() -> None:
         full["floors"] = floors
     if errors:
         full["errors"] = errors
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY) are triage tools — they must
+    # never clobber the committed full-sweep artifact (r14 bite: a 3-query
+    # triage run overwrote the round's 160-query record).
     local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_LOCAL.json" if only is None else "BENCH_SUBSET.json",
     )
     try:
         with open(local_path, "w") as f:
