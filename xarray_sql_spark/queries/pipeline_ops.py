@@ -2021,7 +2021,9 @@ def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (explode-then-shuffle once, not one pass per epoch)."""
     from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
 
-    d = table(spark, sf_dir, "documents")
+    # spread=True: measured 1.06 -> 0.96 s at sf0.1 (r14 triage;
+    # layout-gated no-op on real data).
+    d = table(spark, sf_dir, "documents", spread=True)
     planned = d.join(bpe_doc_counts(spark, sf_dir), "doc_id").selectExpr(
         "source",
         "doc_id",
@@ -2814,7 +2816,10 @@ def ev19_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw feed to make the identity checkable. Each half is one
     map-side-combinable aggregate; the merge joins two rollup-sized
     (not event-sized) tables on the group key."""
-    e = table(spark, sf_dir, "events").select(
+    # spread=True: per-row JSON extraction + date math is the hot loop
+    # (measured 1.05 -> 0.88 s at sf0.1 on the single-row-group testdata;
+    # layout-gated no-op on real data) — r14 triage.
+    e = table(spark, sf_dir, "events", spread=True).select(
         "event_type",
         "ts",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
@@ -5549,7 +5554,9 @@ def ts22_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-filtered pair table. At 100 TB you'd pre-prune the pair
     domain to words above min support (a semi-join) before exploding —
     the same posting-list cap dd03 documents."""
-    d = table(spark, sf_dir, "documents").select(
+    # spread=True: measured 1.02 -> 0.93 s at sf0.1 (r14 triage;
+    # layout-gated no-op on real data).
+    d = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
     )
     n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
@@ -5951,7 +5958,9 @@ _PL21_KEEP_NUM, _PL21_KEEP_DEN = 1, 4  # keep the top quarter
 def _pl21_base(spark: SparkSession, sf_dir: str):
     """(docs-with->=2-words, exploded hashed-bigram stream) — shared by
     the model pass and the scoring pass."""
-    d = table(spark, sf_dir, "documents").select(
+    # spread=True: the hashed-bigram explode is the hot loop (measured
+    # 0.91 -> 0.53 s at sf0.1, r14 triage; layout-gated no-op on real data).
+    d = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "lang", F.split("text", " ").alias("ws")
     ).filter(F.size("ws") >= 2)
     bg = d.select(
