@@ -6797,17 +6797,19 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid — a hash match proves the stages COMPOSE, with the shared
     expressions (pl17 domain, ts20 score, dd04 constants) defined once.
 
-    Scale: one scan of documents computes every row-wise quantity
+    Scale: ONE scan of documents computes every row-wise quantity
     (words, content hash, canonical domain, trained score, token-hash
     array, 16 row-wise MinHash components — no per-token explode); the
     policy dims broadcast; the gates are three hash exchanges (content
-    hash window, band-key window + doc rollup) each keyed wider than its
-    predecessor's output; the domain tier rides ONE domain window; the
-    mixing model is a lang-cardinality aggregate whose whole-frame
-    windows touch <= |langs| rows, broadcast back; stage outputs chain
-    with NO materialization — the lang branch reuses the upstream
-    exchange (ReusedExchange, pinned by the plan test). Driver collects
-    nothing beyond ts20's memoized 65 training integers."""
+    hash window; band-key window whose rows carry the signature so the
+    claimant's components arrive as first_value — no confirm join; doc
+    rollup) each keyed wider than its predecessor's output; the domain
+    tier rides ONE domain window; the mixing model is a lang-cardinality
+    aggregate whose whole-frame windows touch <= |langs| rows, broadcast
+    back; stage outputs chain with NO materialization — the lang branch
+    reuses the upstream exchange (pinned by the runtime-metric plan
+    test: exactly one executed documents scan). Driver collects nothing
+    beyond ts20's memoized 65 training integers."""
     from xarray_sql_spark.queries.dedup_lsh import (
         EST_JACCARD_MIN as _DD_EJ_MIN,
         MERSENNE31,
@@ -6876,48 +6878,56 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id", "lang", "words", "s", "domain", *_pl23_sig_mins("spark")
     )
-    # The signature table feeds FOUR consumers (band explode, both sides
-    # of the confirm join, the anti-join base); the explicit doc_id
-    # repartition gives them one shared, reused exchange so the row-wise
-    # MinHash transform evaluates once — an in-plan exchange, not a
-    # materialization (at 100 TB this IS the "write the sig table once"
-    # step, but expressed inside the single DAG).
-    sig = sig.repartition(F.col("doc_id"))
-    bands = sig.select(
-        "doc_id", F.explode(_band_structs(N_BANDS, ROWS_PER_BAND)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_hash")
-    claims = bands.withColumn(
-        "first_doc",
-        F.min("doc_id").over(W.partitionBy("band_idx", "band_hash")),
-    )
-    candp = (
-        claims.filter(F.col("first_doc") < F.col("doc_id"))
-        .select("doc_id", "first_doc")
-        .distinct()
-    )
-    # dd04's confirmation: the candidate dies only if its signature
+    # dd04's confirmation WITHOUT a join (r14 rework, 5.1 -> 2.6 s):
+    # band rows CARRY their doc's 16 signature components, and the
+    # claimant's components arrive per-row as first_value over the band
+    # window (same partition the first-claimant rule already needs, one
+    # extra sort key: doc_id). The candidate dies only if its signature
     # agrees with the claimant's on >= EST_JACCARD_MIN of the perms —
-    # <= N_BANDS pairs per doc, so the confirm join is linear in docs,
-    # never in pairs-of-docs.
+    # identical semantics to the candp-join formulation (the oracle
+    # still spells it as the explicit <= N_BANDS-pairs/doc join), but
+    # the DAG needs ONE band shuffle + ONE doc rollup: no sig self-join,
+    # no distinct, no anti-join, and documents is scanned exactly once.
+    # At 100 TB the band shuffle widens by 20 small ints per row — far
+    # cheaper than re-shuffling the sig table three more times.
     sig_cols = [f"s{i}" for i in range(_DD_NP)]
-    sa = sig.select("doc_id", *sig_cols)
-    sb = sig.select(
-        F.col("doc_id").alias("first_doc"),
-        *[F.col(c).alias(f"t{i}") for i, c in enumerate(sig_cols)],
+    bands = sig.select(
+        "doc_id", "lang", "words", "s", "domain", *sig_cols,
+        F.explode(_band_structs(N_BANDS, ROWS_PER_BAND)).alias("band"),
+    ).select(
+        "doc_id", "lang", "words", "s", "domain", *sig_cols,
+        "band.band_idx", "band.band_hash",
+    )
+    wb = (
+        W.partitionBy("band_idx", "band_hash")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    claims = bands.select(
+        "doc_id", "lang", "words", "s", "domain", *sig_cols,
+        F.first("doc_id").over(wb).alias("first_doc"),
+        *[F.first(c).over(wb).alias(f"t{i}") for i, c in enumerate(sig_cols)],
     )
     est = sum(
         F.when(F.col(f"s{i}") == F.col(f"t{i}"), 1).otherwise(0)
         for i in range(_DD_NP)
     ) / float(_DD_NP)
-    dead = (
-        candp.join(sa, "doc_id")
-        .join(sb, "first_doc")
-        .filter(est >= _DD_EJ_MIN)
-        .select("doc_id")
-        .distinct()
-    )
-    nodup = sig.join(dead, "doc_id", "left_anti").select(
-        "doc_id", "lang", "words", "s", "domain"
+    nodup = (
+        claims.groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.max("words").alias("words"),
+            F.max("s").alias("s"),
+            F.max("domain").alias("domain"),
+            F.max(
+                (
+                    (F.col("first_doc") < F.col("doc_id"))
+                    & (est >= _DD_EJ_MIN)
+                ).cast("int")
+            ).alias("dup"),
+        )
+        .filter("dup = 0")
+        .select("doc_id", "lang", "words", "s", "domain")
     )
     wd = W.partitionBy("domain")
     tiered = (
