@@ -1232,3 +1232,45 @@ def test_audio_fp_gate_state_survives_checkpointed_restart(spark, tmp_path):
     want = {r.fp: (r.keeper_doc_id, r.n_clips) for r in batch}
     assert got == want
     assert len(want) > 0
+
+
+def test_pipeline_ingest_gate_matches_pl23_exact_stage(spark):
+    """pl23's ingest prefix at settle must equal the batch DAG's `exact`
+    stage EXACTLY: per content hash among 'allow'-policy documents, the
+    keeper is min(doc_id) and the copy count is the allowed-group size.
+    The expectation is derived from pl23's own DuckDB oracle body, so
+    the streaming twin is pinned to the same engine-independent truth
+    the batch hash gate proves."""
+    import duckdb
+
+    from xarray_sql_spark.queries.pipeline_ops import _pl23_oracle
+    from xarray_sql_spark.streaming import dedup as sd
+
+    out = se.run_to_memory(
+        sd.pipeline_ingest_gate(spark, SF_SMALL),
+        "t_ingest_gate",
+        output_mode="update",
+    )
+    pdf = out.toPandas()
+    final = pdf.sort_values(["chash", "n_copies"]).groupby("chash").tail(1)
+    got = {
+        r.chash: (int(r.keeper_doc_id), int(r.n_copies))
+        for r in final.itertuples()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    o = _pl23_oracle()
+    body = o[: o.rindex("SELECT domain, max(tier)")]
+    want_df = con.execute(
+        body
+        + "SELECT chash, CAST(min(doc_id) AS BIGINT) AS k,"
+        " CAST(count(*) AS BIGINT) AS n FROM allowed GROUP BY chash"
+    ).df()
+    want = {
+        r.chash: (int(r.k), int(r.n)) for r in want_df.itertuples()
+    }
+    assert got == want
+    assert len(want) > 0

@@ -270,3 +270,75 @@ def audio_fp_gate(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EXACT_OUT = StructType(
+    [
+        StructField("chash", StringType()),
+        StructField("keeper_doc_id", LongType()),
+        StructField("n_copies", LongType()),
+    ]
+)
+_chash_first_fn = _min_keeper_fn_factory("chash", "n_copies")
+
+
+def pipeline_ingest_gate(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
+    """pl23's ingest PREFIX as one streaming query: license policy
+    resolution (pl22's rule — stateless projection + two stream-static
+    broadcast policy dims, the same shared pl17 expressions as batch)
+    composed with dd01's exact-dup gate as a stateful min-keeper per
+    content hash. Only 'allow'-policy documents reach the dedup state,
+    exactly as in pl23's batch DAG, and the settled keeper per hash is
+    min(doc_id) — arrival-order independent, so the state equals the
+    batch `exact` stage whatever the micro-batch layout. State is one
+    (long, long) per DISTINCT allowed content hash — bounded by corpus
+    novelty; pass a TTL via lsh_band_firsts' pattern if the dedup
+    horizon is windowed in production."""
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _PL22_OVERRIDES,
+        _PL22_SUFFIX_POLICY,
+        _pl17_canon_expr,
+        _pl17_domain_expr,
+        _pl17_host_of_canon,
+        _pl17_url_expr,
+    )
+
+    s = stream if stream is not None else documents_stream(spark, sf_dir)
+    over = spark.createDataFrame(
+        list(_PL22_OVERRIDES), "domain string, op string"
+    )
+    sufp = spark.createDataFrame(
+        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
+    )
+    allowed = (
+        s.selectExpr(
+            "doc_id",
+            "md5(text) AS chash",
+            f"{_pl17_url_expr('spark')} AS url",
+        )
+        .selectExpr("doc_id", "chash", f"{_pl17_canon_expr('spark')} AS curl")
+        .selectExpr(
+            "doc_id",
+            "chash",
+            f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
+            " AS domain",
+        )
+        .join(F.broadcast(over), "domain", "left")
+        .withColumn(
+            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
+        )
+        .join(F.broadcast(sufp), "suffix", "left")
+        .filter(F.coalesce("op", "sp", F.lit("unknown")) == "allow")
+        .select("chash", "doc_id")
+    )
+    return allowed.groupBy("chash").applyInPandasWithState(
+        _chash_first_fn,
+        outputStructType=_EXACT_OUT,
+        stateStructType=_PHASH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
