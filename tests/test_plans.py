@@ -276,12 +276,18 @@ def test_mixture_quotas_single_partition_is_bounded(spark):
 def test_pii_redact_stays_jvm_side(spark):
     """ts07: regex counting/replacement must be whole-stage JVM work — a
     row-at-a-time Python UDF here would be the classic 10-100x slow
-    path. No Python eval, no shuffle at all before the final sort."""
+    path. No Python eval; the only exchanges are the output sort plus
+    the layout-gated spread repartition (round-robin, r14: measured
+    1.04 -> 0.55 s — it exists ONLY on single-row-group local testdata,
+    so on real data the plan is sort-only). No hash exchange may appear
+    before the sort: the redaction itself never shuffles."""
     df = REGISTRY["ts07_pii_redact"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, plan
     assert "MapInPandas" not in plan, plan
-    assert plan.count("Exchange") <= 1, plan  # only the output sort
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
 
 
 def test_knn_ivf_candidates_are_equi_join(spark):
