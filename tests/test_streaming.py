@@ -1274,3 +1274,68 @@ def test_pipeline_ingest_gate_matches_pl23_exact_stage(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_pipeline_ingest_gate_state_survives_checkpointed_restart(
+    spark, tmp_path
+):
+    """Operational pin for the composed ingest gate: wave 1 delivers an
+    arbitrary subset; the query stops; wave 2 lands the rest; a restart
+    on the SAME checkpoint must recover the per-hash min-keeper state so
+    settled clusters equal the batch oracle's exact stage — impossible
+    unless wave-1 state survived the restart."""
+    import duckdb
+
+    from xarray_sql_spark.queries.pipeline_ops import _pl23_oracle
+    from xarray_sql_spark.session import table as _table
+    from xarray_sql_spark.streaming import dedup as sd
+
+    docs = _table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = docs.schema
+    docs.filter("doc_id % 5 = 0").coalesce(1).write.mode("overwrite").parquet(feed)
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(feed)
+
+        def _sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            sd.pipeline_ingest_gate(spark, SF_SMALL, stream=stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    docs.filter("doc_id % 5 <> 0").coalesce(1).write.mode("append").parquet(feed)
+    _run()
+    pdf = spark.read.parquet(out_dir).toPandas()
+    final = pdf.sort_values(["chash", "n_copies"]).groupby("chash").tail(1)
+    got = {
+        r.chash: (int(r.keeper_doc_id), int(r.n_copies))
+        for r in final.itertuples()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    o = _pl23_oracle()
+    body = o[: o.rindex("SELECT domain, max(tier)")]
+    want_df = con.execute(
+        body
+        + "SELECT chash, CAST(min(doc_id) AS BIGINT) AS k,"
+        " CAST(count(*) AS BIGINT) AS n FROM allowed GROUP BY chash"
+    ).df()
+    want = {r.chash: (int(r.k), int(r.n)) for r in want_df.itertuples()}
+    assert got == want
+    assert len(want) > 0
