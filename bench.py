@@ -76,6 +76,16 @@ def main() -> None:
     # triage runs; the driver never sets it, so round artifacts stay full.
     only = set(os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split()) or None
 
+    # Queries where the spread=True remedy for a narrow densest stage was
+    # MEASURED and made things worse (verify gotcha: light explode does
+    # not repay repartitioning the text) — the input-bound condition is
+    # known, investigated, and recorded here, so the sweep does not
+    # re-flag it every round. Isolated sf0.1 medians:
+    _SPREAD_MEASURED = {
+        "ts24_kneser_ney_surprisal": "serial 1.50 vs spread 1.74 (r14)",
+        "hh04_kmv_set_ops": "serial 1.45 vs spread 1.65 (r14)",
+    }
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
@@ -113,16 +123,7 @@ def main() -> None:
         # WORSE of two runs, so one GC hiccup inflated the round-2 numbers.
         timings[name] = round(samples[(len(samples) - 1) // 2], 4)
         # Partition sanity is meaningful only at bench scale (sf >= 0.05):
-        # at sf0.05 every stage is tiny and fixed overheads dominate.
-        # _SPREAD_MEASURED: queries where the spread=True remedy was
-        # MEASURED and made things worse (verify gotcha: light explode
-        # does not repay repartitioning the text) — the input-bound
-        # condition is known, investigated, and recorded here, so the
-        # sweep does not re-flag it every round. Isolated sf0.1 medians:
-        _SPREAD_MEASURED = {
-            "ts24_kneser_ney_surprisal": "serial 1.50 vs spread 1.74 (r14)",
-            "hh04_kmv_set_ops": "serial 1.45 vs spread 1.65 (r14)",
-        }
+        # at sf0.01 every stage is tiny and fixed overheads dominate.
         if (
             sf >= 0.05
             and timings[name] > 1.0

@@ -115,8 +115,13 @@ def build_replica(
     os.makedirs(dst_dir, exist_ok=True)
     for name in tables:
         dst = os.path.join(dst_dir, f"{name}.parquet")
-        if os.path.exists(dst):
+        if os.path.isdir(dst):
             continue
+        if os.path.exists(dst):
+            # pre-round-14 cache: a single-FILE replica whose layout caps
+            # scan parallelism — the defect this builder exists to fix.
+            # Rebuild rather than trust it (self-enforcing, review r14).
+            os.remove(dst)
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         id_cols = ID_COLS[name]
         spans = {c: pc.max(t[c]).as_py() + 1 for c in id_cols}

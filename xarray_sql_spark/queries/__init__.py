@@ -39,15 +39,14 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      the oldest r6 block — exactly next_window.py's output.
 # Everything displaced was hash-green in r9 on code paths unchanged this
 # round and stays covered by the local full-registry pytest sweep.
-# Round-13 window (computed by scripts/next_window.py): the five NEW
-# operators (pl22 license gate, ts25 n-gram classifier, ts26 domain
-# quality prior, mm13/mm14 perceptual image + audio dedup) plus every query whose code changed this round (dd03/
-# dd17 posting caps, pl17 windowed counts, ts20 single-pass training and
-# its dd16 composition, io13 eager wave-1), then the oldest-proof fill —
-# the r6/r7-era block (gq19-gq36 grid-parity, store/codec round-trips,
-# q43/q44/q45, ev10-ev13, sk01/sk02, PII/salted/surprisal/BPE-stats).
-# 5/50 overlap with the r12 window; every entry's last-green age < 5
-# rounds after this round's gate.
+# Round-14 window (computed by scripts/next_window.py): the round's
+# new/changed queries first (pl23 composition DAG, qs01 sketch-guided
+# selection, ts25 bucket-cast fix, mm14 kernel hoist), then the
+# oldest-proof fill — the r7/r8-era relational/pipeline spine (ev10-ev21,
+# ts14-ts17, io02-io10, mm01/04/07-09, ss09-ss12, dd08/dd12, gq24/37-39,
+# q43-q47, cc02, pl09/11/12/14). 2/50 overlap with the r13 window; after
+# this round's gate every entry's last driver proof is r9+ except the 6
+# r8-era entries that didn't fit (next round's fill head).
 _PRIORITY = (
     "pl23_pipeline_e2e qs01_quantile_sketch ts25_ngram_classifier "
     "mm14_audio_fingerprint_dedup q43_set_ops_all ev10_first_touch_attribution "

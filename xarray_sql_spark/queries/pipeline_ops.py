@@ -6159,6 +6159,31 @@ def _pl22_values_sql(rows, cols) -> str:
     vals = ", ".join("(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
     return f"(SELECT * FROM (VALUES {vals}) AS t({', '.join(cols)}))"
 
+def pl22_resolve_policy(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Attach pl22's policy resolution to any DataFrame carrying a
+    ``domain`` column: exact-domain override > public-suffix rule >
+    'unknown', as two literal-sized broadcast hash joins + coalesce into
+    a ``policy`` column (op/sp/suffix intermediates dropped). The ONE
+    definition behind the batch gate (pl22), the composition DAG (pl23),
+    and both streaming ingest gates (license_gate_stream,
+    pipeline_ingest_gate) — review r14: two hand-maintained copies had
+    already appeared, which is exactly how stream==batch parity drifts."""
+    over = spark.createDataFrame(
+        list(_PL22_OVERRIDES), "domain string, op string"
+    )
+    sufp = spark.createDataFrame(
+        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
+    )
+    return (
+        df.join(F.broadcast(over), "domain", "left")
+        .withColumn(
+            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
+        )
+        .join(F.broadcast(sufp), "suffix", "left")
+        .withColumn("policy", F.coalesce("op", "sp", F.lit("unknown")))
+        .drop("op", "sp", "suffix")
+    )
+
 
 @query(
     "pl22_license_gate",
@@ -6234,20 +6259,7 @@ def pl22_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
         " AS domain",
     )
-    over = spark.createDataFrame(
-        list(_PL22_OVERRIDES), "domain string, op string"
-    )
-    sufp = spark.createDataFrame(
-        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
-    )
-    pol = (
-        dom.join(F.broadcast(over), "domain", "left")
-        .withColumn(
-            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
-        )
-        .join(F.broadcast(sufp), "suffix", "left")
-        .withColumn("policy", F.coalesce("op", "sp", F.lit("unknown")))
-    )
+    pol = pl22_resolve_policy(spark, dom)
     # corpus total off the PRE-join base: the policy joins partition the
     # corpus (left joins, 1:1), so the sums agree and the total branch
     # skips the canonicalization/join work.
@@ -6851,19 +6863,9 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS domain",
         )
     )
-    over = spark.createDataFrame(
-        list(_PL22_OVERRIDES), "domain string, op string"
-    )
-    sufp = spark.createDataFrame(
-        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
-    )
     allowed = (
-        b.join(F.broadcast(over), "domain", "left")
-        .withColumn(
-            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
-        )
-        .join(F.broadcast(sufp), "suffix", "left")
-        .filter(F.coalesce("op", "sp", F.lit("unknown")) == "allow")
+        pl22_resolve_policy(spark, b)
+        .filter(F.col("policy") == "allow")
         .select("doc_id", "lang", "words", "s", "toks", "chash", "domain")
     )
     exact = allowed.withColumn(

@@ -299,22 +299,15 @@ def pipeline_ingest_gate(
     from pyspark.sql import functions as F
 
     from xarray_sql_spark.queries.pipeline_ops import (
-        _PL22_OVERRIDES,
-        _PL22_SUFFIX_POLICY,
         _pl17_canon_expr,
         _pl17_domain_expr,
         _pl17_host_of_canon,
         _pl17_url_expr,
+        pl22_resolve_policy,
     )
 
     s = stream if stream is not None else documents_stream(spark, sf_dir)
-    over = spark.createDataFrame(
-        list(_PL22_OVERRIDES), "domain string, op string"
-    )
-    sufp = spark.createDataFrame(
-        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
-    )
-    allowed = (
+    dom = (
         s.selectExpr(
             "doc_id",
             "md5(text) AS chash",
@@ -327,12 +320,10 @@ def pipeline_ingest_gate(
             f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
             " AS domain",
         )
-        .join(F.broadcast(over), "domain", "left")
-        .withColumn(
-            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
-        )
-        .join(F.broadcast(sufp), "suffix", "left")
-        .filter(F.coalesce("op", "sp", F.lit("unknown")) == "allow")
+    )
+    allowed = (
+        pl22_resolve_policy(spark, dom)
+        .filter(F.col("policy") == "allow")
         .select("chash", "doc_id")
     )
     return allowed.groupBy("chash").applyInPandasWithState(

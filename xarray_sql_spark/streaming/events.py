@@ -1261,20 +1261,13 @@ def license_gate_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: PLC0415 (local, matches file style)
 
     from xarray_sql_spark.queries.pipeline_ops import (
-        _PL22_OVERRIDES,
-        _PL22_SUFFIX_POLICY,
         _pl17_canon_expr,
         _pl17_domain_expr,
         _pl17_host_of_canon,
         _pl17_url_expr,
+        pl22_resolve_policy,
     )
 
-    over = spark.createDataFrame(
-        list(_PL22_OVERRIDES), "domain string, op string"
-    )
-    sufp = spark.createDataFrame(
-        list(_PL22_SUFFIX_POLICY), "suffix string, sp string"
-    )
     dom = (
         stream.selectExpr(
             "doc_id",
@@ -1289,18 +1282,10 @@ def license_gate_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
             " AS domain",
         )
     )
-    return (
-        dom.join(F.broadcast(over), "domain", "left")
-        .withColumn(
-            "suffix", F.expr("regexp_replace(domain, '^[^.]*\\\\.', '')")
-        )
-        .join(F.broadcast(sufp), "suffix", "left")
-        .selectExpr(
-            "CAST(doc_id AS BIGINT) AS doc_id",
-            "CAST(words AS BIGINT) AS words",
-            "domain",
-            "coalesce(op, sp, 'unknown') AS policy",
-            "CAST(IF(coalesce(op, sp, 'unknown') = 'allow', 1, 0) AS INT)"
-            " AS trainable",
-        )
+    return pl22_resolve_policy(spark, dom).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(words AS BIGINT) AS words",
+        "domain",
+        "policy",
+        "CAST(IF(policy = 'allow', 1, 0) AS INT) AS trainable",
     )
