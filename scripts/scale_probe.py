@@ -108,11 +108,33 @@ def build_replica(
     tables: tuple = TABLES,
     parts_per_table: int = 64,
 ) -> None:
+    import json
+
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(dst_dir, exist_ok=True)
+    # A cached replica is only valid for the parameters it was built with:
+    # trusting any existing directory silently reuses a fixture with the
+    # wrong copies/layout and the probe measures the wrong thing (ADVICE
+    # r14). The manifest records the build params; mismatch → rebuild.
+    manifest_path = os.path.join(dst_dir, "_replica_manifest.json")
+    params = {"src": src, "copies": copies, "parts_per_table": parts_per_table}
+    try:
+        with open(manifest_path) as f:
+            cached = json.load(f)
+    except (OSError, ValueError):
+        cached = None
+    if cached != params:
+        import shutil
+
+        for name in tables:
+            stale = os.path.join(dst_dir, f"{name}.parquet")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+            elif os.path.exists(stale):
+                os.remove(stale)
     for name in tables:
         dst = os.path.join(dst_dir, f"{name}.parquet")
         if os.path.isdir(dst):
@@ -165,6 +187,8 @@ def build_replica(
                 chunk, os.path.join(tmp, f"part-{j:05d}.parquet")
             )
         os.rename(tmp, dst)
+    with open(manifest_path, "w") as f:
+        json.dump(params, f)
 
 
 def main() -> None:

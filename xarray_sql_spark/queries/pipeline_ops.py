@@ -6833,6 +6833,14 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     iw, bias = ts20_train(spark, sf_dir)
     score = _ts20_score_expr(iw, bias)
+    sig_cols = [f"s{i}" for i in range(_DD_NP)]
+    # The MinHash signature is a row-wise projection independent of the
+    # dedup outcome, so it is computed BEFORE the content-hash window and
+    # `toks` (array_distinct of every word — roughly the document text)
+    # is dropped pre-shuffle (r14 verdict item 2): the DAG's first wide
+    # exchange carries 16 longs + scalars instead of the corpus text. The
+    # cost is signature CPU for exact-dup losers — map-side and cheap;
+    # the win at 100 TB is ~the text volume off the heaviest shuffle.
     b = (
         table(spark, sf_dir, "documents", spread=True)
         .selectExpr(
@@ -6848,7 +6856,8 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "size(ws) AS words",
             f"CAST({score} AS BIGINT) AS s",
-            "toks",
+            "transform(toks, t -> CAST(conv(substring(md5(t), 1, 15),"
+            f" 16, 10) AS BIGINT) % {MERSENNE31}L) AS th",
             "chash",
             f"{_pl17_canon_expr('spark')} AS curl",
         )
@@ -6857,7 +6866,7 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "words",
             "s",
-            "toks",
+            *_pl23_sig_mins("spark"),
             "chash",
             f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
             " AS domain",
@@ -6866,20 +6875,12 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = (
         pl22_resolve_policy(spark, b)
         .filter(F.col("policy") == "allow")
-        .select("doc_id", "lang", "words", "s", "toks", "chash", "domain")
+        .select("doc_id", "lang", "words", "s", *sig_cols, "chash", "domain")
     )
     exact = allowed.withColumn(
         "keeper", F.min("doc_id").over(W.partitionBy("chash"))
     ).filter("doc_id = keeper")
-    sig = exact.withColumn(
-        "th",
-        F.expr(
-            "transform(toks, t -> CAST(conv(substring(md5(t), 1, 15),"
-            f" 16, 10) AS BIGINT) % {MERSENNE31}L)"
-        ),
-    ).selectExpr(
-        "doc_id", "lang", "words", "s", "domain", *_pl23_sig_mins("spark")
-    )
+    sig = exact.select("doc_id", "lang", "words", "s", "domain", *sig_cols)
     # dd04's confirmation WITHOUT a join (r14 rework, 5.1 -> 2.6 s):
     # band rows CARRY their doc's 16 signature components, and the
     # claimant's components arrive per-row as first_value over the band
@@ -6892,7 +6893,6 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no distinct, no anti-join, and documents is scanned exactly once.
     # At 100 TB the band shuffle widens by 20 small ints per row — far
     # cheaper than re-shuffling the sig table three more times.
-    sig_cols = [f"s{i}" for i in range(_DD_NP)]
     bands = sig.select(
         "doc_id", "lang", "words", "s", "domain", *sig_cols,
         F.explode(_band_structs(N_BANDS, ROWS_PER_BAND)).alias("band"),

@@ -176,6 +176,11 @@ def _min_keeper_fn_factory(key_col: str, n_col: str):
             n += len(pdf)
             m = int(pdf["doc_id"].min())
             keeper = m if keeper is None else min(keeper, m)
+        if keeper is None and n == 0:
+            # Invocation saw only empty chunks and no prior state: emitting
+            # here would persist a phantom (None, 0) group and surface a
+            # NULL keeper row downstream.
+            return
         state.update((keeper, n))
         yield pd.DataFrame(
             {key_col: [key[0]], "keeper_doc_id": [keeper], n_col: [n]}
