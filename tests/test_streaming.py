@@ -1339,3 +1339,139 @@ def test_pipeline_ingest_gate_state_survives_checkpointed_restart(
     want = {r.chash: (int(r.k), int(r.n)) for r in want_df.itertuples()}
     assert got == want
     assert len(want) > 0
+
+
+def _run_banded_gate(spark, feed, ckpt, out_dir):
+    """One availableNow pass of the banded ingest gate over `feed`,
+    appending each micro-batch's emissions to `out_dir` tagged with the
+    batch id (ingest_gate_survivors settles by latest batch)."""
+    from xarray_sql_spark.streaming import dedup as sd
+
+    stream = spark.readStream.schema(sd.DOCS_SCHEMA).parquet(feed)
+
+    def _sink(bdf, bid):
+        bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        sd.pipeline_ingest_gate_banded(spark, SF_SMALL, stream=stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _oracle_nodup_ids(view_sql: str) -> list[int]:
+    import duckdb
+
+    from xarray_sql_spark.queries.pipeline_ops import _pl23_oracle
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS {view_sql}")
+    o = _pl23_oracle()
+    body = o[: o.rindex("SELECT domain, max(tier)")]
+    return [
+        int(r[0])
+        for r in con.execute(
+            body + "SELECT doc_id FROM nodup ORDER BY doc_id"
+        ).fetchall()
+    ]
+
+
+def test_banded_ingest_gate_settles_to_pl23_nodup(spark, tmp_path):
+    """The composed license -> exact -> banded-claim gate, settled, must
+    equal batch pl23's `nodup` stage exactly (the oracle re-derives it in
+    DuckDB, so the pin is engine-independent). At this SF the corpus has
+    no exact duplicates but 91 of 199 allowed docs die to the banded
+    confirm, so the near-dup path is the one doing the work."""
+    from xarray_sql_spark.session import table as _table
+    from xarray_sql_spark.streaming import dedup as sd
+
+    docs = _table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    feed = str(tmp_path / "feed")
+    docs.coalesce(1).write.mode("overwrite").parquet(feed)
+    _run_banded_gate(
+        spark, feed, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    surv = sd.ingest_gate_survivors(
+        spark.read.parquet(str(tmp_path / "out"))
+    )
+    got = [int(r[0]) for r in surv.orderBy("doc_id").collect()]
+    want = _oracle_nodup_ids(
+        f"SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    assert got == want
+    assert 0 < len(want) < 199  # the gate actually gated something
+
+
+def test_banded_ingest_gate_restart_claimant_flip_and_exact_kill(
+    spark, tmp_path
+):
+    """Operational pin for the composed gate: wave 1 delivers the HIGHER
+    doc_ids (doc_id % 5 != 0) so bands are claimed by interim leaders;
+    the query stops; wave 2 lands the % 5 == 0 docs (including doc 0 —
+    claimants FLIP, forcing the groups to re-emit corrected verdicts)
+    plus exact text duplicates at doc_id + 10000 (exercising the 'c'
+    kill: identical text, higher id, must die). A restart on the SAME
+    checkpoint must recover the member-list state; the settled survivor
+    set must equal batch pl23's nodup over the union corpus — impossible
+    unless wave-1 state survived AND stale wave-1 verdicts were
+    superseded by re-emission."""
+    from xarray_sql_spark.session import table as _table
+    from xarray_sql_spark.streaming import dedup as sd
+
+    docs = _table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    dups = docs.filter("doc_id % 7 = 3").selectExpr(
+        "doc_id + 10000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.filter("doc_id % 5 <> 0").coalesce(1).write.mode("overwrite").parquet(feed)
+    _run_banded_gate(spark, feed, ckpt, out_dir)
+    docs.filter("doc_id % 5 = 0").unionByName(dups).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    _run_banded_gate(spark, feed, ckpt, out_dir)
+    surv = sd.ingest_gate_survivors(spark.read.parquet(out_dir))
+    got = [int(r[0]) for r in surv.orderBy("doc_id").collect()]
+    src = f"read_parquet('{SF_SMALL}/documents.parquet')"
+    view_sql = (
+        f"SELECT doc_id, text, lang, source, n_chars FROM {src} "
+        "UNION ALL "
+        "SELECT doc_id + 10000, text, lang, source, n_chars "
+        f"FROM {src} WHERE doc_id % 7 = 3"
+    )
+    want = _oracle_nodup_ids(view_sql)
+    assert got == want
+    # The 'c' kill: every allowed doc sharing a content hash with an
+    # allowed earlier doc must be gone. (Not all +10000 dups qualify:
+    # the synthetic-URL fallback folds doc_id into the domain, so a
+    # dup can land under a different policy than its original.)
+    import duckdb
+
+    from xarray_sql_spark.queries.pipeline_ops import _pl23_oracle
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS {view_sql}")
+    o = _pl23_oracle()
+    body = o[: o.rindex("SELECT domain, max(tier)")]
+    losers = [
+        int(r[0])
+        for r in con.execute(
+            body + """SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY chash) AS k
+                FROM allowed
+            ) WHERE doc_id <> k"""
+        ).fetchall()
+    ]
+    assert len(losers) > 0  # the union corpus really has exact-dup pairs
+    assert not set(losers) & set(got)  # and every loser died

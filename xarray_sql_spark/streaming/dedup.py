@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -338,3 +339,213 @@ def pipeline_ingest_gate(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- composed ingest gate: license -> exact -> banded near-dup ----------------
+#
+# pl23's first THREE stages as ONE streaming query with ONE stateful
+# operator (chained stateful ops are restricted): the exact-dup gate
+# (state per content hash) and the banded claim (state per band key) are
+# both min-keepers, so they fold into a single applyInPandasWithState
+# keyed by a generic (kind, key) — kind 'c' rows carry the content hash,
+# kind 'b' rows carry a band key, and every row carries the doc's 16
+# row-wise MinHash components so the claimant's signature is available
+# for dd04's agreement confirm without any join.
+#
+# Why the settled survivor set equals batch pl23's `nodup` stage even
+# though streaming band claims include exact-dup losers (batch builds
+# bands from exact SURVIVORS only): an exact loser has identical text,
+# hence an identical signature and identical band keys, as its keeper —
+# so every band the loser claims also contains the keeper at a lower
+# doc_id. The per-band min over ALL allowed docs therefore equals the
+# min over exact survivors, the claimant's signature is the same row,
+# and the loser itself can never be a settled claimant. The losers' own
+# extra band rows are harmless: their 'c' row already marks them dead.
+_GATE_STATE = StructType(
+    [
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("sigs", ArrayType(LongType())),  # 16 per doc, parallel
+    ]
+)
+_GATE_OUT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("key", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("first_doc", LongType()),
+        StructField("agree", IntegerType()),
+    ]
+)
+_GATE_NP = 16  # dedup_lsh.N_PERMS — pinned by test_streaming's parity suite
+
+
+def _gate_claims_fn(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Per (kind, key): keep every member's (doc_id, signature) in state;
+    whenever new members arrive, re-emit the WHOLE group's verdicts
+    against the current claimant (min doc_id ever seen). Re-emission
+    makes the sink's latest row per (kind, key, doc_id) the settled
+    verdict even when a later micro-batch delivers a lower claimant —
+    the agreement a doc was judged by at arrival time is stale the
+    moment the claimant changes, so the group replays. Replayed input
+    rows (restart recovery) dedupe by doc_id, keeping state idempotent.
+    State size per band key is the band's member list — bounded by
+    near-dup cluster sizes (the batch DAG moves the same rows through
+    its band shuffle); pass a TTL via lsh_band_firsts' pattern if the
+    dedup horizon is windowed in production."""
+    ids, sigs = state.get if state.exists else ([], [])
+    ids, sigs = list(ids), list(sigs)
+    seen = set(ids)
+    grew = False
+    scols = [f"s{i}" for i in range(_GATE_NP)]
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        sm = pdf[scols].to_numpy()
+        for j, d in enumerate(pdf["doc_id"]):
+            d = int(d)
+            if d in seen:
+                continue
+            seen.add(d)
+            ids.append(d)
+            sigs.extend(int(x) for x in sm[j])
+            grew = True
+    if not grew:
+        return
+    state.update((ids, sigs))
+    mi = min(range(len(ids)), key=ids.__getitem__)
+    first = ids[mi]
+    csig = sigs[mi * _GATE_NP : (mi + 1) * _GATE_NP]
+    agree = [
+        sum(
+            1
+            for i in range(_GATE_NP)
+            if sigs[k * _GATE_NP + i] == csig[i]
+        )
+        for k in range(len(ids))
+    ]
+    yield pd.DataFrame(
+        {
+            "kind": key[0],
+            "key": key[1],
+            "doc_id": ids,
+            "first_doc": first,
+            "agree": agree,
+        }
+    )
+
+
+def pipeline_ingest_gate_banded(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
+    """pl23's ingest prefix THROUGH the banded near-dup stage as one
+    streaming query: license policy resolution (stateless projection +
+    two stream-static broadcast policy dims — the same shared pl22/pl17
+    expressions as batch), the doc's content hash AND its 16 row-wise
+    MinHash components (the same `_pl23_sig_mins` expressions the batch
+    DAG hoists above its exact-dedup exchange), exploded into one 'c'
+    row per doc plus one 'b' row per LSH band, through the unified
+    (kind, key) claims keeper. Feed the sink (with a batch id) to
+    :func:`ingest_gate_survivors` for the settled per-doc verdicts —
+    pinned equal to batch pl23's `nodup` stage in test_streaming."""
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.queries.dedup_lsh import (
+        MERSENNE31,
+        N_BANDS,
+        N_PERMS,
+        ROWS_PER_BAND,
+        _band_structs,
+    )
+    from xarray_sql_spark.queries.pipeline_ops import (
+        _pl17_canon_expr,
+        _pl17_domain_expr,
+        _pl17_host_of_canon,
+        _pl17_url_expr,
+        _pl23_sig_mins,
+        pl22_resolve_policy,
+    )
+
+    assert N_PERMS == _GATE_NP
+    s = stream if stream is not None else documents_stream(spark, sf_dir)
+    dom = (
+        s.selectExpr(
+            "doc_id",
+            "md5(text) AS chash",
+            "transform(array_distinct(split(text, ' ')),"
+            " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+            f" % {MERSENNE31}L) AS th",
+            f"{_pl17_url_expr('spark')} AS url",
+        )
+        .selectExpr(
+            "doc_id", "chash", "th", f"{_pl17_canon_expr('spark')} AS curl"
+        )
+        .selectExpr(
+            "doc_id",
+            "chash",
+            *_pl23_sig_mins("spark"),
+            f"{_pl17_domain_expr('spark', _pl17_host_of_canon('spark', 'curl'))}"
+            " AS domain",
+        )
+    )
+    sig_cols = [f"s{i}" for i in range(N_PERMS)]
+    allowed = (
+        pl22_resolve_policy(spark, dom)
+        .filter(F.col("policy") == "allow")
+        .select("doc_id", "chash", *sig_cols)
+    )
+    crows = allowed.select(
+        F.lit("c").alias("kind"),
+        F.col("chash").alias("key"),
+        "doc_id",
+        *sig_cols,
+    )
+    brows = allowed.select(
+        "doc_id",
+        *sig_cols,
+        F.explode(_band_structs(N_BANDS, ROWS_PER_BAND)).alias("band"),
+    ).select(
+        F.lit("b").alias("kind"),
+        F.concat_ws("|", "band.band_idx", "band.band_hash").alias("key"),
+        "doc_id",
+        *sig_cols,
+    )
+    return crows.unionByName(brows).groupBy("kind", "key").applyInPandasWithState(
+        _gate_claims_fn,
+        outputStructType=_GATE_OUT,
+        stateStructType=_GATE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ingest_gate_survivors(sink: DataFrame) -> DataFrame:
+    """Settle the banded ingest gate's sink into per-doc verdicts: take
+    each (kind, key, doc_id)'s LATEST emission (groups re-emit all
+    members when their claimant changes, so the latest row carries the
+    settled claimant), then a doc survives unless an exact row has an
+    earlier keeper (kind 'c', first_doc < doc_id) or any band's settled
+    claimant is earlier AND agrees on >= EST_JACCARD_MIN of the perms
+    (dd04's confirm). ``sink`` must carry a monotone ``batch_id``."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.queries.dedup_lsh import EST_JACCARD_MIN, N_PERMS
+
+    wk = W.partitionBy("kind", "key", "doc_id").orderBy(F.desc("batch_id"))
+    latest = (
+        sink.withColumn("rn", F.row_number().over(wk))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    dead = (
+        (F.col("first_doc") < F.col("doc_id"))
+        & (
+            (F.col("kind") == "c")
+            | (F.col("agree") / float(N_PERMS) >= EST_JACCARD_MIN)
+        )
+    ).cast("int")
+    return latest.groupBy("doc_id").agg(
+        F.max(dead).alias("is_dup"),
+    ).filter("is_dup = 0").select("doc_id")
