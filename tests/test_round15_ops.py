@@ -54,3 +54,64 @@ def test_pl23_exchanges_carry_no_token_arrays(spark):
         if t.startswith("array<")
     ]
     assert not offenders, f"array column crosses a shuffle: {offenders}"
+
+
+def test_pl14_decile_expr_equals_spark_ntile(spark):
+    """The closed-form bucket arithmetic behind pl14b must reproduce
+    Spark's NTILE(10) for every rank at every corpus size that
+    exercises an edge: n < 10 (empty small buckets, the q=0 CASE
+    guard), n = 10, n % 10 == 0, and ragged n."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from xarray_sql_spark.queries.pipeline_ops import _pl14_decile_expr
+
+    for n in [1, 3, 9, 10, 11, 19, 20, 25, 100, 101, 109]:
+        rows = (
+            spark.range(1, n + 1)
+            .selectExpr(
+                "id AS rank",
+                f"{_pl14_decile_expr('id', str(n))} AS closed_form",
+            )
+            .withColumn(
+                "ntile", F.ntile(10).over(W.orderBy("rank"))
+            )
+            .filter("closed_form <> ntile")
+            .count()
+        )
+        assert rows == 0, f"closed form diverges from NTILE at n={n}"
+
+
+def test_pl14b_bit_identical_to_pl14(spark):
+    """The benched two-pass variant and the exact-NTILE diagnostic must
+    return the same rows — the 'same output contract' claim as an
+    executed equality, not prose."""
+    a = REGISTRY["pl14_quality_calibration"].fn(spark, SF_MED).collect()
+    b = REGISTRY["pl14b_quality_calibration_two_pass"].fn(spark, SF_MED).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 10
+
+
+def test_pl14b_straddle_window_is_partitioned(spark):
+    """pl14b's reason to exist: the corpus-sized rows must never flow
+    through a single-partition window. The executed plan's Window
+    nodes are allowed only over the grid-bounded histogram (its input
+    is the post-aggregation exchange) — the per-doc straddle ranking
+    must show a partitioning expression."""
+    df = REGISTRY["pl14b_quality_calibration_two_pass"].fn(spark, SF_MED)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    window_lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert window_lines, "expected Window nodes in the executed plan"
+    for ln in window_lines:
+        if "row_number()" in ln:
+            # the per-doc straddle ranking: MUST be partitioned (by the
+            # diversity run), never a global sort of the corpus
+            assert "diversity" in ln.split("windowspecdefinition(")[1], ln
+        else:
+            # the only unpartitioned windows are the cumulative/total
+            # sums over the post-aggregation histogram (input rows are
+            # per-VALUE counts `nr`, grid-bounded, never per-doc)
+            assert "sum(nr#" in ln, ln

@@ -3188,9 +3188,10 @@ def ts17_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- pl14: quality-decile calibration ----------------------------------------------
-@query(
-    "pl14_quality_calibration",
-    oracle="""
+# ONE oracle for both formulations: pl14 (exact global NTILE, the
+# diagnostic) and pl14b (two-pass histogram boundaries, the benched
+# scale path) must stay bit-identical by construction.
+_PL14_ORACLE = """
     WITH base AS (
         SELECT doc_id,
                round(len(list_distinct(string_split(text, ' ')))
@@ -3210,7 +3211,12 @@ def ts17_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_excess,
            CAST(sum(toks) AS BIGINT) AS sum_tokens
     FROM deciled GROUP BY decile ORDER BY decile
-    """,
+    """
+
+
+@query(
+    "pl14_quality_calibration",
+    oracle=_PL14_ORACLE,
     tags=("pipeline", "quality", "calibration", "diagnostics"),
     # calibration diagnostic (ss13/dd12's rule): the exact global NTILE
     # is a corpus-sized single-partition window — the docstring's
@@ -3228,10 +3234,11 @@ def pl14_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     a flat dup-rate curve means the score is noise for this corpus.
 
     Scale: one scan computes the per-doc signals; the NTILE runs over
-    (diversity, doc_id) pairs only — at 100 TB swap it for q23's
-    two-pass histogram decile boundaries, same output contract; the
-    distinct-digest count shuffles (decile, md5) pairs with map-side
-    combine."""
+    (diversity, doc_id) pairs only — at 100 TB run pl14b, the BENCHED
+    two-pass histogram-boundary variant with the identical output
+    contract (this exact-NTILE form stays as the small-corpus
+    diagnostic and the shared oracle); the distinct-digest count
+    shuffles (decile, md5) pairs with map-side combine."""
     # NULL text would rank NULLS FIRST on Spark but NULLS LAST in DuckDB
     # (pl11's rule) — exclude it from the decile ordering on both sides
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -3253,6 +3260,117 @@ def pl14_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         deciled.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.count("*") - F.countDistinct("h"))
+            .cast("bigint")
+            .alias("n_dup_excess"),
+            F.sum("toks").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --- pl14b: the same calibration WITHOUT a global window ---------------------
+def _pl14_decile_expr(rank: str, n: str) -> str:
+    """Spark SQL for NTILE(10)'s exact bucket of 1-based ``rank`` among
+    ``n`` total rows: the first n%10 buckets hold n DIV 10 + 1 rows,
+    the rest n DIV 10 — the same fill rule Spark's NTILE implements, as
+    closed-form arithmetic so no global window is needed. CASE keeps
+    the q=0 division unevaluated when every rank falls in the big
+    buckets (n < 10)."""
+    q = f"({n} DIV 10)"
+    rem = f"({n} % 10)"
+    cut = f"(({q} + 1) * {rem})"
+    return (
+        f"CAST(CASE WHEN {rank} <= {cut}"
+        f" THEN ({rank} - 1) DIV ({q} + 1) + 1"
+        f" ELSE {rem} + ({rank} - {cut} - 1) DIV {q} + 1 END AS INT)"
+    )
+
+
+@query(
+    "pl14b_quality_calibration_two_pass",
+    oracle=_PL14_ORACLE,
+    tags=("pipeline", "quality", "calibration", "two-pass"),
+)
+def pl14b_quality_calibration_two_pass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pl14's decile calibration with the global NTILE replaced by the
+    two-pass selection its docstring promised — BIT-IDENTICAL output
+    (the oracle is pl14's exact-NTILE SQL, unchanged): the diversity
+    signal is pre-rounded to a 1e-6 grid, so pass 1 aggregates the
+    corpus to a per-value histogram (map-side combine; <= 1e6 rows,
+    DATA-INDEPENDENT — the grid, not the corpus, bounds it) and two
+    windows over that histogram assign each value run its cumulative
+    start and the total N. NTILE's bucket-fill rule is closed-form
+    arithmetic on (rank, N), so a run whose first and last ranks land
+    in the same decile gets it as a row-wise expression after a
+    broadcast join — no per-row ordering at all. Only runs STRADDLING
+    a boundary (at most 9, one per interior cut) need doc_id order,
+    and their window is partitioned BY RUN — the single-partition sort
+    the exact NTILE forces on the whole corpus shrinks to the straddle
+    runs' members.
+
+    Scale: one documents scan; one histogram exchange (map-side
+    combined, grid-bounded); histogram windows touch <= 1e6 rows; the
+    broadcast is the same grid-bounded table; the straddle window
+    partitions by diversity value. Nothing driver-side, nothing
+    corpus-sized in one partition."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("diversity"),
+        F.size(toks).alias("toks"),
+        F.md5("text").alias("h"),
+    )
+    hist = (
+        base.groupBy("diversity")
+        .agg(F.count("*").alias("nr"))
+        .select(
+            "diversity",
+            "nr",
+            F.coalesce(
+                F.sum("nr").over(
+                    W.orderBy("diversity").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("cb"),
+            F.sum("nr").over(W.partitionBy()).alias("n"),
+        )
+        .selectExpr(
+            "diversity",
+            "cb",
+            "n",
+            f"{_pl14_decile_expr('(cb + 1)', 'n')} AS dlo",
+            f"{_pl14_decile_expr('(cb + nr)', 'n')} AS dhi",
+        )
+    )
+    j = base.join(F.broadcast(hist), "diversity")
+    whole = j.filter("dlo = dhi").select(
+        "toks", "h", F.col("dlo").alias("decile")
+    )
+    straddle = (
+        j.filter("dlo <> dhi")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("diversity").orderBy("doc_id")
+            ),
+        )
+        .selectExpr(
+            "toks", "h", f"{_pl14_decile_expr('(cb + rn)', 'n')} AS decile"
+        )
+    )
+    return (
+        whole.unionByName(straddle)
+        .groupBy("decile")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             (F.count("*") - F.countDistinct("h"))
