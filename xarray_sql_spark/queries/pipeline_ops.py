@@ -3301,23 +3301,28 @@ def pl14b_quality_calibration_two_pass(
     two-pass selection its docstring promised — BIT-IDENTICAL output
     (the oracle is pl14's exact-NTILE SQL, unchanged): the diversity
     signal is pre-rounded to a 1e-6 grid, so pass 1 aggregates the
-    corpus to a per-value histogram (map-side combine; <= 1e6 rows,
-    DATA-INDEPENDENT — the grid, not the corpus, bounds it) and two
-    windows over that histogram assign each value run its cumulative
-    start and the total N. NTILE's bucket-fill rule is closed-form
-    arithmetic on (rank, N), so a run whose first and last ranks land
-    in the same decile gets it as a row-wise expression after a
-    broadcast join — no per-row ordering at all. Only runs STRADDLING
-    a boundary (at most 9, one per interior cut) need doc_id order,
-    and their window is partitioned BY RUN — the single-partition sort
-    the exact NTILE forces on the whole corpus shrinks to the straddle
-    runs' members.
+    corpus to a per-value run summary — count, token sum, AND distinct
+    digests, which is legal per run because a duplicate hash can never
+    span runs (same hash => same text => same diversity) — leaving a
+    histogram of <= 1e6 rows, DATA-INDEPENDENT (the grid, not the
+    corpus, bounds it). NTILE's bucket-fill rule is closed-form
+    arithmetic on (rank, N), so two windows over the histogram give
+    each run its decile span, and a run that lands entirely in one
+    decile contributes its pre-aggregated summary — its documents are
+    NEVER touched row-wise again. Only runs STRADDLING a boundary (at
+    most 9, one per interior cut) get a per-row second pass: a scan
+    filtered by a broadcast of those runs' values, ranked by a window
+    partitioned BY RUN — the single-partition sort the exact NTILE
+    forces on the whole corpus shrinks to <= 9 runs' members. Distinct
+    digests stay additive across the union because straddle parts of
+    distinct runs have disjoint hash sets too.
 
-    Scale: one documents scan; one histogram exchange (map-side
-    combined, grid-bounded); histogram windows touch <= 1e6 rows; the
-    broadcast is the same grid-bounded table; the straddle window
-    partitions by diversity value. Nothing driver-side, nothing
-    corpus-sized in one partition."""
+    Scale: two documents scans (the run summary; the straddle
+    filter), both map-side combined; ONE corpus-sized exchange — the
+    (diversity, h) distinct-digest partial, the same digest shuffle
+    the exact formulation pays; histogram windows touch <= 1e6 rows;
+    the straddle window partitions by diversity value. Nothing
+    driver-side, nothing corpus-sized in one partition."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     base = d.select(
@@ -3330,10 +3335,16 @@ def pl14b_quality_calibration_two_pass(
     )
     hist = (
         base.groupBy("diversity")
-        .agg(F.count("*").alias("nr"))
+        .agg(
+            F.count("*").alias("nr"),
+            F.sum("toks").alias("run_toks"),
+            F.countDistinct("h").alias("run_ndh"),
+        )
         .select(
             "diversity",
             "nr",
+            "run_toks",
+            "run_ndh",
             F.coalesce(
                 F.sum("nr").over(
                     W.orderBy("diversity").rowsBetween(
@@ -3346,18 +3357,29 @@ def pl14b_quality_calibration_two_pass(
         )
         .selectExpr(
             "diversity",
+            "nr",
+            "run_toks",
+            "run_ndh",
             "cb",
             "n",
             f"{_pl14_decile_expr('(cb + 1)', 'n')} AS dlo",
             f"{_pl14_decile_expr('(cb + nr)', 'n')} AS dhi",
         )
     )
-    j = base.join(F.broadcast(hist), "diversity")
-    whole = j.filter("dlo = dhi").select(
-        "toks", "h", F.col("dlo").alias("decile")
+    whole_agg = (
+        hist.filter("dlo = dhi")
+        .groupBy(F.col("dlo").alias("decile"))
+        .agg(
+            F.sum("nr").alias("n_docs"),
+            F.sum("run_ndh").alias("n_distinct"),
+            F.sum("run_toks").alias("sum_tokens"),
+        )
     )
-    straddle = (
-        j.filter("dlo <> dhi")
+    straddle_runs = hist.filter("dlo <> dhi").select(
+        "diversity", "cb", "n"
+    )
+    straddle_agg = (
+        base.join(F.broadcast(straddle_runs), "diversity")
         .withColumn(
             "rn",
             F.row_number().over(
@@ -3367,16 +3389,22 @@ def pl14b_quality_calibration_two_pass(
         .selectExpr(
             "toks", "h", f"{_pl14_decile_expr('(cb + rn)', 'n')} AS decile"
         )
-    )
-    return (
-        whole.unionByName(straddle)
         .groupBy("decile")
         .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            (F.count("*") - F.countDistinct("h"))
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct"),
+            F.sum("toks").alias("sum_tokens"),
+        )
+    )
+    return (
+        whole_agg.unionByName(straddle_agg)
+        .groupBy("decile")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            (F.sum("n_docs") - F.sum("n_distinct"))
             .cast("bigint")
             .alias("n_dup_excess"),
-            F.sum("toks").cast("bigint").alias("sum_tokens"),
+            F.sum("sum_tokens").cast("bigint").alias("sum_tokens"),
         )
         .orderBy("decile")
     )
