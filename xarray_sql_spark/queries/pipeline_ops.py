@@ -4424,16 +4424,22 @@ def dd15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled deduplicated text, so the hash gate proves the keep/drop
     decisions AND the reassembly order end to end.
 
-    Scale: lines shuffle ONCE as 60-bit md5 keys (dd10's key
-    discipline) into a map-side-combined min(struct) — a boilerplate
-    line duplicated a billion times collapses to one candidate per
-    input partition BEFORE the shuffle (the reason this is a groupBy,
-    not a row_number window, which would funnel the hot key through a
-    single task). The keep-flag join is lh-equi (AQE handles the
-    replicated hot key), never a doc-pair join; reassembly is per-doc
-    bounded. No driver collects."""
+    Scale: line TEXT never crosses a wide exchange (r14 verdict item 6
+    — previously it rode both the keep-join and the doc rollup). Lines
+    are hashed to 60-bit md5 keys (dd10's key discipline) in the same
+    map-side projection that drops the text, so the dedup machinery —
+    the map-side-combined min(struct) (a boilerplate line duplicated a
+    billion times collapses to one candidate per input partition
+    BEFORE the shuffle; the reason this is a groupBy, not a row_number
+    window, which would funnel the hot key through a single task), the
+    lh-equi keep join (AQE handles the replicated hot key), and the
+    per-doc keep-bitmap rollup (a bare int array — the primitive
+    collect fast path) — moves three longs per line. The text is
+    re-attached by ONE doc_id join against a second scan, and the kept
+    segments are resliced in a row-wise projection. No driver
+    collects."""
     d = table(spark, sf_dir, "documents", spread=True)
-    lines = (
+    slim = (
         d.selectExpr(
             "doc_id", "filter(split(text, ' '), x -> x <> '') AS w"
         )
@@ -4445,22 +4451,20 @@ def dd15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {_DD15_W}), ' '))) AS ls",
         )
         .select("doc_id", F.posexplode("ls").alias("line_no", "line"))
+        .select(
+            "doc_id",
+            "line_no",
+            F.conv(F.substring(F.md5("line"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("lh"),
+        )
     )
-    keyed = lines.select(
-        "doc_id",
-        "line_no",
-        "line",
-        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("lh"),
-    )
-    first = keyed.groupBy("lh").agg(
+    first = slim.groupBy("lh").agg(
         F.min(F.struct("doc_id", "line_no")).alias("m")
     )
-    kept = keyed.join(first, "lh").select(
+    flags = slim.join(first, "lh").select(
         "doc_id",
         "line_no",
-        "line",
         (
             (F.col("doc_id") == F.col("m.doc_id"))
             & (F.col("line_no") == F.col("m.line_no"))
@@ -4468,43 +4472,33 @@ def dd15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
-    agg = kept.groupBy("doc_id").agg(
+    docflags = flags.groupBy("doc_id").agg(
         F.count("*").alias("n_lines"),
         F.sum(1 - F.col("keep")).alias("n_removed"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("keep") == 1, F.size(F.split("line", " "))
-                )
-            ),
-            F.lit(0),
-        ).alias("n_kept_tokens"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("keep") == 1,
-                                F.struct("line_no", "line"),
-                            )
-                        )
-                    ),
-                    lambda s: s.line,
-                ),
-                " ",
-            )
-        ).alias("kept_fp"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep") == 1, F.col("line_no")))
+        ).alias("kept_nos"),
     )
     return (
-        d.select("doc_id")
-        .join(agg, "doc_id", "left")
+        d.select("doc_id", "text")
+        .join(docflags, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_lines",
+            "n_removed",
+            "kept_nos",
+            "filter(split(text, ' '), x -> x <> '') AS w",
+        )
         .selectExpr(
             "CAST(doc_id AS BIGINT) AS doc_id",
             "CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines",
             "CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed",
-            "CAST(coalesce(n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens",
-            "coalesce(kept_fp, md5('')) AS kept_fp",
+            "CAST(coalesce(aggregate(kept_nos, 0L, (acc, i) ->"
+            f" acc + least({_DD15_W}, size(w) - i * {_DD15_W})), 0)"
+            " AS BIGINT) AS n_kept_tokens",
+            "coalesce(md5(array_join(transform(kept_nos,"
+            f" i -> array_join(slice(w, CAST(i * {_DD15_W} + 1 AS INT),"
+            f" {_DD15_W}), ' ')), ' ')), md5('')) AS kept_fp",
         )
         .orderBy("doc_id")
     )
