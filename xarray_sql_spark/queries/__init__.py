@@ -48,23 +48,23 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 # this round's gate every entry's last driver proof is r9+ except the 6
 # r8-era entries that didn't fit (next round's fill head).
 _PRIORITY = (
-    "pl23_pipeline_e2e qs01_quantile_sketch ts25_ngram_classifier "
-    "mm14_audio_fingerprint_dedup q43_set_ops_all ev10_first_touch_attribution "
-    "q45_pivot cc02_twohop_components pl09_leakage_free_split "
-    "ev14_gap_fill ts14_vocab_growth ev15_transition_matrix "
-    "ev16_conversion_delays pl11_rag_chunking ev17_cdc_latest_state "
-    "ev18_variant_props pl12_dataset_card ts15_bigram_surprisal "
-    "ev19_incremental_rollup ts16_zipf_fit ev20_activity_streaks "
-    "ev21_rfm_segments ts17_readability pl14_quality_calibration "
-    "ss12_radius_search dd08_incremental_dedup dd12_lsh_band_sweep "
-    "mm01_decode_meta mm04_resize mm07_image_rollup "
-    "mm08_mp3_census mm09_mp4_census gq24_region_write_roundtrip "
-    "gq37_grid_rolling_std gq38_grid_upsample gq39_grid_where_clip_fill "
-    "ss09_pq_adc_topk ss10_pq_rerank q46_range_frame "
-    "ss11_mmr_diversify q47_anti_join io02_csv_roundtrip "
-    "io03_corrupt_record_quarantine io04_schema_evolution io05_orc_roundtrip "
-    "io06_partitioned_prune io07_xml_roundtrip io09_gzip_jsonl_roundtrip "
-    "io10_multiline_json_roundtrip io08_binaryfile_ingest "
+    "pl14b_quality_calibration_two_pass pl23_pipeline_e2e dd15_line_dedup "
+    "sk03_bloom_prefilter_join cc01_neardup_purge gr01_dup_graph_pagerank "
+    "gr02_triangle_count gr03_cluster_size_dist pl15_full_pipeline "
+    "q02_filter_scan q03_top_revenue q04_exists_semijoin "
+    "q05_region_volume q06_forecast_revenue q08_agg_filter "
+    "q09_climatology_hour q10_anomaly_cte q11_window_topk "
+    "q13_range_join q14_math_rmse q15_case_having_union "
+    "q16_distinct_sort q17_subqueries q18_rollup "
+    "q19_count_star q20_weighted_regrid q21_udf_reproject "
+    "q23_percentiles q24_pivot q25_set_ops "
+    "q26_anti_join q28_grouping_sets q29_window_suite "
+    "q30_string_funcs q31_null_ops q32_json_extract "
+    "q33_array_funcs q34_correlated_subquery q35_unpivot "
+    "dd01_exact_dedup dd02_fingerprint_dedup ts01_text_quality "
+    "ts02_langid ss01_ann_topk ts18_bm25_retrieval "
+    "mm02_frame_sample gq40_grid_stencil ss14_ivfpq_search "
+    "hh01_heavy_hitters hh02_hll_distinct "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402
