@@ -90,7 +90,12 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # exact -> banded near-dup confirm -> tier -> mixing);
                  # the confirm join is bounded by <= N_BANDS claims/doc,
                  # so the whole chain must stay ~linear
-                 "pl23_pipeline_e2e"]
+                 "pl23_pipeline_e2e",
+                 # round-15: two-pass decile calibration (run summaries
+                 # + straddle-only second pass — histogram is grid-
+                 # bounded, so the ratio must track the scan, not the
+                 # sort the exact NTILE would pay)
+                 "pl14b_quality_calibration_two_pass"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10

@@ -86,6 +86,11 @@ PROBE_QUERIES = [
     # pairs per doc whatever the cluster size, so the chain must stay
     # ~linear even though every replica copy is a near-dup of its base.
     "pl23_pipeline_e2e",
+    # round-15: the two-pass decile calibration — the histogram stays
+    # grid-bounded (diversity values, not docs) at every scale, so the
+    # ratio must track the two scans + the (diversity, h) digest
+    # shuffle, never a global sort.
+    "pl14b_quality_calibration_two_pass",
 ]
 
 

@@ -7126,3 +7126,124 @@ def pl23_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# --- pl24: benchmark contamination check --------------------------------------
+_PL24_N = 13  # GPT-3/PaLM-style decontamination unit: word 13-grams
+_PL24_BENCH_MOD = 97  # deterministic "benchmark" slice: doc_id % 97 == 0
+
+
+@query(
+    "pl24_contamination_check",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(w) < {_PL24_N} THEN []
+                    ELSE list_transform(
+                        range(0, len(w) - {_PL24_N} + 1),
+                        i -> ('0x' || substring(md5(array_to_string(
+                                 w[(i + 1):(i + {_PL24_N})], ' ')), 1, 15)
+                             )::BIGINT)
+               END AS gs
+        FROM w
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(gs) AS gh FROM g
+        WHERE doc_id % {_PL24_BENCH_MOD} = 0
+    ),
+    probe_rows AS (
+        SELECT doc_id, unnest(gs) AS gh FROM g
+        WHERE doc_id % {_PL24_BENCH_MOD} <> 0
+    ),
+    hits AS (
+        SELECT p.doc_id, count(b.gh) AS h
+        FROM probe_rows p LEFT JOIN bench b USING (gh)
+        GROUP BY p.doc_id
+    ),
+    per_doc AS (
+        SELECT g.doc_id, g.lang, coalesce(h.h, 0) AS h,
+               len(gs) AS n_grams
+        FROM g LEFT JOIN hits h USING (doc_id)
+        WHERE g.doc_id % {_PL24_BENCH_MOD} <> 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(h) AS BIGINT) AS total_hits,
+           CAST(max(h) AS BIGINT) AS max_hits,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    tags=("pipeline", "contamination", "decontamination", "ngram"),
+)
+def pl24_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the GPT-3-appendix-C pass every
+    training pipeline runs before an eval is trustworthy: a document is
+    contaminated if any of its word 13-gram positions also occurs in
+    the held-out benchmark. The corpus has no external benchmark, so a
+    deterministic slice (doc_id % 97 == 0) PLAYS one — the realistic
+    shape, since eval suites are corpus-sized-independent and small.
+    Output: per-language document counts, contaminated-document counts,
+    total/max colliding positions, and the gram mass scanned.
+
+    Scale: the benchmark side is by construction tiny, so its distinct
+    13-gram hash set BROADCASTS and the corpus-side probe is MAP-ONLY —
+    grams are 60-bit md5 keys (dd15's hash-and-drop discipline: the
+    gram STRINGS die inside the scan projection, only longs flow), the
+    broadcast join marks hits in place, and the only exchanges are two
+    slim rollups (per-doc position counts, then the lang dimension).
+    At 100 TB nothing corpus-sized shuffles and nothing depends on the
+    corpus's duplication structure; if the benchmark ever outgrows a
+    broadcast, the probe degrades to dd15's keyed-join layout with the
+    same hash keys. Zero-gram docs (< 13 words) stay clean by
+    explode_outer's null row."""
+    d = table(spark, sf_dir, "documents")
+    g = d.selectExpr(
+        "doc_id",
+        "lang",
+        "filter(split(text, ' '), x -> x <> '') AS w",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        f"IF(size(w) < {_PL24_N}, CAST(array() AS ARRAY<BIGINT>),"
+        f" transform(sequence(0, size(w) - {_PL24_N}),"
+        " i -> CAST(conv(substring(md5(array_join("
+        f"slice(w, i + 1, {_PL24_N}), ' ')), 1, 15), 16, 10) AS BIGINT)))"
+        " AS gs",
+    )
+    bench = (
+        g.filter(f"doc_id % {_PL24_BENCH_MOD} = 0")
+        .select(F.explode("gs").alias("gh"))
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    probe = g.filter(f"doc_id % {_PL24_BENCH_MOD} <> 0").select(
+        "doc_id",
+        "lang",
+        F.size("gs").alias("n_grams"),
+        F.explode_outer("gs").alias("gh"),
+    )
+    per_doc = (
+        probe.join(F.broadcast(bench), "gh", "left")
+        .groupBy("doc_id", "lang", "n_grams")
+        .agg(F.sum(F.coalesce("m", F.lit(0))).alias("h"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("h") > 0).cast("int")).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.sum("h").cast("bigint").alias("total_hits"),
+            F.max("h").cast("bigint").alias("max_hits"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+        )
+        .orderBy("lang")
+    )
