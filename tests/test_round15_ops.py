@@ -115,3 +115,50 @@ def test_pl14b_straddle_window_is_partitioned(spark):
             # sums over the post-aggregation histogram (input rows are
             # per-VALUE counts `nr`, grid-bounded, never per-doc)
             assert "sum(nr#" in ln, ln
+
+
+def test_pl24_planted_contamination_counts(spark, tmp_path):
+    """Differential on a PLANTED corpus where the expected counts are
+    hand-computable: doc 0 (doc_id % 97 == 0, so it plays benchmark)
+    carries a distinctive 20-word run; doc 5 copies a 13-word span of
+    it (exactly 1 colliding position); doc 7 copies the full 20-word
+    run (20 - 13 + 1 = 8 positions); doc 9 shares nothing; doc 11 has
+    fewer than 13 words (zero grams, clean by construction)."""
+    from pyspark.sql import Row
+
+    from xarray_sql_spark.queries import REGISTRY
+
+    run = " ".join(f"zq{i}" for i in range(20))  # 20 distinctive words
+    span13 = " ".join(f"zq{i}" for i in range(13))
+    # DISTINCT filler per doc — shared filler >= 13 words would be
+    # real contamination (it was: the first draft shared one filler and
+    # correctly got 18 extra hits)
+    f0 = " ".join(f"a{i}" for i in range(30))
+    f5 = " ".join(f"b{i}" for i in range(30))
+    f9 = " ".join(f"c{i}" for i in range(30))
+    docs = [
+        Row(doc_id=0, text=f"{f0} {run}", lang="en", source="s",
+            n_chars=1),
+        Row(doc_id=5, text=f"{span13} {f5}", lang="en", source="s",
+            n_chars=1),
+        Row(doc_id=7, text=f"pre {run} post", lang="en", source="s",
+            n_chars=1),
+        Row(doc_id=9, text=f9, lang="de", source="s", n_chars=1),
+        Row(doc_id=11, text="tiny doc only five words x", lang="de",
+            source="s", n_chars=1),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r["lang"]: r.asDict()
+        for r in REGISTRY["pl24_contamination_check"].fn(spark, sf_dir).collect()
+    }
+    # en probes: doc 5 (1 hit) and doc 7 (8 hits) — doc 0 is benchmark
+    assert out["en"]["n_docs"] == 2
+    assert out["en"]["n_contaminated"] == 2
+    assert out["en"]["total_hits"] == 1 + 8
+    assert out["en"]["max_hits"] == 8
+    # de probes: doc 9 clean, doc 11 too short for any gram
+    assert out["de"]["n_docs"] == 2
+    assert out["de"]["n_contaminated"] == 0
+    assert out["de"]["total_hits"] == 0
