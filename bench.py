@@ -84,6 +84,10 @@ def main() -> None:
     _SPREAD_MEASURED = {
         "ts24_kneser_ney_surprisal": "serial 1.50 vs spread 1.74 (r14)",
         "hh04_kmv_set_ops": "serial 1.45 vs spread 1.65 (r14)",
+        "pl14b_quality_calibration_two_pass": (
+            "serial 1.78 vs spread 1.90 (r15; the two text-split scans "
+            "are the floor — repartitioning the text does not repay)"
+        ),
     }
 
     timings: dict[str, float] = {}
