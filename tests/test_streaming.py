@@ -1475,3 +1475,38 @@ def test_banded_ingest_gate_restart_claimant_flip_and_exact_kill(
     ]
     assert len(losers) > 0  # the union corpus really has exact-dup pairs
     assert not set(losers) & set(got)  # and every loser died
+
+
+def test_banded_ingest_gate_emission_is_delta_based(spark, tmp_path):
+    """Emission-volume pin for the hot-band case: when wave 1 delivers
+    each group's LOWEST doc_ids (claimants never change afterwards),
+    wave 2's arrivals must NOT re-emit the settled wave-1 members — a
+    hot band otherwise emits O(members^2) rows over its lifetime. Every
+    wave-1 doc appears exactly once per group it belongs to (its 'c'
+    group + its bands), i.e. its sink row count equals its wave-1 count."""
+    from xarray_sql_spark.session import table as _table
+
+    docs = _table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    # wave 1: the LOW half of doc ids; wave 2: the high half. min-claims
+    # set in wave 1 can never be displaced by wave 2.
+    docs.filter("doc_id < 250").coalesce(1).write.mode("overwrite").parquet(feed)
+    _run_banded_gate(spark, feed, ckpt, out_dir)
+    w1 = spark.read.parquet(out_dir).groupBy("doc_id").count().collect()
+    w1_counts = {int(r["doc_id"]): int(r["count"]) for r in w1}
+    docs.filter("doc_id >= 250").coalesce(1).write.mode("append").parquet(feed)
+    _run_banded_gate(spark, feed, ckpt, out_dir)
+    all_counts = {
+        int(r["doc_id"]): int(r["count"])
+        for r in spark.read.parquet(out_dir).groupBy("doc_id").count().collect()
+    }
+    re_emitted = {
+        d: (w1_counts[d], all_counts[d])
+        for d in w1_counts
+        if all_counts[d] != w1_counts[d]
+    }
+    assert not re_emitted, f"settled members re-emitted: {re_emitted}"

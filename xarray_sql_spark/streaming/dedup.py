@@ -382,20 +382,24 @@ _GATE_NP = 16  # dedup_lsh.N_PERMS — pinned by test_streaming's parity suite
 def _gate_claims_fn(
     key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
 ) -> "Iterator[pd.DataFrame]":
-    """Per (kind, key): keep every member's (doc_id, signature) in state;
-    whenever new members arrive, re-emit the WHOLE group's verdicts
-    against the current claimant (min doc_id ever seen). Re-emission
-    makes the sink's latest row per (kind, key, doc_id) the settled
-    verdict even when a later micro-batch delivers a lower claimant —
-    the agreement a doc was judged by at arrival time is stale the
-    moment the claimant changes, so the group replays. Replayed input
-    rows (restart recovery) dedupe by doc_id, keeping state idempotent.
-    State size per band key is the band's member list — bounded by
-    near-dup cluster sizes (the batch DAG moves the same rows through
-    its band shuffle); pass a TTL via lsh_band_firsts' pattern if the
-    dedup horizon is windowed in production."""
+    """Per (kind, key): keep every member's (doc_id, signature) in state.
+    A verdict row (member, claimant, agreement) goes stale ONLY when the
+    group's claimant (min doc_id ever seen) changes, so the emission is
+    delta-based: while the claimant is unchanged only the NEWLY arrived
+    members emit; when a later micro-batch delivers a lower claimant the
+    whole group re-emits corrected verdicts. The sink's latest row per
+    (kind, key, doc_id) is therefore always the settled verdict, and a
+    hot band that receives members across many batches emits O(members)
+    rows total instead of O(members^2). Replayed input rows (restart
+    recovery) dedupe by doc_id, keeping state idempotent. State size per
+    band key is the band's member list — bounded by near-dup cluster
+    sizes (the batch DAG moves the same rows through its band shuffle);
+    pass a TTL via lsh_band_firsts' pattern if the dedup horizon is
+    windowed in production."""
     ids, sigs = state.get if state.exists else ([], [])
     ids, sigs = list(ids), list(sigs)
+    old_n = len(ids)
+    prev_first = min(ids) if ids else None
     seen = set(ids)
     grew = False
     scols = [f"s{i}" for i in range(_GATE_NP)]
@@ -417,19 +421,24 @@ def _gate_claims_fn(
     mi = min(range(len(ids)), key=ids.__getitem__)
     first = ids[mi]
     csig = sigs[mi * _GATE_NP : (mi + 1) * _GATE_NP]
+    emit = (
+        range(len(ids))
+        if prev_first is None or first != prev_first
+        else range(old_n, len(ids))
+    )
     agree = [
         sum(
             1
             for i in range(_GATE_NP)
             if sigs[k * _GATE_NP + i] == csig[i]
         )
-        for k in range(len(ids))
+        for k in emit
     ]
     yield pd.DataFrame(
         {
             "kind": key[0],
             "key": key[1],
-            "doc_id": ids,
+            "doc_id": [ids[k] for k in emit],
             "first_doc": first,
             "agree": agree,
         }
