@@ -2737,12 +2737,20 @@ def ts15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         h60(F.col("bg.w1")).alias("gh1"),
         h60(F.col("bg.w2")).alias("gh2"),
     )
+    # uni feeds THREE consumers (the u1/u2 probe sides and the 1-row
+    # total) — unmaterialized, each reference re-ran the full corpus
+    # explode + hash + aggregate (5 documents scans in the plan, 3 of
+    # them unigram recomputes). The table is vocab-sized (distinct
+    # tokens — Heaps' law, far sublinear in corpus bytes) and carries
+    # only (8-byte hash, count), so materializing it once is cheap at
+    # any scale while the recompute it replaces is corpus-sized. (r15
+    # opt round: 3.09 -> 1.88 s isolated, 5 scans -> 3.)
     uni = (
         d.select(F.explode(F.split("text", " ")).alias("t"))
         .select(h60(F.col("t")).alias("gh"))
         .groupBy("gh")
         .agg(F.count("*").alias("cnt"))
-    )
+    ).localCheckpoint(eager=True)
     tot = uni.agg(F.sum("cnt").cast("long").alias("n"))
     # gh1/gh2 are functions of gh12 — carrying them through the aggregate
     # lets the score table join unigrams without re-deriving them
@@ -3450,18 +3458,23 @@ def ev22_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the merge path is the point at 100 TB — the delta is one
     day's partition, so the rebuild's full-history window is replaced
-    by (a) an SCD2 build over ONLY the delta, (b) a per-key first-
-    version aggregate of the delta, and (c) one left join that touches
-    existing OPEN rows only; closed history is untouched (here it flows
+    by an SCD2 build over the delta plus the close of each touched
+    key's open interval; closed history is untouched (here it flows
     through for the comparator, in production it's the unrewritten
-    parquet partition). The close join is NOT hinted: first_new's row
-    count is the delta's distinct-key count — at one day of 100 TB
-    easily 10⁷–10⁸ users, far past any safe forced broadcast (r9
-    verdict) — and both SCD2 window stages already hash-partition on
-    user_id, so the sort-merge co-partitions for free; at small deltas
-    AQE may still pick a broadcast hash join adaptively, which is the
-    correct size-aware behavior. Pinned by
-    tests/test_pipeline_semantics.py::test_ev22_no_forced_dim_broadcast."""
+    parquet partition). The merge itself is JOIN-FREE (r15 opt round:
+    6 scans/13 exchanges -> 2 scans/5 exchanges, 2.31 -> 1.29 s
+    isolated, byte-identical output): both segments ride ONE window
+    tree partitioned by user_id with the segment flag as a sort
+    prefix — lag/lead guard on the flag so versions never cross the
+    cutoff — and the per-key first-delta-version that closes the open
+    interval is a min-over-partition window on the same (already
+    sorted) frame instead of a groupBy + left join whose build side
+    would be the delta's distinct-key count (10⁷–10⁸ users at one day
+    of 100 TB, far past any safe broadcast — r9 verdict). One user_id
+    exchange carries the whole merge; no join, no re-scan per branch.
+    Pinned by tests/test_pipeline_semantics.py::
+    test_ev22_no_forced_dim_broadcast (the only broadcast left is the
+    1-row cutoff cross join)."""
     e = table(spark, sf_dir, "events", spread=True)
     views = e.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", "value", F.unix_micros("ts").alias("us")
@@ -3471,39 +3484,59 @@ def ev22_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = views.agg(
         F.min("us").alias("mn"), F.max("us").alias("mx")
     ).select(F.expr("mn + (mx - mn) * 9 DIV 10").alias("cutoff_us"))
-    flagged = views.crossJoin(F.broadcast(bounds))
-    hist = flagged.filter(F.col("us") < F.col("cutoff_us"))
-    delta = flagged.filter(F.col("us") >= F.col("cutoff_us"))
-
-    def scd2(part: DataFrame) -> DataFrame:
-        # q38's single-shuffle build: (ts, event_id DESC) sort makes the
-        # first row of each ts run the max-event_id duplicate survivor,
-        # and lead() reuses the same user partitioning
-        w_sort = W.partitionBy("user_id").orderBy("us", F.desc("event_id"))
-        prev_us = F.lag("us").over(w_sort)
-        vers = part.withColumn(
-            "is_first", prev_us.isNull() | (prev_us != F.col("us"))
-        ).filter(F.col("is_first"))
-        return vers.select(
-            "user_id", F.col("ts").alias("valid_from"), "us", "value"
-        ).withColumn(
-            "valid_to",
-            F.lead("valid_from").over(W.partitionBy("user_id").orderBy("us")),
-        )
-    dim_old = scd2(hist)
-    dim_new = scd2(delta)
-    # each key's first delta version closes that key's open interval
-    first_new = dim_new.groupBy("user_id").agg(
-        F.min("valid_from").alias("first_new_from")
+    # seg 0 = pre-existing dimension feed, seg 1 = the CDC delta. Both
+    # segments share one window tree: ordering by (seg, us, event_id
+    # DESC) within each user keeps q38's single-shuffle build — the
+    # first row of each (seg, ts) run is the max-event_id duplicate
+    # survivor — and the seg guard on lag/lead confines every version
+    # chain to its own side of the cutoff (hist us < cutoff <= delta
+    # us, so runs can never span segments anyway; the guard makes that
+    # explicit rather than data-dependent).
+    flagged = views.crossJoin(F.broadcast(bounds)).withColumn(
+        "seg", (F.col("us") >= F.col("cutoff_us")).cast("int")
     )
-    closed = dim_old.join(first_new, "user_id", "left").select(
+    w_sort = W.partitionBy("user_id").orderBy("seg", "us", F.desc("event_id"))
+    prev_us = F.lag("us").over(w_sort)
+    prev_seg = F.lag("seg").over(w_sort)
+    vers = flagged.withColumn(
+        "is_first",
+        prev_us.isNull()
+        | (prev_seg != F.col("seg"))
+        | (prev_us != F.col("us")),
+    ).filter(F.col("is_first"))
+    w_lead = W.partitionBy("user_id").orderBy("seg", "us")
+    w_user = W.partitionBy("user_id")
+    dim = (
+        vers.select(
+            "user_id", "seg", "us", F.col("ts").alias("valid_from"), "value"
+        )
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.lead("seg").over(w_lead) == F.col("seg"),
+                F.lead("valid_from").over(w_lead),
+            ),
+        )
+        # each key's first delta version closes that key's open interval:
+        # min(us | seg=1) over the user partition IS first_new's
+        # aggregate, delivered by the window machinery already keyed on
+        # user_id (timestamp_micros(min us) == min ts — us is
+        # unix_micros(ts), order-isomorphic)
+        .withColumn(
+            "first_new_us",
+            F.min(F.when(F.col("seg") == 1, F.col("us"))).over(w_user),
+        )
+    )
+    merged = dim.select(
         "user_id",
         "valid_from",
-        F.coalesce("valid_to", "first_new_from").alias("valid_to"),
+        F.when(
+            F.col("seg") == 0,
+            F.coalesce("valid_to", F.timestamp_micros("first_new_us")),
+        )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
         "value",
-    )
-    merged = closed.unionByName(
-        dim_new.select("user_id", "valid_from", "valid_to", "value")
     )
     return merged.select(
         F.col("user_id").cast("bigint").alias("user_id"),
@@ -5701,7 +5734,14 @@ def ts22_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
     uw = d.select("doc_id", F.explode("w").alias("word"))
-    cw = uw.groupBy("word").agg(F.count("*").cast("bigint").alias("c"))
+    # cw feeds BOTH probe sides (ca, cb) — unmaterialized, each side
+    # re-ran the corpus explode + doc-frequency aggregate. The table is
+    # vocab-sized (ts15's rule), so one materialization beats two
+    # corpus passes at any scale. (r15 opt round: 2.93 -> 2.51 s
+    # isolated min, 5 scans -> 4.)
+    cw = uw.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
     a, b = uw.alias("a"), uw.alias("b")
     cp = (
         a.join(
@@ -6028,10 +6068,15 @@ def ts24_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean is a single division of two exact integers (ev24's
     discipline) — no double summation anywhere.
 
-    Scale: three map-side-combined count aggregates over bigram types
-    (Heaps-sublinear in corpus size), one broadcastable 1-row total,
-    and a per-doc score that equi-joins doc bigrams to the model on
-    (v, next) — ts15's join shape with KN arithmetic in place of MLE."""
+    Scale: the context/continuation marginals (c1, cr) ride WINDOW
+    aggregates over the bigram-type table instead of separate groupBy +
+    join passes — each marginal's partition is bounded by the vocab,
+    and the rewrite drops two full corpus explode+aggregate recomputes
+    (the c1/cr subtrees re-derived c2 from the raw text each time: 5
+    documents scans -> 3; 1.40 -> 1.18 s isolated, r15 opt round). The
+    1-row bigram-type total broadcasts; the per-doc score equi-joins
+    doc bigrams to the model on (v, next) — ts15's join shape with KN
+    arithmetic in place of MLE."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     ).filter(F.size("ws") >= 2)
@@ -6046,15 +6091,13 @@ def ts24_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", F.col("b.v").alias("v"), F.col("b.nxt").alias("nxt"))
     c2 = bg.groupBy("v", "nxt").agg(F.count("*").cast("bigint").alias("c"))
-    c1 = c2.groupBy("v").agg(
-        F.sum("c").cast("bigint").alias("cv"),
-        F.count("*").cast("bigint").alias("n1p_left"),
-    )
-    cr = c2.groupBy("nxt").agg(F.count("*").cast("bigint").alias("n1p_right"))
     nb = c2.agg(F.count("*").cast("bigint").alias("n_bigram_types"))
+    wv = W.partitionBy("v")
+    wn = W.partitionBy("nxt")
     model = (
-        c2.join(c1, "v")
-        .join(cr, "nxt")
+        c2.withColumn("cv", F.sum("c").over(wv).cast("bigint"))
+        .withColumn("n1p_left", F.count("*").over(wv).cast("bigint"))
+        .withColumn("n1p_right", F.count("*").over(wn).cast("bigint"))
         .crossJoin(F.broadcast(nb))
         .selectExpr(
             "v",
