@@ -1744,30 +1744,36 @@ _PQ_CTES = f"""
 _PQ_TRAIN_CACHE: dict = {}
 
 
-def _pq_d2_lit(se_col, ce_vals):
-    """Squared L2 to a literal centroid — the same index-ordered fold the
-    oracle spells, so doubles are bit-identical cross-engine."""
-    ce = F.array(*[F.lit(float(c)) for c in ce_vals])
-    return F.aggregate(
-        F.zip_with(se_col, ce, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
+def _pq_dj_pairs(se_col, books):
+    """(d2, j) struct array over every centroid in ``books``, spelled as
+    ONE nested-array literal + an indexed ``transform`` instead of one
+    literal fold subtree per centroid. Per element the arithmetic is the
+    identical zip_with/aggregate op order (bit-identical doubles); what
+    shrinks is the EXPRESSION TREE — k centroids of d dims collapse from
+    k*(d + fold) analyzer nodes into two Literal nodes + one lambda,
+    which cut ss14's driver-side plan-construction share from ~2.5 s to
+    ~1.5 s per build (r15 opt round; the fn-per-rep analysis cost the
+    verify notes flag for pl23 applies to every deep-literal family)."""
+    js = sorted(books)
+    cl = F.lit([[float(c) for c in books[j]] for j in js])
+    jl = F.lit([int(j) for j in js])
+    return F.transform(
+        cl,
+        lambda ce, i: F.struct(
+            F.aggregate(
+                F.zip_with(se_col, ce, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("d"),
+            F.get(jl, i).cast("long").alias("j"),
+        ),
     )
 
 
 def _pq_argmin_j(se_col, books):
     """Nearest centroid as a projection: min over literal (d2, j) structs
     — same (distance, j) tie-break as a min_by."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _pq_d2_lit(se_col, ce).alias("d"),
-                F.lit(j).cast("long").alias("j"),
-            )
-            for j, ce in sorted(books.items())
-        ]
-    )
-    return F.array_sort(pairs)[0]["j"]
+    return F.array_sort(_pq_dj_pairs(se_col, books))[0]["j"]
 
 
 def _pq_serve(
@@ -1792,30 +1798,33 @@ def _pq_serve(
         _pq_argmin_j(sub0, {j: cbf[(0, j)] for j in seed_js}).alias("j0"),
         _pq_argmin_j(sub1, {j: cbf[(1, j)] for j in seed_js}).alias("j1"),
     )
-    lookup = {
-        (q, s): F.array(*[F.lit(dtab[(q, s, j)]) for j in seed_js])
-        for q in queries_present
-        for s in (0, 1)
-    }
     pos0 = sum(
         (F.col("j0") == j).cast("int") * j_pos[j] for j in seed_js
     ) if seed_js != list(range(len(seed_js))) else F.col("j0").cast("int")
     pos1 = sum(
         (F.col("j1") == j).cast("int") * j_pos[j] for j in seed_js
     ) if seed_js != list(range(len(seed_js))) else F.col("j1").cast("int")
-    per_query = [
-        F.struct(
-            F.lit(int(q)).cast("long").alias("query_id"),
+    # distance table as ONE nested literal (queries x subvectors x codes)
+    # + indexed transform — _pq_dj_pairs' tree-size rule; values and the
+    # round(+) op order are unchanged, so every adc double is identical
+    dl = F.lit([
+        [[float(dtab[(q, s, j)]) for j in seed_js] for s in (0, 1)]
+        for q in queries_present
+    ])
+    ql = F.lit([int(q) for q in queries_present])
+    per_query = F.transform(
+        dl,
+        lambda qrow, qi: F.struct(
+            F.get(ql, qi).cast("long").alias("query_id"),
             F.round(
-                F.get(lookup[(q, 0)], pos0.cast("int"))
-                + F.get(lookup[(q, 1)], pos1.cast("int")),
+                F.get(qrow[0], pos0.cast("int"))
+                + F.get(qrow[1], pos1.cast("int")),
                 6,
             ).alias("adc"),
-        )
-        for q in queries_present
-    ]
+        ),
+    )
     return codes.select(
-        "vec_id", *extra.keys(), F.explode(F.array(*per_query)).alias("qa")
+        "vec_id", *extra.keys(), F.explode(per_query).alias("qa")
     ).select(
         F.col("qa.query_id").alias("query_id"),
         "vec_id",
@@ -2227,19 +2236,14 @@ def ss14_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = v.filter(F.col("vec_id").isin(*_PQ_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
-    probe_pairs = F.array(
-        *[
-            F.struct(
-                _pq_d2_lit(F.col("qe"), ce).alias("d"),
-                F.lit(cell).cast("long").alias("j"),
-            )
-            for cell, ce in sorted(cents.items())
-        ]
-    )
     probes = qv.select(
         "query_id",
         F.explode(
-            F.slice(F.array_sort(probe_pairs), 1, _IVF_NPROBE)
+            F.slice(
+                F.array_sort(_pq_dj_pairs(F.col("qe"), cents)),
+                1,
+                _IVF_NPROBE,
+            )
         ).alias("pc"),
     ).select("query_id", F.col("pc.j").alias("cell"))
     cand = adc2.join(F.broadcast(probes), ["query_id", "cell"])

@@ -4953,7 +4953,15 @@ def pl18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles on both sides."""
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(_tokens()).alias("word"))
-    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    # vocab feeds the scoring join AND the 1-row total; s feeds the
+    # boundary aggregate AND the bucketing pass — unmaterialized, each
+    # second reference re-ran the corpus explode (+ the scoring join).
+    # vocab is vocab-sized (ts15's rule) and s is one short row per doc,
+    # both far below the corpus passes they replace. (r15 opt round:
+    # 6 scans -> 2, ~5% isolated; the win is structural at scale.)
+    vocab = words.groupBy("word").agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint(eager=True)
     total = vocab.agg(F.sum("cnt").cast("long").alias("n"))
     s = (
         words.join(vocab, "word")
@@ -4965,7 +4973,7 @@ def pl18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 -F.avg(F.ln(F.col("cnt") / F.col("n").cast("double"))), 6
             ).alias("srp"),
         )
-    )
+    ).localCheckpoint(eager=True)
     b = s.agg(
         F.expr("percentile(srp, 1.0D / 3.0D)").alias("b1"),
         F.expr("percentile(srp, 2.0D / 3.0D)").alias("b2"),
