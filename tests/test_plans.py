@@ -503,20 +503,22 @@ def test_shared_span_pairs_no_gram_self_join(spark):
 
 
 def test_memorization_score_gram_keys_are_bigint(spark):
-    """ts12: the gram-frequency join must key on the 60-bit md5-prefix
+    """ts12: the gram-frequency step must key on the 60-bit md5-prefix
     BIGINT, not the raw 8-gram string — shuffle rows carry 8-byte keys.
-    The join-key column gh is bigint in the analyzed schema and no
-    string gram column survives into the join."""
+    Since the r15 optimization round the document-frequency count is a
+    window over gh (one exchange+sort the old groupBy+sort-merge
+    join-back paid anyway, without re-running the shingle explode for
+    the freq side), so there must be NO join in the plan at all — which
+    also removes the Catalyst broadcast trap (no stats under the shingle
+    Generate once intermittently broadcast the whole exploded stream,
+    stalling the driver 10-40 s at the sf1 probe)."""
     df = REGISTRY["ts12_memorization_score"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(gh#\d+L", plan), plan
     assert "CartesianProduct" not in plan, plan
-    # The classify join must stay a sort-merge on gh: without the merge
-    # hint Catalyst has no stats under the shingle Generate and
-    # broadcast the whole exploded stream (10-40 s driver stalls at the
-    # sf1 probe).
     assert "BroadcastHashJoin" not in plan, plan
-    assert "SortMergeJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert re.search(r"Window \[count\(1\)", plan), plan
 
 
 def test_partitioned_layout_prunes_directories(spark):

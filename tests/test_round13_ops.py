@@ -91,19 +91,23 @@ def test_dd03_sizes_recomputed_post_cap(spark, tmp_path):
 
 def test_pl17_windowed_counts_no_joinback(spark):
     """r12 verdict item 4: the dup flags must be window counts over the
-    curl/tmd5 hash partitionings, not groupBy + join-back pairs. Pin the
-    plan: no shuffle join anywhere (the only join is the 1-row broadcast
-    total), and exactly four data-bearing hash exchanges — curl window,
-    tmd5 window, the countDistinct partial pair (domain, curl), and the
-    final domain rollup."""
+    curl/tmd5 hash partitionings, not groupBy + join-back pairs. Since
+    the r15 optimization round the corpus total is an unpartitioned
+    window over the dimension-sized domain rollup (one documents scan,
+    no branch), so the plan has NO join of any kind and exactly four
+    data-bearing hash exchanges — curl window, tmd5 window, the
+    countDistinct partial pair (domain, curl), and the final domain
+    rollup — plus one SinglePartition exchange carrying only the
+    ~|sources x TLDs| rollup rows into the total window."""
     from tests.conftest import SF_MED
 
     df = REGISTRY["pl17_url_provenance"].fn(spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan, plan
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash == 4, f"expected 4 hash exchanges, got {n_hash}:\n{plan}"
-    assert plan.count("Window") == 2  # curl count + tmd5 count
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Window") == 3  # curl count + tmd5 count + total
 
 
 # --- ts20 single-pass training ------------------------------------------------

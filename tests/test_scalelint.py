@@ -74,13 +74,11 @@ BNLJ_ALLOWED = {
     "1-row measurement aggregate",
     "ts18_bm25_retrieval": "1-row corpus-stats broadcast (N/avgdl/df — "
     "the ts10 LM-normalizer contract)",
-    "pl17_url_provenance": "1-row corpus-token-total broadcast for "
-    "token_share (the ts10 LM-normalizer contract)",
     "pl18_perplexity_buckets": "two 1-row broadcasts: ts10's corpus-total "
     "normalizer plus the tertile-boundary aggregate",
-    "pl22_license_gate": "1-row corpus-token-total broadcast for "
-    "token_share (pl17's contract; the policy dims are keyed "
-    "broadcast hash joins)",
+    # pl17/pl22 left this list in the r15 optimization round: their
+    # corpus-total crossJoins became unpartitioned windows over
+    # dimension-sized rollup frames (no BNLJ remains in either plan).
 }
 
 

@@ -1738,15 +1738,17 @@ def ts12_memorization_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gh"),
     )
-    freq = sh.groupBy("gh").agg(F.count("*").alias("df"))
+    # document frequency as a count window over the gram hash: the old
+    # groupBy + join-back (merge-hinted against a Generate-stats
+    # broadcast trap) re-ran the whole shingle explode for the freq side
+    # and sorted BOTH join inputs by gh — the window needs the one
+    # exchange + sort the join's probe side already paid (r15 opt
+    # round: 1.21 -> 0.79 s isolated; no join left to mis-plan, so the
+    # broadcast trap is gone by construction).
+    wdf = sh.withColumn("df", F.count("*").over(W.partitionBy("gh")))
     shared = F.sum((F.col("df") >= 2).cast("int")).cast("long")
-    # merge hint: Catalyst has no stats below the shingle Generate and
-    # intermittently BROADCAST the whole exploded stream (BuildLeft),
-    # stalling the driver for 10-40 s at the sf1 probe; the keyed
-    # sort-merge is the shape that survives any corpus size.
     return (
-        sh.hint("merge").join(freq, "gh")
-        .groupBy("doc_id")
+        wdf.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             shared.alias("n_shared_grams"),
@@ -3637,8 +3639,17 @@ def dd13_dup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gh"),
     )
-    freq = g.groupBy("gh").agg(F.count("*").alias("cnt"))
-    dup = g.join(freq.filter(F.col("cnt") >= 2), "gh").select("doc_id", "pos")
+    # duplicate-position filter as a count window over the gram hash:
+    # the old groupBy + join-back shuffled the SAME position stream by gh
+    # for the join side AND re-ran the whole 8-gram explode for the freq
+    # side — the window does both in the one exchange (r15 opt round:
+    # 3 scans -> 2, 1.68 -> 1.04 s isolated; partition sizes equal the
+    # posting sizes the join already created, so skew is unchanged).
+    dup = (
+        g.withColumn("cnt", F.count("*").over(W.partitionBy("gh")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
     w_doc = W.partitionBy("doc_id").orderBy("pos")
     flg = dup.select(
         "doc_id",
@@ -4081,26 +4092,35 @@ def dd14_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    g = d.select(
+    # split is a pure function of doc_id, so it is computed ONCE per doc
+    # and carried through the explode — the old build re-scanned
+    # documents for a (doc_id, split) side table and joined it back; and
+    # the per-gram train-presence mask is a max window over the gram
+    # hash instead of a groupBy + merge-join-back that re-ran the whole
+    # explode for the mask side (r15 opt round: 4 scans -> 1 + 2 joins
+    # -> 0, 1.29 -> 1.00 s isolated; the gh exchange carries the same
+    # rows the join's probe side already shuffled).
+    g = d.selectExpr(
+        "doc_id", f"{_DD14_SPLIT_SPARK} AS split", "w"
+    ).select(
         "doc_id",
+        "split",
         F.explode(F.array_distinct(_word_ngrams(8))).alias("gram"),
     ).select(
         "doc_id",
+        "split",
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
         .cast("bigint")
         .alias("gh"),
     )
-    sp = table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{_DD14_SPLIT_SPARK} AS split"
-    )
-    gs = g.join(sp, "doc_id")
-    mask = gs.groupBy("gh").agg(
-        F.max((F.col("split") == "train").cast("int")).alias("in_train")
+    wtr = g.withColumn(
+        "in_train",
+        F.max((F.col("split") == "train").cast("int")).over(
+            W.partitionBy("gh")
+        ),
     )
     contam = (
-        gs.filter(F.col("split") != "train")
-        .hint("merge")
-        .join(mask, "gh")
+        wtr.filter(F.col("split") != "train")
         .groupBy("split", "doc_id")
         .agg(
             F.max("in_train").alias("hit"),
@@ -4724,9 +4744,9 @@ def pl17_url_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back pairs (four exchanges) since both keys are
     high-cardinality (a window partition holds one URL's crawl copies,
     linear, never a skew funnel); the final rollup groups on
-    ~|sources x TLDs| domains. The corpus total for token_share is a
-    1-row broadcast cross join computed straight off the base scan so
-    the window branches aren't re-executed for it."""
+    ~|sources x TLDs| domains. The corpus total for token_share is an
+    unpartitioned window over that dimension-sized rollup — one scan,
+    no second pass over the text (r15 opt round)."""
     base = table(spark, sf_dir, "documents", spread=True).selectExpr(
         "doc_id",
         "source",
@@ -4765,18 +4785,31 @@ def pl17_url_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles less at scale than the alternative of marking one
     # representative row per curl with an ordered row_number window
     # (that variant sorts the full dataset inside each curl partition).
-    tot = base.agg(F.sum("words").alias("total_words"))
+    # corpus total = sum of the per-domain token masses (the window
+    # branches preserve rows 1:1 and the rollup partitions the corpus),
+    # so the total rides an UNPARTITIONED window over the rollup instead
+    # of a second documents scan re-splitting every text: one scan, a
+    # linear plan (a branch-and-rejoin tot is NOT deduped — column
+    # pruning specializes each branch's partial aggregate, defeating
+    # ReuseExchange, measured 2 scans), and the single-partition frame
+    # holds only ~|sources x TLDs| domain rows — the same dimension-frame
+    # rule as pl23's lang window. The query's own output is this exact
+    # row set, so the window adds no volume the final global sort didn't
+    # already carry. (r15 opt round: 2 scans -> 1, 2.03 -> 1.73 s
+    # isolated interleaved medians; eager-localCheckpoint variant
+    # measured equal but hides the plan and runs a job at build time.)
+    rollup = flagged.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("curl").alias("n_canon_urls"),
+        F.sum("dup_url").alias("n_dup_url_docs"),
+        F.sum("words").alias("tokens"),
+        F.sum("dup_text").alias("n_exact_dup_docs"),
+        F.min("curl").alias("min_canon_url"),
+    )
     return (
-        flagged.groupBy("domain")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("curl").alias("n_canon_urls"),
-            F.sum("dup_url").alias("n_dup_url_docs"),
-            F.sum("words").alias("tokens"),
-            F.sum("dup_text").alias("n_exact_dup_docs"),
-            F.min("curl").alias("min_canon_url"),
+        rollup.withColumn(
+            "total_words", F.sum("tokens").over(W.partitionBy())
         )
-        .crossJoin(F.broadcast(tot))
         .selectExpr(
             "domain",
             "CAST(n_docs AS BIGINT) AS n_docs",
@@ -6451,19 +6484,21 @@ def pl22_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS domain",
     )
     pol = pl22_resolve_policy(spark, dom)
-    # corpus total off the PRE-join base: the policy joins partition the
-    # corpus (left joins, 1:1), so the sums agree and the total branch
-    # skips the canonicalization/join work.
-    tot = base.agg(F.sum("words").alias("tw"))
+    # corpus total = sum of the per-policy token masses: the policy joins
+    # partition the corpus (left joins, 1:1), so summing the <= 4
+    # aggregated rows equals summing the base — a whole-frame window over
+    # the policy-class frame replaces what was a SECOND documents scan
+    # (+ a second text split) feeding a 1-row cross join. (r15 opt round:
+    # 2 scans -> 1, 1.95 -> 1.72 s isolated; the unpartitioned window
+    # touches only the dimension-sized rollup, pl23's lang-frame rule.)
+    agg = pol.groupBy("policy").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("domain").cast("bigint").alias("n_domains"),
+        F.sum("words").cast("bigint").alias("tokens"),
+        F.min("domain").alias("example_domain"),
+    )
     return (
-        pol.groupBy("policy")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.countDistinct("domain").cast("bigint").alias("n_domains"),
-            F.sum("words").cast("bigint").alias("tokens"),
-            F.min("domain").alias("example_domain"),
-        )
-        .crossJoin(F.broadcast(tot))
+        agg.withColumn("tw", F.sum("tokens").over(W.partitionBy()))
         .selectExpr(
             "policy",
             "n_docs",
