@@ -162,3 +162,35 @@ def test_pl24_planted_contamination_counts(spark, tmp_path):
     assert out["de"]["n_docs"] == 2
     assert out["de"]["n_contaminated"] == 0
     assert out["de"]["total_hits"] == 0
+
+
+def test_ts19_one_join_two_corpus_passes(spark):
+    """The rewritten ts19 (optimization r15): posexplode carries the
+    word position, so the first word's segmentation rides the ONE
+    word-key vocabulary join as a max-over-pos-0 aggregate — the old
+    shape's separate seg join and doc_id join-back are gone. Executed
+    plan must show exactly two passes over documents (the corpus
+    posexplode + the vocabulary word-frequency build) and exactly one
+    join node."""
+    from tests.test_round14_ops import _executed_scan_rows
+
+    df = REGISTRY["ts19_bpe_tokenize"].fn(spark, SF_MED)
+    df.collect()
+    n_scans, _ = _executed_scan_rows(df, "documents")
+    assert n_scans == 2, f"expected 2 documents scans, saw {n_scans}"
+
+    joins = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "Join" in name:
+            joins.append(name)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if "QueryStageExec" in name:
+            walk(node.plan())
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    assert len(joins) == 1, f"expected the single vocab join, saw {joins}"

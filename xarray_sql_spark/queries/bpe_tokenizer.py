@@ -290,33 +290,36 @@ def ts19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: train on a driver-bounded sample (the codebook contract);
     apply per word TYPE (vocabulary is Heaps-sublinear in corpus size);
-    per-doc counts are one exploded equi-join on the word key against
+    per-doc counts are ONE posexploded equi-join on the word key against
     the small vocabulary map (AQE broadcast) with map-side-combined
-    aggregation. All folds are JVM expressions — zero Python UDFs."""
-    vocab = bpe_vocab_df(spark, sf_dir)
+    aggregation — pos 0 carries the first word, so its segmentation
+    rides the same join/aggregate as the counts (no second corpus scan,
+    no seg join, no doc_id join-back). The NULL filter reproduces the
+    old inner seg-join's drop of docs whose FIRST word is outside the
+    vocabulary (only possible for chr(31)-carrying words — impossible
+    in a space-split corpus, but the contract is explicit). All folds
+    are JVM expressions — zero Python UDFs."""
+    vocab = bpe_vocab_df(spark, sf_dir).select(
+        "word", "n_bpe", F.array_join("toks", " ").alias("seg")
+    )
     d = table(spark, sf_dir, "documents", spread=True)
     dw = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    agg = (
-        dw.join(vocab.select("word", "n_bpe"), "word")
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("pos", "word"),
+    )
+    return (
+        dw.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_ws_tokens"),
             F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.max(F.when(F.col("pos") == 0, F.col("seg"))).alias(
+                "first_word_seg"
+            ),
         )
-    )
-    fw = d.select(
-        "doc_id",
-        F.get(F.filter(F.split("text", " "), lambda x: x != ""), 0).alias(
-            "word"
-        ),
-    ).filter(F.col("word").isNotNull())
-    seg = fw.join(vocab.select("word", "toks"), "word").select(
-        "doc_id", F.array_join("toks", " ").alias("first_word_seg")
-    )
-    return (
-        agg.join(seg, "doc_id")
+        .filter(F.col("first_word_seg").isNotNull())
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
