@@ -1376,10 +1376,10 @@ def pl08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines (no words to pack)."""
     from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
 
-    d = table(spark, sf_dir, "documents", spread=True)
-    toks = d.select("doc_id", "source").join(
-        bpe_doc_counts(spark, sf_dir), "doc_id"
-    )
+    # source rides the count aggregate's explode (pure function of the
+    # doc row) instead of a doc_id join-back against a second documents
+    # scan — same rows, one scan and one join fewer (r15 §2.3).
+    toks = bpe_doc_counts(spark, sf_dir, "source")
     packed = toks.withColumn(
         "bin", F.expr("(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) DIV 2048")
     )

@@ -353,17 +353,26 @@ def bpe_doc_counts_ctes() -> str:
     )"""
 
 
-def bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_doc_counts(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
     """Spark twin of ``doc_tok``: per-doc real token counts from the
     shared (memoized) vocabulary map — ts19's apply join, reusable by
-    any query that previously counted whitespace tokens."""
+    any query that previously counted whitespace tokens.
+
+    ``extra`` names additional document columns to carry through the
+    word explode (they are pure functions of the doc row — the
+    dd14/ts12 carry-through-the-explode rule), so consumers that
+    previously joined the counts back to ``documents`` just to recover
+    ``source`` skip that join-back and its second corpus scan. Grouping
+    by (doc_id, *extra) has exactly doc_id's cardinality, and the
+    map-side combine reduces the shuffle to one row per doc either way,
+    so the extra columns add bytes-per-doc, not rows."""
     vocab = bpe_vocab_df(spark, sf_dir).select("word", "n_bpe")
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     dw = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
+        "doc_id", *extra, F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
     return (
         dw.join(vocab, "word")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extra)
         .agg(F.sum("n_bpe").cast("long").alias("n_tok"))
     )

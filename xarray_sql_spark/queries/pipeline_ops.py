@@ -2023,10 +2023,10 @@ def pl10_repetition_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (explode-then-shuffle once, not one pass per epoch)."""
     from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
 
-    # spread=True: measured 1.06 -> 0.96 s at sf0.1 (r14 triage;
-    # layout-gated no-op on real data).
-    d = table(spark, sf_dir, "documents", spread=True)
-    planned = d.join(bpe_doc_counts(spark, sf_dir), "doc_id").selectExpr(
+    # source rides the count aggregate's explode (pure function of the
+    # doc row) instead of a doc_id join-back against a second documents
+    # scan — same rows, one scan and one join fewer (r15 §2.3).
+    planned = bpe_doc_counts(spark, sf_dir, "source").selectExpr(
         "source",
         "doc_id",
         "n_tok AS toks",
@@ -2103,10 +2103,11 @@ def ts13_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-key equi-join (Heaps-sublinear vocabulary map)."""
     from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
 
-    d = table(spark, sf_dir, "documents")
+    # source rides the count aggregate's explode (pure function of the
+    # doc row) instead of a doc_id join-back against a second documents
+    # scan — same rows, one scan and one join fewer (r15 §2.3).
     per_source = (
-        d.select("doc_id", "source")
-        .join(bpe_doc_counts(spark, sf_dir), "doc_id")
+        bpe_doc_counts(spark, sf_dir, "source")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -3933,8 +3934,10 @@ def pl16_shard_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from xarray_sql_spark.queries.bpe_tokenizer import bpe_doc_counts
 
-    d = table(spark, sf_dir, "documents", spread=True)
-    planned = d.join(bpe_doc_counts(spark, sf_dir), "doc_id").selectExpr(
+    # source rides the count aggregate's explode (pure function of the
+    # doc row) instead of a doc_id join-back against a second documents
+    # scan — same rows, one scan and one join fewer (r15 §2.3).
+    planned = bpe_doc_counts(spark, sf_dir, "source").selectExpr(
         "source",
         "doc_id",
         "n_tok AS toks",
