@@ -6,7 +6,7 @@ decile variant."""
 
 from __future__ import annotations
 
-from tests.conftest import SF_MED
+from tests.conftest import SF_MED, SF_SMALL
 from xarray_sql_spark.queries import REGISTRY
 
 
@@ -194,3 +194,95 @@ def test_ts19_one_join_two_corpus_passes(spark):
 
     walk(df._jdf.queryExecution().executedPlan())
     assert len(joins) == 1, f"expected the single vocab join, saw {joins}"
+
+
+def _walk_nodes(df) -> list[str]:
+    """Simple-class-name list of every node in the executed adaptive plan."""
+    names: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        names.append(name)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if "QueryStageExec" in name:
+            walk(node.plan())
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return names
+
+
+def test_mm_fused_single_python_pass(spark):
+    """Optimization r15 (guide §4): the mm fixtures' encode kernel and the
+    query's decode/hash kernel are composed into ONE mapInPandas, so the
+    binary payload crosses the JVM<->Python boundary once per scan instead
+    of once per stage. Every fused benched mm query must show exactly one
+    Python-evaluation node; mm06/mm07 additionally carry `origin` through
+    the kernel, so their old doc_id join-back (and its second documents
+    scan) must be gone."""
+    fused = (
+        "mm01_decode_meta", "mm02_frame_sample", "mm04_resize",
+        "mm06_audio_rollup", "mm07_image_rollup", "mm12_signal_stats",
+        "mm13_image_phash_dedup", "mm14_audio_fingerprint_dedup",
+    )
+    for name in fused:
+        df = REGISTRY[name].fn(spark, SF_MED)
+        df.collect()
+        nodes = _walk_nodes(df)
+        py = [n for n in nodes if "InPandas" in n or "EvalPython" in n]
+        assert len(py) == 1, f"{name}: expected 1 Python node, saw {py}"
+        if name in ("mm06_audio_rollup", "mm07_image_rollup"):
+            joins = [n for n in nodes if "Join" in n]
+            assert not joins, f"{name}: origin join-back resurfaced: {joins}"
+
+
+def test_mm_fused_matches_two_step(spark):
+    """The fused kernels must return byte-identical rows to the retained
+    two-step helpers (encode table -> decode op), which remain the
+    streaming twins' building blocks."""
+    import xarray_sql_spark.operators.multimodal as mm
+
+    two_step = {
+        "mm01_decode_meta": lambda: mm.decode_media(
+            mm.encoded_media_table(spark, SF_SMALL)
+        ),
+        "mm02_frame_sample": lambda: mm.sample_frames(
+            mm.mp4_media_table(spark, SF_SMALL)
+        ),
+        "mm04_resize": lambda: mm.resize_images(
+            mm.encoded_media_table(spark, SF_SMALL)
+        ),
+        "mm13_image_phash_dedup_hashes": lambda: mm.image_phash_table(
+            spark, SF_SMALL
+        ).mapInPandas(mm._phash_batches, "doc_id long, phash string, n_px long"),
+        "mm14_audio_fingerprint_dedup_fps": lambda: mm.audio_phash_table(
+            spark, SF_SMALL
+        ).mapInPandas(mm._afp_batches, "doc_id long, fp string, n_samples long"),
+    }
+    fused = {
+        "mm01_decode_meta": lambda: REGISTRY["mm01_decode_meta"].fn(
+            spark, SF_SMALL
+        ),
+        "mm02_frame_sample": lambda: REGISTRY["mm02_frame_sample"].fn(
+            spark, SF_SMALL
+        ),
+        "mm04_resize": lambda: REGISTRY["mm04_resize"].fn(spark, SF_SMALL),
+        "mm13_image_phash_dedup_hashes": lambda: mm._mm13_docs(
+            spark, SF_SMALL
+        ).mapInPandas(
+            mm._compose(mm._mm13_encode_batches, mm._phash_batches),
+            "doc_id long, phash string, n_px long",
+        ),
+        "mm14_audio_fingerprint_dedup_fps": lambda: mm._mm14_docs(
+            spark, SF_SMALL
+        ).mapInPandas(
+            mm._compose(mm._mm14_encode_batches, mm._afp_batches),
+            "doc_id long, fp string, n_samples long",
+        ),
+    }
+    for name in two_step:
+        a = sorted(tuple(r) for r in two_step[name]().collect())
+        b = sorted(tuple(r) for r in fused[name]().collect())
+        assert a == b, f"{name}: fused output diverged from two-step"

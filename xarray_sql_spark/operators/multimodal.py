@@ -48,6 +48,23 @@ MEDIA_TYPES = ("image", "audio", "video")
 FRAME_STRIDE = 30
 N_FEATURES = 8
 
+
+def _compose(*kernels):
+    """Chain mapInPandas kernels into ONE Python evaluation. Every kernel
+    here is Iterator[pd.DataFrame] -> Iterator[pd.DataFrame], so the
+    fixture-encode and the decode/hash stage compose inside the worker and
+    the binary payload crosses the JVM<->Python boundary once per scan
+    instead of once per stage (encode out + decode in were two extra full
+    payload transposes+serializations per query)."""
+
+    def _k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        it = batches
+        for kern in kernels:
+            it = kern(it)
+        return it
+
+    return _k
+
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, digest string, "
     "width int, height int, sample_rate int, n_frames int, duration_s double"
@@ -448,6 +465,42 @@ def parse_container(payload: bytes) -> dict[str, Any] | None:
 IMAGE_FORMATS = ("png", "gif", "bmp", "jpeg")
 
 
+def _media_encode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """encoded_media_table's fixture kernel — module-level so the query
+    builders can fuse it with their decode kernel (``_compose``) into one
+    Python evaluation."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            doc_id = int(doc_id)
+            body = str(text).encode("utf-8")
+            mt = MEDIA_TYPES[doc_id % 3]
+            if mt == "image":
+                w = 160 + (doc_id * 37) % 1760
+                h = 90 + (doc_id * 53) % 990
+                fmt = IMAGE_FORMATS[(doc_id // 3) % 4]
+                head = (
+                    png_header(w, h)
+                    if fmt == "png"
+                    else gif_header(w, h)
+                    if fmt == "gif"
+                    else bmp_header(w, h, len(body))
+                    if fmt == "bmp"
+                    else jpeg_header(w, h)
+                )
+            elif mt == "audio":
+                sr = 8000 + (doc_id * 13) % 40000
+                head = wav_header(sr, len(body))
+            else:
+                head = b""
+            rows.append((doc_id, head + body, mt, source))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "content", "media_type", "origin"]
+        )
+
+
 def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal table with REAL container headers planted around the
     document bodies: images rotate PNG/GIF/BMP/JPEG by ``(doc_id div 3) % 4``
@@ -456,39 +509,9 @@ def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 stub path). Construction is an Arrow-batched mapInPandas — the
     same no-shuffle shape as the decode itself."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
-                doc_id = int(doc_id)
-                body = str(text).encode("utf-8")
-                mt = MEDIA_TYPES[doc_id % 3]
-                if mt == "image":
-                    w = 160 + (doc_id * 37) % 1760
-                    h = 90 + (doc_id * 53) % 990
-                    fmt = IMAGE_FORMATS[(doc_id // 3) % 4]
-                    head = (
-                        png_header(w, h)
-                        if fmt == "png"
-                        else gif_header(w, h)
-                        if fmt == "gif"
-                        else bmp_header(w, h, len(body))
-                        if fmt == "bmp"
-                        else jpeg_header(w, h)
-                    )
-                elif mt == "audio":
-                    sr = 8000 + (doc_id * 13) % 40000
-                    head = wav_header(sr, len(body))
-                else:
-                    head = b""
-                rows.append((doc_id, head + body, mt, source))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "content", "media_type", "origin"]
-            )
-
     return d.mapInPandas(
-        _encode, "doc_id long, content binary, media_type string, origin string"
+        _media_encode_batches,
+        "doc_id long, content binary, media_type string, origin string",
     )
 
 
@@ -565,10 +588,14 @@ def _decode_one(payload: bytes, media_type: str) -> dict[str, Any]:
     return meta
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _decode_batches(
+    batches: Iterator[pd.DataFrame], carry: tuple[str, ...] = ()
+) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one pandas DataFrame per Arrow batch in, one out.
     A real pixel/sample decoder (PIL/ffmpeg) slots into _decode_one; the
-    per-batch loop is the contract."""
+    per-batch loop is the contract. ``carry`` appends input columns (e.g.
+    ``origin``) verbatim to the output so consumers that need document
+    metadata don't pay a doc_id join-back against a second scan."""
     for pdf in batches:
         metas = [
             _decode_one(bytes(c), t) for c, t in zip(pdf["content"], pdf["media_type"])
@@ -576,6 +603,8 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = pd.DataFrame(metas)
         out.insert(0, "media_type", pdf["media_type"].values)
         out.insert(0, "doc_id", pdf["doc_id"].values)
+        for c in carry:
+            out[c] = pdf[c].values
         yield out
 
 
@@ -768,8 +797,13 @@ def mm01_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-parsing the bytes — the oracle regenerates the planted values
     without parsing, so a hash match proves the parse. Video keeps the
     md5 decode stub (no parseable container). No shuffle; the binary
-    column never leaves the scan partition."""
-    return decode_media(encoded_media_table(spark, sf_dir))
+    column never leaves the scan partition — encode and decode run FUSED
+    in one Python evaluation (``_compose``), so the payload crosses the
+    JVM<->Python boundary once instead of three times."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return d.mapInPandas(
+        _compose(_media_encode_batches, _decode_batches), schema=DECODED_SCHEMA
+    )
 
 
 @query(
@@ -810,8 +844,12 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves pts arithmetic end-to-end (mm08's census pattern).
 
     Scale: zero-shuffle Arrow-batched mapInPandas over the scan
-    partitioning; the binary column never leaves its partition."""
-    return sample_frames(mp4_media_table(spark, sf_dir))
+    partitioning; the binary column never leaves its partition — encode
+    and frame sampling run fused in one Python evaluation."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _compose(_mp4_encode_batches, _frame_batches), schema=FRAME_SCHEMA
+    )
 
 
 _FEATURE_ROWS = ", ".join(
@@ -890,8 +928,11 @@ def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest (a PIL ``thumbnail`` call slots into the same kernel). The
     integer floor arithmetic is replicated exactly by the oracle; at 100 TB
     this is the no-shuffle per-partition preprocessing stage feeding vision
-    training."""
-    return resize_images(encoded_media_table(spark, sf_dir))
+    training. Encode and resize run fused in one Python evaluation."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return d.mapInPandas(
+        _compose(_media_encode_batches, _resize_batches), schema=RESIZE_SCHEMA
+    )
 
 
 # --- mm05: perceptual-hash near-duplicate images ----------------------------
@@ -1040,20 +1081,22 @@ def mm06_audio_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. A hash match proves decode -> relational analytics
     composes end to end.
 
-    Scale: decode is the zero-shuffle mapInPandas; origin re-attaches
-    through a doc_id equi-join of two-column slices (the decode schema
-    intentionally omits free-text metadata), then the rollup shuffles
-    only (origin, band) group rows after map-side partial aggregation —
-    the binary payload never leaves the scan partition and is pruned
-    from the aggregate's projection. Durations are 1e-6-grid doubles
-    summed then re-rounded, inside the registry's fp budget."""
-    decoded = decode_media(encoded_media_table(spark, sf_dir))
-    origins = table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("source").alias("origin")
+    Scale: encode+decode run FUSED in one zero-shuffle mapInPandas that
+    carries ``origin`` through (the dd14/ts12 carry-through rule — no
+    doc_id join-back against a second documents scan), then the rollup
+    shuffles only (origin, band) group rows after map-side partial
+    aggregation — the binary payload never leaves the scan partition and
+    is pruned from the aggregate's projection. Durations are 1e-6-grid
+    doubles summed then re-rounded, inside the registry's fp budget."""
+    from functools import partial
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    decoded = d.mapInPandas(
+        _compose(_media_encode_batches, partial(_decode_batches, carry=("origin",))),
+        schema=DECODED_SCHEMA + ", origin string",
     )
     return (
         decoded.filter(F.col("media_type") == "audio")
-        .join(origins, "doc_id")
         .groupBy(
             "origin",
             (F.col("sample_rate").cast("bigint") / 8000)
@@ -1107,16 +1150,20 @@ def mm07_image_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted dimensions by arithmetic, so a hash match proves all four
     container parsers feed relational analytics correctly.
 
-    Scale: decode is the zero-shuffle mapInPandas; the rollup shuffles
-    only (origin, band, shape) group rows after map-side combine, with
-    the binary payload pruned from the aggregate's projection."""
-    decoded = decode_media(encoded_media_table(spark, sf_dir))
-    origins = table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("source").alias("origin")
+    Scale: encode+decode run FUSED in one zero-shuffle mapInPandas that
+    carries ``origin`` through (no doc_id join-back / second documents
+    scan — mm06's rule); the rollup shuffles only (origin, band, shape)
+    group rows after map-side combine, with the binary payload pruned
+    from the aggregate's projection."""
+    from functools import partial
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    decoded = d.mapInPandas(
+        _compose(_media_encode_batches, partial(_decode_batches, carry=("origin",))),
+        schema=DECODED_SCHEMA + ", origin string",
     )
     img = (
         decoded.filter(F.col("media_type") == "image")
-        .join(origins, "doc_id")
         .select(
             "origin",
             "n_bytes",
@@ -1281,34 +1328,38 @@ def mp4_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing bytes. Separate fixture from ``encoded_media_table`` (same
     rule as mm08's MP3 table) so mm01-mm07's planted values are
     untouched."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _mp4_encode_batches, "doc_id long, content binary, media_type string"
+    )
+
+
+def _mp4_encode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mp4_media_table's fixture kernel — module-level so mm02/mm09 can
+    fuse it with their decode kernels (``_compose``)."""
     import struct
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                if doc_id % 3 != 2:  # media_table's video assignment
-                    continue
-                body = str(text).encode("utf-8")
-                head = mp4_header(
-                    MP4_BRANDS[(doc_id // 3) % 3],
-                    MP4_TIMESCALES[(doc_id // 9) % 3],
-                    1 + (doc_id * 7) % 100000,
-                    128 + (doc_id * 41) % 1792,
-                    72 + (doc_id * 59) % 1008,
-                )
-                payload = head + struct.pack(">I", 8 + len(body)) + b"mdat" + body
-                rows.append((doc_id, payload, "video"))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "content", "media_type"]
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            if doc_id % 3 != 2:  # media_table's video assignment
+                continue
+            body = str(text).encode("utf-8")
+            head = mp4_header(
+                MP4_BRANDS[(doc_id // 3) % 3],
+                MP4_TIMESCALES[(doc_id // 9) % 3],
+                1 + (doc_id * 7) % 100000,
+                128 + (doc_id * 41) % 1792,
+                72 + (doc_id * 59) % 1008,
             )
-
-    return d.mapInPandas(
-        _encode, "doc_id long, content binary, media_type string"
-    )
+            payload = head + struct.pack(">I", 8 + len(body)) + b"mdat" + body
+            rows.append((doc_id, payload, "video"))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "content", "media_type"]
+        )
 
 
 def _mp4_decode_batches(
@@ -1392,9 +1443,12 @@ def mm09_mp4_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: zero-shuffle Arrow-batched mapInPandas over the scan
     partitioning, identical to mm01/mm08; the final ORDER BY is the
-    comparator's, not the operator's."""
-    decoded = mp4_media_table(spark, sf_dir).mapInPandas(
-        _mp4_decode_batches, schema=MP4_DECODED_SCHEMA
+    comparator's, not the operator's. Encode and box-walk run fused in
+    one Python evaluation."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = d.mapInPandas(
+        _compose(_mp4_encode_batches, _mp4_decode_batches),
+        schema=MP4_DECODED_SCHEMA,
     )
     return decoded.orderBy("doc_id")
 
@@ -1979,43 +2033,53 @@ def signal_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes; audio body = text bytes (space-padded to even length) +
     (doc_id % 4) full-scale-positive samples (0x7FFF) + (doc_id % 3)
     full-scale-negative samples (-0x8000)."""
+    d = _signal_docs(spark, sf_dir)
+    return d.mapInPandas(
+        _signal_encode_batches,
+        "doc_id long, content binary, media_type string, origin string",
+    )
+
+
+def _signal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document slice signal_media_table encodes (BMP slot + audio)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    d = d.filter(
+    return d.filter(
         ((F.col("doc_id") % 3 == 0) & (F.expr("(doc_id DIV 3) % 4") == 2))
         | (F.col("doc_id") % 3 == 1)
     )
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, text, source in zip(
-                pdf["doc_id"], pdf["text"], pdf["source"]
-            ):
-                doc_id = int(doc_id)
-                body = str(text).encode("utf-8")
-                if doc_id % 3 == 0:  # BMP (the encoded_media_table bmp slot)
-                    w = 160 + (doc_id * 37) % 1760
-                    h = 90 + (doc_id * 53) % 990
-                    body += b"\x00" * (doc_id % 4) + b"\xff" * (doc_id % 3)
-                    payload = bmp_header(w, h, len(body)) + body
-                    mt = "image"
-                else:  # WAV
-                    sr = 8000 + (doc_id * 13) % 40000
-                    if len(body) % 2:
-                        body += b" "
-                    body += b"\xff\x7f" * (doc_id % 4) + b"\x00\x80" * (
-                        doc_id % 3
-                    )
-                    payload = wav_header(sr, len(body)) + body
-                    mt = "audio"
-                rows.append((doc_id, payload, mt, source))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "content", "media_type", "origin"]
-            )
 
-    return d.mapInPandas(
-        _encode, "doc_id long, content binary, media_type string, origin string"
-    )
+def _signal_encode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """signal_media_table's fixture kernel — module-level so mm12 can fuse
+    it with the signal-stats kernel (``_compose``)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["source"]
+        ):
+            doc_id = int(doc_id)
+            body = str(text).encode("utf-8")
+            if doc_id % 3 == 0:  # BMP (the encoded_media_table bmp slot)
+                w = 160 + (doc_id * 37) % 1760
+                h = 90 + (doc_id * 53) % 990
+                body += b"\x00" * (doc_id % 4) + b"\xff" * (doc_id % 3)
+                payload = bmp_header(w, h, len(body)) + body
+                mt = "image"
+            else:  # WAV
+                sr = 8000 + (doc_id * 13) % 40000
+                if len(body) % 2:
+                    body += b" "
+                body += b"\xff\x7f" * (doc_id % 4) + b"\x00\x80" * (
+                    doc_id % 3
+                )
+                payload = wav_header(sr, len(body)) + body
+                mt = "audio"
+            rows.append((doc_id, payload, mt, source))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "content", "media_type", "origin"]
+        )
 
 
 def _signal_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2150,13 +2214,16 @@ def mm12_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     value from the document text (ASCII: code point == UTF-8 byte) plus
     the tail arithmetic — a hash match proves the byte-level decode.
 
-    Scale: encode and decode are zero-shuffle Arrow-batched mapInPandas;
-    payloads never leave their scan partition (the kernel reduces each
-    asset to 4 integers before anything shuffles), and the rollup moves
-    only (kind, origin) partial aggregates. A real image/audio corpus
-    swaps the numpy reinterpret for a PIL/soundfile call in the same
-    kernel; everything downstream is unchanged."""
-    stats = signal_stats(signal_media_table(spark, sf_dir))
+    Scale: encode and decode run FUSED as one zero-shuffle Arrow-batched
+    mapInPandas; payloads never leave their scan partition (the kernel
+    reduces each asset to 4 integers before anything shuffles, and the
+    payload never crosses the Python boundary at all), and the rollup
+    moves only (kind, origin) partial aggregates. A real image/audio
+    corpus swaps the numpy reinterpret for a PIL/soundfile call in the
+    same kernel; everything downstream is unchanged."""
+    stats = _signal_docs(spark, sf_dir).mapInPandas(
+        _compose(_signal_encode_batches, _signal_batches), schema=SIGNAL_SCHEMA
+    )
     return (
         stats.groupBy("kind", "origin")
         .agg(
@@ -2208,16 +2275,22 @@ def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (= (doc_id - leader) DIV 3, 1..4) reverses hash block 8 + 4m of the
     body. Fixture-side arithmetic (the oracle regenerates it); the
     phash OPERATOR below recovers everything from the bytes alone."""
+    return _mm13_docs(spark, sf_dir).mapInPandas(
+        _mm13_encode_batches, "doc_id long, content binary"
+    )
+
+
+def _mm13_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, leader_id, ltext) rows feeding mm13's encode kernel."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     img = d.filter(F.col("doc_id") % 3 == 0).select(
         "doc_id",
         (F.expr("(doc_id DIV 15) * 15")).alias("leader_id"),
     )
-    gl = img.join(
+    return img.join(
         d.select(F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")),
         "leader_id",
     )
-    return gl.mapInPandas(_mm13_encode_batches, "doc_id long, content binary")
 
 
 def _mm13_encode_batches(
@@ -2344,10 +2417,11 @@ def mm13_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducing each image to a 16-byte key (mm12's decode contract); the
     cluster groupBy is ONE shuffle on that key with map-side combine —
     image dedup at 100 TB stays linear, never pairwise. The raw image
-    bytes never shuffle."""
-    assets = image_phash_table(spark, sf_dir)
-    hashes = assets.mapInPandas(
-        _phash_batches, "doc_id long, phash string, n_px long"
+    bytes never shuffle, and encode+hash run fused in one Python
+    evaluation (the payload never crosses the boundary)."""
+    hashes = _mm13_docs(spark, sf_dir).mapInPandas(
+        _compose(_mm13_encode_batches, _phash_batches),
+        "doc_id long, phash string, n_px long",
     )
     return (
         hashes.groupBy("phash")
@@ -2377,16 +2451,22 @@ def audio_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     group share the group leader's text bytes as samples (space-padded
     to even length); member m (1..4) reverses the whole-SAMPLE span of
     hash block 8 + 4m, keeping each sample's byte order intact."""
+    return _mm14_docs(spark, sf_dir).mapInPandas(
+        _mm14_encode_batches, "doc_id long, content binary"
+    )
+
+
+def _mm14_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, leader_id, ltext) rows feeding mm14's encode kernel."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     aud = d.filter(F.col("doc_id") % 3 == 1).select(
         "doc_id",
         (F.expr("(doc_id DIV 15) * 15 + 1")).alias("leader_id"),
     )
-    gl = aud.join(
+    return aud.join(
         d.select(F.col("doc_id").alias("leader_id"), F.col("text").alias("ltext")),
         "leader_id",
     )
-    return gl.mapInPandas(_mm14_encode_batches, "doc_id long, content binary")
 
 
 def _mm14_encode_batches(
@@ -2520,10 +2600,11 @@ def mm14_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: mm13's contract — zero-shuffle Arrow mapInPandas reduces
     each clip to a 16-byte key; ONE map-side-combined groupBy clusters;
-    the raw audio bytes never shuffle."""
-    assets = audio_phash_table(spark, sf_dir)
-    fps = assets.mapInPandas(
-        _afp_batches, "doc_id long, fp string, n_samples long"
+    the raw audio bytes never shuffle, and encode+fingerprint run fused
+    in one Python evaluation."""
+    fps = _mm14_docs(spark, sf_dir).mapInPandas(
+        _compose(_mm14_encode_batches, _afp_batches),
+        "doc_id long, fp string, n_samples long",
     )
     return (
         fps.groupBy("fp")
