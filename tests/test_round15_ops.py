@@ -286,3 +286,19 @@ def test_mm_fused_matches_two_step(spark):
         a = sorted(tuple(r) for r in two_step[name]().collect())
         b = sorted(tuple(r) for r in fused[name]().collect())
         assert a == b, f"{name}: fused output diverged from two-step"
+
+
+def test_ev14_two_scans_no_nested_loop(spark):
+    """Optimization r15 (guide §2.3): ev14's scaffold bounds and its
+    event-type set now come from ONE single-row aggregate
+    (min/max/collect_set) instead of separate bounds + DISTINCT scans,
+    and the hours x types grid is built by two explodes instead of a
+    crossJoin — two events scans total, no BroadcastNestedLoopJoin."""
+    from tests.test_round14_ops import _executed_scan_rows
+
+    df = REGISTRY["ev14_gap_fill"].fn(spark, SF_MED)
+    df.collect()
+    n_scans, _ = _executed_scan_rows(df, "events")
+    assert n_scans == 2, f"expected 2 events scans, saw {n_scans}"
+    nodes = _walk_nodes(df)
+    assert not any("NestedLoop" in n for n in nodes), nodes

@@ -2169,21 +2169,25 @@ def ev14_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag — the preprocessing step dashboards and anomaly detectors need
     before differencing or windowing. Hour stamps emitted as epoch-micros.
 
-    Scale: the scaffold derives from ONE single-row min/max aggregate
-    (metadata-answerable on sorted storage) exploded JVM-side via
-    ``sequence`` — its size is hours x types, independent of event count;
-    the left join broadcasts the scaffold against the pre-aggregated
-    hourly counts, so the raw event stream is touched exactly once."""
+    Scale: the scaffold derives from ONE single-row aggregate — hour
+    bounds AND the event-type set together (``collect_set`` is bounded
+    by type cardinality, a dimension) — exploded JVM-side via
+    ``sequence``, so its size is hours x types, independent of event
+    count. The old shape scanned events three times (bounds, DISTINCT
+    types, hourly counts) and crossed hours x types through a
+    BroadcastNestedLoopJoin; this one scans twice, builds the grid with
+    two explodes, and the left join broadcasts against the
+    pre-aggregated hourly counts (optimization r15, guide §2.3)."""
     e = table(spark, sf_dir, "events")
-    bounds = e.agg(
+    dims = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
+        F.collect_set("event_type").alias("tys"),
     )
-    hours = bounds.select(
-        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
-    )
-    types = e.select("event_type").distinct()
-    scaffold = hours.crossJoin(types)
+    scaffold = dims.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        "tys",
+    ).select("h", F.explode("tys").alias("event_type"))
     counts = e.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
