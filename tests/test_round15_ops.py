@@ -302,3 +302,20 @@ def test_ev14_two_scans_no_nested_loop(spark):
     assert n_scans == 2, f"expected 2 events scans, saw {n_scans}"
     nodes = _walk_nodes(df)
     assert not any("NestedLoop" in n for n in nodes), nodes
+
+
+def test_funnels_one_scan_one_exchange_key(spark):
+    """Optimization r15 (guide §2.3/§2.4): ev06/ev12's funnel stages are
+    chained min-over-user_id windows + a user_id groupBy — ONE executed
+    events scan and no joins (the old per-stage aggregate cascade
+    recomputed each stage's subtree per consumer: 3 and 4 executed
+    scans respectively)."""
+    from tests.test_round14_ops import _executed_scan_rows
+
+    for name in ("ev06_conversion_funnel", "ev12_funnel_conversion"):
+        df = REGISTRY[name].fn(spark, SF_MED)
+        df.collect()
+        n_scans, _ = _executed_scan_rows(df, "events")
+        assert n_scans == 1, f"{name}: expected 1 events scan, saw {n_scans}"
+        nodes = _walk_nodes(df)
+        assert not any("Join" in n for n in nodes), (name, nodes)
