@@ -319,3 +319,59 @@ def test_funnels_one_scan_one_exchange_key(spark):
         assert n_scans == 1, f"{name}: expected 1 events scan, saw {n_scans}"
         nodes = _walk_nodes(df)
         assert not any("Join" in n for n in nodes), (name, nodes)
+
+
+def test_funnel_user_stages_equals_funnel_stages(spark):
+    """The chained-window funnel helper (ONE user_id exchange) is
+    row-identical to the per-stage min-join cascade it replaced —
+    ``funnel_stages`` stays the streaming stage-machine's batch
+    reference, ``funnel_user_stages`` is what ev06/ev12/ev16 execute."""
+    from xarray_sql_spark.queries.pipeline_ops import (
+        funnel_stages,
+        funnel_user_stages,
+    )
+    from xarray_sql_spark.session import table
+
+    e = table(spark, SF_MED, "events")
+    cols = ["user_id", "t1", "t2", "t3"]
+    old = sorted(map(tuple, funnel_stages(e).select(*cols).collect()))
+    new = sorted(map(tuple, funnel_user_stages(e).select(*cols).collect()))
+    assert old == new
+
+
+def test_single_scan_rewrites_r15_batch2(spark):
+    """Optimization r15 (guide §2.3): ev16 rides funnel_user_stages,
+    ev24's cohort_size is a window over the dimension-sized cells table,
+    sk05's top-key/total/percentile probes all ride the counts-of-counts
+    histogram — each executes exactly ONE events scan and no joins
+    (before: 4, 3 and 5 static scans with 6, 4 and 8 joins)."""
+    from tests.test_round14_ops import _executed_scan_rows
+
+    for name in (
+        "ev16_conversion_delays",
+        "ev24_retention_halflife",
+        "sk05_skew_report",
+    ):
+        df = REGISTRY[name].fn(spark, SF_MED)
+        df.collect()
+        n_scans, _ = _executed_scan_rows(df, "events")
+        assert n_scans == 1, f"{name}: expected 1 events scan, saw {n_scans}"
+        nodes = _walk_nodes(df)
+        assert not any("Join" in n for n in nodes), (name, nodes)
+
+
+def test_hh04_exact_twin_single_heavy_pass(spark):
+    """Optimization r15 (guide §2.3): hh04's exact twin consumes the
+    hashed-bigram subtree ONCE (a grouped source-set pass) — the old
+    distinct + hv self-equi-join re-ran it three more times. Executed
+    documents scans: est sketch side + exact hs side + the trivial
+    one-column source dictionary (its theta-join stub sides share one
+    reused stage) = 3; no SortMergeJoin anywhere."""
+    from tests.test_round14_ops import _executed_scan_rows
+
+    df = REGISTRY["hh04_kmv_set_ops"].fn(spark, SF_MED)
+    df.collect()
+    n_scans, _ = _executed_scan_rows(df, "documents")
+    assert n_scans <= 3, f"expected <=3 documents scans, saw {n_scans}"
+    nodes = _walk_nodes(df)
+    assert not any("SortMergeJoin" in n for n in nodes), nodes

@@ -44,16 +44,16 @@ BNLJ_ALLOWED = {
     "ev19_incremental_rollup": "1-row day-boundary broadcast splitting "
     "base/delta (in production the cutoff is a literal)",
     "hh04_kmv_set_ops": "source-pair generation: n_sources sketch rows "
-    "(128 longs each) self-paired — a dimension x dimension theta join, "
-    "size independent of corpus volume",
+    "(128 longs each) self-paired, plus the zero-count stub pairs from "
+    "the one-column source dictionary (r15 exact-twin rewrite) — both "
+    "dimension x dimension theta joins, size independent of corpus "
+    "volume",
     "pl20_epoch_shuffle": "2-row epoch dimension broadcast against the "
     "doc stream (each doc ranked once per epoch)",
     "ss16_hybrid_rrf": "3-row query-vector broadcast against the corpus "
     "(ss01's exact-baseline contract; production swaps in IVF routing)",
     "ts22_pmi_collocations": "1-row corpus-total broadcast (PMI "
     "normalizer, ts10's contract)",
-    "sk05_skew_report": "1-row total/percentile/top-key spec broadcasts "
-    "over the counts-of-counts histogram (all dimension-sized)",
     "hh05_decayed_heavy_hitters": "1-row reference-date broadcast "
     "(corpus-relative decay origin, ts10's contract)",
     "ts24_kneser_ney_surprisal": "1-row bigram-type-total broadcast "
@@ -76,9 +76,11 @@ BNLJ_ALLOWED = {
     "the ts10 LM-normalizer contract)",
     "pl18_perplexity_buckets": "two 1-row broadcasts: ts10's corpus-total "
     "normalizer plus the tertile-boundary aggregate",
-    # pl17/pl22 left this list in the r15 optimization round: their
-    # corpus-total crossJoins became unpartitioned windows over
-    # dimension-sized rollup frames (no BNLJ remains in either plan).
+    # pl17/pl22/sk05 left this list in the r15 optimization round: their
+    # corpus-total crossJoins became unpartitioned windows (pl17/pl22:
+    # over dimension-sized rollup frames) or stacked windows + one
+    # aggregate over the counts-of-counts histogram (sk05) — no BNLJ
+    # remains in any of the three plans.
 }
 
 

@@ -3352,8 +3352,10 @@ def hh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge is a collect_set over <= k * n_partitions values per source.
     Union sketches pair 20 source rows of 128 longs — broadcast-trivial
     at any corpus size (sources are a dimension, not data). The exact
-    twin (the pin) does pay one distinct + self-equi-join on hv; per-hv
-    fanout is bounded by n_sources^2.
+    twin (the pin) pays ONE grouped pass over the hashed bigram stream
+    (per-hv source sets, fanout bounded by n_sources + C(n_sources, 2)
+    per value, both counts off one map-side-combined aggregate); since
+    r15 there is no hv self-join and no second distinct pass.
 
     Estimator: D ~= (k-1) * 2^60 / kth_min_hash; exact when the source
     has fewer than k distinct values (the sketch IS the set)."""
@@ -3424,39 +3426,92 @@ def hh04_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({_kmv_est_sql('nu', 'mxu')}, 0)").alias("eu"),
     )
 
-    hd = hv.distinct()
-    nd = hd.groupBy("source").agg(F.count("*").cast("bigint").alias("nd"))
-    x, y = hd.alias("x"), hd.alias("y")
-    ix = (
-        x.join(
-            y,
-            (F.col("x.hv") == F.col("y.hv"))
-            & (F.col("x.source") < F.col("y.source")),
-        )
-        .groupBy(F.col("x.source").alias("sa"), F.col("y.source").alias("sb"))
-        .agg(F.count("*").cast("bigint").alias("ni"))
+    # Exact twin from ONE pass over the hashed bigram stream
+    # (optimization r15, guide §2.3 — the old shape re-ran the
+    # scan->explode->md5 subtree three more times: a per-source distinct
+    # count plus BOTH sides of an hv self-equi-join): group by hv once,
+    # collecting each value's source set (dimension-bounded at
+    # <= n_sources entries), then explode per-source singles — once
+    # keyed on sa and once on sb, so BOTH window directions below see
+    # them — plus ordered pairs, and count. Zero-count stubs for pairs
+    # that share no hv come from a trivial one-column source-dictionary
+    # scan (no split/explode/md5), so every (sa, sb) pair exists and the
+    # per-source distinct counts attach as partition windows over the
+    # <= n_sources^2-row frame — the exact path's heavy subtree has
+    # exactly ONE consumer and the assembly is a single dimension-sized
+    # broadcast join into the sketch pairs.
+    hs = hv.groupBy("hv").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
     )
-    na, nb = nd.alias("na"), nd.alias("nb")
+    singles_a = F.transform(
+        "ss",
+        lambda s: F.struct(
+            s.alias("sa"), F.lit(None).cast("string").alias("sb")
+        ),
+    )
+    singles_b = F.transform(
+        "ss",
+        lambda s: F.struct(
+            F.lit(None).cast("string").alias("sa"), s.alias("sb")
+        ),
+    )
+    spairs = F.flatten(
+        F.transform(
+            "ss",
+            lambda a, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda b: F.struct(a.alias("sa"), b.alias("sb")),
+            ),
+        )
+    )
+    cnts = (
+        hs.select(
+            F.explode(F.concat(singles_a, singles_b, spairs)).alias("p")
+        )
+        .groupBy("p.sa", "p.sb")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    src = d.select("source").distinct()
+    sx, sy = src.alias("sx"), src.alias("sy")
+    stubs = sx.join(sy, F.col("sx.source") < F.col("sy.source")).select(
+        F.col("sx.source").alias("sa"),
+        F.col("sy.source").alias("sb"),
+        F.lit(0).cast("bigint").alias("cnt"),
+    )
+    allc = (
+        cnts.unionByName(stubs)
+        .groupBy("sa", "sb")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    w_sa = W.partitionBy("sa")
+    w_sb = W.partitionBy("sb")
+    exact = (
+        allc.withColumn(
+            "nd_a", F.max(F.when(F.col("sb").isNull(), F.col("cnt"))).over(w_sa)
+        )
+        .withColumn(
+            "nd_b", F.max(F.when(F.col("sa").isNull(), F.col("cnt"))).over(w_sb)
+        )
+        .filter(F.col("sa").isNotNull() & F.col("sb").isNotNull())
+        .select("sa", "sb", F.col("cnt").alias("ni"), "nd_a", "nd_b")
+    )
     est = est.alias("est")
-    ix = ix.alias("ix")
+    exact = exact.alias("ix")
     return (
-        est.join(na, F.col("est.sa") == F.col("na.source"))
-        .join(nb, F.col("est.sb") == F.col("nb.source"))
-        .join(
-            ix,
+        est.join(
+            F.broadcast(exact),
             (F.col("est.sa") == F.col("ix.sa"))
             & (F.col("est.sb") == F.col("ix.sb")),
-            "left",
         )
         .select(
             F.col("est.sa").alias("source_a"),
             F.col("est.sb").alias("source_b"),
-            F.col("na.nd").alias("exact_a"),
-            F.col("nb.nd").alias("exact_b"),
-            (F.col("na.nd") + F.col("nb.nd") - F.coalesce("ni", F.lit(0)))
+            F.col("nd_a").alias("exact_a"),
+            F.col("nd_b").alias("exact_b"),
+            (F.col("nd_a") + F.col("nd_b") - F.col("ni"))
             .cast("bigint")
             .alias("exact_union"),
-            F.coalesce("ni", F.lit(0)).cast("bigint").alias("exact_intersect"),
+            F.col("ni").cast("bigint").alias("exact_intersect"),
             F.col("ea").cast("bigint").alias("est_a"),
             F.col("eb").cast("bigint").alias("est_b"),
             F.col("eu").cast("bigint").alias("est_union"),
@@ -3533,23 +3588,39 @@ def sk05_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combined count per key, then everything runs on
     the counts-of-counts histogram (bounded by DISTINCT per-key count
     values, not keys — the q23/q40 trick): the cumulative window and
-    every percentile probe touch only that tiny table; the hottest-key
-    lookup filters the key-count table by the max count (no sort). No
-    stage orders keys or facts globally."""
+    every percentile probe touch only that tiny table, and the
+    hottest-key lookup rides a min(k) column kept per histogram cell
+    (so the corpus-sized key-count table is consumed exactly once —
+    optimization r15). No stage orders keys or facts globally; the
+    whole-frame windows span only the histogram."""
     e = table(spark, sf_dir, "events")
     kc = e.groupBy(F.col("user_id").alias("k")).agg(
         F.count("*").cast("bigint").alias("c")
     )
-    cc = kc.groupBy("c").agg(F.count("*").cast("bigint").alias("nk"))
-    tot = cc.agg(
-        F.sum("nk").cast("bigint").alias("n_keys"),
+    # ONE consumer of the corpus-sized kc subtree (optimization r15,
+    # guide §2.3): the counts-of-counts histogram additionally keeps
+    # min(k) per count value, so the deterministic hottest key (min key
+    # at the global max count) no longer needs a second kc pass, and
+    # the totals/percentile probes ride stacked windows over the tiny
+    # histogram (bounded by DISTINCT per-key count values) instead of
+    # three broadcast-join branches that each re-ran the corpus scan.
+    cc = kc.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.min("k").alias("min_k"),
+    )
+    wq = W.orderBy("c")
+    wf = W.orderBy("c").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = (
+        cc.withColumn("cum_keys", F.sum("nk").over(wq))
+        .withColumn("n_keys", F.sum("nk").over(wf))
+        .withColumn("max_c", F.max("c").over(wf))
+    )
+    one = cum.agg(
+        F.max("n_keys").cast("bigint").alias("n_keys"),
         F.sum(F.col("c") * F.col("nk")).cast("bigint").alias("n_rows"),
         F.max("c").alias("max_c"),
-    )
-    cum = cc.withColumn(
-        "cum_keys", F.sum("nk").over(W.orderBy("c"))
-    ).crossJoin(F.broadcast(tot))
-    pct = cum.agg(
         F.min(
             F.when(
                 F.col("cum_keys") >= F.expr("(n_keys + 1) DIV 2"), F.col("c")
@@ -3567,16 +3638,12 @@ def sk05_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c"),
             )
         ).alias("p99_c"),
-    )
-    top1 = (
-        kc.crossJoin(F.broadcast(tot))
-        .filter(F.col("c") == F.col("max_c"))
-        .agg(F.min("k").cast("bigint").alias("top1_key"))
+        F.min(F.when(F.col("c") == F.col("max_c"), F.col("min_k")))
+        .cast("bigint")
+        .alias("top1_key"),
     )
     return (
-        tot.crossJoin(F.broadcast(pct))
-        .crossJoin(F.broadcast(top1))
-        .selectExpr(
+        one.selectExpr(
             "n_keys",
             "n_rows",
             "top1_key",
@@ -3751,7 +3818,10 @@ def ev24_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ev08's shape (one user_id shuffle + tiny (cohort, week)
     count-distinct) plus a fit that aggregates <= a handful of points
-    per cohort — the fit stage is dimension-sized forever."""
+    per cohort — the fit stage is dimension-sized forever, and since
+    r15 the ONE corpus subtree is consumed once (cohort_size rides a
+    cohort_week window over the tiny cells table and is carried
+    through the fit aggregate; no join back to a k = 0 self-slice)."""
     e = table(spark, sf_dir, "events")
     first_ts = F.min("ts").over(W.partitionBy("user_id"))
     cells = (
@@ -3773,14 +3843,28 @@ def ev24_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "k")
         .agg(F.countDistinct("user_id").cast("bigint").alias("active"))
     )
-    base = cells.filter(F.col("k") == 0).select(
-        "cohort_week", F.col("active").alias("cohort_size")
-    )
+    # cohort_size via a window over the dimension-sized cells table
+    # instead of a join back to a `k = 0` self-slice (optimization r15,
+    # guide §2.3: the join's base side re-ran the whole corpus subtree —
+    # scan + user_id window + two-level distinct aggregate — twice more;
+    # the window touches only |cohorts x weeks| rows). The NULL guard
+    # reproduces the old inner join's drop of cohorts without a k = 0
+    # cell (impossible by construction — the first event IS week 0 —
+    # but pinned for strict equivalence).
+    wch = W.partitionBy("cohort_week")
     pts = (
-        cells.join(base, "cohort_week")
-        .filter((F.col("k") >= 1) & (F.col("active") > 0))
+        cells.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("k") == 0, F.col("active"))).over(wch),
+        )
+        .filter(
+            (F.col("k") >= 1)
+            & (F.col("active") > 0)
+            & F.col("cohort_size").isNotNull()
+        )
         .select(
             "cohort_week",
+            "cohort_size",
             "k",
             F.round(
                 F.log(F.col("active").cast("double") / F.col("cohort_size"))
@@ -3792,6 +3876,7 @@ def ev24_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fit = pts.groupBy("cohort_week").agg(
+        F.max("cohort_size").alias("cohort_size"),
         F.count("*").cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("sx"),
         F.sum(F.col("k").cast("bigint") * F.col("k")).cast("bigint").alias("sxx"),
@@ -3801,8 +3886,7 @@ def ev24_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
-        fit.join(base, "cohort_week")
-        .filter((F.col("n") >= _EV24_MIN_POINTS) & (den != 0))
+        fit.filter((F.col("n") >= _EV24_MIN_POINTS) & (den != 0))
         .select(
             "cohort_week",
             "cohort_size",

@@ -1864,6 +1864,57 @@ def funnel_stages(e: DataFrame) -> DataFrame:
     return v.join(c, "user_id", "left").join(p, "user_id", "left")
 
 
+def funnel_user_stages(e: DataFrame) -> DataFrame:
+    """``funnel_stages``' (user_id, t1, t2, t3) computed as chained
+    min-over-partition windows over ONE user_id exchange (optimization
+    r15, guide §2.3/§2.4 — the ev12 rewrite shape, shared by every batch
+    funnel consumer): t1 = earliest view, t2 = earliest click strictly
+    after t1 (the filter references the t1 window column, so Spark
+    stacks the Window operators over a single exchange+sort), t3 =
+    earliest purchase strictly after t2; one row per user with >= 1
+    view, t2/t3 NULL where the user never converted. Provably equal to
+    ``funnel_stages`` (pinned by ``tests/test_round15_ops.py``), which
+    remains the streaming stage-machine's batch reference."""
+    w = W.partitionBy("user_id")
+    x = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        x.filter("t1 IS NOT NULL")
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+
+
 @query(
     "ev12_funnel_conversion",
     oracle="""
@@ -1922,44 +1973,7 @@ def ev12_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. (``funnel_stages`` remains the streaming stage-machine's
     batch reference.)"""
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id")
-    x = (
-        e.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .select("user_id", "ts", "event_type")
-        .withColumn(
-            "t1",
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
-        )
-        .withColumn(
-            "t2",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click")
-                    & (F.col("ts") > F.col("t1")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t3",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t2")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-    )
-    per_user = (
-        x.filter("t1 IS NOT NULL")
-        .groupBy("user_id")
-        .agg(
-            F.max("t1").alias("t1"),
-            F.max("t2").alias("t2"),
-            F.max("t3").alias("t3"),
-        )
-    )
+    per_user = funnel_user_stages(e)
     gaps = per_user.select(
         F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("clicked"),
         F.when(F.col("t3").isNotNull(), 1).otherwise(0).alias("purchased"),
@@ -2425,12 +2439,14 @@ def ev16_conversion_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule; interpolating percentiles over timestamps would manufacture
     instants nobody converted at).
 
-    Scale: rides the three map-side-combinable funnel aggregates; the
-    percentile runs over converted USERS (a fraction of the user table,
-    itself a fraction of events)."""
+    Scale: rides ``funnel_user_stages`` — ONE events scan and ONE
+    user_id exchange (optimization r15: the old ``funnel_stages``
+    cascade re-ran each stage's aggregate subtree per consumer, 4
+    static scans + 3 joins); the percentile runs over converted USERS
+    (a fraction of the user table, itself a fraction of events)."""
     e = table(spark, sf_dir, "events")
     d = (
-        funnel_stages(e)
+        funnel_user_stages(e)
         .filter(F.col("t3").isNotNull())
         .select((F.unix_micros("t3") - F.unix_micros("t1")).alias("delay_us"))
     )
