@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from xarray_sql_spark.queries import REGISTRY  # noqa: E402
+from xarray_sql_spark.registry import reset_train_caches  # noqa: E402
 from xarray_sql_spark.session import get_spark  # noqa: E402
 
 
@@ -51,6 +52,13 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def run_once(spec) -> None:
+        # Clear every registered driver-side train memo (BPE merges, PQ
+        # codebooks, ts20/ts25/pl21 weights) so EACH rep — warm-up and
+        # timed alike — pays full training cost. Before r16 the warm-up
+        # populated these memos and the timed medians of ~11 queries
+        # excluded recurring training (r15 verdict integrity item 1);
+        # numbers from r15 and earlier under-count those queries.
+        reset_train_caches()
         # noop sink executes the full plan (projections included) without
         # result-transfer or disk-write noise.
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -91,6 +99,7 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         if not spec.bench or (only is not None and name not in only):
@@ -122,6 +131,10 @@ def main() -> None:
             continue
         finally:
             spark.sparkContext.setJobGroup("", "")
+        # Raw per-rep samples in run order (r15 verdict item 7): lets a
+        # reader quantify box drift per query from the committed artifact
+        # without re-running the sweep.
+        all_samples[name] = [round(s, 4) for s in samples]
         samples.sort()
         # Lower median: with reps=2 the upper-middle element reports the
         # WORSE of two runs, so one GC hiccup inflated the round-2 numbers.
@@ -294,6 +307,7 @@ def main() -> None:
         pass
     full = dict(meta)
     full["queries"] = {n: timings[n] for n in by_time}
+    full["samples"] = {n: all_samples[n] for n in by_time}
     if floors:
         full["floors"] = floors
     if errors:

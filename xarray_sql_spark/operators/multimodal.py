@@ -992,9 +992,23 @@ def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one shared non-empty band. Single-block docs (<= 64 bytes) carry too
     little signal and are excluded by the greatest(n_a, n_b) guard.
     Payload bytes are hashed once per band in the scan projection and
-    dropped before the join; only 16-byte fingerprints shuffle. The
-    oracle replicates the md5 block arithmetic pairwise (correctness
-    scale only)."""
+    dropped before the join; only 16-byte fingerprints shuffle.
+
+    r16 rewrite: the verify stage needed no join-backs — counting the
+    MATCHING non-empty bands per candidate pair (groupBy instead of
+    distinct: same exchange, the count rides it for free) determines the
+    Hamming distance arithmetically: bands where both docs are empty
+    always match, bands where exactly one is empty never do, so
+    hamming = max(nblocks_a, nblocks_b) - matches, with nblocks =
+    least(8, ceil(n / 64)) packed into the doc key's low 4 bits
+    (doc_id keeps 59 bits). The greatest(n) > 64 guard is equivalently
+    max(nblocks) >= 2. Plan: the ph fingerprint subtree had FOUR
+    consumers (candidate a/b + verify pa/pb — 4 corpus scans, each
+    re-hashing 8 md5 blocks per doc) and two verify joins; now 2
+    consumers and 0 verify joins, and the self-join's two identical
+    sort-exchange subtrees collapse to one executed scan via exchange
+    reuse (plans/r16/mm05_*). The oracle replicates the md5 block
+    arithmetic pairwise (correctness scale only)."""
     m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
     s = F.col("content").cast("string")
     base = m.select("doc_id", s.alias("s")).select(
@@ -1010,41 +1024,41 @@ def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(PHASH_BANDS)
         ]
     )
-    ph = base.select("doc_id", "n", bands.alias("bands"))
-    ex = ph.select("doc_id", "n", F.posexplode("bands").alias("k", "bv")).filter(
-        F.col("k") * PHASH_BLOCK < F.col("n")  # non-empty blocks only
+    nblocks = F.least(
+        F.lit(PHASH_BANDS), F.ceil(F.col("n") / F.lit(PHASH_BLOCK))
+    ).cast("bigint")
+    ph = base.select(
+        (F.col("doc_id") * F.lit(16) + nblocks).alias("dn"),
+        F.col("n"),
+        bands.alias("bands"),
     )
+    ex = ph.select("dn", "n", F.posexplode("bands").alias("k", "bv")).filter(
+        F.col("k") * PHASH_BLOCK < F.col("n")  # non-empty blocks only
+    ).select("dn", "k", "bv")
     a, b = ex.alias("a"), ex.alias("b")
-    cand = (
-        a.join(
+    # merge hint: identical shuffle+sort subtrees on both sides let
+    # ReuseExchange run the fingerprint scan once; a broadcast build of
+    # one side would duplicate it.
+    matches = (
+        a.hint("merge")
+        .join(
             b,
             (F.col("a.k") == F.col("b.k"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.dn") < F.col("b.dn")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.dn").alias("da"), F.col("b.dn").alias("db"))
+        .agg(F.count("*").alias("m"))
     )
-    pa_, pb_ = ph.alias("pa"), ph.alias("pb")
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("pa.bands"),
-            F.col("pb.bands"),
-            lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    nba, nbb = F.col("da") % 16, F.col("db") % 16
     return (
-        cand.join(pa_, cand["doc_a"] == F.col("pa.doc_id"))
-        .join(pb_, cand["doc_b"] == F.col("pb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            ham.cast("int").alias("hamming"),
-            F.greatest(F.col("pa.n"), F.col("pb.n")).alias("maxn"),
+        matches.select(
+            F.shiftright("da", 4).alias("doc_a"),
+            F.shiftright("db", 4).alias("doc_b"),
+            (F.greatest(nba, nbb) - F.col("m")).cast("int").alias("hamming"),
+            F.greatest(nba, nbb).alias("maxnb"),
         )
-        .filter((F.col("hamming") <= 1) & (F.col("maxn") > PHASH_BLOCK))
+        .filter((F.col("hamming") <= 1) & (F.col("maxnb") >= 2))
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )

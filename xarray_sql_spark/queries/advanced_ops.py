@@ -1741,7 +1741,9 @@ _PQ_CTES = f"""
     )"""
 
 
-_PQ_TRAIN_CACHE: dict = {}
+from xarray_sql_spark.registry import register_train_cache as _rtc
+
+_PQ_TRAIN_CACHE: dict = _rtc({})
 
 
 def _pq_dj_pairs(se_col, books):

@@ -186,7 +186,9 @@ def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # while bench / driver runs over one sf_dir train once per process however
 # many queries ride the vocabulary (ts19/pl08/pl10/ts13/pl16 share one
 # training).
-_MERGES_CACHE: dict[tuple, list[tuple[str, str]]] = {}
+from xarray_sql_spark.registry import register_train_cache as _rtc
+
+_MERGES_CACHE: dict[tuple, list[tuple[str, str]]] = _rtc({})
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:

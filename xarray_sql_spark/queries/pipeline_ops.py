@@ -1586,24 +1586,30 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Measured dead end (sf1 probe): carrying n_g inside the collected
     # structs to avoid the two count-table joins ran ~12x SLOWER — the
     # collect shuffle then sorts array<struct> rows off the primitive
-    # fast path. The long-array collect + two tiny keyed joins win.
-    sh = d.select(
-        "doc_id",
+    # fast path. r16: n_g rides the PRIMITIVE doc key instead —
+    # dn = doc_id * 2^24 + n_g packs both into one bigint (n_g is the
+    # distinct-8-gram count, < 2^24 for any document under ~16.7M words;
+    # doc_id keeps 39 bits, ~5.5e11 documents), so collect_list stays on
+    # the long fast path, array_sort still orders by doc_id (n_g is
+    # constant per doc), and BOTH count-table joins + the second and
+    # third corpus scans disappear: containment unpacks from the pair
+    # key itself. Plan: 3 scans / 2 SortMergeJoins / 8 exchanges ->
+    # 1 scan / 0 joins / 2 exchanges (plans/r16/dd10_*).
+    g = d.select("doc_id", shingles.alias("g"))
+    sh = g.select(
+        (F.col("doc_id") * F.lit(1 << 24) + F.size("g")).alias("dn"),
         F.explode(
             F.transform(
-                shingles,
-                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "g",
+                lambda gr: F.conv(F.substring(F.md5(gr), 1, 15), 16, 10).cast(
                     "bigint"
                 ),
             )
         ).alias("gh"),
     )
-    # Per-doc gram counts come straight off the doc array — no explode,
-    # no md5, one column-pruned pass.
-    ng = d.select("doc_id", F.size(shingles).alias("n_g"))
     grams = (
         sh.groupBy("gh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
         .filter(F.size("ds").between(2, 8))
     )
     combos = F.flatten(
@@ -1611,33 +1617,29 @@ def dd10_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ds",
             lambda a, i: F.transform(
                 F.slice(F.col("ds"), i + 2, F.size("ds")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                lambda b: F.struct(a.alias("da"), b.alias("db")),
             ),
         )
     )
     pairs = (
         grams.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .select("p.da", "p.db")
+        .groupBy("da", "db")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
-    na, nb = ng.alias("na"), ng.alias("nb")
-    # merge hints: same missing-Generate-stats trap as ts12 — left alone,
-    # Catalyst broadcasts the 500k-row ng projection (with the shingle
-    # size() compute inside it) and the probe session stalls 4-8 s on the
-    # build; the two keyed sort-merges are flat at any corpus size.
-    return (
-        pairs.hint("merge").join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .hint("merge").join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .select(
-            "doc_a", "doc_b", "n_shared",
-            F.round(
-                F.col("n_shared")
-                / F.least(F.col("na.n_g"), F.col("nb.n_g")).cast("double"),
-                6,
-            ).alias("containment"),
-        )
+    mask = F.lit((1 << 24) - 1)
+    return pairs.select(
+        F.shiftright("da", 24).alias("doc_a"),
+        F.shiftright("db", 24).alias("doc_b"),
+        "n_shared",
+        F.round(
+            F.col("n_shared")
+            / F.least(
+                F.col("da").bitwiseAND(mask), F.col("db").bitwiseAND(mask)
+            ).cast("double"),
+            6,
+        ).alias("containment"),
     )
 
 
@@ -4300,7 +4302,9 @@ def _ts20_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", "ws", "split", f"{_TS20_LABEL_SPARK} AS y")
 
 
-_TS20_CACHE: dict[tuple, tuple[list[int], int]] = {}
+from xarray_sql_spark.registry import register_train_cache as _rtc
+
+_TS20_CACHE: dict[tuple, tuple[list[int], int]] = _rtc({})
 
 
 def ts20_train(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
@@ -6295,7 +6299,7 @@ def _pl21_base(spark: SparkSession, sf_dir: str):
     return d, bg
 
 
-_PL21_CACHE: dict[tuple, list[int]] = {}
+_PL21_CACHE: dict[tuple, list[int]] = _rtc({})
 
 
 def pl21_model(spark: SparkSession, sf_dir: str) -> list[int]:
@@ -6640,7 +6644,7 @@ def _ts25_feats_expr(engine: str) -> str:
     )
 
 
-_TS25_CACHE: dict[tuple, tuple[list[int], int]] = {}
+_TS25_CACHE: dict[tuple, tuple[list[int], int]] = _rtc({})
 
 
 def ts25_train(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:

@@ -32,6 +32,31 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Driver-side train memos (BPE merges, PQ codebooks, ts20/ts25/pl21 model
+# weights) are keyed on the input's content signature so repeated plan
+# builds inside ONE run don't refit identical models. For benchmarking that
+# memoization is a problem: a warm-up rep would populate the memo and every
+# timed rep would then skip the training collect, shaving real recurring
+# cost out of the medians (r15 verdict, gaming-suspected item 1). Every
+# such memo therefore registers itself here, and bench.py clears them all
+# at the start of EACH execution so every timed rep pays full training.
+TRAIN_CACHES: list[dict] = []
+
+
+def register_train_cache(cache: dict) -> dict:
+    """Register a driver-side train memo for per-rep clearing by bench.py."""
+    TRAIN_CACHES.append(cache)
+    return cache
+
+
+def reset_train_caches() -> int:
+    """Clear every registered train memo; returns entries dropped."""
+    n = 0
+    for c in TRAIN_CACHES:
+        n += len(c)
+        c.clear()
+    return n
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = True):
     """Decorator registering a query builder with its DuckDB oracle SQL."""
