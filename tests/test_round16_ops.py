@@ -60,6 +60,56 @@ def test_mm05_fingerprint_subtree_reused(spark):
     assert c.get("SortMergeJoinExec", 0) == 1  # the candidate self-join only
 
 
+def test_pq_dtab_driver_matches_spark_job(spark):
+    """r16: the 24-row ADC lookup job moved driver-side. Pin the driver
+    fold + rounding bit-equal to the Spark-expression formulation it
+    replaced, on both small SFs."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_MED
+
+    for sf_dir in (SF_SMALL, SF_MED):
+        reg.reset_train_caches()
+        v, cbf, dtab = advanced_ops._pq_train(spark, sf_dir)
+        if cbf is None:
+            continue
+        dt_rows = [
+            (int(q), s, [float(x) for x in qe], int(j), cbf[(s, j)])
+            for (q, s, j), _ in dtab.items()
+            for qe in (
+                [
+                    r["emb"][
+                        s * advanced_ops._PQ_SUBDIM:(s + 1)
+                        * advanced_ops._PQ_SUBDIM
+                    ]
+                    for r in v.filter(F.col("vec_id") == q).collect()
+                ][0],
+            )
+        ]
+        dt_df = spark.createDataFrame(
+            dt_rows,
+            "query_id long, s int, qe array<double>, j long, ce array<double>",
+        )
+        spark_vals = {
+            (r["query_id"], r["s"], r["j"]): r["d2"]
+            for r in dt_df.select(
+                "query_id", "s", "j",
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qe"), F.col("ce"),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z,
+                    ),
+                    6,
+                ).alias("d2"),
+            ).collect()
+        }
+        assert spark_vals == dtab  # bit-exact, both SFs
+
+
 def test_all_train_memos_registered():
     """Every module-level train memo is in TRAIN_CACHES (identity, not
     equality — clearing must hit the dict the query builders read)."""

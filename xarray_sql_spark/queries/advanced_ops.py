@@ -1772,6 +1772,23 @@ def _pq_dj_pairs(se_col, books):
     )
 
 
+def _sq_fold(qe, ce) -> float:
+    """aggregate(zip_with(qe, ce, (x-y)*(x-y)), 0.0, acc+z) as driver-side
+    IEEE doubles — the identical index-ordered fold Spark executes."""
+    acc = 0.0
+    for x, y in zip(qe, ce):
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
+def _spark_round6(v: float) -> float:
+    """Spark's round(double, 6): decimal-string BigDecimal, HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def _pq_argmin_j(se_col, books):
     """Nearest centroid as a projection: min over literal (d2, j) structs
     — same (distance, j) tie-break as a min_by."""
@@ -1929,22 +1946,48 @@ def _pq_train(spark: SparkSession, sf_dir: str):
         sub0.alias("se0"),
         sub1.alias("se1"),
     )
-    exploded = assigned.select(
-        F.lit(0).alias("s"), F.col("j0").alias("j"),
-        F.posexplode("se0").alias("dim", "val"),
-    ).union(
-        assigned.select(
-            F.lit(1).alias("s"), F.col("j1").alias("j"),
-            F.posexplode("se1").alias("dim", "val"),
-        )
-    )
+    # r16 (training is now paid on EVERY bench rep, so its cost counts):
+    # the means used to come off a posexplode of every subvector element
+    # — rows x 2 x 32 generated rows, 1.42 s warm at sf0.1. A
+    # 2-rows-per-vector union with 32 per-dimension sum columns
+    # aggregates the same values at 1/32nd the generated rows (~0.3 s).
+    # round(sum/n, 4) stays a SPARK expression: Average for doubles IS
+    # sum/count with the identical Round; summation-order jitter between
+    # the two plans is ~1e-12, far inside the 1e-4 grid budget the
+    # registry docstring allots.
+    # A 2-struct explode, NOT a union of two selects: union children are
+    # separate subtrees, so the scan + argmin projection would execute
+    # twice (the pre-r16 posexplode union paid exactly that).
+    stacked = assigned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("s"),
+                    F.col("j0").alias("j"),
+                    F.col("se0").alias("sub"),
+                ),
+                F.struct(
+                    F.lit(1).alias("s"),
+                    F.col("j1").alias("j"),
+                    F.col("se1").alias("sub"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.s", "e.j", "e.sub")
     trained: dict = {}
     for r in (
-        exploded.groupBy("s", "j", "dim")
-        .agg(F.round(F.avg("val"), 4).alias("val"))
+        stacked.groupBy("s", "j")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.element_at("sub", i + 1)) / F.count(F.lit(1)), 4
+                ).alias(f"d{i}")
+                for i in range(_PQ_SUBDIM)
+            ]
+        )
         .collect()
     ):
-        trained.setdefault((r["s"], r["j"]), {})[r["dim"]] = r["val"]
+        trained[(r["s"], r["j"])] = {i: r[f"d{i}"] for i in range(_PQ_SUBDIM)}
     cbf = {
         (s, j): (
             [trained[(s, j)][i] for i in range(_PQ_SUBDIM)]
@@ -1955,32 +1998,22 @@ def _pq_train(spark: SparkSession, sf_dir: str):
         for j in seed_js
     }
 
-    # Per-query ADC lookup tables: a 24-row all-local job so the rounding
-    # (HALF_UP) and fold order match the corpus-side expressions exactly.
-    dt_rows = [
-        (int(q), s, [float(x) for x in half(picked[q], s)], int(j), cbf[(s, j)])
+    # Per-query ADC lookup tables (24 entries). r16: computed driver-side
+    # with Spark's exact operation order and rounding — the index-ordered
+    # (x-y)*(x-y) fold is bit-identical IEEE arithmetic, and _spark_round6
+    # replicates Round(d, 6): scala BigDecimal(double) goes through the
+    # decimal string (Double.toString), then HALF_UP — the same digits
+    # Python's shortest-round-trip repr yields at this magnitude. The
+    # 24-row Spark job this replaces cost ~0.5 s of pure job-launch
+    # latency per training rep (pinned bit-equal to the job formulation
+    # by test_round16_ops.test_pq_dtab_driver_matches_spark_job).
+    dtab = {
+        (int(q), s, int(j)): _spark_round6(
+            _sq_fold(half(picked[q], s), cbf[(s, j)])
+        )
         for q in queries_present
         for s in (0, 1)
         for j in seed_js
-    ]
-    dt_df = spark.createDataFrame(
-        dt_rows, "query_id long, s int, qe array<double>, j long, ce array<double>"
-    )
-    dtab = {
-        (r["query_id"], r["s"], r["j"]): r["d2"]
-        for r in dt_df.select(
-            "query_id", "s", "j",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, z: acc + z,
-                ),
-                6,
-            ).alias("d2"),
-        ).collect()
     }
     _PQ_TRAIN_CACHE[cache_key] = (cbf, dtab)
     return v, cbf, dtab
