@@ -95,7 +95,11 @@ PROBE_QUERIES = ["q40_mode_percentile_disc", "ss05_kmeans_train",
                  # + straddle-only second pass — histogram is grid-
                  # bounded, so the ratio must track the scan, not the
                  # sort the exact NTILE would pay)
-                 "pl14b_quality_calibration_two_pass"]
+                 "pl14b_quality_calibration_two_pass",
+                 # round-16: band match-counting + exchange-reused
+                 # fingerprint scan (the candidate join is the only
+                 # pairwise stage left — the ratio tracks bucket sizes)
+                 "mm05_phash_neardup"]
 SRC_SF = "/root/testdata/sf0.1"
 DST = "/tmp/xss_sf1_synth"
 COPIES = 10
@@ -192,6 +196,17 @@ def build_replica(
                 chunk, os.path.join(tmp, f"part-{j:05d}.parquet")
             )
         os.rename(tmp, dst)
+    # Dimension tables ride along VERBATIM (1x): they are joined, never
+    # scanned at data scale, and several probe-worthy queries (the
+    # BASELINE q-spine) need them present. Copied, not scaled — dims grow
+    # far slower than facts in any real warehouse.
+    import shutil
+
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        src_p = os.path.join(src, f"{name}.parquet")
+        dst_p = os.path.join(dst_dir, f"{name}.parquet")
+        if os.path.exists(src_p) and not os.path.exists(dst_p):
+            shutil.copyfile(src_p, dst_p)
     with open(manifest_path, "w") as f:
         json.dump(params, f)
 
