@@ -39,33 +39,30 @@ from xarray_sql_spark.operators import components  # noqa: F401,E402
 #      the oldest r6 block — exactly next_window.py's output.
 # Everything displaced was hash-green in r9 on code paths unchanged this
 # round and stays covered by the local full-registry pytest sweep.
-# Round-15 window (computed by scripts/next_window.py): the round's
-# new/changed queries first (pl14b two-pass deciles, pl24 contamination
-# check — both never driver-checked — then the reworked pl23/dd15), then
-# the oldest-proof fill: the entire 51-entry r8/r9-era tail the r14
-# verdict flagged (q02-q35 relational spine, dd01/dd02, gr01-gr03, cc01,
-# sk03, pl15, ts01/ts02/ts18, ss01/ss14, mm02, gq40, hh01). 0/50 overlap
-# with the r14 window; after this round's gate the >=5-round-stale count
-# drops from 51 to 5 (hh02/hh03, qs02, io01, sk04 — next round's fill
-# head).
+# Round-16 window (computed by scripts/next_window.py): this round's
+# changed-code-path queries first (dd10 packed single-scan rewrite, mm05
+# match-count rewrite, ss09/ss10/ss14 — the PQ training rework feeds all
+# three), then the oldest-proof fill exactly as the script printed it:
+# the 5-entry stale head the r15 verdict predicted (hh02/hh03, qs02,
+# io01, sk04) and the r10/r11-era block behind it.
 _PRIORITY = (
-    "pl14b_quality_calibration_two_pass pl24_contamination_check pl23_pipeline_e2e "
-    "dd15_line_dedup sk03_bloom_prefilter_join cc01_neardup_purge "
-    "gr01_dup_graph_pagerank gr02_triangle_count gr03_cluster_size_dist "
-    "pl15_full_pipeline q02_filter_scan q03_top_revenue "
-    "q04_exists_semijoin q05_region_volume q06_forecast_revenue "
-    "q08_agg_filter q09_climatology_hour q10_anomaly_cte "
-    "q11_window_topk q13_range_join q14_math_rmse "
-    "q15_case_having_union q16_distinct_sort q17_subqueries "
-    "q18_rollup q19_count_star q20_weighted_regrid "
-    "q21_udf_reproject q23_percentiles q24_pivot "
-    "q25_set_ops q26_anti_join q28_grouping_sets "
-    "q29_window_suite q30_string_funcs q31_null_ops "
-    "q32_json_extract q33_array_funcs q34_correlated_subquery "
-    "q35_unpivot dd01_exact_dedup dd02_fingerprint_dedup "
-    "ts01_text_quality ts02_langid ss01_ann_topk "
-    "ts18_bm25_retrieval mm02_frame_sample gq40_grid_stencil "
-    "ss14_ivfpq_search hh01_heavy_hitters "
+    "dd10_shared_span_pairs mm05_phash_neardup ss09_pq_adc_topk "
+    "ss10_pq_rerank ss14_ivfpq_search hh02_hll_distinct "
+    "hh03_countmin qs02_grouped_quantile_sketch io01_jsonl_roundtrip "
+    "sk04_bloom_fp_rate q01_pricing_summary q12_interval_join "
+    "q22_parameterized q27_asof_join q36_interval_range_frame "
+    "ss02_embedding_neardup ev01_sessionization ev02_session_windows "
+    "ev03_hourly_windows ev04_moving_avg pl01_training_mix "
+    "pl02_hash_split ss04_ivf_ann ev05_purchase_click_join "
+    "pl03_decontaminate pl04_training_set ev06_conversion_funnel "
+    "ts05_repetition ev07_resample_ffill ss05_kmeans_train "
+    "ev22_scd2_merge dd13_dup_token_spans dd14_split_contamination "
+    "dd04_minhash_lsh ss03_lsh_ann ss13_ann_recall "
+    "mm10_exif_census mm11_exif_gps_census gq08_grid_regrid_weights "
+    "gq09_grid_forecast_skill gq10_grid_reproject_udf gq16_stats_aggregates "
+    "ev08_cohort_retention q37_lateral_topn ss06_sq_topk "
+    "q38_scd2_pit_join pl05_stratified_split q39_bucketed_range_join "
+    "pl06_weighted_sample ts06_char_entropy "
 ).split()
 
 from xarray_sql_spark import registry as _registry  # noqa: E402
