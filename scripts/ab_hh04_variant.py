@@ -27,13 +27,9 @@ def main() -> None:
     cur = advanced_ops.hh04_kmv_set_ops
 
     # Variant: pre-dedup (source, hv) with an explicit distinct before the
-    # hv group. Build it by source-patching the module function via a
-    # wrapper that intercepts DataFrame.groupBy on the hv frame — simpler:
-    # re-run the builder with a patched groupBy is fragile; instead clone
-    # the builder body difference through a small shim on DataFrame.
-    import types
-
-    src_file = advanced_ops.__file__
+    # hv group — built by cloning the builder source with that one
+    # expression swapped, then exec'ing the bare function (decorator
+    # stripped so the live registry is untouched).
     import inspect
 
     src = inspect.getsource(advanced_ops.hh04_kmv_set_ops)
@@ -42,9 +38,6 @@ def main() -> None:
         'hs = hv.groupBy("hv").agg(', 'hs = hv.distinct().groupBy("hv").agg('
     )
     ns = vars(advanced_ops).copy()
-    exec("def _noop_query(*a, **k):\n    def deco(fn):\n        return fn\n    return deco", ns)
-    variant_src = variant_src  # decorator: strip @query(...) by exec with shim
-    # Strip the @query decorator block (ends at the line 'def hh04')
     lines = variant_src.splitlines()
     start = next(i for i, ln in enumerate(lines) if ln.startswith("def hh04"))
     body = "\n".join(lines[start:])
