@@ -686,7 +686,16 @@ def ts06_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; the only shuffle keys are (doc_id, bigram) with map-side
     partial counts, then doc_id — raw text never shuffles. ln() at 6-dp
     rounding is cross-engine deterministic (established by ts04's
-    driver-green TF-IDF)."""
+    driver-green TF-IDF).
+
+    r16 measured-and-rejected: a zero-exchange per-row formulation
+    (array_sort the bigrams, run-length fold for sum(c·ln c) — and a
+    boundary-index variant without per-element structs) was proven
+    output-identical and interleave-measured 1.22x faster at sf0.1 but
+    0.64-0.72x at the 10x replica: the per-row sort + lambda compute
+    constant exceeds what the two map-side-combined 8-byte-keyed
+    exchanges cost, so the explode shape is the scale-favorable one
+    (scripts/ab_ts06.py)."""
     d = table(spark, sf_dir, "documents", spread=True).filter(F.length("text") >= 2)
     bigrams = F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
     counts = (
