@@ -1960,10 +1960,10 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     # — rows x 2 x 32 generated rows, 1.42 s warm at sf0.1. A
     # 2-rows-per-vector union with 32 per-dimension sum columns
     # aggregates the same values at 1/32nd the generated rows (~0.3 s).
-    # round(sum/n, 4) stays a SPARK expression: Average for doubles IS
-    # sum/count with the identical Round; summation-order jitter between
-    # the two plans is ~1e-12, far inside the 1e-4 grid budget the
-    # registry docstring allots.
+    # round(avg(element_at(...)), 4) stays a SPARK expression — the same
+    # Average + Round the exploded formulation used, per dimension;
+    # summation-order jitter between the two plans is ~1e-12, far inside
+    # the 1e-4 grid budget the registry docstring allots.
     # A 2-struct explode, NOT a union of two selects: union children are
     # separate subtrees, so the scan + argmin projection would execute
     # twice (the pre-r16 posexplode union paid exactly that).
@@ -1988,9 +1988,7 @@ def _pq_train(spark: SparkSession, sf_dir: str):
         stacked.groupBy("s", "j")
         .agg(
             *[
-                F.round(
-                    F.sum(F.element_at("sub", i + 1)) / F.count(F.lit(1)), 4
-                ).alias(f"d{i}")
+                F.round(F.avg(F.element_at("sub", i + 1)), 4).alias(f"d{i}")
                 for i in range(_PQ_SUBDIM)
             ]
         )
